@@ -1,38 +1,350 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 /
+§2b (graph algorithms over testdata-derived graphs, dedup/text/similarity
+pipeline ops), run at sf=0.01 against the matching DuckDB ``oracle_sql()``.
+
+Conventions:
+- every computed column is aliased identically in Spark and SQL;
+- floating-point outputs are rounded (ROUND 6) on BOTH sides so value
+  hashes are insensitive to summation order;
+- iterative algorithms appear twice: fixed-k unrolled versions with full
+  SQL oracles, and converged/hash-based versions as rows-only checks
+  (minhash/simhash use engine-side hashing DuckDB cannot replicate).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DAMPING = 0.85
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB)
+# ---------------------------------------------------------------------------
+
+EVENTS_EDGES_CTE = """
+e AS (
+  SELECT event_id AS src, prev AS dst FROM (
+    SELECT event_id,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+  ) WHERE prev IS NOT NULL
+)"""
+
+COPURCHASE_EDGES_CTE = """
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+
+GRAPH_BASE_CTES = """
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+o AS (SELECT src AS id, COUNT(*) AS c FROM e GROUP BY 1),
+i AS (SELECT dst AS id, COUNT(*) AS c FROM e GROUP BY 1),
+deg AS (
+  SELECT v.id, COALESCE(o.c, 0) AS out_degree, COALESCE(i.c, 0) AS in_degree
+  FROM v LEFT JOIN o ON o.id = v.id LEFT JOIN i ON i.id = v.id
+),
+n AS (SELECT COUNT(*) AS c FROM v)"""
+
+
+def _pagerank_sql(edges_cte: str, k: int) -> str:
+    """Unrolled k-iteration damped PageRank with dangling redistribution,
+    mirroring algos/pagerank.py exactly (same base/dangling terms)."""
+    ctes = [edges_cte.strip(), GRAPH_BASE_CTES.strip(),
+            "r0 AS (SELECT id, 1.0 / (SELECT c FROM n) AS rank FROM v)"]
+    for it in range(1, k + 1):
+        prev, cur = f"r{it - 1}", f"r{it}"
+        ctes.append(f"""{cur} AS (
+  SELECT v.id,
+         (1 - {DAMPING}) / n.c
+         + {DAMPING} * COALESCE(s.contrib, 0)
+         + {DAMPING} * d.m / n.c AS rank
+  FROM v CROSS JOIN n
+  CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0) AS m
+              FROM {prev} r JOIN deg ON deg.id = r.id AND deg.out_degree = 0) d
+  LEFT JOIN (SELECT e.dst AS id, SUM(r.rank / deg.out_degree) AS contrib
+             FROM e JOIN {prev} r ON e.src = r.id JOIN deg ON deg.id = e.src
+             GROUP BY e.dst) s ON s.id = v.id
+)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{k}"
+
+
+_NORM_TEXT_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_STOP_RE = "\\b(the|a|of|and|to|in|is|it)\\b"
+_TOKENS_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
+_NONSPACE_SQL = "length(regexp_replace(text, '\\s+', '', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Spark query implementations
+# ---------------------------------------------------------------------------
+
+
+def _graph_for(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
+    from pagerank_spark.sources.graphs import events_graph, lineitem_copurchase_graph
+
+    return events_graph(spark, sf_dir) if which == "events" else lineitem_copurchase_graph(spark, sf_dir)
+
+
+def q_edge_derive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graph_for(spark, sf_dir, "events")
+
+
+def q_degrees_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.operators.degrees import degree_table
+
+    return degree_table(_graph_for(spark, sf_dir, "events"))
+
+
+def _q_pagerank(which: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pagerank_spark.algos.pagerank import pagerank
+
+        res = pagerank(_graph_for(spark, sf_dir, which), max_iters=k, tol=0.0)
+        return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+    return run
+
+
+def q_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.algos.components import connected_components
+
+    return connected_components(_graph_for(spark, sf_dir, "events"))
+
+
+def q_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.algos.triangles import triangle_count
+
+    n = triangle_count(_graph_for(spark, sf_dir, "copurchase"))
+    return spark.createDataFrame([(n,)], "triangles long")
+
+
+def q_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.algos.labelprop import label_propagation
+
+    return label_propagation(_graph_for(spark, sf_dir, "events"), max_iters=5)
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+def q_text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.operators.textops import text_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_profile(docs).drop("fingerprint", "n_chars_m")
+
+
+def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.operators.textops import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(docs)
+
+
+def q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.operators.textops import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_filter(docs, 0.7).select("doc_id", "n_chars")
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = cosine_topk_bruteforce(emb, query_id=0, k=10)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup(docs, threshold=0.8)
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs)
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: damped PageRank over the sf0.001 events-derived link graph."""
+    from pagerank_spark.algos.pagerank import pagerank
+
+    edges = _graph_for(spark, "/root/testdata/sf0.001", "events")
+    res = pagerank(edges, max_iters=25, tol=1e-9, check_every=5)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "edge_derive_events": q_edge_derive_events,
+        "degrees_events": q_degrees_events,
+        "pagerank_events_k3": _q_pagerank("events", 3),
+        "pagerank_copurchase_k2": _q_pagerank("copurchase", 2),
+        "cc_events": q_cc_events,
+        "labelprop_events": q_labelprop_events,
+        "triangles_copurchase": q_triangles_copurchase,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "text_profile_docs": q_text_profile_docs,
+        "lang_id_docs": q_lang_id_docs,
+        "quality_filter_docs": q_quality_filter_docs,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "simhash_docs": q_simhash_docs,
+        "tpch_q1": q_tpch_q1,
+        "window_top_orders": q_window_top_orders,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["edge_derive_events"] = f"WITH {EVENTS_EDGES_CTE.strip()} SELECT src, dst FROM e"
+
+    sqls["degrees_events"] = (
+        f"WITH {EVENTS_EDGES_CTE.strip()}, {GRAPH_BASE_CTES.strip()} "
+        "SELECT id, out_degree, in_degree FROM deg"
+    )
+
+    sqls["pagerank_events_k3"] = _pagerank_sql(EVENTS_EDGES_CTE, 3)
+    sqls["pagerank_copurchase_k2"] = _pagerank_sql(COPURCHASE_EDGES_CTE, 2)
+
+    sqls["cc_events"] = f"""
+WITH {EVENTS_EDGES_CTE.strip()},
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)
+SELECT v.id, MIN(v.id) OVER (PARTITION BY ev.user_id) AS component
+FROM v JOIN events ev ON ev.event_id = v.id"""
+
+    sqls["triangles_copurchase"] = f"""
+WITH {COPURCHASE_EDGES_CTE.strip()}
+SELECT COUNT(*) AS triangles
+FROM e e1
+JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst"""
+
+    sqls["exact_dedup_docs"] = (
+        f"SELECT doc_id, MIN(doc_id) OVER (PARTITION BY {_NORM_TEXT_SQL}) AS canonical_id FROM documents"
+    )
+
+    sqls["text_profile_docs"] = f"""
+SELECT doc_id,
+       {_TOKENS_SQL} AS n_tokens,
+       len(regexp_extract_all(lower(text), '{_STOP_RE}', 0)) AS n_stopwords,
+       ROUND(len(regexp_extract_all(lower(text), '{_STOP_RE}', 0)) * 1.0 / {_TOKENS_SQL}, 6) AS stopword_ratio,
+       ROUND({_NONSPACE_SQL} * 1.0 / {_TOKENS_SQL}, 6) AS mean_token_len,
+       ROUND(
+         (CASE WHEN {_TOKENS_SQL} BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN ({_NONSPACE_SQL} * 1.0 / {_TOKENS_SQL}) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN (len(regexp_extract_all(lower(text), '{_STOP_RE}', 0)) * 1.0 / {_TOKENS_SQL}) BETWEEN 0.0 AND 0.5 THEN 0.3 ELSE 0.0 END)
+       , 6) AS quality
+FROM documents"""
+
+    _hits = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b', 0))"
+        for lang, words in (
+            ("de", ["der", "die", "und", "ist"]),
+            ("en", ["the", "and", "of", "is"]),
+            ("es", ["el", "los", "y", "es"]),
+            ("fr", ["le", "la", "et", "est"]),
+        )
+    }
+    best = f"greatest({_hits['de']}, {_hits['en']}, {_hits['es']}, {_hits['fr']})"
+    sqls["lang_id_docs"] = f"""
+SELECT doc_id,
+       CASE WHEN {best} = 0 THEN 'und'
+            WHEN {_hits['de']} = {best} THEN 'de'
+            WHEN {_hits['en']} = {best} THEN 'en'
+            WHEN {_hits['es']} = {best} THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM documents"""
+
+    sqls["quality_filter_docs"] = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE (CASE WHEN {_TOKENS_SQL} BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN ({_NONSPACE_SQL} * 1.0 / {_TOKENS_SQL}) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN (len(regexp_extract_all(lower(text), '{_STOP_RE}', 0)) * 1.0 / {_TOKENS_SQL}) BETWEEN 0.0 AND 0.5 THEN 0.3 ELSE 0.0 END)
+      >= 0.7"""
+
+    sqls["ann_topk_cosine"] = """
+SELECT vec_id, ROUND(sim, 6) AS sim FROM (
+  SELECT e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS sim
+  FROM embeddings e WHERE e.vec_id <> 0
+  ORDER BY sim DESC, vec_id ASC LIMIT 10
+)"""
+
+    sqls["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+    sqls["window_top_orders"] = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3"""
+
+    # labelprop_events, minhash_dedup_docs, simhash_docs: engine-side hashing /
+    # iterative semantics not expressible in ANSI SQL -> rows-only checks.
+    return sqls

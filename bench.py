@@ -1,0 +1,93 @@
+"""Benchmark harness — prints ONE JSON line with per-query wall times.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. PageRank throughput is reported as edges/sec
+(E x iterations / wall) alongside raw seconds.
+
+Scaling-efficiency protocol (two-cluster-size stand-in) lives in
+bench/scaling.py, which launches this same workload at local[8] and
+local[32] in separate JVMs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pagerank_spark.session import get_spark
+
+PR_ITERS = 10
+
+
+def run_bench(spark, sf_dir: str) -> dict:
+    from pagerank_spark.algos.components import connected_components
+    from pagerank_spark.algos.pagerank import pagerank
+    from pagerank_spark.algos.triangles import triangle_count
+    from pagerank_spark.operators.dedup import exact_dedup, minhash_dedup
+    from pagerank_spark.operators.similarity import cosine_topk_bruteforce
+    from pagerank_spark.operators.textops import text_profile
+    from pagerank_spark.sources.graphs import events_graph, lineitem_copurchase_graph
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    edges = events_graph(spark, sf_dir).persist()
+    n_edges = edges.count()
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    timed("pagerank_join_10it", lambda: pagerank(edges, max_iters=PR_ITERS, tol=0.0, mode="join", check_every=5).ranks.count())
+    extras["pagerank_join_edges_per_sec"] = round(n_edges * PR_ITERS / timings["pagerank_join_10it"], 1)
+    timed("pagerank_csr_10it", lambda: pagerank(edges, max_iters=PR_ITERS, tol=0.0, mode="csr", check_every=5).ranks.count())
+    extras["pagerank_csr_edges_per_sec"] = round(n_edges * PR_ITERS / timings["pagerank_csr_10it"], 1)
+    timed("connected_components", lambda: connected_components(edges).count())
+
+    co = lineitem_copurchase_graph(spark, sf_dir).persist()
+    timed("triangles_copurchase", lambda: triangle_count(co))
+    co.unpersist()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs.count()
+    timed("text_profile", lambda: text_profile(docs).count())
+    timed("exact_dedup", lambda: exact_dedup(docs).count())
+    timed("minhash_dedup", lambda: minhash_dedup(docs).count())
+    docs.unpersist()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("ann_topk_bruteforce", lambda: cosine_topk_bruteforce(emb, 0, k=10).count())
+
+    edges.unpersist()
+    return {"timings": timings, "extras": extras, "n_edges": n_edges}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    t0 = time.time()
+    res = run_bench(spark, sf_dir)
+    total = round(time.time() - t0, 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": res["timings"],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pagerank_edges": res["n_edges"],
+        "pagerank_iters": PR_ITERS,
+        **res["extras"],
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

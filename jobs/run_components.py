@@ -1,0 +1,49 @@
+"""spark-submit entry point: connected components / label propagation /
+triangle count over a transcripts table.
+
+Usage:
+  spark-submit --py-files pagerank_spark.zip jobs/run_components.py \
+      --transcripts t.parquet --algo cc|lpa|triangles --output out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pagerank_spark.algos.components import connected_components
+from pagerank_spark.algos.labelprop import label_propagation
+from pagerank_spark.algos.triangles import triangle_count
+from pagerank_spark.operators.edges import transcripts_to_graph
+from pagerank_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--transcripts", required=True)
+    ap.add_argument("--algo", choices=["cc", "lpa", "triangles"], default="cc")
+    ap.add_argument("--output", required=True)
+    args = ap.parse_args()
+
+    spark = get_spark(f"graph-{args.algo}")
+    t = spark.read.parquet(args.transcripts)
+    ids, edges = transcripts_to_graph(t)
+    verts = ids.selectExpr("vid as id")
+
+    if args.algo == "triangles":
+        n = triangle_count(edges)
+        with open(os.path.join(args.output, "triangles.json"), "w") as f:
+            json.dump({"triangles": n}, f)
+        print(json.dumps({"triangles": n}))
+        return
+
+    result = connected_components(edges, vertices=verts) if args.algo == "cc" else label_propagation(edges, vertices=verts)
+    result.join(ids, result.id == ids.vid).drop("vid").write.mode("overwrite").parquet(args.output)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Connected components via min-label hash-join propagation + pointer jumping.
+
+Each vertex starts labeled with its own id. Every superstep does two moves:
+
+1. **neighbor-min propagation** (the small-star-style hash join): each vertex
+   takes the min of its label and its neighbors' labels over the symmetrized
+   edge set — one gather-join + groupBy(min), the same shuffle shape as a
+   PageRank superstep.
+2. **pointer jumping** (the large-star-style contraction): each vertex then
+   replaces its label with its *label's* label (``label = component[label]``,
+   one self-join on the label column). This squares the propagation distance
+   per superstep, so convergence is O(log diameter) supersteps instead of
+   O(diameter) — mandatory at transcript scale, where a single long-running
+   conversation is a path graph (a 10^6-turn conversation would otherwise
+   need 10^6 supersteps).
+
+Lineage: every superstep ends in an eager ``localCheckpoint`` — the state is
+referenced multiple times per superstep, so without truncation the logical
+plan grows exponentially (see algos/pagerank.py docstring).
+
+Golden property used by tests: transcript edges are intra-conversation, so
+components == conversations exactly (FIXTURES.md §2). Labels are min vertex
+ids — deterministic and exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .pagerank import _num_partitions
+
+
+def connected_components(edges: DataFrame, vertices: DataFrame | None = None, max_iters: int = 50) -> DataFrame:
+    """Return ``(id, component)`` where component = min vertex id reachable
+    in the undirected sense. Deterministic and exact."""
+    p = _num_partitions(edges)
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .repartition(p, "src")
+        .persist()
+    )
+    if vertices is not None:
+        verts = vertices.select("id")
+    else:
+        verts = sym.select(F.col("src").alias("id")).dropDuplicates()
+    labels = verts.select("id", F.col("id").alias("component")).repartition(p, "id").localCheckpoint()
+
+    for _ in range(max_iters):
+        # 1. neighbor-min propagation
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.id, "inner")
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        stepped = labels.join(neighbor_min, labels.id == neighbor_min.dst, "left").select(
+            labels.id,
+            F.least(labels.component, F.coalesce(F.col("nbr_min"), labels.component)).alias("component"),
+            labels.component.alias("prev"),
+        )
+        # 2. pointer jumping: component <- component[component]
+        lut = stepped.select(F.col("id").alias("__lid"), F.col("component").alias("__lcomp"))
+        jumped = stepped.join(lut, stepped.component == F.col("__lid"), "left").select(
+            stepped.id,
+            F.coalesce(F.col("__lcomp"), stepped.component).alias("component"),
+            stepped.prev,
+        )
+        labels = jumped.localCheckpoint()
+        changed = labels.filter(F.col("component") != F.col("prev")).count()
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels.select("id", "component")

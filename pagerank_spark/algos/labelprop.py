@@ -1,0 +1,65 @@
+"""Label propagation with synchronous frontier updates.
+
+Semantics: labels start as vertex ids; each superstep, every vertex adopts
+the most frequent label among its (undirected) neighbors, ties broken by the
+smallest label; a vertex with no neighbors keeps its label. Synchronous:
+iteration k+1 reads only iteration-k labels (the DataFrame k -> k+1 swap is
+the reference's double-buffer, pagerank.v:1121-1127).
+
+Frontier: after each superstep, only vertices whose label changed (extracted
+with an anti-join-equivalent filter on the joined old/new pair) count toward
+convergence; the loop stops when the frontier is empty or after
+``max_iters`` (label propagation can oscillate on bipartite structures — the
+cap is semantics, not a workaround).
+
+The mode-per-dst aggregate is two hash aggregations + one window-free argmax
+(max_by over a packed (count, -label) struct) — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .pagerank import _num_partitions
+
+
+def label_propagation(edges: DataFrame, vertices: DataFrame | None = None, max_iters: int = 20) -> DataFrame:
+    """Return ``(id, label)`` after synchronous label propagation."""
+    p = _num_partitions(edges)
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .repartition(p, "dst")
+        .persist()
+    )
+    if vertices is not None:
+        verts = vertices.select("id")
+    else:
+        verts = sym.select(F.col("src").alias("id")).dropDuplicates()
+    # eager localCheckpoint per superstep (see components.py: truncates the
+    # exponential plan growth from multiple state references per superstep)
+    labels = verts.select("id", F.col("id").alias("label")).repartition(p, "id").localCheckpoint()
+
+    for _ in range(max_iters):
+        # count neighbor labels per dst, then argmax by (count desc, label asc)
+        votes = (
+            sym.join(labels, sym.src == labels.id, "inner")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        winner = votes.groupBy("dst").agg(
+            F.max_by(F.col("label"), F.struct(F.col("votes"), (-F.col("label")).alias("neg"))).alias("new_label")
+        )
+        labels = labels.join(winner, labels.id == winner.dst, "left").select(
+            labels.id,
+            F.coalesce(F.col("new_label"), labels.label).alias("label"),
+            labels.label.alias("prev"),
+        ).localCheckpoint()
+        frontier = labels.filter(F.col("label") != F.col("prev")).count()
+        if frontier == 0:
+            break
+
+    sym.unpersist()
+    return labels.select("id", "label")

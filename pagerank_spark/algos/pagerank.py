@@ -1,0 +1,256 @@
+"""PageRank — the reference's one hard-wired query, re-expressed Spark-first.
+
+The reference pipeline (SURVEY.md §2.1) is scan -> gather -> group-sum ->
+divide -> scatter, iterated a fixed number of rounds:
+
+  - random gather by vertex id (pagerank.v:1079-1095)  -> equi-join on src
+  - grouped running sum (pagerank.v:1039-1049)         -> groupBy(dst).sum
+  - divide by out-degree (pagerank.v:468-484)          -> column expression
+  - double-buffer swap (pagerank.v:1121-1127)          -> DataFrame k -> k+1
+  - init-round shortcut (pagerank.v:1042-1046)         -> uniform-prior lit
+
+Two numeric modes:
+
+- :func:`pagerank` — production: damped (d=0.85), dangling-mass
+  redistribution, L1 < tol stopping rule (BASELINE.json.north_rule). Doubles.
+- :func:`pagerank_fixed_point` — golden: bit-exact reference recurrence
+  (SURVEY.md §2a), Q48.16 int64 floor arithmetic, fixed rounds, no damping.
+  Only valid for V <= 65536 (the reference's fixed-point math degenerates to
+  zero above 2^16 vertices).
+
+Shuffle discipline (the 100-TB story):
+  * ``edges`` are hash-repartitioned by ``src`` ONCE and persisted; every
+    iteration's gather-join reuses that partitioning (Catalyst sees matching
+    hashpartitioning on both sides — no per-iteration edge shuffle).
+  * ranks come out of the previous iteration hash-partitioned by id (output
+    of the groupBy/join), so only the per-edge contributions shuffle each
+    superstep — the communication inherent to PageRank.
+  * per-iteration partial aggregation (map-side combine) is what Spark's
+    HashAggregate does automatically; the CSR kernel mode additionally
+    pre-aggregates inside Arrow before the shuffle.
+  * exactly ONE Spark action per iteration: the L1 delta and the next
+    iteration's dangling mass are computed in a single agg over the
+    persisted new state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.degrees import degree_table
+from .csr_kernel import bucketize_edges, csr_contributions
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame          # (id long, rank double|long)
+    iterations: int
+    converged: bool
+    l1_history: list = field(default_factory=list)
+    metrics: list = field(default_factory=list)  # per-iteration dict rows
+
+
+def _num_partitions(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def _superstep(edges_p: DataFrame, state: DataFrame, mode: str, p: int, damping: float, base: float, n: int) -> DataFrame:
+    """One lazy superstep: state k -> state k+1 (no action triggered).
+
+    The dangling mass is a 1-row aggregate cross-joined into the plan (a
+    broadcast nested-loop over a single row), so a superstep needs NO driver
+    action — supersteps chain lazily and the driver materializes only every
+    ``check_every`` iterations. At scale this removes per-iteration barriers;
+    Spark still runs the scalar agg as its own stage inside the job.
+    """
+    if mode == "csr":
+        contribs = csr_contributions(edges_p, state, p)
+    else:
+        contribs = (
+            edges_p.join(state, edges_p.src == state.id, "inner")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_degree")).alias("contrib"))
+        )
+    dm = state.agg(
+        F.coalesce(F.sum(F.when(F.col("out_degree") == 0, F.col("rank"))), F.lit(0.0)).alias("__dm")
+    )
+    return (
+        state.join(contribs, state.id == contribs.dst, "left")
+        .crossJoin(dm)
+        .select(
+            state.id,
+            state.out_degree,
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                + F.lit(damping) * F.col("__dm") / F.lit(float(n))
+            ).alias("rank"),
+            state.rank.alias("prev_rank"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iters: int = 100,
+    mode: str = "join",
+    checkpointer=None,
+    check_every: int = 1,
+) -> PageRankResult:
+    """Damped PageRank with dangling-mass redistribution, L1 stopping rule.
+
+    ``mode='join'`` runs the gather as a Catalyst equi-join + hash aggregate;
+    ``mode='csr'`` runs it as a cogrouped Arrow kernel (NumPy searchsorted
+    gather + segment sums; see algos/csr_kernel.py). Identical semantics.
+
+    ``check_every=k`` chains k supersteps lazily between materializations:
+    one Spark action (and one convergence check — the L1 between the LAST
+    two consecutive iterations, so the stopping rule is unchanged) per k
+    iterations. Convergence may overshoot by up to k-1 iterations.
+
+    Lineage discipline: every materialized state is ``localCheckpoint``-ed
+    (eager), truncating the logical plan to a LogicalRDD leaf. This is
+    mandatory, not an optimization: each superstep references the previous
+    state three times (gather, dangling agg, join), so an untruncated plan
+    grows as 3^k and analysis/plan-stringification blows up. Durable
+    cross-job state lives in the Checkpointer (parquet/Iceberg commits);
+    localCheckpoint is the in-job double buffer (pagerank.v:1121-1127).
+
+    ``checkpointer`` (plans.checkpoint.Checkpointer) makes the run resumable:
+    each materialized superstep's rank vector + metrics are committed; on
+    restart the loop continues from the last committed superstep.
+    """
+    p = _num_partitions(edges)
+
+    deg = degree_table(edges, vertices).select("id", "out_degree")
+    # Edges shuffled ONCE; reused by every iteration's gather. Join mode
+    # partitions by src (matches the ranks side of the gather-join); CSR mode
+    # lays out hash buckets sorted by src for the Arrow kernel.
+    if mode == "csr":
+        edges_p = bucketize_edges(edges, p).persist()
+    else:
+        edges_p = edges.select("src", "dst").repartition(p, "src").persist()
+    deg = deg.repartition(p, "id").persist()
+    n = deg.count()
+    if n == 0:
+        return PageRankResult(ranks=deg.select("id", F.lit(0.0).alias("rank")), iterations=0, converged=True)
+
+    base = (1.0 - damping) / n
+
+    start_iter = 0
+    state = None
+    if checkpointer is not None:
+        resumed = checkpointer.latest()
+        if resumed is not None:
+            start_iter, state, _extra = resumed
+            state = state.repartition(p, "id").localCheckpoint()
+
+    if state is None:
+        # Iteration-0 state: uniform prior 1/N (the reference's init-round
+        # shortcut, pagerank.v:1042-1046 — no gather needed to seed it).
+        state = deg.select(
+            "id", "out_degree", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev_rank")
+        ).localCheckpoint()
+
+    result = PageRankResult(ranks=state, iterations=start_iter, converged=False)
+    it = start_iter
+    while it < max_iters:
+        block = min(check_every, max_iters - it)
+        new_state = state
+        for _ in range(block):
+            new_state = _superstep(edges_p, new_state, mode, p, damping, base, n)
+        # eager localCheckpoint: materializes the block AND truncates the
+        # 3^block logical plan to a leaf (see docstring)
+        new_state = new_state.localCheckpoint()
+
+        row = new_state.agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("l1")).first()
+        l1 = float(row["l1"])
+        state = new_state
+        it += block
+        result.l1_history.append(l1)
+        result.metrics.append({"iteration": it, "l1": l1})
+        result.iterations = it
+
+        if checkpointer is not None:
+            checkpointer.commit(it, state.select("id", "out_degree", "rank", "prev_rank"), {"l1": l1})
+        if l1 < tol:
+            result.converged = True
+            break
+
+    result.ranks = state.select("id", "rank")
+    edges_p.unpersist()
+    deg.unpersist()
+    return result
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    n_rounds: int,
+    vertices: DataFrame | None = None,
+    prec: int = 16,
+) -> DataFrame:
+    """Reference-exact fixed-point PageRank (golden mode, SURVEY.md §2a).
+
+    Recurrence (all int64, floor division; y is the stored out-contribution
+    rank(v)/outdeg(v) of undamped PageRank):
+
+        init_val = floor(2^prec / V)                   # pagerank.v:475-478
+        y_1[v]   = floor(|in(v)| * init_val / outdeg)  # pagerank.v:1042-1046
+        y_k[v]   = floor(sum_{u in in(v)} y_{k-1}[u] / outdeg)
+                                                       # pagerank.v:1086-1088,1046,468-472
+
+    Requires every vertex to have outdeg >= 1 (reference behavior is
+    undefined otherwise — pr_div_uu.v:186-191 div0 flag is ignored). Integer
+    sums are order-independent, so results are bit-exact under any
+    partitioning. Fixed ``n_rounds``, no convergence test — exactly like the
+    hardware (pagerank.v:732, 1151).
+    """
+    spark = edges.sparkSession
+    p = _num_partitions(edges)
+    deg = degree_table(edges, vertices)
+    deg = deg.repartition(p, "id").persist()
+    n = deg.count()
+    bad = deg.filter(F.col("out_degree") == 0).count()
+    if bad:
+        raise ValueError(f"fixed-point golden mode requires outdeg >= 1 everywhere; {bad} dangling vertices")
+    if n > (1 << prec):
+        raise ValueError(f"fixed-point mode degenerates above 2^{prec} vertices (SURVEY.md §2a); V={n}")
+
+    init_val = (1 << prec) // n
+    edges_p = edges.select("src", "dst").repartition(p, "src").persist()
+
+    # Round 1: uniform prior — expressible from degrees alone, no join
+    # (the reference's round==2 init substitution path).
+    y = deg.select(
+        "id",
+        "out_degree",
+        F.expr(f"CAST(in_degree * {init_val} AS LONG) div out_degree").alias("y"),
+    ).localCheckpoint()
+
+    for _ in range(max(0, n_rounds - 1)):
+        sums = (
+            edges_p.join(y, edges_p.src == y.id, "inner")
+            .groupBy("dst")
+            .agg(F.sum("y").alias("s"))
+        )
+        # eager localCheckpoint truncates the 2x-per-round plan growth
+        y = (
+            y.join(sums, y.id == sums.dst, "left")
+            .select(
+                y.id,
+                y.out_degree,
+                F.expr("coalesce(s, CAST(0 AS LONG)) div out_degree").alias("y"),
+            )
+            .localCheckpoint()
+        )
+
+    out = y.select("id", F.col("y").alias("rank_fp"))
+    edges_p.unpersist()
+    deg.unpersist()
+    return out

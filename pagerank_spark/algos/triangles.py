@@ -1,0 +1,131 @@
+"""Triangle counting via degree-ordered edge orientation + pair intersection.
+
+Standard scalable recipe (north_star): symmetrize/dedup to undirected edges,
+orient every edge from the lower-(degree, id) endpoint to the higher one —
+each triangle then appears exactly once as a directed wedge a->b, a->c with
+b->c, and the out-degree of any vertex in the oriented graph is O(sqrt(E)),
+which bounds the wedge-join's intermediate size (this orientation is the
+whole scaling trick; without it a hub vertex of degree D generates D^2
+wedges).
+
+Two physical strategies with identical results:
+- :func:`triangle_count` — pure Catalyst: two self-joins (wedge build +
+  wedge close). AQE handles skew splitting.
+- :func:`triangle_count_csr` — per-src sorted-neighbor intersection inside
+  ``applyInPandas`` (NumPy set intersection per wedge batch), the reference
+  SURVEY.md §2b shape; cuts the wedge materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .pagerank import _num_partitions
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Undirected dedup + degree orientation.
+
+    Returns ``(u, v, ku, kv)`` with ku < kv where k = struct(deg, id) — the
+    total order used for orientation. The order keys are carried so the
+    wedge join can deduplicate pairs in the SAME order (filtering wedges by
+    raw id order while orienting by degree order silently drops the
+    triangles where the two orders disagree).
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    j = und.join(da, "a").join(db, "b")
+    ka = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("deg_b").alias("d"), F.col("b").alias("i"))
+    lower_first = ka < kb
+    return j.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, ka).otherwise(kb).alias("ku"),
+        F.when(lower_first, kb).otherwise(ka).alias("kv"),
+    )
+
+
+def _triangle_rows(o: DataFrame) -> DataFrame:
+    """Rows (a, b, c): one per triangle, wedge-pivoted at the orientation-
+    minimal vertex; wedge pairs ordered by the orientation key."""
+    e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("kv").alias("key_b"))
+    e2 = o.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("kv").alias("key_c"))
+    wedges = e1.join(e2, "a").filter(F.col("key_b") < F.col("key_c"))
+    closer = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    return wedges.join(closer, ["b", "c"], "inner").select("a", "b", "c")
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """Total triangle count (Catalyst joins)."""
+    o = _oriented(edges).persist()
+    n = _triangle_rows(o).count()
+    o.unpersist()
+    return n
+
+
+def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+    """``(id, triangles)`` — number of triangles each vertex participates in."""
+    o = _oriented(edges).persist()
+    tris = _triangle_rows(o)
+    per = (
+        tris.select(F.col("a").alias("id"))
+        .unionByName(tris.select(F.col("b").alias("id")))
+        .unionByName(tris.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    o.unpersist()
+    return per
+
+
+def triangle_count_csr(edges: DataFrame) -> int:
+    """Triangle count via per-partition sorted-neighbor intersection.
+
+    Oriented adjacency lists are grouped per src; for each oriented edge
+    (u, v) the kernel intersects adj[u] with adj[v] using NumPy
+    ``intersect1d`` over sorted arrays. The adjacency map is shipped per
+    hash bucket of u with the closing edges co-grouped on the same bucket.
+    """
+    o = _oriented(edges)
+    p = _num_partitions(edges)
+    # adjacency rows grouped by bucket of the wedge pivot u
+    adj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    adj = adj.withColumn("bucket", F.pmod(F.xxhash64("u"), F.lit(p)).cast("int"))
+    # closing edges must be visible to every bucket that may probe them ->
+    # instead intersect adj[u] (pivot) with adj[b]: triangle (u,b,c) needs
+    # c in adj[u] ∩ adj[b]. Join adj to itself along oriented edges (u->b).
+    eb = o.select("u", F.col("v").alias("b"))
+    pair = (
+        eb.join(adj.select(F.col("u"), F.col("nbrs").alias("nbrs_u")), "u")
+        .join(adj.select(F.col("u").alias("b"), F.col("nbrs").alias("nbrs_b")), "b")
+    )
+
+    def intersect(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"n": np.array([], dtype=np.int64)})
+        counts = [
+            np.intersect1d(np.asarray(x, dtype=np.int64), np.asarray(y, dtype=np.int64), assume_unique=True).size
+            for x, y in zip(batch["nbrs_u"], batch["nbrs_b"])
+        ]
+        return pd.DataFrame({"n": np.asarray(counts, dtype=np.int64)})
+
+    counted = pair.select("nbrs_u", "nbrs_b").mapInPandas(
+        lambda it: (intersect(b) for b in it), schema="n long"
+    )
+    row = counted.agg(F.sum("n").alias("total")).first()
+    return int(row["total"] or 0)

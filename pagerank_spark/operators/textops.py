@@ -1,0 +1,78 @@
+"""Text-analysis operators over a documents table.
+
+All scoring columns are JVM expressions from functions/text.py (zero UDFs),
+so a profile over 100 TB of documents is a single codegen'd scan projection
+plus one aggregate. Language ID is an n-gram/markers heuristic kept
+deliberately SQL-mirrorable so the DuckDB oracle can replicate it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    char_count,
+    fingerprint,
+    mean_token_len,
+    normalize_text,
+    quality_score,
+    stopword_count,
+    stopword_ratio,
+    token_count,
+)
+
+# tiny marker lexicons per language (heuristic lang-id; deterministic)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "los", "y", "es"],
+}
+
+
+def _marker_hits(lang: str):
+    pattern = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pattern), F.lit(0)))
+
+
+def text_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document metrics: tokens, chars, stopwords, quality, fingerprint."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars_m"),
+        stopword_count(text_col).alias("n_stopwords"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        F.round(mean_token_len(text_col), 6).alias("mean_token_len"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+        fingerprint(text_col).alias("fingerprint"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(doc_id, lang_pred)`` — argmax of marker-lexicon hit counts, ties
+    broken by language code order; 'und' when no marker hits at all."""
+    hits = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[_marker_hits(lang).alias(f"h_{lang}") for lang in sorted(LANG_MARKERS)],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"h_{l}") for l in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for l in langs:
+        pred = pred.when(F.col(f"h_{l}") == best, F.lit(l))
+    return hits.select("doc_id", pred.alias("lang_pred"))
+
+
+def quality_filter(docs: DataFrame, min_quality: float = 0.7, text_col: str = "text") -> DataFrame:
+    """Documents passing the quality threshold (predicate pushes to scan)."""
+    return docs.filter(quality_score(text_col) >= min_quality)
+
+
+def fingerprint_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(doc_id, canonical_id)`` via 64-bit content fingerprint grouping."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(text_col))
+    return docs.select(F.col(id_col).alias("doc_id"), F.min(id_col).over(w).alias("canonical_id"))

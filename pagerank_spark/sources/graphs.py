@@ -1,0 +1,125 @@
+"""Graph generators and testdata-derived graphs.
+
+``er_graph`` is the engine equivalent of the reference's synthetic generator
+(graphgen.cpp:27-39: uniform src/dst draws, self-loops and duplicate (src,dst)
+rejected — a simple digraph). Ours takes an explicit seed (the reference uses
+unseeded glibc ``rand()``, SURVEY.md §8) and is generated in NumPy so pytest
+oracles can consume the identical edge list.
+
+``hub_skew_graph`` is columnar-in-Spark and adds what the reference lacks:
+a hub-skewed degree distribution to exercise salting/range partitioning
+(SURVEY.md §2b). ``events_graph``/``lineitem_copurchase_graph`` derive graphs
+from the driver's testdata tables for oracle-checked queries and bench volume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def er_edges_numpy(v: int, e: int, seed: int = 42) -> np.ndarray:
+    """Seeded ER-style simple digraph as an (E, 2) int64 array.
+
+    Mirrors graphgen.cpp:27-39 semantics: draw uniform (src, dst), reject
+    self-loops and duplicate pairs, until exactly ``e`` edges exist.
+    """
+    rng = np.random.default_rng(seed)
+    seen: set[tuple[int, int]] = set()
+    out = []
+    while len(out) < e:
+        src = int(rng.integers(0, v))
+        dst = int(rng.integers(0, v))
+        if src == dst or (src, dst) in seen:
+            continue
+        seen.add((src, dst))
+        out.append((src, dst))
+    return np.asarray(out, dtype=np.int64)
+
+
+def ensure_min_outdeg(edges: np.ndarray, v: int) -> np.ndarray:
+    """Add ``u -> (u+1) % v`` for every dangling u (FIXTURES.md §5).
+
+    Required for fixed-point golden mode: the reference divides by out-degree
+    unconditionally and its behavior is undefined at outdeg 0
+    (pagerank.v:468-469, pr_div_uu.v:186-191).
+    """
+    have = set(edges[:, 0].tolist())
+    seen = {(int(s), int(d)) for s, d in edges}
+    extra = []
+    for u in range(v):
+        if u not in have:
+            t = (u + 1) % v
+            if (u, t) not in seen:
+                extra.append((u, t))
+    if not extra:
+        return edges
+    return np.vstack([edges, np.asarray(extra, dtype=np.int64)])
+
+
+def er_graph(spark: SparkSession, v: int, e: int, seed: int = 42, min_outdeg1: bool = False) -> DataFrame:
+    """Seeded ER simple digraph as an ``edges(src long, dst long)`` DataFrame."""
+    arr = er_edges_numpy(v, e, seed)
+    if min_outdeg1:
+        arr = ensure_min_outdeg(arr, v)
+    return spark.createDataFrame(
+        [(int(s), int(d)) for s, d in arr], "src long, dst long"
+    )
+
+
+def hub_skew_graph(spark: SparkSession, v: int, e: int, n_hubs: int | None = None, seed: int = 13) -> DataFrame:
+    """Hub-skewed digraph, generated columnar in Spark (scales to any E).
+
+    Half the edges land on ``n_hubs`` hub destinations (hash-Zipf-ish pick),
+    half are uniform ER. Exercises the skew/salting path (operators/skew.py).
+    """
+    if n_hubs is None:
+        n_hubs = max(1, v // 10_000)
+    ids = spark.range(e).select(F.col("id"))
+    h = lambda *cols: F.abs(F.xxhash64(*cols, F.lit(seed)))
+    is_hub = F.pmod(h(F.col("id"), F.lit("side")), F.lit(2)) == 0
+    hub_dst = F.pmod(h(F.col("id"), F.lit("hub")), F.lit(n_hubs))
+    uni_dst = F.pmod(h(F.col("id"), F.lit("dst")), F.lit(v))
+    src = F.pmod(h(F.col("id"), F.lit("src")), F.lit(v))
+    df = ids.select(
+        src.alias("src"),
+        F.when(is_hub, hub_dst).otherwise(uni_dst).cast("long").alias("dst"),
+    )
+    return df.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+
+
+def events_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-succession graph from testdata ``events``.
+
+    Vertices are event_ids; each event points at the previous event of the
+    same user (ordered by ts, event_id) — same shape as the transcript reply
+    graph (a later turn cites the turn it replies to).
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_id", "ts")
+        .withColumn("prev", F.lag("event_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("event_id").alias("src"), F.col("prev").alias("dst"))
+    )
+
+
+def lineitem_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part co-purchase graph (edges a<b) from ``lineitem``.
+
+    Two parts are linked when they appear in the same order. Triangle-rich —
+    used for triangle-count and richer-topology PageRank queries. The
+    self-join shuffles on l_orderkey (both sides co-partitioned, one
+    exchange per side); dropDuplicates reduces map-side first.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey").dropDuplicates()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )

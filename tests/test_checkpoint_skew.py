@@ -1,0 +1,100 @@
+"""Checkpoint/resume, skew salting, and multimodal plumbing tests."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pagerank_spark.algos.pagerank import pagerank
+from pagerank_spark.operators.multimodal import extract_features, synth_media
+from pagerank_spark.operators.skew import detect_hubs, partition_histogram, salted_sum
+from pagerank_spark.plans.checkpoint import Checkpointer
+from pagerank_spark.sources.graphs import er_edges_numpy, hub_skew_graph
+
+
+def _edges_df(spark, arr):
+    return spark.createDataFrame([(int(s), int(d)) for s, d in arr], "src long, dst long")
+
+
+def test_checkpoint_resume_identical(spark, tmp_path):
+    """Kill after superstep k, resume: final ranks identical to an
+    uninterrupted run (north_rule resumability)."""
+    arr = er_edges_numpy(80, 300, seed=6)
+    edges = _edges_df(spark, arr)
+
+    full = pagerank(edges, max_iters=12, tol=0.0)
+    ranks_full = {r["id"]: r["rank"] for r in full.ranks.collect()}
+
+    ck = Checkpointer(spark, str(tmp_path / "ck"))
+    partial = pagerank(edges, max_iters=5, tol=0.0, checkpointer=ck)  # "killed" after 5
+    assert ck.committed_supersteps()[-1] == 5
+
+    resumed = pagerank(edges, max_iters=12, tol=0.0, checkpointer=ck)  # resumes at 5
+    ranks_resumed = {r["id"]: r["rank"] for r in resumed.ranks.collect()}
+
+    assert set(ranks_full) == set(ranks_resumed)
+    for k in ranks_full:
+        assert abs(ranks_full[k] - ranks_resumed[k]) < 1e-12
+    # metrics recorded for every superstep
+    assert [m["superstep"] for m in ck.metrics()] == list(range(1, 13))
+
+
+def test_checkpoint_ignores_uncommitted(spark, tmp_path):
+    """A superstep directory without the _SUCCESS marker (crash mid-write)
+    is invisible to resume."""
+    arr = er_edges_numpy(30, 100, seed=8)
+    ck = Checkpointer(spark, str(tmp_path / "ck2"))
+    pagerank(_edges_df(spark, arr), max_iters=3, tol=0.0, checkpointer=ck)
+    import os
+
+    os.remove(ck._marker(3))
+    assert ck.committed_supersteps() == [1, 2]
+    k, df, extra = ck.latest()
+    assert k == 2 and df.count() > 0
+
+
+def test_hub_detection_and_salting(spark):
+    edges = hub_skew_graph(spark, v=20000, e=60000, n_hubs=2, seed=3).persist()
+    hubs = detect_hubs(edges, "dst", threshold=1000)
+    hub_ids = {r["hub_id"] for r in hubs.collect()}
+    assert 1 <= len(hub_ids) <= 4  # the synthetic hubs, nothing else
+
+    # correctness: salted sum == plain sum
+    plain = {
+        r["dst"]: r["total"]
+        for r in edges.groupBy("dst").agg(F.count(F.lit(1)).cast("double").alias("total")).collect()
+    }
+    salted = {r["dst"]: r["total"] for r in salted_sum(edges, "dst", F.lit(1.0), hubs, n_salts=16).collect()}
+    assert plain == salted
+
+    # scale property: phase-1 shuffle keys are bounded — the hot key fans out
+    phase1 = edges.join(hubs.withColumnRenamed("hub_id", "dst"), "dst", "left_semi")
+    hot_rows = phase1.count()
+    assert hot_rows > 10000  # the skew is real
+    # after salting, the max per-(key,salt) group is ~hot_rows/n_salts
+    grouped = (
+        edges.withColumn("salt", F.pmod(F.xxhash64("src", "dst"), F.lit(16)))
+        .groupBy("dst", "salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .first()
+    )
+    assert grouped["mx"] < hot_rows  # no single reducer sees a whole hub
+    edges.unpersist()
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 64)
+    feats = extract_features(media, fake_decode=True).collect()
+    assert len(feats) == 64
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(r["decode_ok"] for r in feats)
+    # determinism: same media id -> same feature on rerun
+    again = extract_features(synth_media(spark, 64), fake_decode=True).collect()
+    f1 = {r["media_id"]: tuple(r["feature"]) for r in feats}
+    f2 = {r["media_id"]: tuple(r["feature"]) for r in again}
+    assert f1 == f2
+
+
+def test_multimodal_real_decode_stubbed(spark):
+    media = synth_media(spark, 4)
+    rows = extract_features(media, fake_decode=False).collect()
+    assert all(not r["decode_ok"] for r in rows)

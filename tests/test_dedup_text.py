@@ -1,0 +1,143 @@
+"""Dedup, text-analysis, and similarity operator tests (planted fixtures)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.dedup import (
+    estimated_jaccard,
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+    hamming64,
+)
+from pagerank_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk_bruteforce,
+    cosine_topk_pandas,
+    lsh_bucketed_topk,
+)
+from pagerank_spark.operators.textops import lang_id, quality_filter, text_profile
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away to the hills "
+    "where it meets a friend and they play in the sun all day long until dusk"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("quick", "rapid")),  # near dup of 0
+        (3, "completely different content about database engines and query optimizers running distributed joins"),
+        (4, "der hund und die katze ist im haus und der vogel ist der beste"),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    got = {r["doc_id"]: r["canonical_id"] for r in exact_dedup(_docs(spark)).collect()}
+    assert got[0] == 0 and got[1] == 0
+    assert got[2] == 2 and got[3] == 3
+
+
+def test_minhash_near_dup(spark):
+    docs = _docs(spark)
+    got = {r["doc_id"]: r["canonical_id"] for r in minhash_dedup(docs, threshold=0.5).collect()}
+    assert got[1] == 0  # exact dup groups with 0
+    assert got[2] == 0  # near dup groups with 0
+    assert got[3] == 3 and got[4] == 4
+
+
+def test_minhash_estimates_sane(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs).persist()
+    cands = minhash_lsh_candidates(sigs)
+    est = {(r["a"], r["b"]): r["est_jaccard"] for r in estimated_jaccard(sigs, cands).collect()}
+    assert est.get((0, 1)) == 1.0  # identical docs agree on every hash
+    sigs.unpersist()
+
+
+def test_ngram_jaccard_exact(spark):
+    docs = _docs(spark)
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "a long, b long")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard(docs, pairs).collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 3)] < 0.05
+
+
+def test_simhash_close_for_near_dups(spark):
+    docs = _docs(spark)
+    sh = simhash(docs)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    d = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("x"),
+            F.col("b.doc_id").alias("y"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("ham"),
+        )
+        .collect()
+    )
+    ham = {(r["x"], r["y"]): r["ham"] for r in d}
+    assert ham[(0, 1)] == 0  # identical text -> identical simhash
+    assert ham[(0, 2)] < ham[(0, 3)]  # near dup closer than unrelated
+
+
+def test_text_profile_and_quality(spark):
+    docs = _docs(spark)
+    prof = {r["doc_id"]: r for r in text_profile(docs).collect()}
+    assert prof[0]["n_tokens"] == len(BASE.split())
+    assert prof[5]["n_tokens"] == 2
+    assert prof[0]["quality"] == 1.0  # long, sane tokens, has stopwords
+    passing = {r["doc_id"] for r in quality_filter(docs, 0.7).collect()}
+    assert 0 in passing and 5 not in passing  # "short text" fails length band
+
+
+def test_lang_id(spark):
+    docs = _docs(spark)
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[4] == "de"
+
+
+def _emb(spark, n=50, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    mat[1] = mat[0] + 0.01 * rng.standard_normal(dim).astype(np.float32)  # near dup of 0
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), mat
+
+
+def test_cosine_topk_exact_and_pandas_agree(spark):
+    emb, mat = _emb(spark)
+    bf = [(r["vec_id"], r["sim"]) for r in cosine_topk_bruteforce(emb, 0, k=5).collect()]
+    pu = [(r["vec_id"], r["sim"]) for r in cosine_topk_pandas(emb, 0, k=5).collect()]
+    assert [x[0] for x in bf] == [x[0] for x in pu]
+    for (_, a), (_, b) in zip(bf, pu):
+        assert abs(a - b) < 1e-6
+    # NumPy oracle
+    m = mat.astype(np.float64)
+    sims = m @ m[0] / (np.linalg.norm(m, axis=1) * np.linalg.norm(m[0]))
+    sims[0] = -np.inf
+    expect_top = int(np.argmax(sims))
+    assert bf[0][0] == expect_top == 1
+
+
+def test_lsh_topk_recall(spark):
+    emb, _ = _emb(spark, n=100)
+    exact = [r["vec_id"] for r in cosine_topk_bruteforce(emb, 0, k=5).collect()]
+    approx = [r["vec_id"] for r in lsh_bucketed_topk(emb, 0, k=5, n_planes=6).collect()]
+    # multiprobe LSH at 100 vectors should recover the top hit
+    assert exact[0] in approx
+
+
+def test_cosine_near_dup_pairs(spark):
+    emb, _ = _emb(spark)
+    pairs = {(r["a"], r["b"]) for r in cosine_near_dup_pairs(emb, threshold=0.99).collect()}
+    assert (0, 1) in pairs

@@ -1,0 +1,89 @@
+"""Connected components, label propagation, triangle counting goldens."""
+
+import numpy as np
+
+from pagerank_spark.algos.components import connected_components
+from pagerank_spark.algos.labelprop import label_propagation
+from pagerank_spark.algos.triangles import triangle_count, triangle_count_csr, triangles_per_vertex
+from pagerank_spark.operators.edges import transcripts_to_graph
+from pagerank_spark.sources.graphs import er_edges_numpy
+from pagerank_spark.sources.transcripts import synth_transcripts, transcripts_tiny
+
+from .oracles import components_oracle, triangle_oracle
+
+FIX4 = np.array([[0, 1], [1, 2], [2, 0], [2, 3], [3, 0]], dtype=np.int64)
+
+
+def _edges_df(spark, arr):
+    return spark.createDataFrame([(int(s), int(d)) for s, d in arr], "src long, dst long")
+
+
+def test_components_tiny_transcripts(spark):
+    t = transcripts_tiny(spark)
+    ids, edges = transcripts_to_graph(t)
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6, 9: 6, 10: 6}
+
+
+def test_components_equal_conversations_synth(spark):
+    t = synth_transcripts(spark, 40)
+    ids, edges = transcripts_to_graph(t)
+    comp = connected_components(edges, vertices=ids.select(ids.vid.alias("id")))
+    joined = ids.join(comp, ids.vid == comp.id).select("conv_id", "component").collect()
+    conv2comp = {}
+    for r in joined:
+        conv2comp.setdefault(r["conv_id"], set()).add(r["component"])
+    # each conversation is exactly one component, and components don't cross convs
+    assert all(len(s) == 1 for s in conv2comp.values())
+    all_comps = [next(iter(s)) for s in conv2comp.values()]
+    assert len(all_comps) == len(set(all_comps))
+
+
+def test_components_vs_oracle_er(spark):
+    v, e = 60, 50  # sparse -> several components
+    arr = er_edges_numpy(v, e, seed=4)
+    golden = components_oracle(v, arr)
+    verts = spark.createDataFrame([(i,) for i in range(v)], "id long")
+    comp = {r["id"]: r["component"] for r in connected_components(_edges_df(spark, arr), vertices=verts).collect()}
+    got = np.array([comp[i] for i in range(v)])
+    assert (got == golden).all()
+
+
+def test_triangle_count_fix4(spark):
+    df = _edges_df(spark, FIX4)
+    assert triangle_count(df) == 2
+    assert triangle_count_csr(df) == 2
+    per = {r["id"]: r["triangles"] for r in triangles_per_vertex(df).collect()}
+    # triangles {0,1,2} and {0,2,3}
+    assert per == {0: 2, 1: 1, 2: 2, 3: 1}
+
+
+def test_triangle_count_vs_oracle_er(spark):
+    v, e = 40, 200
+    arr = er_edges_numpy(v, e, seed=5)
+    golden = triangle_oracle(v, arr)
+    df = _edges_df(spark, arr)
+    assert triangle_count(df) == golden
+    assert triangle_count_csr(df) == golden
+
+
+def test_label_propagation_two_cliques(spark):
+    # two 4-cliques joined by one bridge edge: labels converge within cliques
+    edges = []
+    for grp, base in ((0, 0), (1, 4)):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j))
+    edges.append((3, 4))  # bridge
+    df = _edges_df(spark, np.array(edges, dtype=np.int64))
+    labels = {r["id"]: r["label"] for r in label_propagation(df, max_iters=10).collect()}
+    # clique consensus: members 0..2 agree, members 5..7 agree
+    assert len({labels[i] for i in (0, 1, 2)}) == 1
+    assert len({labels[i] for i in (5, 6, 7)}) == 1
+
+
+def test_label_propagation_isolated_keeps_label(spark):
+    df = _edges_df(spark, np.array([[0, 1]], dtype=np.int64))
+    verts = spark.createDataFrame([(0,), (1,), (9,)], "id long")
+    labels = {r["id"]: r["label"] for r in label_propagation(df, vertices=verts).collect()}
+    assert labels[9] == 9

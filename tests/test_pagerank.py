@@ -1,0 +1,71 @@
+"""PageRank correctness: fixed-point goldens (FIXTURES.md §3) and damped
+mode vs the NumPy oracle, in both join and CSR-kernel modes."""
+
+import numpy as np
+import pytest
+
+from pagerank_spark.algos.pagerank import pagerank, pagerank_fixed_point
+from pagerank_spark.sources.graphs import er_edges_numpy, ensure_min_outdeg
+
+from .oracles import damped_oracle, fixed_point_oracle
+
+FIX4 = np.array([[0, 1], [1, 2], [2, 0], [2, 3], [3, 0]], dtype=np.int64)
+GOLDEN_FIX4 = {
+    1: [32768, 16384, 8192, 16384],
+    2: [24576, 32768, 8192, 8192],
+    3: [16384, 24576, 16384, 8192],
+    4: [24576, 16384, 12288, 16384],
+}
+
+
+def _edges_df(spark, arr):
+    return spark.createDataFrame([(int(s), int(d)) for s, d in arr], "src long, dst long")
+
+
+@pytest.mark.parametrize("rounds", [1, 2, 3, 4])
+def test_fixed_point_golden_4v(spark, rounds):
+    df = _edges_df(spark, FIX4)
+    got = {r["id"]: r["rank_fp"] for r in pagerank_fixed_point(df, rounds).collect()}
+    assert [got[i] for i in range(4)] == GOLDEN_FIX4[rounds]
+
+
+@pytest.mark.parametrize("v,e,seed", [(6, 10, 1), (100, 400, 2), (1000, 4000, 3)])
+def test_fixed_point_matches_oracle_er(spark, v, e, seed):
+    arr = ensure_min_outdeg(er_edges_numpy(v, e, seed), v)
+    golden = fixed_point_oracle(v, arr, n_rounds=5)
+    got = {r["id"]: r["rank_fp"] for r in pagerank_fixed_point(_edges_df(spark, arr), 5).collect()}
+    got_arr = np.array([got.get(i, 0) for i in range(v)], dtype=np.int64)
+    assert (got_arr == golden).all()
+
+
+def test_fixed_point_rejects_dangling(spark):
+    df = _edges_df(spark, np.array([[0, 1]], dtype=np.int64))
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(df, 2)
+
+
+@pytest.mark.parametrize("mode,tol,max_iters,check_every", [("join", 1e-9, 160, 5), ("csr", 1e-7, 120, 5)])
+def test_damped_matches_oracle(spark, mode, tol, max_iters, check_every):
+    """North-rule correctness: join mode runs the full L1<1e-9 stopping rule;
+    CSR mode (same semantics, Arrow kernel) is checked at 1e-7 to keep the
+    suite fast — both compared to the NumPy oracle at allclose 1e-6."""
+    v, e = 100, 400
+    arr = er_edges_numpy(v, e, seed=7)  # dangling vertices allowed here
+    oracle, oracle_iters = damped_oracle(v, arr, tol=tol, max_iters=max_iters)
+    res = pagerank(_edges_df(spark, arr), max_iters=max_iters, tol=tol, mode=mode, check_every=check_every)
+    assert res.converged
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    got_arr = np.array([got[i] for i in range(v)])
+    np.testing.assert_allclose(got_arr, oracle, atol=1e-6)
+    # batched convergence checks may overshoot by < check_every iterations
+    assert oracle_iters <= res.iterations < oracle_iters + check_every + 1
+    # rank mass conserved
+    assert abs(got_arr.sum() - 1.0) < 1e-6
+
+
+def test_damped_l1_monotone_tail(spark):
+    arr = er_edges_numpy(100, 300, seed=9)
+    res = pagerank(_edges_df(spark, arr), max_iters=15, tol=1e-12)
+    # L1 deltas should be (weakly) decreasing after warmup
+    tail = res.l1_history[3:]
+    assert all(b <= a * 1.01 for a, b in zip(tail, tail[1:]))

@@ -1,0 +1,71 @@
+"""Structured Streaming ingestion test: micro-batched transcript turns
+produce exactly the batch-derived edge set (natural keys)."""
+
+import os
+
+from pagerank_spark.sources.transcripts import TRANSCRIPTS_SCHEMA, synth_transcripts
+from pagerank_spark.streaming.ingest import incremental_edges, run_ingest, stream_transcripts
+
+
+def test_streaming_edges_match_batch(spark, tmp_path):
+    t = synth_transcripts(spark, 12).cache()
+
+    # batch truth (natural keys): reply + tool edges per FIXTURES.md §2
+    from pagerank_spark.operators.edges import derive_edges
+    from pagerank_spark.operators.ids import vertex_ids
+
+    ids = vertex_ids(t)
+    edges_batch = derive_edges(t, ids)
+    vid2key = {r["vid"]: (r["conv_id"], r["turn_idx"]) for r in ids.collect()}
+    batch_set = {
+        (vid2key[r["src"]][0], vid2key[r["src"]][1], vid2key[r["dst"]][1])
+        for r in edges_batch.collect()
+    }
+
+    # stream the same rows in two micro-batches (split by conv hash)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    part1 = t.filter("pmod(xxhash64(conv_id), 2) = 0")
+    part2 = t.filter("pmod(xxhash64(conv_id), 2) = 1")
+    part1.write.mode("append").parquet(in_dir)
+    run_ingest(spark, in_dir, out_dir, ck_dir, TRANSCRIPTS_SCHEMA)
+    part2.write.mode("append").parquet(in_dir)
+    run_ingest(spark, in_dir, out_dir, ck_dir, TRANSCRIPTS_SCHEMA)
+
+    got = spark.read.parquet(out_dir)
+    got_set = {(r["conv_id"], r["src_turn"], r["dst_turn"]) for r in got.dropDuplicates(["conv_id", "src_turn", "dst_turn"]).collect()}
+    assert got_set == batch_set
+
+
+def test_streaming_out_of_order_within_conv(spark, tmp_path):
+    """Turns arriving out of order still produce the full reply chain."""
+    rows = [
+        ("z1", 2, "user", None),
+        ("z1", 0, "user", None),
+    ]
+    later = [
+        ("z1", 1, "assistant", "sql"),
+        ("z1", 3, "tool", "sql"),
+    ]
+    import pyspark.sql.functions as F
+
+    def as_df(rws):
+        return spark.createDataFrame(rws, "conv_id string, turn_idx int, role string, tool string").select(
+            "conv_id", "turn_idx", "role", F.lit("x").alias("text"), "tool",
+            F.to_timestamp(F.lit("2026-01-01")).alias("ts"),
+        )
+
+    in_dir, out_dir, ck_dir = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+    as_df(rows).write.mode("append").parquet(in_dir)
+    run_ingest(spark, in_dir, out_dir, ck_dir, TRANSCRIPTS_SCHEMA)
+    as_df(later).write.mode("append").parquet(in_dir)
+    run_ingest(spark, in_dir, out_dir, ck_dir, TRANSCRIPTS_SCHEMA)
+
+    got = {(r["src_turn"], r["dst_turn"], r["kind"]) for r in spark.read.parquet(out_dir).collect()}
+    assert (1, 0, "reply") in got
+    assert (2, 1, "reply") in got
+    assert (3, 2, "reply") in got
+    assert (3, 1, "tool") in got
