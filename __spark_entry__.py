@@ -214,6 +214,62 @@ def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 ranked events after 3 supersteps (TakeOrderedAndProject, not a
+    global sort)."""
+    ranks = _q_pagerank("events", 3)(spark, sf_dir)
+    return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(20)
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user: classic
+    window + cumulative-sum session assignment; returns per-session stats."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap (timestamps carry sub-second precision);
+    # session tz is UTC so the NTZ->TZ cast is deterministic
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    marked = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+    sess = marked.withColumn(
+        "session_idx", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.min("event_id").alias("first_event"),
+        )
+    )
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over (status, priority) — grouping-set coverage."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way broadcast-dim join: revenue per nation over BUILDING-segment
+    customers (TPC-H Q5 flavor, minus region/supplier legs)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -246,6 +302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "tpch_q1": q_tpch_q1,
         "window_top_orders": q_window_top_orders,
+        "topk_pagerank_events": q_topk_pagerank_events,
+        "sessionize_events": q_sessionize_events,
+        "rollup_orders": q_rollup_orders,
+        "join_customer_orders": q_join_customer_orders,
     }
 
 
@@ -344,6 +404,42 @@ SELECT o_custkey, o_orderkey, rn FROM (
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
   FROM orders
 ) WHERE rn <= 3"""
+
+    sqls["topk_pagerank_events"] = (
+        _pagerank_sql(EVENTS_EDGES_CTE, 3).replace(
+            f"SELECT id, ROUND(rank, 6) AS rank FROM r3",
+            "SELECT id, ROUND(rank, 6) AS rank FROM r3 ORDER BY ROUND(rank, 6) DESC, id ASC LIMIT 20",
+        )
+    )
+
+    sqls["sessionize_events"] = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM (
+    SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events
+  )
+),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value, MIN(event_id) AS first_event
+FROM sess GROUP BY user_id, session_idx"""
+
+    sqls["rollup_orders"] = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+
+    sqls["join_customer_orders"] = """
+SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY n_name"""
 
     # labelprop_events, minhash_dedup_docs, simhash_docs: engine-side hashing /
     # iterative semantics not expressible in ANSI SQL -> rows-only checks.

@@ -30,7 +30,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     from pagerank_spark.operators.dedup import exact_dedup, minhash_dedup
     from pagerank_spark.operators.similarity import cosine_topk_bruteforce
     from pagerank_spark.operators.textops import text_profile
-    from pagerank_spark.sources.graphs import events_graph, lineitem_copurchase_graph
+    from pagerank_spark.sources.graphs import events_graph, hub_skew_graph, lineitem_copurchase_graph
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -48,6 +48,15 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("pagerank_csr_10it", lambda: pagerank(edges, max_iters=PR_ITERS, tol=0.0, mode="csr", check_every=5).ranks.count())
     extras["pagerank_csr_edges_per_sec"] = round(n_edges * PR_ITERS / timings["pagerank_csr_10it"], 1)
     timed("connected_components", lambda: connected_components(edges).count())
+
+    # scale-meaningful graph (the sf-dir graphs are tiny): deterministic
+    # synthetic 5M-edge hub-skewed digraph, reference "large-ish" territory
+    synth = hub_skew_graph(spark, v=1_000_000, e=5_000_000, n_hubs=100, seed=9).persist()
+    n_synth = synth.count()
+    timed("pagerank_synth5m_10it", lambda: pagerank(synth, max_iters=PR_ITERS, tol=0.0, mode="join").ranks.count())
+    extras["pagerank_synth5m_edges_per_sec"] = round(n_synth * PR_ITERS / timings["pagerank_synth5m_10it"], 1)
+    timed("cc_synth5m", lambda: connected_components(synth).count())
+    synth.unpersist()
 
     co = lineitem_copurchase_graph(spark, sf_dir).persist()
     timed("triangles_copurchase", lambda: triangle_count(co))

@@ -46,29 +46,34 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None, ma
         verts = vertices.select("id")
     else:
         verts = sym.select(F.col("src").alias("id")).dropDuplicates()
-    labels = verts.select("id", F.col("id").alias("component")).repartition(p, "id").localCheckpoint()
+    labels = verts.select("id", F.col("id").alias("component")).repartition(p, "id").localCheckpoint(eager=False)
 
     for _ in range(max_iters):
-        # 1. neighbor-min propagation
+        # 1. neighbor-min propagation (shuffle-hash: labels are never
+        # broadcastable at target scale and SHJ skips SMJ sorts)
         neighbor_min = (
-            sym.join(labels, sym.src == labels.id, "inner")
+            sym.join(labels.hint("shuffle_hash"), sym.src == labels.id, "inner")
             .groupBy("dst")
             .agg(F.min("component").alias("nbr_min"))
         )
-        stepped = labels.join(neighbor_min, labels.id == neighbor_min.dst, "left").select(
+        stepped = labels.join(neighbor_min.hint("shuffle_hash"), labels.id == neighbor_min.dst, "left").select(
             labels.id,
             F.least(labels.component, F.coalesce(F.col("nbr_min"), labels.component)).alias("component"),
             labels.component.alias("prev"),
         )
+        # lazy persist: stepped feeds both sides of the pointer-jump join;
+        # without the cache the neighbor-min subtree executes twice
+        stepped = stepped.persist()
         # 2. pointer jumping: component <- component[component]
         lut = stepped.select(F.col("id").alias("__lid"), F.col("component").alias("__lcomp"))
-        jumped = stepped.join(lut, stepped.component == F.col("__lid"), "left").select(
+        jumped = stepped.join(lut.hint("shuffle_hash"), stepped.component == F.col("__lid"), "left").select(
             stepped.id,
             F.coalesce(F.col("__lcomp"), stepped.component).alias("component"),
             stepped.prev,
         )
-        labels = jumped.localCheckpoint()
+        labels = jumped.localCheckpoint(eager=False)
         changed = labels.filter(F.col("component") != F.col("prev")).count()
+        stepped.unpersist()
         if changed == 0:
             break
 

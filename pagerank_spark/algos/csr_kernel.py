@@ -50,7 +50,15 @@ def _kernel(edf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
     ids = rdf["id"].to_numpy(dtype=np.int64)
     order = np.argsort(ids, kind="stable")
     ids_sorted = ids[order]
-    contrib = (rdf["rank"].to_numpy(dtype=np.float64) / rdf["out_degree"].to_numpy(dtype=np.float64))[order]
+    outdeg = rdf["out_degree"].to_numpy(dtype=np.float64)
+    # dangling vertices never appear as src, so their (undefined) quotient is
+    # never gathered — mask them to keep the kernel warning-free
+    contrib = np.divide(
+        rdf["rank"].to_numpy(dtype=np.float64),
+        outdeg,
+        out=np.zeros_like(outdeg),
+        where=outdeg > 0,
+    )[order]
 
     src = edf["src"].to_numpy(dtype=np.int64)
     dst = edf["dst"].to_numpy(dtype=np.int64)

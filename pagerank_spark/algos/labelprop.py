@@ -40,23 +40,23 @@ def label_propagation(edges: DataFrame, vertices: DataFrame | None = None, max_i
         verts = sym.select(F.col("src").alias("id")).dropDuplicates()
     # eager localCheckpoint per superstep (see components.py: truncates the
     # exponential plan growth from multiple state references per superstep)
-    labels = verts.select("id", F.col("id").alias("label")).repartition(p, "id").localCheckpoint()
+    labels = verts.select("id", F.col("id").alias("label")).repartition(p, "id").localCheckpoint(eager=False)
 
     for _ in range(max_iters):
         # count neighbor labels per dst, then argmax by (count desc, label asc)
         votes = (
-            sym.join(labels, sym.src == labels.id, "inner")
+            sym.join(labels.hint("shuffle_hash"), sym.src == labels.id, "inner")
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("votes"))
         )
         winner = votes.groupBy("dst").agg(
             F.max_by(F.col("label"), F.struct(F.col("votes"), (-F.col("label")).alias("neg"))).alias("new_label")
         )
-        labels = labels.join(winner, labels.id == winner.dst, "left").select(
+        labels = labels.join(winner.hint("shuffle_hash"), labels.id == winner.dst, "left").select(
             labels.id,
             F.coalesce(F.col("new_label"), labels.label).alias("label"),
             labels.label.alias("prev"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         frontier = labels.filter(F.col("label") != F.col("prev")).count()
         if frontier == 0:
             break

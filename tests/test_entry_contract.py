@@ -1,0 +1,38 @@
+"""Driver-contract smoke tests: entry() runs at sf0.001; every query key has
+matching callable/oracle structure and every callable returns a DataFrame at
+sf0.001 with >= 1 row (the fuller sf0.01 value comparison runs in
+tools/check_oracles.py and the driver's own gate)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF), reason="testdata not present")
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"id", "rank"}
+
+
+def test_oracle_keys_subset_of_queries(spark):
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert set(os_).issubset(set(qs))
+    assert len(qs) >= 16
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_each_query_runs(spark, name):
+    fn = entrymod.queries()[name]
+    df = fn(spark, SF)
+    assert df.count() >= 1, name
