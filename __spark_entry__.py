@@ -255,6 +255,37 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangles_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle participation on the co-purchase graph."""
+    from pagerank_spark.algos.triangles import triangles_per_vertex
+
+    return triangles_per_vertex(_graph_for(spark, sf_dir, "copurchase"))
+
+
+def q_fingerprint_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup via 64-bit content fingerprint (xxhash64 of normalized text).
+
+    Oracle groups by the normalized text itself — equivalent unless the hash
+    collides (2^-64 per pair; a mismatch here would actually be a finding).
+    """
+    from pagerank_spark.operators.textops import fingerprint_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint_dups(docs)
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: customers who ordered but never above 200k total."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    all_cust = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    big_cust = (
+        orders.filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return all_cust.exceptAll(big_cust)
+
+
 def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way broadcast-dim join: revenue per nation over BUILDING-segment
     customers (TPC-H Q5 flavor, minus region/supplier legs)."""
@@ -306,6 +337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "rollup_orders": q_rollup_orders,
         "join_customer_orders": q_join_customer_orders,
+        "triangles_per_part": q_triangles_per_part,
+        "fingerprint_dedup_docs": q_fingerprint_dedup_docs,
+        "set_ops_customers": q_set_ops_customers,
     }
 
 
@@ -440,6 +474,27 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY n_name"""
+
+    sqls["triangles_per_part"] = f"""
+WITH {COPURCHASE_EDGES_CTE.strip()},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT id, COUNT(*) AS triangles FROM (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+) GROUP BY id"""
+
+    sqls["fingerprint_dedup_docs"] = (
+        f"SELECT doc_id, MIN(doc_id) OVER (PARTITION BY {_NORM_TEXT_SQL}) AS canonical_id FROM documents"
+    )
+
+    sqls["set_ops_customers"] = """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000"""
 
     # labelprop_events, minhash_dedup_docs, simhash_docs: engine-side hashing /
     # iterative semantics not expressible in ANSI SQL -> rows-only checks.
