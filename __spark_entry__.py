@@ -116,6 +116,19 @@ def _q_pagerank(which: str, k: int):
     return run
 
 
+def q_pagerank_events_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full north-rule run: damped PageRank to L1 < 1e-9 convergence.
+
+    No SQL oracle (iterate-until-converged is not ANSI-expressible) — the
+    rows-only gate checks stability; pytest checks allclose 1e-6 vs the
+    NumPy oracle on seeded graphs (tests/test_pagerank.py).
+    """
+    from pagerank_spark.algos.pagerank import pagerank
+
+    res = pagerank(_graph_for(spark, sf_dir, "events"), tol=1e-9, max_iters=200, check_every=6)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.algos.components import connected_components
 
@@ -275,11 +288,11 @@ def q_fingerprint_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operation: customers who ordered but never above 200k total."""
+    """Set operation: customers who ordered but never above 450k total."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     all_cust = orders.select(F.col("o_custkey").alias("custkey")).distinct()
     big_cust = (
-        orders.filter(F.col("o_totalprice") > 200000)
+        orders.filter(F.col("o_totalprice") > 450000)
         .select(F.col("o_custkey").alias("custkey"))
         .distinct()
     )
@@ -320,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_derive_events": q_edge_derive_events,
         "degrees_events": q_degrees_events,
         "pagerank_events_k3": _q_pagerank("events", 3),
+        "pagerank_events_converged": q_pagerank_events_converged,
         "pagerank_copurchase_k2": _q_pagerank("copurchase", 2),
         "cc_events": q_cc_events,
         "labelprop_events": q_labelprop_events,
@@ -494,7 +508,7 @@ SELECT id, COUNT(*) AS triangles FROM (
     sqls["set_ops_customers"] = """
 SELECT DISTINCT o_custkey AS custkey FROM orders
 EXCEPT
-SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000"""
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000"""
 
     # labelprop_events, minhash_dedup_docs, simhash_docs: engine-side hashing /
     # iterative semantics not expressible in ANSI SQL -> rows-only checks.

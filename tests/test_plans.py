@@ -1,0 +1,63 @@
+"""Physical-plan assertions: the optimizations we claim are actually in the
+executed plans (predicate pushdown to the parquet scan, column pruning,
+shuffle-hash gather join, map-side partial aggregation)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.algos.pagerank import _superstep
+from pagerank_spark.operators.degrees import degree_table
+from pagerank_spark.sources.graphs import er_edges_numpy, events_graph
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF), reason="testdata not present")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_pushdown_and_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02")).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the 3 needed columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_shipdate" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_events_graph_scan_pruned(spark):
+    plan = _plan(events_graph(spark, SF))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("event_id", "user_id", "ts"):
+        assert col in read_schema
+    for col in ("event_type", "value", "props"):
+        assert col not in read_schema
+
+
+def test_superstep_plan_shape(spark):
+    arr = er_edges_numpy(200, 1000, seed=2)
+    edges = spark.createDataFrame([(int(s), int(d)) for s, d in arr], "src long, dst long")
+    p = 8
+    edges_p = edges.repartition(p, "src").persist()
+    deg = degree_table(edges_p).repartition(p, "id").persist()
+    n = deg.count()
+    state = deg.select(
+        "id", "out_degree", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev_rank")
+    ).localCheckpoint()
+    ns = _superstep(edges_p, state, "join", p, 0.85, 0.15 / n, n, True)
+    plan = _plan(ns)
+    # gather join honors the shuffle_hash hint (state is never broadcastable
+    # at target scale; SHJ avoids per-iteration SMJ sorts)
+    assert "ShuffledHashJoin" in plan
+    # the per-dst sum does map-side partial aggregation before the exchange
+    assert "partial_sum" in plan
+    # edges come from the persisted cache, not a fresh scan
+    assert "InMemoryTableScan" in plan
+    edges_p.unpersist()
+    deg.unpersist()
