@@ -125,8 +125,20 @@ def q_pagerank_events_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pagerank_spark.algos.pagerank import pagerank
 
-    res = pagerank(_graph_for(spark, sf_dir, "events"), tol=1e-9, max_iters=200, check_every=6)
-    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+    # the sf-gate graph is tiny (~10k edges); ~130 supersteps at 32-way
+    # shuffles is pure fixed cost, so run narrow for the duration
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        res = pagerank(
+            _graph_for(spark, sf_dir, "events"), tol=1e-9, max_iters=200,
+            check_every=6, num_partitions=8,
+        )
+        out = res.ranks.select("id", F.round("rank", 6).alias("rank"))
+        out = out.localCheckpoint()  # materialize before restoring the conf
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
 
 
 def q_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +235,8 @@ def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "rn")
+        # long to match DuckDB's BIGINT row_number in the oracle
+        .select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn"))
     )
 
 
@@ -393,11 +406,11 @@ SELECT doc_id,
        len(regexp_extract_all(lower(text), '{_STOP_RE}', 0)) AS n_stopwords,
        ROUND(len(regexp_extract_all(lower(text), '{_STOP_RE}', 0)) * 1.0 / {_TOKENS_SQL}, 6) AS stopword_ratio,
        ROUND({_NONSPACE_SQL} * 1.0 / {_TOKENS_SQL}, 6) AS mean_token_len,
-       ROUND(
+       ROUND(CAST(
          (CASE WHEN {_TOKENS_SQL} BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
          + (CASE WHEN ({_NONSPACE_SQL} * 1.0 / {_TOKENS_SQL}) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
          + (CASE WHEN (len(regexp_extract_all(lower(text), '{_STOP_RE}', 0)) * 1.0 / {_TOKENS_SQL}) BETWEEN 0.0 AND 0.5 THEN 0.3 ELSE 0.0 END)
-       , 6) AS quality
+       AS DOUBLE), 6) AS quality
 FROM documents"""
 
     _hits = {
@@ -469,8 +482,8 @@ WITH marked AS (
   )
 ),
 sess AS (
-  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM marked
 )
 SELECT user_id, session_idx, COUNT(*) AS n_events,

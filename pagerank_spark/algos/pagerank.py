@@ -112,6 +112,7 @@ def pagerank(
     mode: str = "join",
     checkpointer=None,
     check_every: int = 1,
+    num_partitions: int | None = None,
 ) -> PageRankResult:
     """Damped PageRank with dangling-mass redistribution, L1 stopping rule.
 
@@ -143,7 +144,10 @@ def pagerank(
     # stringification, so the block length is hard-capped
     check_every = max(1, min(check_every, 6))
     t_start = time.monotonic()
-    p = _num_partitions(edges)
+    # partition count defaults to spark.sql.shuffle.partitions; callers with
+    # small graphs pass a lower value (per-superstep fixed cost scales with
+    # task count, and a 10k-edge graph doesn't need 32-way shuffles)
+    p = num_partitions or _num_partitions(edges)
 
     deg = degree_table(edges, vertices).select("id", "out_degree")
     # Edges shuffled ONCE; reused by every iteration's gather. Join mode
