@@ -19,6 +19,7 @@ from pagerank_spark.algos.components import connected_components
 from pagerank_spark.algos.labelprop import label_propagation
 from pagerank_spark.algos.triangles import triangle_count
 from pagerank_spark.operators.edges import transcripts_to_graph
+from pagerank_spark.plans.checkpoint import Checkpointer
 from pagerank_spark.session import get_spark
 
 
@@ -27,6 +28,7 @@ def main() -> None:
     ap.add_argument("--transcripts", required=True)
     ap.add_argument("--algo", choices=["cc", "lpa", "triangles"], default="cc")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", default=None)
     args = ap.parse_args()
 
     spark = get_spark(f"graph-{args.algo}")
@@ -35,14 +37,21 @@ def main() -> None:
     verts = ids.selectExpr("vid as id")
 
     if args.algo == "triangles":
+        os.makedirs(args.output, exist_ok=True)
         n = triangle_count(edges)
         with open(os.path.join(args.output, "triangles.json"), "w") as f:
             json.dump({"triangles": n}, f)
         print(json.dumps({"triangles": n}))
         return
 
-    result = connected_components(edges, vertices=verts) if args.algo == "cc" else label_propagation(edges, vertices=verts)
+    ck = Checkpointer(spark, args.checkpoint) if args.checkpoint else None
+    if args.algo == "cc":
+        result = connected_components(edges, vertices=verts, checkpointer=ck)
+    else:
+        result = label_propagation(edges, vertices=verts, checkpointer=ck)
     result.join(ids, result.id == ids.vid).drop("vid").write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"algo": args.algo, "rows": result.count(),
+                      "supersteps": ck.committed_supersteps()[-1] if ck else None}))
 
 
 if __name__ == "__main__":

@@ -31,9 +31,19 @@ from pyspark.sql import functions as F
 from .pagerank import _num_partitions
 
 
-def connected_components(edges: DataFrame, vertices: DataFrame | None = None, max_iters: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iters: int = 50,
+    checkpointer=None,
+) -> DataFrame:
     """Return ``(id, component)`` where component = min vertex id reachable
-    in the undirected sense. Deterministic and exact."""
+    in the undirected sense. Deterministic and exact.
+
+    ``checkpointer`` (plans.checkpoint.Checkpointer) commits the label
+    vector + frontier size per superstep; a rerun with the same checkpointer
+    resumes from the last committed superstep (north-rule resumability).
+    """
     p = _num_partitions(edges)
     sym = (
         edges.select("src", "dst")
@@ -46,9 +56,21 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None, ma
         verts = vertices.select("id")
     else:
         verts = sym.select(F.col("src").alias("id")).dropDuplicates()
-    labels = verts.select("id", F.col("id").alias("component")).repartition(p, "id").localCheckpoint(eager=False)
 
-    for _ in range(max_iters):
+    start = 0
+    labels = None
+    if checkpointer is not None:
+        resumed = checkpointer.latest()
+        if resumed is not None:
+            start, state, extra = resumed
+            if extra.get("frontier") == 0:
+                sym.unpersist()
+                return state.select("id", "component")
+            labels = state.select("id", "component").repartition(p, "id").localCheckpoint(eager=False)
+    if labels is None:
+        labels = verts.select("id", F.col("id").alias("component")).repartition(p, "id").localCheckpoint(eager=False)
+
+    for it in range(start, max_iters):
         # 1. neighbor-min propagation (shuffle-hash: labels are never
         # broadcastable at target scale and SHJ skips SMJ sorts)
         neighbor_min = (
@@ -74,6 +96,8 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None, ma
         labels = jumped.localCheckpoint(eager=False)
         changed = labels.filter(F.col("component") != F.col("prev")).count()
         stepped.unpersist()
+        if checkpointer is not None:
+            checkpointer.commit(it + 1, labels.select("id", "component"), {"frontier": changed})
         if changed == 0:
             break
 

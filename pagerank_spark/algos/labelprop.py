@@ -24,8 +24,17 @@ from pyspark.sql import functions as F
 from .pagerank import _num_partitions
 
 
-def label_propagation(edges: DataFrame, vertices: DataFrame | None = None, max_iters: int = 20) -> DataFrame:
-    """Return ``(id, label)`` after synchronous label propagation."""
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iters: int = 20,
+    checkpointer=None,
+) -> DataFrame:
+    """Return ``(id, label)`` after synchronous label propagation.
+
+    ``checkpointer`` commits the label vector + frontier size per superstep
+    and resumes a rerun from the last committed superstep.
+    """
     p = _num_partitions(edges)
     sym = (
         edges.select("src", "dst")
@@ -38,11 +47,23 @@ def label_propagation(edges: DataFrame, vertices: DataFrame | None = None, max_i
         verts = vertices.select("id")
     else:
         verts = sym.select(F.col("src").alias("id")).dropDuplicates()
-    # eager localCheckpoint per superstep (see components.py: truncates the
-    # exponential plan growth from multiple state references per superstep)
-    labels = verts.select("id", F.col("id").alias("label")).repartition(p, "id").localCheckpoint(eager=False)
 
-    for _ in range(max_iters):
+    start = 0
+    labels = None
+    if checkpointer is not None:
+        resumed = checkpointer.latest()
+        if resumed is not None:
+            start, state, extra = resumed
+            if extra.get("frontier") == 0:
+                sym.unpersist()
+                return state.select("id", "label")
+            labels = state.select("id", "label").repartition(p, "id").localCheckpoint(eager=False)
+    if labels is None:
+        # lazy localCheckpoint per superstep (see components.py: truncates the
+        # exponential plan growth from multiple state references per superstep)
+        labels = verts.select("id", F.col("id").alias("label")).repartition(p, "id").localCheckpoint(eager=False)
+
+    for it in range(start, max_iters):
         # count neighbor labels per dst, then argmax by (count desc, label asc)
         votes = (
             sym.join(labels.hint("shuffle_hash"), sym.src == labels.id, "inner")
@@ -58,6 +79,8 @@ def label_propagation(edges: DataFrame, vertices: DataFrame | None = None, max_i
             labels.label.alias("prev"),
         ).localCheckpoint(eager=False)
         frontier = labels.filter(F.col("label") != F.col("prev")).count()
+        if checkpointer is not None:
+            checkpointer.commit(it + 1, labels.select("id", "label"), {"frontier": frontier})
         if frontier == 0:
             break
 
