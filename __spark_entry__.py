@@ -79,6 +79,34 @@ def _pagerank_sql(edges_cte: str, k: int) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{k}"
 
 
+def _labelprop_sql(edges_cte: str, k: int) -> str:
+    """Unrolled k-iteration synchronous label propagation mirroring
+    algos/labelprop.py: undirected (symmetrized, deduped) edges; each vertex
+    adopts the most frequent neighbor label, ties to the smallest label;
+    isolated vertices keep their label. Early convergence is a fixed point,
+    so unrolling exactly k steps equals the engine's run-with-early-stop."""
+    ctes = [edges_cte.strip(),
+            "v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+            "sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e)",
+            "l0 AS (SELECT id, id AS label FROM v)"]
+    for it in range(1, k + 1):
+        prev, cur = f"l{it - 1}", f"l{it}"
+        ctes.append(f"""{cur} AS (
+  SELECT p.id, COALESCE(w.new_label, p.label) AS label
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT dst AS id, label AS new_label FROM (
+      SELECT s.dst, l.label,
+             row_number() OVER (PARTITION BY s.dst
+                                ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+      FROM sym s JOIN {prev} l ON s.src = l.id
+      GROUP BY s.dst, l.label
+    ) WHERE rn = 1
+  ) w ON w.id = p.id
+)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{k}"
+
+
 _NORM_TEXT_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _STOP_RE = "\\b(the|a|of|and|to|in|is|it)\\b"
 _TOKENS_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
@@ -382,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["pagerank_events_k3"] = _pagerank_sql(EVENTS_EDGES_CTE, 3)
     sqls["pagerank_copurchase_k2"] = _pagerank_sql(COPURCHASE_EDGES_CTE, 2)
+    sqls["labelprop_events"] = _labelprop_sql(EVENTS_EDGES_CTE, 5)
 
     sqls["cc_events"] = f"""
 WITH {EVENTS_EDGES_CTE.strip()},
@@ -523,6 +552,6 @@ SELECT DISTINCT o_custkey AS custkey FROM orders
 EXCEPT
 SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000"""
 
-    # labelprop_events, minhash_dedup_docs, simhash_docs: engine-side hashing /
-    # iterative semantics not expressible in ANSI SQL -> rows-only checks.
+    # minhash_dedup_docs, simhash_docs: engine-side hashing (xxhash64/LSH)
+    # not replicable in DuckDB -> rows-only checks.
     return sqls

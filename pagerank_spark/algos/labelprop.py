@@ -40,7 +40,10 @@ def label_propagation(
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .dropDuplicates(["src", "dst"])
-        .repartition(p, "dst")
+        # partitioned by src: every superstep joins sym.src == labels.id, so
+        # the persisted layout must match the join key (components.py does the
+        # same) — otherwise each superstep re-shuffles the whole edge set
+        .repartition(p, "src")
         .persist()
     )
     if vertices is not None:

@@ -14,20 +14,16 @@ keep one canonical doc per group:
 - embedding-cosine near-dup: see operators/similarity.py
   (:func:`~pagerank_spark.operators.similarity.cosine_near_dup_pairs`).
 
-Hot-path discipline: shingling/minhashing runs as Arrow-batched pandas UDFs
-(NumPy matrix ops per batch, no per-row Python); banding/bucketing is pure
-DataFrame (posexplode + groupBy); verification joins only candidate pairs.
+Hot-path discipline: shingling/minhashing is pure JVM column expressions
+(split/transform/xxhash64 — zero Python, zero shuffle); banding/bucketing is
+pure DataFrame (posexplode + groupBy); verification joins only candidate
+pairs; grouping iterates only over docs that appear in a passing pair.
 """
 
 from __future__ import annotations
 
-from hashlib import blake2b
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.pandas.functions import pandas_udf
 
 from ..functions.text import normalize_text
 
@@ -36,8 +32,16 @@ from ..functions.text import normalize_text
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """``(doc_id, canonical_id)``: canonical = min doc_id among docs with
-    identical normalized text. Single hash shuffle on the text key."""
-    w = Window.partitionBy(normalize_text(text_col))
+    identical normalized text.
+
+    Single hash shuffle keyed by ``(xxhash64(normalized), normalized)``:
+    the 64-bit fingerprint leads the key, so partition routing and in-group
+    sorting compare 8-byte hashes, and the trailing text component only
+    breaks the (2^-64 per pair) hash collisions — exact-text semantics
+    without making the full document text the effective sort key.
+    """
+    fp = F.xxhash64(normalize_text(text_col))
+    w = Window.partitionBy(fp, normalize_text(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.min(id_col).over(w).alias("canonical_id"),
@@ -46,48 +50,34 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 # -- minhash + LSH --------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-
-
-def _minhash_batch(texts: pd.Series, n_hashes: int, shingle_k: int, seed: int) -> np.ndarray:
-    """(len(texts), n_hashes) int64 minhash signatures; vectorized per batch."""
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
-    out = np.empty((len(texts), n_hashes), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = (t or "").lower().split()
-        if len(toks) < shingle_k:
-            shingles = {" ".join(toks)} if toks else {""}
-        else:
-            shingles = {" ".join(toks[j : j + shingle_k]) for j in range(len(toks) - shingle_k + 1)}
-        hv = np.fromiter(
-            (int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little") & 0x7FFFFFFFFFFFFFFF for s in shingles),
-            dtype=np.int64,
-            count=len(shingles),
-        )
-        # affine family over a Mersenne prime; min over shingles per hash fn
-        m = ((hv[:, None] % _MERSENNE) * (a[None, :] % _MERSENNE) + b[None, :]) % _MERSENNE
-        out[i] = m.min(axis=0)
-    return out
-
 
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n_hashes: int = 64, shingle_k: int = 3, seed: int = 11,
 ) -> DataFrame:
-    """``(doc_id, sig array<long>)`` minhash signatures (Arrow-batched).
+    """``(doc_id, sig array<long>)`` minhash signatures — 100% JVM-side.
 
-    Shingle hashing uses blake2b-64 — deterministic across processes,
-    executors, and Python versions (no PYTHONHASHSEED dependence).
+    The whole signature is a single codegen'd projection (no UDFs, no
+    shuffle, no Python): tokenize with ``split``, build token k-gram
+    shingles with ``transform``/``slice``, and realize hash function *i* as
+    ``xxhash64(shingle, seed, i)`` — per-index salting of one 64-bit hash is
+    a standard min-wise family and sidesteps modular-multiply overflow
+    entirely. ``array_min`` over the shingle hashes yields position *i* of
+    the signature; the outer ``transform`` over ``sequence(0, n_hashes-1)``
+    assembles the array<long> in one pass.
+
+    Short docs (< shingle_k tokens) contribute their whole text as a single
+    shingle; empty docs hash the empty string.
     """
-
-    @pandas_udf("array<long>")
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        mat = _minhash_batch(texts, n_hashes, shingle_k, seed)
-        return pd.Series(list(mat))
-
-    return docs.select(F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig"))
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # one start index per shingle; clamps to [0] when the doc is short
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_k, F.lit(0)))
+    shingles = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_k)))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed), i))),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 16) -> DataFrame:
@@ -139,11 +129,21 @@ def minhash_dedup(
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k, seed).persist()
     pairs = minhash_lsh_candidates(sigs, n_bands)
     passing = estimated_jaccard(sigs, pairs).filter(F.col("est_jaccard") >= threshold)
-    edges = passing.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    verts = docs.select(F.col(id_col).alias("id"))
-    comp = connected_components(edges, vertices=verts)
+    edges = passing.select(F.col("a").alias("src"), F.col("b").alias("dst")).persist()
+    # CC runs ONLY over docs that appear in a passing pair — at corpus scale
+    # >99% of docs are singletons, and the iterative CC loop must not shuffle
+    # them every superstep. Singletons rejoin as identity groups afterwards
+    # (one left join, no iteration).
+    comp = connected_components(edges)
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, F.col("doc_id") == comp.id, "left")
+        .select("doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical_id"))
+    )
+    out = out.localCheckpoint()
+    edges.unpersist()
     sigs.unpersist()
-    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("canonical_id"))
+    return out
 
 
 # -- simhash --------------------------------------------------------------
