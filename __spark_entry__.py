@@ -57,14 +57,26 @@ deg AS (
 n AS (SELECT COUNT(*) AS c FROM v)"""
 
 
+def _materialize(cte_block: str) -> str:
+    """Force MATERIALIZED on every CTE in a fragment (see _pagerank_sql)."""
+    import re
+
+    return re.sub(r"(\w+ AS) \(", r"\1 MATERIALIZED (", cte_block)
+
+
 def _pagerank_sql(edges_cte: str, k: int) -> str:
     """Unrolled k-iteration damped PageRank with dangling redistribution,
-    mirroring algos/pagerank.py exactly (same base/dangling terms)."""
-    ctes = [edges_cte.strip(), GRAPH_BASE_CTES.strip(),
-            "r0 AS (SELECT id, 1.0 / (SELECT c FROM n) AS rank FROM v)"]
+    mirroring algos/pagerank.py exactly (same base/dangling terms).
+
+    Every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    reference, and each r_k is referenced 2x by r_{k+1} (contribs + dangling
+    sum) — un-materialized, deep unrolls blow up exponentially and exhaust
+    file handles re-opening the parquet per inlined scan."""
+    ctes = [_materialize(edges_cte.strip()), _materialize(GRAPH_BASE_CTES.strip()),
+            "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT c FROM n) AS rank FROM v)"]
     for it in range(1, k + 1):
         prev, cur = f"r{it - 1}", f"r{it}"
-        ctes.append(f"""{cur} AS (
+        ctes.append(f"""{cur} AS MATERIALIZED (
   SELECT v.id,
          (1 - {DAMPING}) / n.c
          + {DAMPING} * COALESCE(s.contrib, 0)
@@ -85,13 +97,13 @@ def _labelprop_sql(edges_cte: str, k: int) -> str:
     adopts the most frequent neighbor label, ties to the smallest label;
     isolated vertices keep their label. Early convergence is a fixed point,
     so unrolling exactly k steps equals the engine's run-with-early-stop."""
-    ctes = [edges_cte.strip(),
-            "v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
-            "sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e)",
-            "l0 AS (SELECT id, id AS label FROM v)"]
+    ctes = [_materialize(edges_cte.strip()),
+            "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+            "sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e)",
+            "l0 AS MATERIALIZED (SELECT id, id AS label FROM v)"]
     for it in range(1, k + 1):
         prev, cur = f"l{it - 1}", f"l{it}"
-        ctes.append(f"""{cur} AS (
+        ctes.append(f"""{cur} AS MATERIALIZED (
   SELECT p.id, COALESCE(w.new_label, p.label) AS label
   FROM {prev} p
   LEFT JOIN (
@@ -147,20 +159,23 @@ def _q_pagerank(which: str, k: int):
 def q_pagerank_events_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full north-rule run: damped PageRank to L1 < 1e-9 convergence.
 
-    No SQL oracle (iterate-until-converged is not ANSI-expressible) — the
-    rows-only gate checks stability; pytest checks allclose 1e-6 vs the
-    NumPy oracle on seeded graphs (tests/test_pagerank.py).
+    Oracle: unrolled k=60 SQL — the 6-decimal-rounded iterate is stationary
+    from k~40 on this graph while convergence takes ~130 supersteps, so the
+    fixed-k oracle equals the converged output at ROUND 6 exactly. pytest
+    additionally checks allclose 1e-6 vs the NumPy oracle on seeded graphs
+    (tests/test_pagerank.py).
     """
     from pagerank_spark.algos.pagerank import pagerank
 
     # the sf-gate graph is tiny (~10k edges); ~130 supersteps at 32-way
     # shuffles is pure fixed cost, so run narrow for the duration
+    # (p=4, blocks of 3: the measured per-superstep sweet spot)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         res = pagerank(
             _graph_for(spark, sf_dir, "events"), tol=1e-9, max_iters=200,
-            check_every=6, num_partitions=8,
+            check_every=3, num_partitions=4,
         )
         out = res.ranks.select("id", F.round("rank", 6).alias("rank"))
         out = out.localCheckpoint()  # materialize before restoring the conf
@@ -410,6 +425,11 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["pagerank_events_k3"] = _pagerank_sql(EVENTS_EDGES_CTE, 3)
     sqls["pagerank_copurchase_k2"] = _pagerank_sql(COPURCHASE_EDGES_CTE, 2)
+    # converged gate: the 6-decimal-rounded iterate is stationary from k=40
+    # on this graph (verified k=40..80 all equal); the engine converges at
+    # L1<1e-9 around iteration ~130, far past stationarity, so an unrolled
+    # k=60 oracle equals the converged output exactly at ROUND 6
+    sqls["pagerank_events_converged"] = _pagerank_sql(EVENTS_EDGES_CTE, 60)
     sqls["labelprop_events"] = _labelprop_sql(EVENTS_EDGES_CTE, 5)
 
     sqls["cc_events"] = f"""

@@ -17,10 +17,13 @@ pandas kernel per hash bucket:
     crosses the wire — strictly less shuffle than per-edge rows. The final
     ``groupBy(dst).sum`` combines partials.
 
-Edges are bucketed+persisted once by the caller (algos/pagerank.py), sorted
-by src within partitions, so the per-iteration cost is the gather and the
-segment sum only — the CSR block layout is effectively built once and
-reused across supersteps (north_star requirement).
+Edges arrive from :func:`~pagerank_spark.algos.pagerank.prepare_edges` with
+``out_degree(src)`` attached (a static edge attribute) and virtual dangling
+edges ``(v, -1, 1)`` whose partials form the dangling-mass group — the
+kernel treats them like any other edge. Bucketed+persisted once by the
+caller, sorted by src within partitions, so the per-iteration cost is the
+gather and the segment sum only — the CSR block layout is effectively built
+once and reused across supersteps (north_star requirement).
 """
 
 from __future__ import annotations
@@ -35,9 +38,12 @@ CONTRIB_SCHEMA = "dst long, partial double"
 
 def bucketize_edges(edges: DataFrame, p: int) -> DataFrame:
     """Add the cogroup key and lay edges out for the kernel: hash-bucketed by
-    src, sorted by src within partitions (CSR-like layout, built once)."""
+    src, sorted by src within partitions (CSR-like layout, built once).
+
+    ``edges`` must carry ``(src, dst, out_degree)`` — see ``prepare_edges``.
+    """
     return (
-        edges.select("src", "dst")
+        edges.select("src", "dst", "out_degree")
         .withColumn("bucket", F.pmod(F.xxhash64("src"), F.lit(p)).cast("int"))
         .repartition(p, "bucket")
         .sortWithinPartitions("src")
@@ -50,20 +56,15 @@ def _kernel(edf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
     ids = rdf["id"].to_numpy(dtype=np.int64)
     order = np.argsort(ids, kind="stable")
     ids_sorted = ids[order]
-    outdeg = rdf["out_degree"].to_numpy(dtype=np.float64)
-    # dangling vertices never appear as src, so their (undefined) quotient is
-    # never gathered — mask them to keep the kernel warning-free
-    contrib = np.divide(
-        rdf["rank"].to_numpy(dtype=np.float64),
-        outdeg,
-        out=np.zeros_like(outdeg),
-        where=outdeg > 0,
-    )[order]
+    ranks_sorted = rdf["rank"].to_numpy(dtype=np.float64)[order]
 
     src = edf["src"].to_numpy(dtype=np.int64)
     dst = edf["dst"].to_numpy(dtype=np.int64)
+    outdeg = edf["out_degree"].to_numpy(dtype=np.float64)
     idx = np.searchsorted(ids_sorted, src)
-    gathered = contrib[idx]  # vectorized random gather (pagerank.v:1079-1095)
+    # vectorized random gather (pagerank.v:1079-1095); per-edge divide by the
+    # statically-attached out-degree (virtual dangling edges carry 1)
+    gathered = ranks_sorted[idx] / outdeg
 
     uniq, inverse = np.unique(dst, return_inverse=True)
     sums = np.bincount(inverse, weights=gathered)  # segment sum (pagerank.v:1039-1049)
@@ -73,13 +74,13 @@ def _kernel(edf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
 def csr_contributions(edges_bucketed: DataFrame, state: DataFrame, p: int) -> DataFrame:
     """Per-dst rank contributions via the cogrouped Arrow kernel.
 
-    ``edges_bucketed`` must carry a ``bucket`` column (see
-    :func:`bucketize_edges`); ``state`` is ``(id, out_degree, rank, ...)``.
-    Returns ``(dst, contrib)``.
+    ``edges_bucketed`` must carry ``bucket`` and ``out_degree`` columns (see
+    :func:`bucketize_edges`); ``state`` is ``(id, rank, ...)``. Returns
+    ``(dst, contrib)`` — including the ``dst = -1`` dangling-mass group when
+    virtual edges are present.
     """
     r = state.select(
         "id",
-        "out_degree",
         "rank",
         F.pmod(F.xxhash64("id"), F.lit(p)).cast("int").alias("bucket"),
     )

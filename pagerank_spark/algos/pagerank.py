@@ -19,17 +19,26 @@ Two numeric modes:
   zero above 2^16 vertices).
 
 Shuffle discipline (the 100-TB story):
-  * ``edges`` are hash-repartitioned by ``src`` ONCE and persisted; every
-    iteration's gather-join reuses that partitioning (Catalyst sees matching
-    hashpartitioning on both sides — no per-iteration edge shuffle).
+  * ``edges`` are hash-repartitioned by ``src`` ONCE, with the source's
+    ``out_degree`` attached as a static edge attribute and one *virtual
+    edge* ``(v, -1, out_degree=1)`` per dangling vertex, then persisted;
+    every iteration's gather-join reuses that layout (Catalyst sees
+    matching hashpartitioning on both sides — no per-iteration edge
+    shuffle).
+  * the dangling mass is a one-row aggregate over the virtual-edge slice
+    joined with the narrow state — a lazy in-plan scalar (broadcast of one
+    row), never a driver action; degree information never re-joins in the
+    hot loop.
+  * iteration state is just ``(id, rank, prev_rank)`` — degrees live on the
+    edges, so the per-superstep state is as narrow as the reference's rank
+    array (pagerank.v:98-99).
   * ranks come out of the previous iteration hash-partitioned by id (output
     of the groupBy/join), so only the per-edge contributions shuffle each
     superstep — the communication inherent to PageRank.
   * per-iteration partial aggregation (map-side combine) is what Spark's
     HashAggregate does automatically; the CSR kernel mode additionally
     pre-aggregates inside Arrow before the shuffle.
-  * exactly ONE Spark action per iteration: the L1 delta and the next
-    iteration's dangling mass are computed in a single agg over the
+  * exactly ONE Spark action per materialized block: the L1 delta over the
     persisted new state.
 """
 
@@ -60,44 +69,80 @@ def _num_partitions(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 
+VIRTUAL_DST = -1  # dst of virtual dangling edges; vertex ids must be >= 0
+
+
+def prepare_edges(edges: DataFrame, deg: DataFrame, p: int, mode: str) -> DataFrame:
+    """One-time edge layout for the superstep loop (built once, persisted by
+    the caller, reused every iteration — the CSR-build analogue).
+
+    Attaches ``out_degree(src)`` to every edge (a static attribute, so the
+    hot loop never joins the degree table) and appends one virtual edge
+    ``(v, VIRTUAL_DST, out_degree=1)`` per dangling vertex: the virtual
+    slice is the materialized dangling set, so each superstep's dangling
+    mass is a tiny filter of this layout joined with the state — no degree
+    table and no degree column in the loop. Requires non-negative vertex
+    ids (all engine sources assign dense ids >= 0).
+    """
+    e = edges.select("src", "dst").join(
+        deg.select(F.col("id").alias("src"), "out_degree"), "src"
+    )
+    virtual = deg.filter(F.col("out_degree") == 0).select(
+        F.col("id").alias("src"),
+        F.lit(VIRTUAL_DST).cast("long").alias("dst"),
+        F.lit(1).cast("long").alias("out_degree"),
+    )
+    allx = e.unionByName(virtual)
+    if mode == "csr":
+        return bucketize_edges(allx, p)
+    return allx.repartition(p, "src")
+
+
 def _superstep(
     edges_p: DataFrame, state: DataFrame, mode: str, p: int,
     damping: float, base: float, n: int, has_dangling: bool,
-) -> DataFrame:
+):
     """One lazy superstep: state k -> state k+1 (no action triggered).
 
-    The dangling mass is a 1-row aggregate cross-joined into the plan (a
-    broadcast nested-loop over a single row), so a superstep needs NO driver
-    action — supersteps chain lazily and the driver materializes only every
-    ``check_every`` iterations. If the graph has no dangling vertices at all
-    (precomputed once), the whole dangling branch constant-folds away and a
-    full state scan per superstep is saved.
+    Supersteps chain lazily; the driver materializes only every
+    ``check_every`` iterations. Dangling-mass exactness is per-iteration
+    (the virtual-edge group is over state k, like the reference recurrence
+    and the SQL oracle), not block-stale.
 
     Physical strategy: ``shuffle_hash`` hints on both joins. PageRank state
     is never broadcastable at the target scale, and SHJ avoids SMJ's
     per-iteration sorts; measured 2.3x over the unhinted plan at 5M edges
     (the planner otherwise picks broadcast/SMJ by size heuristics that are
-    wrong for an iterated join).
+    wrong for an iterated join). The dangling scalar is a one-row broadcast
+    nested-loop join fed from the gather aggregation's own output.
     """
+    real = edges_p.filter(F.col("dst") != VIRTUAL_DST) if has_dangling else edges_p
     if mode == "csr":
-        contribs = csr_contributions(edges_p, state, p)
+        contribs = csr_contributions(real, state, p)
     else:
         contribs = (
-            edges_p.join(state.hint("shuffle_hash"), edges_p.src == state.id, "inner")
+            real.join(state.hint("shuffle_hash"), real.src == state.id, "inner")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out_degree")).alias("contrib"))
         )
     new_rank = F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
     out = state.join(contribs.hint("shuffle_hash"), state.id == contribs.dst, "left")
     if has_dangling:
-        dm = state.agg(
-            F.coalesce(F.sum(F.when(F.col("out_degree") == 0, F.col("rank"))), F.lit(0.0)).alias("__dm")
+        # dangling mass = sum of dangling-vertex ranks = rank sum over the
+        # virtual-edge slice (src = the dangling set, out_degree = 1). The
+        # slice is a tiny filter of the checkpointed edge layout, so this
+        # subtree reads |dangling| edge rows + one pass of the narrow state
+        # cache — not a second gather — and lands in the plan as a one-row
+        # broadcast, keeping the whole block lazy (one action per block).
+        virt = edges_p.filter(F.col("dst") == VIRTUAL_DST).select("src")
+        dm = (
+            virt.join(state, virt.src == state.id, "inner")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
         )
         out = out.crossJoin(dm)
         new_rank = new_rank + F.lit(damping) * F.col("__dm") / F.lit(float(n))
     return out.select(
         state.id,
-        state.out_degree,
         new_rank.alias("rank"),
         state.rank.alias("prev_rank"),
     )
@@ -140,9 +185,11 @@ def pagerank(
     restart the loop continues from the last committed superstep.
     """
     # the LOGICAL plan tree still triplicates per chained superstep (caching
-    # dedupes execution, not the tree); ~3^8 nodes breaks plan
-    # stringification, so the block length is hard-capped
-    check_every = max(1, min(check_every, 6))
+    # dedupes execution, not the tree): analysis/cache-lookup cost is
+    # super-linear in chain depth (measured: blocks of 6 cost ~3x blocks of
+    # 3 per superstep; ~3^8 nodes breaks plan stringification), so the block
+    # length is hard-capped at the measured sweet spot
+    check_every = max(1, min(check_every, 4))
     t_start = time.monotonic()
     # partition count defaults to spark.sql.shuffle.partitions; callers with
     # small graphs pass a lower value (per-superstep fixed cost scales with
@@ -150,20 +197,26 @@ def pagerank(
     p = num_partitions or _num_partitions(edges)
 
     deg = degree_table(edges, vertices).select("id", "out_degree")
-    # Edges shuffled ONCE; reused by every iteration's gather. Join mode
-    # partitions by src (matches the ranks side of the gather-join); CSR mode
-    # lays out hash buckets sorted by src for the Arrow kernel.
-    if mode == "csr":
-        edges_p = bucketize_edges(edges, p).persist()
-    else:
-        edges_p = edges.select("src", "dst").repartition(p, "src").persist()
     deg = deg.repartition(p, "id").persist()
-    n = deg.count()
+    # one action for both setup scalars
+    row = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("out_degree") == 0, 1).otherwise(0)).alias("dangling"),
+    ).first()
+    n = int(row["n"])
     if n == 0:
         return PageRankResult(ranks=deg.select("id", F.lit(0.0).alias("rank")), iterations=0, converged=True)
-    # computed once: if no vertex dangles, every superstep skips the
-    # dangling-mass scan entirely (constant-folds to the base term)
-    has_dangling = deg.filter(F.col("out_degree") == 0).count() > 0
+    # computed once: if no vertex dangles, no virtual edges exist and the
+    # dangling branch of the superstep disappears entirely
+    has_dangling = int(row["dangling"] or 0) > 0
+    # Edges shuffled ONCE (with out_degree attached + virtual dangling
+    # edges); reused by every iteration's gather. Join mode partitions by
+    # src (matches the ranks side of the gather-join); CSR mode lays out
+    # hash buckets sorted by src for the Arrow kernel. Eager localCheckpoint:
+    # materializes the layout AND truncates its logical plan to a leaf —
+    # the prepare plan (degree join + virtual-edge union) would otherwise be
+    # embedded in every superstep's gather subtree.
+    edges_p = prepare_edges(edges, deg, p, mode).localCheckpoint()
 
     base = (1.0 - damping) / n
 
@@ -173,18 +226,17 @@ def pagerank(
         resumed = checkpointer.latest()
         if resumed is not None:
             start_iter, state, _extra = resumed
-            state = state.repartition(p, "id").localCheckpoint(eager=False)
+            state = state.select("id", "rank", "prev_rank").repartition(p, "id").localCheckpoint(eager=False)
 
     if state is None:
         # Iteration-0 state: uniform prior 1/N (the reference's init-round
         # shortcut, pagerank.v:1042-1046 — no gather needed to seed it).
         state = deg.select(
-            "id", "out_degree", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev_rank")
+            "id", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev_rank")
         ).localCheckpoint(eager=False)
 
-    # force the initial state + cached inputs so the loop below measures
-    # steady-state superstep cost only
-    edges_p.count()
+    # force the initial state so the loop below measures steady-state
+    # superstep cost only (edges_p is already materialized by localCheckpoint)
     state.count()
     result = PageRankResult(ranks=state, iterations=start_iter, converged=False)
     result.setup_seconds = time.monotonic() - t_start
@@ -197,9 +249,9 @@ def pagerank(
         for i in range(block):
             new_state = _superstep(edges_p, new_state, mode, p, damping, base, n, has_dangling)
             if i < block - 1:
-                # lazy persist: each intra-block state is consumed by up to 3
+                # lazy persist: each intra-block state is consumed by up to 2
                 # downstream operators; without the cache the block's single
-                # job recomputes the superstep subtree per consumer (3^k)
+                # job recomputes the superstep subtree per consumer
                 new_state = new_state.persist()
                 intermediates.append(new_state)
         # lazy localCheckpoint: truncates the 3^block logical plan to a leaf
@@ -217,14 +269,13 @@ def pagerank(
         result.iterations = it
 
         if checkpointer is not None:
-            checkpointer.commit(it, state.select("id", "out_degree", "rank", "prev_rank"), {"l1": l1})
+            checkpointer.commit(it, state.select("id", "rank", "prev_rank"), {"l1": l1})
         if l1 < tol:
             result.converged = True
             break
 
     result.iter_seconds = time.monotonic() - t_loop
     result.ranks = state.select("id", "rank")
-    edges_p.unpersist()
     deg.unpersist()
     return result
 

@@ -36,6 +36,12 @@ def assign_dense_ids(df: DataFrame, key_cols: list[str], id_col: str = "vid", nu
     n = int(n)
     keyed = df.repartitionByRange(n, *[F.col(c) for c in key_cols]).sortWithinPartitions(*key_cols)
     keyed = keyed.withColumn("__pid", F.spark_partition_id())
+    # persist + materialize BEFORE the two passes: RangePartitioner samples
+    # with a per-execution seed, so without pinning the partitioning here the
+    # count job and the numbering job could see different boundaries (and the
+    # driver-computed offsets would mismatch actual partitions)
+    keyed = keyed.persist()
+    keyed.count()
 
     # Pass 1: per-partition counts -> driver prefix sum (tiny: one row/partition)
     counts = {
@@ -63,7 +69,9 @@ def assign_dense_ids(df: DataFrame, key_cols: list[str], id_col: str = "vid", nu
             pos += len(pdf)
             yield pdf
 
-    return keyed.mapInPandas(number, schema=out_schema)
+    out = keyed.mapInPandas(number, schema=out_schema).localCheckpoint()
+    keyed.unpersist()
+    return out
 
 
 def vertex_ids(transcripts: DataFrame, id_col: str = "vid") -> DataFrame:

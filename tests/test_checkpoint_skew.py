@@ -95,6 +95,44 @@ def test_multimodal_plumbing(spark):
 
 
 def test_multimodal_real_decode_stubbed(spark):
+    # sha2-derived payloads are not PPM: the real-decode path flags them
     media = synth_media(spark, 4)
     rows = extract_features(media, fake_decode=False).collect()
     assert all(not r["decode_ok"] for r in rows)
+
+
+def test_multimodal_ppm_real_decode(spark):
+    """Non-fake decode of real P6 PPM payloads, verified against NumPy."""
+    from pagerank_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(17)
+    imgs = [rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8) for _ in range(3)]
+    rows = [(i, bytearray(encode_ppm(img))) for i, img in enumerate(imgs)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in extract_features(media, fake_decode=False).collect()}
+    assert all(got[i]["decode_ok"] for i in range(3))
+    for i, img in enumerate(imgs):
+        gray = img.astype(np.float32).mean(axis=2)
+        expect = [float(b.mean()) for b in np.array_split(gray, 8, axis=1)]
+        assert np.allclose(got[i]["feature"], expect, atol=1e-4)
+        # round-trip parity of the decoder itself
+        assert np.array_equal(decode_ppm(bytes(rows[i][1])), img.astype(np.float32))
+
+
+def test_multimodal_wav_real_decode(spark):
+    """WAV/PCM16 decode: 8-band RMS of a synthesized two-level signal."""
+    from pagerank_spark.operators.multimodal import encode_wav, extract_audio_features
+
+    sr = 8000
+    quiet = 0.1 * np.sin(2 * np.pi * 440 * np.arange(sr // 2) / sr)
+    loud = 0.8 * np.sin(2 * np.pi * 440 * np.arange(sr // 2) / sr)
+    wave = np.concatenate([quiet, loud]).astype(np.float32)
+    media = spark.createDataFrame(
+        [(0, bytearray(encode_wav(wave, sr))), (1, bytearray(b"not audio"))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert got[0]["decode_ok"] and not got[1]["decode_ok"]
+    f = got[0]["feature"]
+    # first half quiet, second half loud: band RMS ratio ~ 8x
+    assert f[0] < 0.12 and f[7] > 0.4

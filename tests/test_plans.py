@@ -7,7 +7,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from pagerank_spark.algos.pagerank import _superstep
+from pagerank_spark.algos.pagerank import _superstep, prepare_edges
 from pagerank_spark.operators.degrees import degree_table
 from pagerank_spark.sources.graphs import er_edges_numpy, events_graph
 
@@ -44,11 +44,12 @@ def test_superstep_plan_shape(spark):
     arr = er_edges_numpy(200, 1000, seed=2)
     edges = spark.createDataFrame([(int(s), int(d)) for s, d in arr], "src long, dst long")
     p = 8
-    edges_p = edges.repartition(p, "src").persist()
-    deg = degree_table(edges_p).repartition(p, "id").persist()
+    deg = degree_table(edges).repartition(p, "id").persist()
     n = deg.count()
+    edges_p = prepare_edges(edges, deg, p, "join").persist()
+    edges_p.count()
     state = deg.select(
-        "id", "out_degree", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev_rank")
+        "id", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev_rank")
     ).localCheckpoint()
     ns = _superstep(edges_p, state, "join", p, 0.85, 0.15 / n, n, True)
     plan = _plan(ns)

@@ -35,8 +35,13 @@ def test_streaming_edges_match_batch(spark, tmp_path):
     run_ingest(spark, in_dir, out_dir, ck_dir, TRANSCRIPTS_SCHEMA)
 
     got = spark.read.parquet(out_dir)
-    got_set = {(r["conv_id"], r["src_turn"], r["dst_turn"]) for r in got.dropDuplicates(["conv_id", "src_turn", "dst_turn"]).collect()}
-    assert got_set == batch_set
+    rows = [(r["conv_id"], r["src_turn"], r["dst_turn"], r["kind"]) for r in got.collect()]
+    # exactly-once emission per (edge, kind): NO dedup before checking —
+    # consecutive turns in one micro-batch must not double-emit their shared
+    # reply edge (a tool edge may coincide with a reply pair; batch dedups
+    # across kinds, streaming emits one row per kind)
+    assert len(rows) == len(set(rows)), "duplicate edge emissions"
+    assert {(c, s, d) for c, s, d, _ in rows} == batch_set
 
 
 def test_streaming_out_of_order_within_conv(spark, tmp_path):
@@ -64,8 +69,44 @@ def test_streaming_out_of_order_within_conv(spark, tmp_path):
     as_df(later).write.mode("append").parquet(in_dir)
     run_ingest(spark, in_dir, out_dir, ck_dir, TRANSCRIPTS_SCHEMA)
 
-    got = {(r["src_turn"], r["dst_turn"], r["kind"]) for r in spark.read.parquet(out_dir).collect()}
+    all_rows = [(r["src_turn"], r["dst_turn"], r["kind"]) for r in spark.read.parquet(out_dir).collect()]
+    got = set(all_rows)
+    assert len(all_rows) == len(got), "duplicate edge emissions"
     assert (1, 0, "reply") in got
     assert (2, 1, "reply") in got
     assert (3, 2, "reply") in got
     assert (3, 1, "tool") in got
+
+
+def test_streaming_tool_edge_retro_and_same_batch_dedup(spark, tmp_path):
+    """Assistant arriving AFTER its tool turn still yields the tool edge
+    (retro-trigger on prefix completion); consecutive turns in one batch
+    emit their shared reply edge exactly once."""
+    import pyspark.sql.functions as F
+
+    def as_df(rws):
+        return spark.createDataFrame(rws, "conv_id string, turn_idx int, role string, tool string").select(
+            "conv_id", "turn_idx", "role", F.lit("x").alias("text"), "tool",
+            F.to_timestamp(F.lit("2026-01-01")).alias("ts"),
+        )
+
+    in_dir, out_dir, ck_dir = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+    # batch 1: tool turn arrives before its invoking assistant turn
+    as_df([("c", 0, "user", None), ("c", 2, "tool", "web")]).write.mode("append").parquet(in_dir)
+    run_ingest(spark, in_dir, out_dir, ck_dir, TRANSCRIPTS_SCHEMA)
+    mid = {(r["src_turn"], r["dst_turn"], r["kind"]) for r in spark.read.parquet(out_dir).collect()}
+    assert (2, 1, "tool") not in mid  # not emitted yet: turn 1 unknown
+    # batch 2: the assistant turn lands, plus two consecutive new turns
+    as_df([("c", 1, "assistant", "web"), ("c", 3, "user", None), ("c", 4, "assistant", None)]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_ingest(spark, in_dir, out_dir, ck_dir, TRANSCRIPTS_SCHEMA)
+
+    all_rows = [(r["src_turn"], r["dst_turn"], r["kind"]) for r in spark.read.parquet(out_dir).collect()]
+    assert len(all_rows) == len(set(all_rows)), "duplicate edge emissions"
+    got = set(all_rows)
+    assert got == {
+        (1, 0, "reply"), (2, 1, "reply"), (3, 2, "reply"), (4, 3, "reply"),
+        (2, 1, "tool"),
+    }
