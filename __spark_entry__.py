@@ -57,6 +57,61 @@ deg AS (
 n AS (SELECT COUNT(*) AS c FROM v)"""
 
 
+def _pagerank_weighted_sql(edges_cte: str, k: int) -> str:
+    """Unrolled k-iteration edge-weighted damped PageRank. Weight =
+    1 + (src+dst) % 5 (deterministic, strictly positive); contributions
+    rank * w / total_out_weight(src); dangling = no-out-edge vertices,
+    redistributed uniformly. Mirrors pagerank(weight_col=...)."""
+    ctes = [_materialize(edges_cte.strip()), _materialize(GRAPH_BASE_CTES.strip()),
+            "ew AS MATERIALIZED (SELECT src, dst, CAST(1 + (src + dst) % 5 AS DOUBLE) AS w FROM e)",
+            "wd AS MATERIALIZED (SELECT src AS id, SUM(w) AS wout FROM ew GROUP BY 1)",
+            "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT c FROM n) AS rank FROM v)"]
+    for it in range(1, k + 1):
+        prev, cur = f"r{it - 1}", f"r{it}"
+        ctes.append(f"""{cur} AS MATERIALIZED (
+  SELECT v.id,
+         (1 - {DAMPING}) / n.c
+         + {DAMPING} * COALESCE(s.contrib, 0)
+         + {DAMPING} * d.m / n.c AS rank
+  FROM v CROSS JOIN n
+  CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0) AS m
+              FROM {prev} r JOIN deg ON deg.id = r.id AND deg.out_degree = 0) d
+  LEFT JOIN (SELECT ew.dst AS id, SUM(r.rank * ew.w / wd.wout) AS contrib
+             FROM ew JOIN {prev} r ON ew.src = r.id JOIN wd ON wd.id = ew.src
+             GROUP BY ew.dst) s ON s.id = v.id
+)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{k}"
+
+
+def _ppr_sql(edges_cte: str, k: int, seed_mod: int = 97) -> str:
+    """Unrolled k-iteration personalized PageRank: teleport AND dangling mass
+    land on the seed distribution (ids divisible by ``seed_mod``); ranks
+    start as the seed distribution. Mirrors pagerank(teleport=...)."""
+    ctes = [_materialize(edges_cte.strip()), _materialize(GRAPH_BASE_CTES.strip()),
+            f"ns AS MATERIALIZED (SELECT COUNT(*) AS c FROM v WHERE id % {seed_mod} = 0)",
+            f"""t AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.id % {seed_mod} = 0 THEN CAST(1.0 AS DOUBLE) / ns.c
+              ELSE CAST(0.0 AS DOUBLE) END AS tele
+  FROM v CROSS JOIN ns)""",
+            "r0 AS MATERIALIZED (SELECT id, tele AS rank FROM t)"]
+    for it in range(1, k + 1):
+        prev, cur = f"r{it - 1}", f"r{it}"
+        ctes.append(f"""{cur} AS MATERIALIZED (
+  SELECT t.id,
+         (1 - {DAMPING}) * t.tele
+         + {DAMPING} * COALESCE(s.contrib, 0)
+         + {DAMPING} * d.m * t.tele AS rank
+  FROM t
+  CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0) AS m
+              FROM {prev} r JOIN deg ON deg.id = r.id AND deg.out_degree = 0) d
+  LEFT JOIN (SELECT e.dst AS id, SUM(r.rank / deg.out_degree) AS contrib
+             FROM e JOIN {prev} r ON e.src = r.id JOIN deg ON deg.id = e.src
+             GROUP BY e.dst) s ON s.id = t.id
+)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{k}"
+
+
 def _materialize(cte_block: str) -> str:
     """Force MATERIALIZED on every CTE in a fragment (see _pagerank_sql)."""
     import re
@@ -182,6 +237,28 @@ def q_pagerank_events_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out
+
+
+def q_pagerank_weighted_events_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank, k=3: weight = 1 + (src+dst) % 5."""
+    from pagerank_spark.algos.pagerank import pagerank
+
+    edges = _graph_for(spark, sf_dir, "events").withColumn(
+        "weight", (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5))).cast("double")
+    )
+    res = pagerank(edges, max_iters=3, tol=0.0, weight_col="weight")
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_ppr_events_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank, k=3: teleport set = vertex ids % 97 == 0."""
+    from pagerank_spark.algos.pagerank import pagerank
+
+    edges = _graph_for(spark, sf_dir, "events")
+    verts = edges.select(F.col("src").alias("id")).union(edges.select(F.col("dst").alias("id"))).distinct()
+    seeds = verts.filter(F.col("id") % 97 == 0)
+    res = pagerank(edges, max_iters=3, tol=0.0, teleport=seeds)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
 def q_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_events_k3": _q_pagerank("events", 3),
         "pagerank_events_converged": q_pagerank_events_converged,
         "pagerank_copurchase_k2": _q_pagerank("copurchase", 2),
+        "pagerank_weighted_events_k3": q_pagerank_weighted_events_k3,
+        "ppr_events_k3": q_ppr_events_k3,
         "cc_events": q_cc_events,
         "labelprop_events": q_labelprop_events,
         "triangles_copurchase": q_triangles_copurchase,
@@ -430,6 +509,8 @@ def oracle_sql() -> dict[str, str]:
     # L1<1e-9 around iteration ~130, far past stationarity, so an unrolled
     # k=60 oracle equals the converged output exactly at ROUND 6
     sqls["pagerank_events_converged"] = _pagerank_sql(EVENTS_EDGES_CTE, 60)
+    sqls["pagerank_weighted_events_k3"] = _pagerank_weighted_sql(EVENTS_EDGES_CTE, 3)
+    sqls["ppr_events_k3"] = _ppr_sql(EVENTS_EDGES_CTE, 3)
     sqls["labelprop_events"] = _labelprop_sql(EVENTS_EDGES_CTE, 5)
 
     sqls["cc_events"] = f"""

@@ -40,10 +40,10 @@ def bucketize_edges(edges: DataFrame, p: int) -> DataFrame:
     """Add the cogroup key and lay edges out for the kernel: hash-bucketed by
     src, sorted by src within partitions (CSR-like layout, built once).
 
-    ``edges`` must carry ``(src, dst, out_degree)`` — see ``prepare_edges``.
+    ``edges`` must carry ``(src, dst, w, wout)`` — see ``prepare_edges``.
     """
     return (
-        edges.select("src", "dst", "out_degree")
+        edges.select("src", "dst", "w", "wout")
         .withColumn("bucket", F.pmod(F.xxhash64("src"), F.lit(p)).cast("int"))
         .repartition(p, "bucket")
         .sortWithinPartitions("src")
@@ -60,11 +60,13 @@ def _kernel(edf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
 
     src = edf["src"].to_numpy(dtype=np.int64)
     dst = edf["dst"].to_numpy(dtype=np.int64)
-    outdeg = edf["out_degree"].to_numpy(dtype=np.float64)
+    w = edf["w"].to_numpy(dtype=np.float64)
+    wout = edf["wout"].to_numpy(dtype=np.float64)
     idx = np.searchsorted(ids_sorted, src)
-    # vectorized random gather (pagerank.v:1079-1095); per-edge divide by the
-    # statically-attached out-degree (virtual dangling edges carry 1)
-    gathered = ranks_sorted[idx] / outdeg
+    # vectorized random gather (pagerank.v:1079-1095); per-edge coefficient
+    # w/wout is statically attached (1/out_degree unweighted; virtual
+    # dangling edges carry 1/1)
+    gathered = ranks_sorted[idx] * w / wout
 
     uniq, inverse = np.unique(dst, return_inverse=True)
     sums = np.bincount(inverse, weights=gathered)  # segment sum (pagerank.v:1039-1049)

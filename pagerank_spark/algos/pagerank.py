@@ -72,27 +72,38 @@ def _num_partitions(df: DataFrame) -> int:
 VIRTUAL_DST = -1  # dst of virtual dangling edges; vertex ids must be >= 0
 
 
-def prepare_edges(edges: DataFrame, deg: DataFrame, p: int, mode: str) -> DataFrame:
+def prepare_edges(
+    edges: DataFrame, deg: DataFrame, p: int, mode: str, weight_col: str | None = None,
+) -> DataFrame:
     """One-time edge layout for the superstep loop (built once, persisted by
     the caller, reused every iteration — the CSR-build analogue).
 
-    Attaches ``out_degree(src)`` to every edge (a static attribute, so the
-    hot loop never joins the degree table) and appends one virtual edge
-    ``(v, VIRTUAL_DST, out_degree=1)`` per dangling vertex: the virtual
-    slice is the materialized dangling set, so each superstep's dangling
-    mass is a tiny filter of this layout joined with the state — no degree
-    table and no degree column in the loop. Requires non-negative vertex
-    ids (all engine sources assign dense ids >= 0).
+    Emits ``(src, dst, w, wout)``: per-edge weight ``w`` (1.0 unweighted)
+    and the source's total out-weight ``wout`` (out-degree unweighted) — a
+    static edge attribute, so the hot loop never joins the degree table and
+    the per-edge contribution is always ``rank * w / wout``. Appends one
+    virtual edge ``(v, VIRTUAL_DST, 1.0, 1.0)`` per dangling vertex: the
+    virtual slice is the materialized dangling set, so each superstep's
+    dangling mass is a tiny filter of this layout joined with the state.
+    Requires non-negative vertex ids (all engine sources assign dense ids
+    >= 0) and, when weighted, strictly positive weights.
     """
-    e = edges.select("src", "dst").join(
-        deg.select(F.col("id").alias("src"), "out_degree"), "src"
-    )
+    if weight_col is None:
+        e = edges.select("src", "dst", F.lit(1.0).alias("w")).join(
+            deg.select(F.col("id").alias("src"), F.col("out_degree").cast("double").alias("wout")),
+            "src",
+        )
+    else:
+        ew = edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+        wdeg = ew.groupBy("src").agg(F.sum("w").alias("wout"))
+        e = ew.join(wdeg, "src")
     virtual = deg.filter(F.col("out_degree") == 0).select(
         F.col("id").alias("src"),
         F.lit(VIRTUAL_DST).cast("long").alias("dst"),
-        F.lit(1).cast("long").alias("out_degree"),
+        F.lit(1.0).alias("w"),
+        F.lit(1.0).alias("wout"),
     )
-    allx = e.unionByName(virtual)
+    allx = e.select("src", "dst", "w", "wout").unionByName(virtual)
     if mode == "csr":
         return bucketize_edges(allx, p)
     return allx.repartition(p, "src")
@@ -101,6 +112,7 @@ def prepare_edges(edges: DataFrame, deg: DataFrame, p: int, mode: str) -> DataFr
 def _superstep(
     edges_p: DataFrame, state: DataFrame, mode: str, p: int,
     damping: float, base: float, n: int, has_dangling: bool,
+    personalized: bool = False,
 ):
     """One lazy superstep: state k -> state k+1 (no action triggered).
 
@@ -123,13 +135,19 @@ def _superstep(
         contribs = (
             real.join(state.hint("shuffle_hash"), real.src == state.id, "inner")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("out_degree")).alias("contrib"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("wout")).alias("contrib"))
         )
-    new_rank = F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+    if personalized:
+        # teleport lands on the seed distribution: (1-d)*t[v] + d*dm*t[v]
+        new_rank = F.lit(1.0 - damping) * state.tele + F.lit(damping) * F.coalesce(
+            F.col("contrib"), F.lit(0.0)
+        )
+    else:
+        new_rank = F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
     out = state.join(contribs.hint("shuffle_hash"), state.id == contribs.dst, "left")
     if has_dangling:
         # dangling mass = sum of dangling-vertex ranks = rank sum over the
-        # virtual-edge slice (src = the dangling set, out_degree = 1). The
+        # virtual-edge slice (src = the dangling set, w/wout = 1). The
         # slice is a tiny filter of the checkpointed edge layout, so this
         # subtree reads |dangling| edge rows + one pass of the narrow state
         # cache — not a second gather — and lands in the plan as a one-row
@@ -140,12 +158,14 @@ def _superstep(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
         )
         out = out.crossJoin(dm)
-        new_rank = new_rank + F.lit(damping) * F.col("__dm") / F.lit(float(n))
-    return out.select(
-        state.id,
-        new_rank.alias("rank"),
-        state.rank.alias("prev_rank"),
-    )
+        if personalized:
+            new_rank = new_rank + F.lit(damping) * F.col("__dm") * state.tele
+        else:
+            new_rank = new_rank + F.lit(damping) * F.col("__dm") / F.lit(float(n))
+    cols = [state.id, new_rank.alias("rank"), state.rank.alias("prev_rank")]
+    if personalized:
+        cols.append(state.tele)
+    return out.select(*cols)
 
 
 def pagerank(
@@ -158,8 +178,18 @@ def pagerank(
     checkpointer=None,
     check_every: int = 1,
     num_partitions: int | None = None,
+    weight_col: str | None = None,
+    teleport: DataFrame | None = None,
 ) -> PageRankResult:
     """Damped PageRank with dangling-mass redistribution, L1 stopping rule.
+
+    ``weight_col``: edge-weight column name — contributions become
+    ``rank * w / total_out_weight(src)`` (weights must be > 0). Degenerates
+    to classic PageRank when every weight is equal.
+
+    ``teleport``: DataFrame with an ``id`` column — personalized PageRank:
+    the teleport (and the dangling mass) land uniformly on the seed set
+    instead of all vertices; ranks start as the seed distribution.
 
     ``mode='join'`` runs the gather as a Catalyst equi-join + hash aggregate;
     ``mode='csr'`` runs it as a cogrouped Arrow kernel (NumPy searchsorted
@@ -216,24 +246,48 @@ def pagerank(
     # materializes the layout AND truncates its logical plan to a leaf —
     # the prepare plan (degree join + virtual-edge union) would otherwise be
     # embedded in every superstep's gather subtree.
-    edges_p = prepare_edges(edges, deg, p, mode).localCheckpoint()
+    edges_p = prepare_edges(edges, deg, p, mode, weight_col).localCheckpoint()
+
+    personalized = teleport is not None
+    tele_table = None
+    if personalized:
+        seeds = teleport.select("id").dropDuplicates()
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError("personalized PageRank requires a non-empty teleport set")
+        tele_table = (
+            deg.select("id")
+            .join(seeds.withColumn("__seed", F.lit(1)), "id", "left")
+            .select(
+                "id",
+                F.when(F.col("__seed").isNotNull(), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias("tele"),
+            )
+            .repartition(p, "id")
+        )
 
     base = (1.0 - damping) / n
 
     start_iter = 0
     state = None
+    state_cols = ["id", "rank", "prev_rank"] + (["tele"] if personalized else [])
     if checkpointer is not None:
         resumed = checkpointer.latest()
         if resumed is not None:
             start_iter, state, _extra = resumed
-            state = state.select("id", "rank", "prev_rank").repartition(p, "id").localCheckpoint(eager=False)
+            state = state.select(*state_cols).repartition(p, "id").localCheckpoint(eager=False)
 
     if state is None:
-        # Iteration-0 state: uniform prior 1/N (the reference's init-round
-        # shortcut, pagerank.v:1042-1046 — no gather needed to seed it).
-        state = deg.select(
-            "id", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev_rank")
-        ).localCheckpoint(eager=False)
+        if personalized:
+            # ranks start as the seed distribution (mass 1 on the seed set)
+            state = tele_table.select(
+                "id", F.col("tele").alias("rank"), F.col("tele").alias("prev_rank"), "tele"
+            ).localCheckpoint(eager=False)
+        else:
+            # Iteration-0 state: uniform prior 1/N (the reference's init-round
+            # shortcut, pagerank.v:1042-1046 — no gather needed to seed it).
+            state = deg.select(
+                "id", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev_rank")
+            ).localCheckpoint(eager=False)
 
     # force the initial state so the loop below measures steady-state
     # superstep cost only (edges_p is already materialized by localCheckpoint)
@@ -247,7 +301,7 @@ def pagerank(
         new_state = state
         intermediates = []
         for i in range(block):
-            new_state = _superstep(edges_p, new_state, mode, p, damping, base, n, has_dangling)
+            new_state = _superstep(edges_p, new_state, mode, p, damping, base, n, has_dangling, personalized)
             if i < block - 1:
                 # lazy persist: each intra-block state is consumed by up to 2
                 # downstream operators; without the cache the block's single
@@ -269,7 +323,7 @@ def pagerank(
         result.iterations = it
 
         if checkpointer is not None:
-            checkpointer.commit(it, state.select("id", "rank", "prev_rank"), {"l1": l1})
+            checkpointer.commit(it, state.select(*state_cols), {"l1": l1})
         if l1 < tol:
             result.converged = True
             break

@@ -7,7 +7,7 @@ import pytest
 from pagerank_spark.algos.pagerank import pagerank, pagerank_fixed_point
 from pagerank_spark.sources.graphs import er_edges_numpy, ensure_min_outdeg
 
-from .oracles import damped_oracle, fixed_point_oracle
+from .oracles import damped_oracle, fixed_point_oracle, personalized_oracle, weighted_damped_oracle
 
 FIX4 = np.array([[0, 1], [1, 2], [2, 0], [2, 3], [3, 0]], dtype=np.int64)
 GOLDEN_FIX4 = {
@@ -61,6 +61,54 @@ def test_damped_matches_oracle(spark, mode, tol, max_iters, check_every):
     assert oracle_iters <= res.iterations < oracle_iters + check_every + 1
     # rank mass conserved
     assert abs(got_arr.sum() - 1.0) < 1e-6
+
+
+def test_weighted_matches_oracle(spark):
+    v, e = 100, 400
+    arr = er_edges_numpy(v, e, seed=11)
+    weights = 1.0 + (arr[:, 0] + arr[:, 1]) % 5  # deterministic positive weights
+    oracle, _ = weighted_damped_oracle(v, arr, weights.astype(float), tol=1e-9, max_iters=160)
+    df = spark.createDataFrame(
+        [(int(s), int(d), float(w)) for (s, d), w in zip(arr, weights)],
+        "src long, dst long, weight double",
+    )
+    res = pagerank(df, max_iters=160, tol=1e-9, weight_col="weight", check_every=3)
+    assert res.converged
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    np.testing.assert_allclose(np.array([got[i] for i in range(v)]), oracle, atol=1e-6)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_weighted_uniform_equals_unweighted(spark):
+    """All-equal weights degenerate to classic PageRank exactly."""
+    arr = er_edges_numpy(60, 240, seed=12)
+    df = spark.createDataFrame([(int(s), int(d)) for s, d in arr], "src long, dst long")
+    dfw = df.withColumn("weight", F_lit_2())
+    plain = {r["id"]: r["rank"] for r in pagerank(df, max_iters=20, tol=0.0).ranks.collect()}
+    weighted = {r["id"]: r["rank"] for r in pagerank(dfw, max_iters=20, tol=0.0, weight_col="weight").ranks.collect()}
+    for k in plain:
+        assert abs(plain[k] - weighted[k]) < 1e-12
+
+
+def F_lit_2():
+    from pyspark.sql import functions as F
+
+    return F.lit(2.0)
+
+
+def test_personalized_matches_oracle(spark):
+    v, e = 100, 400
+    arr = er_edges_numpy(v, e, seed=13)
+    seeds = np.arange(0, v, 7)
+    oracle, _ = personalized_oracle(v, arr, seeds, tol=1e-9, max_iters=200)
+    df = spark.createDataFrame([(int(s), int(d)) for s, d in arr], "src long, dst long")
+    seed_df = spark.createDataFrame([(int(s),) for s in seeds], "id long")
+    res = pagerank(df, max_iters=200, tol=1e-9, teleport=seed_df, check_every=3)
+    assert res.converged
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    np.testing.assert_allclose(np.array([got[i] for i in range(v)]), oracle, atol=1e-6)
+    # mass concentrates near seeds: non-seed-reachable-only vertices get 0
+    assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
 def test_damped_l1_monotone_tail(spark):
