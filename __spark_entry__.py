@@ -76,7 +76,7 @@ def _pagerank_weighted_sql(edges_cte: str, k: int) -> str:
   FROM v CROSS JOIN n
   CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0) AS m
               FROM {prev} r JOIN deg ON deg.id = r.id AND deg.out_degree = 0) d
-  LEFT JOIN (SELECT ew.dst AS id, SUM(r.rank * ew.w / wd.wout) AS contrib
+  LEFT JOIN (SELECT ew.dst AS id, SUM(r.rank * (ew.w / wd.wout)) AS contrib
              FROM ew JOIN {prev} r ON ew.src = r.id JOIN wd ON wd.id = ew.src
              GROUP BY ew.dst) s ON s.id = v.id
 )""")
@@ -105,7 +105,7 @@ def _ppr_sql(edges_cte: str, k: int, seed_mod: int = 97) -> str:
   FROM t
   CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0) AS m
               FROM {prev} r JOIN deg ON deg.id = r.id AND deg.out_degree = 0) d
-  LEFT JOIN (SELECT e.dst AS id, SUM(r.rank / deg.out_degree) AS contrib
+  LEFT JOIN (SELECT e.dst AS id, SUM(r.rank * (1.0 / deg.out_degree)) AS contrib
              FROM e JOIN {prev} r ON e.src = r.id JOIN deg ON deg.id = e.src
              GROUP BY e.dst) s ON s.id = t.id
 )""")
@@ -139,7 +139,7 @@ def _pagerank_sql(edges_cte: str, k: int) -> str:
   FROM v CROSS JOIN n
   CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0) AS m
               FROM {prev} r JOIN deg ON deg.id = r.id AND deg.out_degree = 0) d
-  LEFT JOIN (SELECT e.dst AS id, SUM(r.rank / deg.out_degree) AS contrib
+  LEFT JOIN (SELECT e.dst AS id, SUM(r.rank * (1.0 / deg.out_degree)) AS contrib
              FROM e JOIN {prev} r ON e.src = r.id JOIN deg ON deg.id = e.src
              GROUP BY e.dst) s ON s.id = v.id
 )""")
@@ -176,8 +176,16 @@ def _labelprop_sql(edges_cte: str, k: int) -> str:
 
 _NORM_TEXT_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _STOP_RE = "\\b(the|a|of|and|to|in|is|it)\\b"
-_TOKENS_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
+# empty/blank guard mirrors functions/text.py token_count (Spark returns 0;
+# an unguarded regexp_split_to_array would yield one empty token -> 1)
+_TOKENS_SQL = "(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
 _NONSPACE_SQL = "length(regexp_replace(text, '\\s+', '', 'g'))"
+# ratio guards: Spark-side ratios return 0.0 at zero tokens
+_STOPRATIO_SQL = (
+    f"(CASE WHEN {_TOKENS_SQL} = 0 THEN 0.0 "
+    f"ELSE len(regexp_extract_all(lower(text), '{_STOP_RE}', 0)) * 1.0 / {_TOKENS_SQL} END)"
+)
+_MEANTOK_SQL = f"(CASE WHEN {_TOKENS_SQL} = 0 THEN 0.0 ELSE {_NONSPACE_SQL} * 1.0 / {_TOKENS_SQL} END)"
 
 
 # ---------------------------------------------------------------------------
@@ -265,6 +273,23 @@ def q_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.algos.components import connected_components
 
     return connected_components(_graph_for(spark, sf_dir, "events"))
+
+
+def q_k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=90 core after exactly 4 synchronized peels (SQL-unrollable form;
+    k chosen above the graph's median degree so peeling actually removes
+    vertices round over round)."""
+    from pagerank_spark.algos.kcore import k_core
+
+    return k_core(_graph_for(spark, sf_dir, "copurchase"), k=90, rounds=4)
+
+
+def q_cc_sizes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size distribution: per-component vertex counts."""
+    from pagerank_spark.algos.components import connected_components
+
+    cc = connected_components(_graph_for(spark, sf_dir, "events"))
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
 
 
 def q_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted_events_k3": q_pagerank_weighted_events_k3,
         "ppr_events_k3": q_ppr_events_k3,
         "cc_events": q_cc_events,
+        "cc_sizes_events": q_cc_sizes_events,
+        "k_core_copurchase": q_k_core_copurchase,
         "labelprop_events": q_labelprop_events,
         "triangles_copurchase": q_triangles_copurchase,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -519,6 +546,30 @@ v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)
 SELECT v.id, MIN(v.id) OVER (PARTITION BY ev.user_id) AS component
 FROM v JOIN events ev ON ev.event_id = v.id"""
 
+    peel = [
+        _materialize(COPURCHASE_EDGES_CTE.strip()),
+        "sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e)",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM sym)",
+    ]
+    for t in range(1, 5):
+        peel.append(
+            f"a{t} AS MATERIALIZED (SELECT src AS id FROM e{t - 1} GROUP BY src HAVING COUNT(*) >= 90)"
+        )
+        peel.append(
+            f"e{t} AS MATERIALIZED (SELECT s.src, s.dst FROM e{t - 1} s "
+            f"JOIN a{t} x ON s.src = x.id JOIN a{t} y ON s.dst = y.id)"
+        )
+    sqls["k_core_copurchase"] = "WITH " + ",\n".join(peel) + "\nSELECT id FROM a4"
+
+    sqls["cc_sizes_events"] = f"""
+WITH {EVENTS_EDGES_CTE.strip()},
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+comp AS (
+  SELECT v.id, MIN(v.id) OVER (PARTITION BY ev.user_id) AS component
+  FROM v JOIN events ev ON ev.event_id = v.id
+)
+SELECT component, COUNT(*) AS size FROM comp GROUP BY component"""
+
     sqls["triangles_copurchase"] = f"""
 WITH {COPURCHASE_EDGES_CTE.strip()}
 SELECT COUNT(*) AS triangles
@@ -534,12 +585,12 @@ JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst"""
 SELECT doc_id,
        {_TOKENS_SQL} AS n_tokens,
        len(regexp_extract_all(lower(text), '{_STOP_RE}', 0)) AS n_stopwords,
-       ROUND(len(regexp_extract_all(lower(text), '{_STOP_RE}', 0)) * 1.0 / {_TOKENS_SQL}, 6) AS stopword_ratio,
-       ROUND({_NONSPACE_SQL} * 1.0 / {_TOKENS_SQL}, 6) AS mean_token_len,
+       ROUND({_STOPRATIO_SQL}, 6) AS stopword_ratio,
+       ROUND({_MEANTOK_SQL}, 6) AS mean_token_len,
        ROUND(CAST(
          (CASE WHEN {_TOKENS_SQL} BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
-         + (CASE WHEN ({_NONSPACE_SQL} * 1.0 / {_TOKENS_SQL}) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
-         + (CASE WHEN (len(regexp_extract_all(lower(text), '{_STOP_RE}', 0)) * 1.0 / {_TOKENS_SQL}) BETWEEN 0.0 AND 0.5 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN {_MEANTOK_SQL} BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN {_STOPRATIO_SQL} BETWEEN 0.0 AND 0.5 THEN 0.3 ELSE 0.0 END)
        AS DOUBLE), 6) AS quality
 FROM documents"""
 
@@ -565,8 +616,8 @@ FROM documents"""
     sqls["quality_filter_docs"] = f"""
 SELECT doc_id, n_chars FROM documents
 WHERE (CASE WHEN {_TOKENS_SQL} BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
-      + (CASE WHEN ({_NONSPACE_SQL} * 1.0 / {_TOKENS_SQL}) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
-      + (CASE WHEN (len(regexp_extract_all(lower(text), '{_STOP_RE}', 0)) * 1.0 / {_TOKENS_SQL}) BETWEEN 0.0 AND 0.5 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN {_MEANTOK_SQL} BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN {_STOPRATIO_SQL} BETWEEN 0.0 AND 0.5 THEN 0.3 ELSE 0.0 END)
       >= 0.7"""
 
     sqls["ann_topk_cosine"] = """

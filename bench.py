@@ -24,6 +24,8 @@ PR_ITERS = 10
 
 
 def run_bench(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
     from pagerank_spark.algos.components import connected_components
     from pagerank_spark.algos.pagerank import pagerank
     from pagerank_spark.algos.triangles import triangle_count
@@ -43,20 +45,33 @@ def run_bench(spark, sf_dir: str) -> dict:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    timed("pagerank_join_10it", lambda: pagerank(edges, max_iters=PR_ITERS, tol=0.0, mode="join", check_every=5).ranks.count())
+    timed("pagerank_join_10it", lambda: pagerank(edges, max_iters=PR_ITERS, tol=0.0, mode="join", check_every=3).ranks.count())
     extras["pagerank_join_edges_per_sec"] = round(n_edges * PR_ITERS / timings["pagerank_join_10it"], 1)
-    timed("pagerank_csr_10it", lambda: pagerank(edges, max_iters=PR_ITERS, tol=0.0, mode="csr", check_every=5).ranks.count())
-    extras["pagerank_csr_edges_per_sec"] = round(n_edges * PR_ITERS / timings["pagerank_csr_10it"], 1)
+    # CSR/Arrow mode is a semantics-parity feature, NOT a headline entry:
+    # measured 1.2x slower at 5M and 2.4x slower at 20M edges than the
+    # JVM-resident SHJ plan (per-superstep Arrow transfer of every edge row;
+    # Spark gives Python workers no cross-job partition affinity, so the CSR
+    # block cannot stay resident) — see BENCH/SCALING_NOTES.md §4.
+    timed("weighted_pagerank_10it", lambda: pagerank(
+        edges.withColumn("weight", (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5))).cast("double")),
+        max_iters=PR_ITERS, tol=0.0, weight_col="weight", check_every=3,
+    ).ranks.count())
     timed("connected_components", lambda: connected_components(edges).count())
 
-    # scale-meaningful graph (the sf-dir graphs are tiny): deterministic
-    # synthetic 5M-edge hub-skewed digraph, reference "large-ish" territory
+    # scale-meaningful graphs (the sf-dir graphs are tiny): deterministic
+    # synthetic hub-skewed digraphs, reference "small"/"med"-dataset territory
     synth = hub_skew_graph(spark, v=1_000_000, e=5_000_000, n_hubs=100, seed=9).persist()
     n_synth = synth.count()
-    timed("pagerank_synth5m_10it", lambda: pagerank(synth, max_iters=PR_ITERS, tol=0.0, mode="join").ranks.count())
+    timed("pagerank_synth5m_10it", lambda: pagerank(synth, max_iters=PR_ITERS, tol=0.0, mode="join", check_every=2).ranks.count())
     extras["pagerank_synth5m_edges_per_sec"] = round(n_synth * PR_ITERS / timings["pagerank_synth5m_10it"], 1)
     timed("cc_synth5m", lambda: connected_components(synth).count())
     synth.unpersist()
+
+    synth20 = hub_skew_graph(spark, v=4_000_000, e=20_000_000, n_hubs=400, seed=9).persist()
+    n_synth20 = synth20.count()
+    timed("pagerank_synth20m_5it", lambda: pagerank(synth20, max_iters=5, tol=0.0, mode="join", check_every=2).ranks.count())
+    extras["pagerank_synth20m_edges_per_sec"] = round(n_synth20 * 5 / timings["pagerank_synth20m_5it"], 1)
+    synth20.unpersist()
 
     co = lineitem_copurchase_graph(spark, sf_dir).persist()
     timed("triangles_copurchase", lambda: triangle_count(co))

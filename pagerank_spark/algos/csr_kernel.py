@@ -40,10 +40,10 @@ def bucketize_edges(edges: DataFrame, p: int) -> DataFrame:
     """Add the cogroup key and lay edges out for the kernel: hash-bucketed by
     src, sorted by src within partitions (CSR-like layout, built once).
 
-    ``edges`` must carry ``(src, dst, w, wout)`` — see ``prepare_edges``.
+    ``edges`` must carry ``(src, dst, coef)`` — see ``prepare_edges``.
     """
     return (
-        edges.select("src", "dst", "w", "wout")
+        edges.select("src", "dst", "coef")
         .withColumn("bucket", F.pmod(F.xxhash64("src"), F.lit(p)).cast("int"))
         .repartition(p, "bucket")
         .sortWithinPartitions("src")
@@ -60,13 +60,12 @@ def _kernel(edf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
 
     src = edf["src"].to_numpy(dtype=np.int64)
     dst = edf["dst"].to_numpy(dtype=np.int64)
-    w = edf["w"].to_numpy(dtype=np.float64)
-    wout = edf["wout"].to_numpy(dtype=np.float64)
+    coef = edf["coef"].to_numpy(dtype=np.float64)
     idx = np.searchsorted(ids_sorted, src)
-    # vectorized random gather (pagerank.v:1079-1095); per-edge coefficient
-    # w/wout is statically attached (1/out_degree unweighted; virtual
-    # dangling edges carry 1/1)
-    gathered = ranks_sorted[idx] * w / wout
+    # vectorized random gather (pagerank.v:1079-1095); the static per-edge
+    # coefficient (w/total_out_weight; 1/out_degree unweighted; 1.0 on
+    # virtual dangling edges) makes the scatter one fused multiply
+    gathered = ranks_sorted[idx] * coef
 
     uniq, inverse = np.unique(dst, return_inverse=True)
     sums = np.bincount(inverse, weights=gathered)  # segment sum (pagerank.v:1039-1049)

@@ -78,32 +78,38 @@ def prepare_edges(
     """One-time edge layout for the superstep loop (built once, persisted by
     the caller, reused every iteration — the CSR-build analogue).
 
-    Emits ``(src, dst, w, wout)``: per-edge weight ``w`` (1.0 unweighted)
-    and the source's total out-weight ``wout`` (out-degree unweighted) — a
-    static edge attribute, so the hot loop never joins the degree table and
-    the per-edge contribution is always ``rank * w / wout``. Appends one
-    virtual edge ``(v, VIRTUAL_DST, 1.0, 1.0)`` per dangling vertex: the
-    virtual slice is the materialized dangling set, so each superstep's
-    dangling mass is a tiny filter of this layout joined with the state.
-    Requires non-negative vertex ids (all engine sources assign dense ids
-    >= 0) and, when weighted, strictly positive weights.
+    Emits ``(src, dst, coef)``: the static per-edge gather coefficient
+    ``coef = w / total_out_weight(src)`` (``1.0 / out_degree`` unweighted),
+    so the hot loop never joins the degree table and the per-edge
+    contribution is one multiply, ``rank * coef`` — 8 bytes of edge
+    attribute instead of two, which matters when E >> V and the layout is
+    scanned every superstep. Appends one virtual edge
+    ``(v, VIRTUAL_DST, 1.0)`` per dangling vertex: the virtual slice is the
+    materialized dangling set, so each superstep's dangling mass is a tiny
+    filter of this layout joined with the state. Requires non-negative
+    vertex ids (all engine sources assign dense ids >= 0) and, when
+    weighted, strictly positive weights.
     """
     if weight_col is None:
-        e = edges.select("src", "dst", F.lit(1.0).alias("w")).join(
-            deg.select(F.col("id").alias("src"), F.col("out_degree").cast("double").alias("wout")),
+        # dangling rows are filtered BEFORE the 1/out_degree projection:
+        # they never match a real edge, and ANSI mode would error on 1/0
+        e = edges.select("src", "dst").join(
+            deg.filter(F.col("out_degree") > 0).select(
+                F.col("id").alias("src"),
+                (F.lit(1.0) / F.col("out_degree")).alias("coef"),
+            ),
             "src",
         )
     else:
         ew = edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
         wdeg = ew.groupBy("src").agg(F.sum("w").alias("wout"))
-        e = ew.join(wdeg, "src")
+        e = ew.join(wdeg, "src").select("src", "dst", (F.col("w") / F.col("wout")).alias("coef"))
     virtual = deg.filter(F.col("out_degree") == 0).select(
         F.col("id").alias("src"),
         F.lit(VIRTUAL_DST).cast("long").alias("dst"),
-        F.lit(1.0).alias("w"),
-        F.lit(1.0).alias("wout"),
+        F.lit(1.0).alias("coef"),
     )
-    allx = e.select("src", "dst", "w", "wout").unionByName(virtual)
+    allx = e.select("src", "dst", "coef").unionByName(virtual)
     if mode == "csr":
         return bucketize_edges(allx, p)
     return allx.repartition(p, "src")
@@ -135,7 +141,7 @@ def _superstep(
         contribs = (
             real.join(state.hint("shuffle_hash"), real.src == state.id, "inner")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w") / F.col("wout")).alias("contrib"))
+            .agg(F.sum(F.col("rank") * F.col("coef")).alias("contrib"))
         )
     if personalized:
         # teleport lands on the seed distribution: (1-d)*t[v] + d*dm*t[v]
@@ -191,9 +197,13 @@ def pagerank(
     the teleport (and the dangling mass) land uniformly on the seed set
     instead of all vertices; ranks start as the seed distribution.
 
-    ``mode='join'`` runs the gather as a Catalyst equi-join + hash aggregate;
+    ``mode='join'`` (the scale path) runs the gather as a Catalyst
+    equi-join + hash aggregate, fully inside whole-stage codegen;
     ``mode='csr'`` runs it as a cogrouped Arrow kernel (NumPy searchsorted
-    gather + segment sums; see algos/csr_kernel.py). Identical semantics.
+    gather + segment sums; see algos/csr_kernel.py). Identical semantics —
+    but csr mode is a semantics-parity feature, measured 1.2-2.4x slower
+    than join mode (the per-superstep O(E) Arrow transfer cannot be
+    avoided; BENCH/SCALING_NOTES.md §5).
 
     ``check_every=k`` chains k supersteps lazily between materializations:
     one Spark action (and one convergence check — the L1 between the LAST

@@ -107,6 +107,30 @@ def triangle_oracle(v: int, edges: np.ndarray) -> int:
     return count
 
 
+def kcore_oracle(edges: np.ndarray, k: int, rounds: int | None = None) -> set[int]:
+    """Synchronized-peel k-core: survivors after ``rounds`` peels (or the
+    fixed point). Mirrors algos/kcore.py exactly."""
+    sym = {(int(s), int(d)) for s, d in edges if s != d}
+    sym |= {(d, s) for s, d in sym}
+    cur = sym
+    alive: set[int] = set()
+    it = 0
+    while True:
+        it += 1
+        deg: dict[int, int] = {}
+        for s, _ in cur:
+            deg[s] = deg.get(s, 0) + 1
+        alive = {x for x, c in deg.items() if c >= k}
+        nxt = {(s, d) for s, d in cur if s in alive and d in alive}
+        done = nxt == cur
+        cur = nxt
+        if rounds is not None:
+            if it >= rounds:
+                return alive
+        elif done:
+            return alive
+
+
 def components_oracle(v: int, edges: np.ndarray) -> np.ndarray:
     """Min-reachable-id labels via union-find."""
     parent = list(range(v))

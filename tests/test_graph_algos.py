@@ -87,3 +87,38 @@ def test_label_propagation_isolated_keeps_label(spark):
     verts = spark.createDataFrame([(0,), (1,), (9,)], "id long")
     labels = {r["id"]: r["label"] for r in label_propagation(df, vertices=verts).collect()}
     assert labels[9] == 9
+
+
+def test_k_core_vs_oracle(spark):
+    from pagerank_spark.algos.kcore import k_core
+
+    from .oracles import kcore_oracle
+
+    arr = er_edges_numpy(80, 400, seed=21)
+    df = spark.createDataFrame([(int(s), int(d)) for s, d in arr], "src long, dst long")
+    for k in (3, 5):
+        got = {r["id"] for r in k_core(df, k=k).collect()}
+        assert got == kcore_oracle(arr, k)
+
+
+def test_k_core_fixed_rounds_vs_oracle(spark):
+    from pagerank_spark.algos.kcore import k_core
+
+    from .oracles import kcore_oracle
+
+    arr = er_edges_numpy(60, 200, seed=22)
+    df = spark.createDataFrame([(int(s), int(d)) for s, d in arr], "src long, dst long")
+    for rounds in (1, 2, 4):
+        got = {r["id"] for r in k_core(df, k=4, rounds=rounds).collect()}
+        assert got == kcore_oracle(arr, 4, rounds=rounds)
+
+
+def test_k_core_triangle_graph(spark):
+    """A triangle plus a pendant: 2-core = the triangle, 3-core empty."""
+    from pagerank_spark.algos.kcore import k_core
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    assert {r["id"] for r in k_core(edges, k=2).collect()} == {0, 1, 2}
+    assert k_core(edges, k=3).count() == 0
