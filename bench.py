@@ -84,6 +84,15 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("minhash_dedup", lambda: minhash_dedup(docs).count())
     docs.unpersist()
 
+    # dedup at volume: 200k synthetic docs, ~1% planted exact dups — the
+    # JVM-side signature projection dominates; CC runs only over paired docs
+    from pagerank_spark.sources.docs import synth_docs
+
+    big_docs = synth_docs(spark, 200_000, dup_every=100).persist()
+    big_docs.count()
+    timed("minhash_dedup_200k", lambda: minhash_dedup(big_docs, threshold=0.9).count())
+    big_docs.unpersist()
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("ann_topk_bruteforce", lambda: cosine_topk_bruteforce(emb, 0, k=10).count())
 

@@ -40,7 +40,7 @@ else:
     edges = events_graph(spark, graph).persist()
 e = edges.count()
 t0 = time.time()
-res = pagerank(edges, max_iters=iters, tol=0.0, mode="join", check_every=5)
+res = pagerank(edges, max_iters=iters, tol=0.0, mode="join", check_every=2)
 res.ranks.count()
 wall = time.time() - t0
 # steady-state throughput: superstep loop only (setup — degree build, the
@@ -65,7 +65,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--graph",
-        default="synth:2000000,20000000",
+        # 40M edges: large enough that 32 cores have real work per partition
+        # (measured eff 0.53 vs 0.46 at 20M — fixed per-block cost amortizes)
+        default="synth:4000000,40000000",
         help="'synth:V,E' for the deterministic generator, or a testdata sf dir for the events graph",
     )
     ap.add_argument("--iters", type=int, default=10)

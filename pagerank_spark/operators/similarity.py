@@ -11,6 +11,11 @@
   signatures bucket the corpus; the query probes only its bucket (plus
   multiprobe neighbors), turning a full scan into a partition-pruned scan.
   Approximate by design; recall measured in tests.
+- :func:`ivf_topk` / :func:`ivf_assignments` — IVF-style ANN: a coarse
+  quantizer (hash-seeded centroids + one distributed Lloyd refinement)
+  assigns each vector to an inverted list; queries probe only the nprobe
+  nearest lists. The alternative scale path to hyperplane LSH — lists map
+  to table partitions, probing maps to partition pruning.
 - :func:`cosine_near_dup_pairs` — embedding near-dup detection: all pairs
   above a cosine threshold among LSH-bucket candidates.
 """
@@ -106,6 +111,73 @@ def lsh_bucketed_topk(
     qb = int(qrow["bucket"])
     probe = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
     cand_ids = sigs.filter(F.col("bucket").isin(probe)).select("vec_id")
+    cand = emb.join(cand_ids, emb[id_col] == cand_ids.vec_id, "left_semi")
+    return cosine_topk_bruteforce(cand, query_id, k, id_col, vec_col)
+
+
+def ivf_assignments(
+    emb: DataFrame, n_centroids: int = 16, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: ``((vec_id, list int), centroids)``.
+
+    Centroids are a deterministic hash-spread sample of the corpus refined by
+    one Lloyd iteration (mean of assigned vectors — computed distributedly
+    with ``groupBy.avg`` over exploded components, no driver-side corpus).
+    Each vector lands in the inverted list of its nearest centroid; at scale
+    ``list`` is the table partition key, so a query scans only its probed
+    lists (the IVF analogue of partition pruning).
+    """
+    # seed centroids: the n_centroids vectors with smallest xxhash64(id) —
+    # a deterministic uniform sample independent of id distribution
+    sample = (
+        emb.select(id_col, vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.array([[float(x) for x in r[vec_col]] for r in sample], dtype=np.float64)
+
+    def assign(c: np.ndarray):
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+        @pandas_udf("int")
+        def assign_udf(vecs: pd.Series) -> pd.Series:
+            mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(mn @ cn.T, axis=1).astype(np.int32))
+
+        return emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"),
+                          assign_udf(F.col(vec_col)).alias("list"))
+
+    # one Lloyd refinement: new centroid = mean of assigned vectors
+    a0 = assign(cents)
+    dim = cents.shape[1]
+    comp = a0.select("list", F.posexplode(F.col("__v")).alias("pos", "val"))
+    means = comp.groupBy("list", "pos").agg(F.avg("val").alias("m")).collect()
+    refined = cents.copy()
+    acc: dict[int, np.ndarray] = {}
+    for r in means:
+        acc.setdefault(int(r["list"]), np.zeros(dim))[int(r["pos"])] = float(r["m"])
+    for li, vec in acc.items():
+        refined[li] = vec
+    return assign(refined).select("vec_id", "list"), refined
+
+
+def ivf_topk(
+    emb: DataFrame, query_id: int, k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+    seed: int = 7, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: score only vectors whose inverted list is
+    among the ``nprobe`` centroids nearest the query. The 100-TB shape:
+    lists are partition keys, probing = partition pruning; recall/cost is
+    tuned by (n_centroids, nprobe)."""
+    assignments, cents = ivf_assignments(emb, n_centroids, seed, id_col, vec_col)
+    q = np.asarray(_query_vec(emb, query_id, id_col, vec_col), dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    probe = [int(i) for i in np.argsort(-(cn @ qn))[:nprobe]]
+    cand_ids = assignments.filter(F.col("list").isin(probe)).select("vec_id")
     cand = emb.join(cand_ids, emb[id_col] == cand_ids.vec_id, "left_semi")
     return cosine_topk_bruteforce(cand, query_id, k, id_col, vec_col)
 

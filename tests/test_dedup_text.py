@@ -141,3 +141,30 @@ def test_cosine_near_dup_pairs(spark):
     emb, _ = _emb(spark)
     pairs = {(r["a"], r["b"]) for r in cosine_near_dup_pairs(emb, threshold=0.99).collect()}
     assert (0, 1) in pairs
+
+
+def test_synth_docs_planted_groups(spark):
+    """The columnar corpus generator plants exact-dup pairs at a known rate,
+    and minhash_dedup recovers exactly those groups."""
+    from pagerank_spark.operators.dedup import minhash_dedup
+    from pagerank_spark.sources.docs import synth_docs
+
+    docs = synth_docs(spark, 300, dup_every=50).persist()
+    # expected: doc_id i with i % 50 == 1 (i > 0) groups with i-1
+    got = {r["doc_id"]: r["canonical_id"] for r in minhash_dedup(docs, threshold=0.9).collect()}
+    for i in range(300):
+        if i % 50 == 1 and i > 0:
+            assert got[i] == i - 1
+        else:
+            assert got[i] == i
+    docs.unpersist()
+
+
+def test_ivf_topk_recall(spark):
+    from pagerank_spark.operators.similarity import ivf_topk
+
+    emb, _ = _emb(spark, n=200)
+    exact = [r["vec_id"] for r in cosine_topk_bruteforce(emb, 0, k=5).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, 0, k=5, n_centroids=8, nprobe=3).collect()]
+    # IVF with 3/8 lists probed must recover the top hit (the planted near-dup)
+    assert exact[0] in approx

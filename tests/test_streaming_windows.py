@@ -66,3 +66,52 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
     # and nothing extra beyond the flush row's own window
     extras = set(got) - set(expected)
     assert all(k[0].month == 2 for k in extras)
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Native session_window: streamed (availableNow, append) sessions equal
+    the batch computation over the same rows."""
+    from pagerank_spark.streaming.windows import run_session_stream, session_window_stats
+
+    USER_SCHEMA = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def users(lo, hi):
+        # 5 users; inter-event gaps alternate under/over the 10-minute gap so
+        # every user gets several distinct sessions
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            (F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(secs=F.col("id") * 173)).alias("ts"),
+            F.pmod(F.col("id"), F.lit(5)).alias("user_id"),
+            (F.pmod(F.xxhash64("id", F.lit("v")), F.lit(1000)) / 100.0).alias("value"),
+        )
+
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("sin", "sout", "sck"))
+    users(0, 200).write.mode("append").parquet(in_dir)
+    run_session_stream(spark, in_dir, out_dir, ck, USER_SCHEMA, gap="10 minutes", watermark="1 hour")
+    users(200, 400).write.mode("append").parquet(in_dir)
+    run_session_stream(spark, in_dir, out_dir, ck, USER_SCHEMA, gap="10 minutes", watermark="1 hour")
+    flush = spark.createDataFrame(
+        [(999999, __import__("datetime").datetime(2026, 3, 1), 0, 0.0)], USER_SCHEMA
+    )
+    flush.write.mode("append").parquet(in_dir)
+    run_session_stream(spark, in_dir, out_dir, ck, USER_SCHEMA, gap="10 minutes", watermark="1 hour")
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
+        for r in session_window_stats(users(0, 400), gap="10 minutes").collect()
+    }
+    for k, v in expected.items():
+        assert got[k] == v, k
+    extras = set(got) - set(expected)
+    assert all(k[1].month == 3 for k in extras)  # only the flush row's session
