@@ -36,6 +36,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iters: int = 50,
     checkpointer=None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Return ``(id, component)`` where component = min vertex id reachable
     in the undirected sense. Deterministic and exact.
@@ -44,7 +45,7 @@ def connected_components(
     vector + frontier size per superstep; a rerun with the same checkpointer
     resumes from the last committed superstep (north-rule resumability).
     """
-    p = _num_partitions(edges)
+    p = num_partitions or _num_partitions(edges)
     sym = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -29,13 +29,14 @@ def label_propagation(
     vertices: DataFrame | None = None,
     max_iters: int = 20,
     checkpointer=None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Return ``(id, label)`` after synchronous label propagation.
 
     ``checkpointer`` commits the label vector + frontier size per superstep
     and resumes a rerun from the last committed superstep.
     """
-    p = _num_partitions(edges)
+    p = num_partitions or _num_partitions(edges)
     sym = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

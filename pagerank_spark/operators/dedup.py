@@ -57,27 +57,39 @@ def minhash_signatures(
 ) -> DataFrame:
     """``(doc_id, sig array<long>)`` minhash signatures — 100% JVM-side.
 
-    The whole signature is a single codegen'd projection (no UDFs, no
-    shuffle, no Python): tokenize with ``split``, build token k-gram
-    shingles with ``transform``/``slice``, and realize hash function *i* as
-    ``xxhash64(shingle, seed, i)`` — per-index salting of one 64-bit hash is
-    a standard min-wise family and sidesteps modular-multiply overflow
-    entirely. ``array_min`` over the shingle hashes yields position *i* of
-    the signature; the outer ``transform`` over ``sequence(0, n_hashes-1)``
-    assembles the array<long> in one pass.
+    Two projections, zero shuffles, no UDFs, no Python:
+
+    1. shingle-hash array: tokenize with ``split``, build token k-gram
+       shingles with ``transform``/``slice`` and hash each ONCE with
+       ``xxhash64(shingle, seed)`` — one 8-byte value per shingle. This
+       stage ends in a lazy ``localCheckpoint`` plan barrier: without it,
+       Catalyst's CollapseProject inlines the array into stage 2 and
+       rebuilds every shingle string once per hash index (measured 40x
+       slower on long documents).
+    2. signature: ``transform(sequence(0, n-1), i -> array_min(transform(
+       hs, h -> xxhash64(h, i))))`` — per-index salting of the fixed-width
+       pre-hash realizes hash family *i* (a standard min-wise family, no
+       modular-multiply overflow), and the min runs over 8-byte longs.
+
+    A 64-column ``min`` hash-aggregation variant was also measured: ~6x
+    slower than this projection (per-row update of 64 aggregate buffers).
 
     Short docs (< shingle_k tokens) contribute their whole text as a single
-    shingle; empty docs hash the empty string.
+    shingle; empty/null docs hash the empty string.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
     # one start index per shingle; clamps to [0] when the doc is short
     starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_k, F.lit(0)))
     shingles = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_k)))
+    hs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed))).alias("__hs"),
+    ).localCheckpoint(eager=False)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed), i))),
+        lambda i: F.array_min(F.transform(F.col("__hs"), lambda h: F.xxhash64(h, i))),
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    return hs.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 16) -> DataFrame:
@@ -133,8 +145,13 @@ def minhash_dedup(
     # CC runs ONLY over docs that appear in a passing pair — at corpus scale
     # >99% of docs are singletons, and the iterative CC loop must not shuffle
     # them every superstep. Singletons rejoin as identity groups afterwards
-    # (one left join, no iteration).
-    comp = connected_components(edges)
+    # (one left join, no iteration). Partition count scales with the pair
+    # count (the pair graph is usually tiny relative to the corpus, and
+    # per-superstep fixed cost scales with task count).
+    n_pairs = edges.count()
+    conf_p = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    p = max(4, min(conf_p, n_pairs // 50_000 + 4))
+    comp = connected_components(edges, num_partitions=p)
     out = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp, F.col("doc_id") == comp.id, "left")
