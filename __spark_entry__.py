@@ -417,6 +417,16 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (30-min gap) per user — the
+    unified batch/streaming operator (streaming/windows.py); oracle mirrors
+    it with the cumulative-sum method: session_end = max ts + gap."""
+    from pagerank_spark.streaming.windows import session_window_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_window_stats(ev, gap="30 minutes")
+
+
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation over (status, priority) — grouping-set coverage."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -511,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": q_window_top_orders,
         "topk_pagerank_events": q_topk_pagerank_events,
         "sessionize_events": q_sessionize_events,
+        "session_window_events": q_session_window_events,
         "rollup_orders": q_rollup_orders,
         "join_customer_orders": q_join_customer_orders,
         "triangles_per_part": q_triangles_per_part,
@@ -669,6 +680,26 @@ sess AS (
 )
 SELECT user_id, session_idx, COUNT(*) AS n_events,
        ROUND(SUM(value), 6) AS sum_value, MIN(event_id) AS first_event
+FROM sess GROUP BY user_id, session_idx"""
+
+    sqls["session_window_events"] = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM (
+    SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events
+  )
+),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
 FROM sess GROUP BY user_id, session_idx"""
 
     sqls["rollup_orders"] = """

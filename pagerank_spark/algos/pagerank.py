@@ -186,6 +186,7 @@ def pagerank(
     num_partitions: int | None = None,
     weight_col: str | None = None,
     teleport: DataFrame | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Damped PageRank with dangling-mass redistribution, L1 stopping rule.
 
@@ -196,6 +197,13 @@ def pagerank(
     ``teleport``: DataFrame with an ``id`` column — personalized PageRank:
     the teleport (and the dangling mass) land uniformly on the seed set
     instead of all vertices; ranks start as the seed distribution.
+
+    ``init_ranks``: ``(id, rank)`` warm start — e.g., the previous converged
+    ranks when the edge table has grown incrementally (streaming refresh).
+    The damped iteration is a contraction with a unique fixed point, so any
+    positive start converges to the SAME answer; a warm start near the new
+    fixed point just takes far fewer supersteps. Vertices absent from
+    ``init_ranks`` (newly arrived) start at the uniform prior.
 
     ``mode='join'`` (the scale path) runs the gather as a Catalyst
     equi-join + hash aggregate, fully inside whole-stage codegen;
@@ -291,6 +299,28 @@ def pagerank(
             # ranks start as the seed distribution (mass 1 on the seed set)
             state = tele_table.select(
                 "id", F.col("tele").alias("rank"), F.col("tele").alias("prev_rank"), "tele"
+            ).localCheckpoint(eager=False)
+        elif init_ranks is not None:
+            # warm start: previous ranks where known, uniform prior for new
+            # vertices — NORMALIZED to total mass 1. Without normalization
+            # the excess mass (old ranks sum to 1, new vertices add more) is
+            # a uniform error mode decaying only at damping^k, which can make
+            # a warm start converge SLOWER than cold (measured); normalized,
+            # the start sits near the new fixed point inside the mass-1
+            # simplex and convergence is fast.
+            prev = init_ranks.select("id", F.col("rank").alias("__r0"))
+            seeded = (
+                deg.select("id")
+                .join(prev, "id", "left")
+                .select("id", F.coalesce(F.col("__r0"), F.lit(1.0 / n)).alias("__r"))
+                .repartition(p, "id")
+                .persist()
+            )
+            total = float(seeded.agg(F.sum("__r")).first()[0])
+            state = seeded.select(
+                "id",
+                (F.col("__r") / F.lit(total)).alias("rank"),
+                (F.col("__r") / F.lit(total)).alias("prev_rank"),
             ).localCheckpoint(eager=False)
         else:
             # Iteration-0 state: uniform prior 1/N (the reference's init-round

@@ -117,3 +117,26 @@ def test_damped_l1_monotone_tail(spark):
     # L1 deltas should be (weakly) decreasing after warmup
     tail = res.l1_history[3:]
     assert all(b <= a * 1.01 for a, b in zip(tail, tail[1:]))
+
+
+def test_warm_start_incremental_refresh(spark):
+    """Incremental refresh: after the edge table grows, warm-starting from
+    the previous converged ranks reaches the SAME fixed point in fewer
+    supersteps than a cold start (streaming-refresh story)."""
+    v = 120
+    arr1 = er_edges_numpy(v, 400, seed=31)
+    arr2 = np.vstack([arr1, er_edges_numpy(v, 40, seed=32)])  # ~10% new edges
+    arr2 = np.unique(arr2, axis=0)
+    df1 = spark.createDataFrame([(int(s), int(d)) for s, d in arr1], "src long, dst long")
+    df2 = spark.createDataFrame([(int(s), int(d)) for s, d in arr2], "src long, dst long")
+
+    base = pagerank(df1, tol=1e-9, max_iters=200, check_every=3)
+    assert base.converged
+    cold = pagerank(df2, tol=1e-9, max_iters=200, check_every=1)
+    warm = pagerank(df2, tol=1e-9, max_iters=200, check_every=1, init_ranks=base.ranks)
+    assert cold.converged and warm.converged
+    assert warm.iterations < cold.iterations  # near the new fixed point already
+    g_cold = {r["id"]: r["rank"] for r in cold.ranks.collect()}
+    g_warm = {r["id"]: r["rank"] for r in warm.ranks.collect()}
+    for k in g_cold:
+        assert abs(g_cold[k] - g_warm[k]) < 1e-6

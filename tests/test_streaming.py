@@ -110,3 +110,49 @@ def test_streaming_tool_edge_retro_and_same_batch_dedup(spark, tmp_path):
         (1, 0, "reply"), (2, 1, "reply"), (3, 2, "reply"), (4, 3, "reply"),
         (2, 1, "tool"),
     }
+
+
+def test_incremental_refresh_job(spark, tmp_path):
+    """Two refresh cycles over a growing transcript stream: cycle 2 warm-starts
+    from cycle 1's ranks and produces the same ranks as a cold batch run over
+    the full data (unique fixed point)."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_incremental", _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "jobs", "run_incremental.py")
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    t = synth_transcripts(spark, 16).cache()
+    in_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    _os.makedirs(in_dir)
+
+    t.filter("pmod(xxhash64(conv_id), 2) = 0").write.mode("append").parquet(in_dir)
+    r1 = job.refresh(spark, in_dir, work, tol=1e-9, max_iters=100)
+    assert r1["converged"] and not r1["warm"]
+
+    t.filter("pmod(xxhash64(conv_id), 2) = 1").write.mode("append").parquet(in_dir)
+    r2 = job.refresh(spark, in_dir, work, tol=1e-9, max_iters=100)
+    assert r2["converged"] and r2["warm"]
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["rank"]
+        for r in spark.read.parquet(str(tmp_path / "work" / "ranks")).collect()
+    }
+
+    # cold batch truth over the full transcript set
+    from pagerank_spark.algos.pagerank import pagerank
+    from pagerank_spark.operators.edges import transcripts_to_graph
+
+    ids, edges = transcripts_to_graph(t)
+    res = pagerank(edges, vertices=ids.selectExpr("vid as id"), tol=1e-9, max_iters=100, check_every=3)
+    expected = {
+        (r["conv_id"], r["turn_idx"]): r["rank"]
+        for r in res.ranks.join(ids, res.ranks.id == ids.vid).select("conv_id", "turn_idx", "rank").collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-6, k
