@@ -239,21 +239,22 @@ def pagerank(
     # length is hard-capped at the measured sweet spot
     check_every = max(1, min(check_every, 4))
     t_start = time.monotonic()
-    # partition count defaults to spark.sql.shuffle.partitions; callers with
-    # small graphs pass a lower value (per-superstep fixed cost scales with
-    # task count, and a 10k-edge graph doesn't need 32-way shuffles)
-    p = num_partitions or _num_partitions(edges)
 
-    deg = degree_table(edges, vertices).select("id", "out_degree")
-    deg = deg.repartition(p, "id").persist()
+    deg0 = degree_table(edges, vertices).select("id", "out_degree").persist()
     # one action for both setup scalars
-    row = deg.agg(
+    row = deg0.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("out_degree") == 0, 1).otherwise(0)).alias("dangling"),
     ).first()
     n = int(row["n"])
     if n == 0:
-        return PageRankResult(ranks=deg.select("id", F.lit(0.0).alias("rank")), iterations=0, converged=True)
+        return PageRankResult(ranks=deg0.select("id", F.lit(0.0).alias("rank")), iterations=0, converged=True)
+    # partition count: explicit > auto. Auto sizes by vertex count, capped at
+    # spark.sql.shuffle.partitions — per-superstep fixed cost scales with
+    # task count and a 10k-vertex graph doesn't need 32-way shuffles, while
+    # a billion-vertex graph takes the full configured width.
+    p = num_partitions or max(4, min(_num_partitions(edges), n // 25_000 + 4))
+    deg = deg0.repartition(p, "id").persist()
     # computed once: if no vertex dangles, no virtual edges exist and the
     # dangling branch of the superstep disappears entirely
     has_dangling = int(row["dangling"] or 0) > 0
@@ -371,6 +372,7 @@ def pagerank(
     result.iter_seconds = time.monotonic() - t_loop
     result.ranks = state.select("id", "rank")
     deg.unpersist()
+    deg0.unpersist()
     return result
 
 
