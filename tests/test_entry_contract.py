@@ -31,8 +31,15 @@ def test_oracle_keys_subset_of_queries(spark):
     assert len(qs) >= 16
 
 
+# queries whose correct answer at the tiny sf0.001 tier is legitimately empty
+# (k_core: k=90 is chosen to discriminate at the sf0.01 gate tier — 527/2000
+# survive there — and the sf0.001 copurchase graph's 4-peel 90-core is empty)
+EMPTY_OK_AT_SF0001 = {"k_core_copurchase"}
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_each_query_runs(spark, name):
     fn = entrymod.queries()[name]
     df = fn(spark, SF)
-    assert df.count() >= 1, name
+    n = df.count()
+    assert n >= 1 or name in EMPTY_OK_AT_SF0001, name
