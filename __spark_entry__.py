@@ -467,6 +467,80 @@ def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_cust.exceptAll(big_cust)
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard verification over a deterministic candidate
+    pair set: adjacent doc ids (b = a+1, a < 200) plus every exact-duplicate
+    pair (same normalized text — these score 1.0). This is the verify stage
+    of the near-dup pipeline: shingle sets are built once per doc as JVM
+    array columns and intersected only on candidate pairs."""
+    from pagerank_spark.operators.dedup import exact_dedup, ngram_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id")
+    adj = (
+        ids.filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+        .join(ids.select(F.col("doc_id").alias("b")), "b")
+        .select("a", "b")
+    )
+    dups = (
+        exact_dedup(docs)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(F.col("canonical_id").alias("a"), F.col("doc_id").alias("b"))
+    )
+    pairs = adj.unionByName(dups).distinct()
+    out = ngram_jaccard(docs, pairs, n=3)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (coarse quantizer + nprobe pruning) —
+    the partition-pruned ANN path. Deterministic (seeded centroid sample)
+    but the k-means-style quantizer is not SQL-expressible -> rows-only gate
+    check; recall vs exact top-k is pytest-checked (tests/test_dedup_text.py)."""
+    from pagerank_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = ivf_topk(emb, query_id=0, k=10, n_centroids=16, nprobe=4)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+def q_multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end with REAL decode: deterministic P6 PPM
+    payloads synthesized per media_id in an Arrow-batched stage, then the
+    mapInPandas PPM decode + 8-band pooled features (operators/multimodal.py).
+    Binary decode is not SQL-expressible -> rows-only gate check; decode
+    round-trip and determinism are pytest-checked (tests/test_dedup_text.py)."""
+    from pagerank_spark.operators.multimodal import extract_features
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pagerank_spark.operators.multimodal import encode_ppm
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            for i in ids:
+                w, h = 8 + int(i) % 9, 6 + int(i) % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                gray = ((yy * 31 + xx * 17 + int(i) * 7) % 256).astype(np.uint8)
+                payloads.append(encode_ppm(np.repeat(gray[:, :, None], 3, axis=2)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = spark.range(64).mapInPandas(gen, schema="media_id long, payload binary")
+    feats = extract_features(media, fake_decode=False)
+    return feats.select(
+        "media_id",
+        "decode_ok",
+        F.size("feature").alias("dims"),
+        F.round(F.element_at("feature", 1), 3).alias("band0"),
+    )
+
+
 def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way broadcast-dim join: revenue per nation over BUILDING-segment
     customers (TPC-H Q5 flavor, minus region/supplier legs)."""
@@ -527,6 +601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_part": q_triangles_per_part,
         "fingerprint_dedup_docs": q_fingerprint_dedup_docs,
         "set_ops_customers": q_set_ops_customers,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "multimodal_ppm_features": q_multimodal_ppm_features,
     }
 
 
@@ -735,6 +812,35 @@ SELECT DISTINCT o_custkey AS custkey FROM orders
 EXCEPT
 SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000"""
 
-    # minhash_dedup_docs, simhash_docs: engine-side hashing (xxhash64/LSH)
-    # not replicable in DuckDB -> rows-only checks.
+    sqls["ngram_jaccard_pairs"] = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+                                      i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+  FROM toks
+),
+dups AS (
+  SELECT canonical_id AS a, doc_id AS b FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY {_NORM_TEXT_SQL}) AS canonical_id FROM documents
+  ) WHERE doc_id <> canonical_id
+),
+ids AS (SELECT doc_id FROM documents),
+adj AS (
+  SELECT x.doc_id AS a, x.doc_id + 1 AS b
+  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 1
+  WHERE x.doc_id < 200
+),
+pairs AS (SELECT a, b FROM adj UNION SELECT a, b FROM dups)
+SELECT p.a, p.b,
+       ROUND(CASE WHEN len(list_distinct(list_concat(x.s, y.s))) = 0 THEN 0.0
+                  ELSE len(list_intersect(x.s, y.s)) * 1.0
+                       / len(list_distinct(list_concat(x.s, y.s))) END, 6) AS jaccard
+FROM pairs p JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b"""
+
+    # minhash_dedup_docs, simhash_docs: engine-side hashing (xxhash64/LSH);
+    # ann_ivf_topk: k-means-style coarse quantizer; multimodal_ppm_features:
+    # binary PPM decode — none replicable in DuckDB -> rows-only checks.
     return sqls
