@@ -247,6 +247,32 @@ def q_pagerank_events_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_pagerank_warm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start (incremental-refresh) path, value-gated: a coarse k=8 run
+    seeds ``init_ranks``, then the damped iteration converges to L1<1e-9.
+    The damped update is a contraction with a unique fixed point, so the
+    warm-started converged ranks must equal the cold converged ranks —
+    oracle = the same stationary unrolled k=60 SQL as
+    ``pagerank_events_converged``. This is the gate check for the streaming
+    incremental-refresh path (jobs/run_incremental.py)."""
+    from pagerank_spark.algos.pagerank import pagerank
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        edges = _graph_for(spark, sf_dir, "events")
+        coarse = pagerank(edges, max_iters=8, tol=0.0, check_every=4, num_partitions=4)
+        res = pagerank(
+            edges, tol=1e-9, max_iters=200, check_every=3, num_partitions=4,
+            init_ranks=coarse.ranks,
+        )
+        out = res.ranks.select("id", F.round("rank", 6).alias("rank"))
+        out = out.localCheckpoint()  # materialize before restoring the conf
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
 def q_pagerank_weighted_events_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-weighted PageRank, k=3: weight = 1 + (src+dst) % 5."""
     from pagerank_spark.algos.pagerank import pagerank
@@ -577,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_events_k3": _q_pagerank("events", 3),
         "pagerank_events_converged": q_pagerank_events_converged,
         "pagerank_copurchase_k2": _q_pagerank("copurchase", 2),
+        "pagerank_warm_refresh": q_pagerank_warm_refresh,
         "pagerank_weighted_events_k3": q_pagerank_weighted_events_k3,
         "ppr_events_k3": q_ppr_events_k3,
         "cc_events": q_cc_events,
@@ -624,6 +651,9 @@ def oracle_sql() -> dict[str, str]:
     # L1<1e-9 around iteration ~130, far past stationarity, so an unrolled
     # k=60 oracle equals the converged output exactly at ROUND 6
     sqls["pagerank_events_converged"] = _pagerank_sql(EVENTS_EDGES_CTE, 60)
+    # warm-start refresh converges to the SAME unique fixed point as the cold
+    # run (damped update is a contraction), so it shares the stationary oracle
+    sqls["pagerank_warm_refresh"] = _pagerank_sql(EVENTS_EDGES_CTE, 60)
     sqls["pagerank_weighted_events_k3"] = _pagerank_weighted_sql(EVENTS_EDGES_CTE, 3)
     sqls["ppr_events_k3"] = _ppr_sql(EVENTS_EDGES_CTE, 3)
     sqls["labelprop_events"] = _labelprop_sql(EVENTS_EDGES_CTE, 5)
