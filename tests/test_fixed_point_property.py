@@ -30,3 +30,36 @@ def test_fixed_point_bit_exact_random_graphs(spark, params):
     got = {r["id"]: r["rank_fp"] for r in pagerank_fixed_point(df, rounds).collect()}
     got_arr = np.array([got.get(i, 0) for i in range(v)], dtype=np.int64)
     assert (got_arr == golden).all(), (v, e, seed, rounds)
+
+
+def _df_from_arr(spark, arr):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"src": arr[:, 0].astype("int64"), "dst": arr[:, 1].astype("int64")})
+    )
+
+
+def test_fixed_point_at_2_16_boundary(spark):
+    """V = 2^16 exactly: the last legal size. init_val degenerates to 1
+    (floor(2^16 / 2^16)) — the reference's arithmetic is near-vacuous here
+    but still defined, and the engine must match it bit-exactly."""
+    v = 1 << 16
+    arr = ensure_min_outdeg(er_edges_numpy(v, 2 * v, seed=3), v)
+    golden = fixed_point_oracle(v, arr, n_rounds=2)
+    got = {r["id"]: r["rank_fp"] for r in pagerank_fixed_point(_df_from_arr(spark, arr), 2).collect()}
+    got_arr = np.array([got.get(i, 0) for i in range(v)], dtype=np.int64)
+    assert (got_arr == golden).all()
+
+
+def test_fixed_point_rejects_above_2_16(spark):
+    """V = 2^16 + 1 must raise: above the boundary init_val floors to 0 and
+    every rank is identically zero (SURVEY.md §2a degeneracy guard)."""
+    import pandas as pd
+    import pytest
+
+    v = (1 << 16) + 1
+    ring = pd.DataFrame({"src": np.arange(v, dtype="int64"), "dst": (np.arange(v, dtype="int64") + 1) % v})
+    df = spark.createDataFrame(ring)
+    with pytest.raises(ValueError, match="degenerates"):
+        pagerank_fixed_point(df, 2)
