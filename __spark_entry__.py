@@ -359,6 +359,20 @@ def q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs, 0.7).select("doc_id", "n_chars")
 
 
+def q_bpe_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgets per document at both granularities: whitespace tokens
+    and BPE-ish pretokenizer tokens (functions/text.py BPE_TOKEN_RE) —
+    pure regexp expressions, codegen'd into the scan projection."""
+    from pagerank_spark.functions.text import bpe_token_count, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.operators.similarity import cosine_topk_bruteforce
 
@@ -615,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile_docs": q_text_profile_docs,
         "lang_id_docs": q_lang_id_docs,
         "quality_filter_docs": q_quality_filter_docs,
+        "bpe_tokens_docs": q_bpe_tokens_docs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
@@ -737,6 +752,12 @@ WHERE (CASE WHEN {_TOKENS_SQL} BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
       + (CASE WHEN {_MEANTOK_SQL} BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
       + (CASE WHEN {_STOPRATIO_SQL} BETWEEN 0.0 AND 0.5 THEN 0.3 ELSE 0.0 END)
       >= 0.7"""
+
+    sqls["bpe_tokens_docs"] = f"""
+SELECT doc_id,
+       {_TOKENS_SQL} AS n_ws_tokens,
+       len(regexp_extract_all(text, '(''s|''t|''re|''ve|''m|''ll|''d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS n_bpe_tokens
+FROM documents"""
 
     sqls["ann_topk_cosine"] = """
 SELECT vec_id, ROUND(sim, 6) AS sim FROM (

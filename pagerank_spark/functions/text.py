@@ -20,6 +20,24 @@ def token_count(col: str | Column = "text") -> Column:
     return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
 
 
+# GPT-2-flavor pretokenizer classes: contractions, letter runs, digit runs,
+# single non-alphanumeric symbols. Leftmost-first alternation — identical
+# semantics in Java regex (Spark) and RE2 (DuckDB), so oracle-mirrorable.
+BPE_TOKEN_RE = r"('s|'t|'re|'ve|'m|'ll|'d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    """BPE-ish subword-boundary token count (pretokenizer granularity).
+
+    Counts matches of a GPT-2-style pretokenizer regex — the standard
+    first stage of byte-pair tokenization. Whole-token estimate only (the
+    merge table itself is model-specific); useful as the budget metric a
+    training-data pipeline filters on.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
+
+
 def char_count(col: str | Column = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c).cast("long")

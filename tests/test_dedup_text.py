@@ -168,3 +168,20 @@ def test_ivf_topk_recall(spark):
     approx = [r["vec_id"] for r in ivf_topk(emb, 0, k=5, n_centroids=8, nprobe=3).collect()]
     # IVF with 3/8 lists probed must recover the top hit (the planted near-dup)
     assert exact[0] in approx
+
+
+def test_bpe_token_count_exact(spark):
+    """Pretokenizer counts on contraction/punctuation/digit/unicode cases."""
+    from pagerank_spark.functions.text import bpe_token_count
+
+    cases = {
+        "it's a well-known fact!": 8,   # it 's a well - known fact !
+        "abc123 x,y;z": 7,              # abc 123 x , y ; z
+        "": 0,
+        "   ": 0,
+        "don't stop... 42 times": 8,    # don 't stop . . . 42 times
+    }
+    df = spark.createDataFrame(list(cases.items()), "text string, expected long")
+    rows = df.select("expected", bpe_token_count("text").alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["expected"]
