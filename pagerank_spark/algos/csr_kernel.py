@@ -18,12 +18,12 @@ pandas kernel per hash bucket:
     ``groupBy(dst).sum`` combines partials.
 
 Edges arrive from :func:`~pagerank_spark.algos.pagerank.prepare_edges` with
-``out_degree(src)`` attached (a static edge attribute) and virtual dangling
-edges ``(v, -1, 1)`` whose partials form the dangling-mass group — the
-kernel treats them like any other edge. Bucketed+persisted once by the
-caller, sorted by src within partitions, so the per-iteration cost is the
-gather and the segment sum only — the CSR block layout is effectively built
-once and reused across supersteps (north_star requirement).
+the static per-edge gather coefficient attached (real edges only — the
+dangling-mass scalar lives on the state's ``dang`` flag, not in the edge
+layout). Bucketed+persisted once by the caller, sorted by src within
+partitions, so the per-iteration cost is the gather and the segment sum
+only — the CSR block layout is effectively built once and reused across
+supersteps (north_star requirement).
 """
 
 from __future__ import annotations
@@ -63,8 +63,8 @@ def _kernel(edf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
     coef = edf["coef"].to_numpy(dtype=np.float64)
     idx = np.searchsorted(ids_sorted, src)
     # vectorized random gather (pagerank.v:1079-1095); the static per-edge
-    # coefficient (w/total_out_weight; 1/out_degree unweighted; 1.0 on
-    # virtual dangling edges) makes the scatter one fused multiply
+    # coefficient (w/total_out_weight; 1/out_degree unweighted) makes the
+    # scatter one fused multiply
     gathered = ranks_sorted[idx] * coef
 
     uniq, inverse = np.unique(dst, return_inverse=True)
@@ -77,8 +77,7 @@ def csr_contributions(edges_bucketed: DataFrame, state: DataFrame, p: int) -> Da
 
     ``edges_bucketed`` must carry ``bucket`` and ``out_degree`` columns (see
     :func:`bucketize_edges`); ``state`` is ``(id, rank, ...)``. Returns
-    ``(dst, contrib)`` — including the ``dst = -1`` dangling-mass group when
-    virtual edges are present.
+    ``(dst, contrib)``.
     """
     r = state.select(
         "id",

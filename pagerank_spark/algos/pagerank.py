@@ -19,19 +19,17 @@ Two numeric modes:
   zero above 2^16 vertices).
 
 Shuffle discipline (the 100-TB story):
-  * ``edges`` are hash-repartitioned by ``src`` ONCE, with the source's
-    ``out_degree`` attached as a static edge attribute and one *virtual
-    edge* ``(v, -1, out_degree=1)`` per dangling vertex, then persisted;
-    every iteration's gather-join reuses that layout (Catalyst sees
-    matching hashpartitioning on both sides — no per-iteration edge
-    shuffle).
-  * the dangling mass is a one-row aggregate over the virtual-edge slice
-    joined with the narrow state — a lazy in-plan scalar (broadcast of one
-    row), never a driver action; degree information never re-joins in the
-    hot loop.
-  * iteration state is just ``(id, rank, prev_rank)`` — degrees live on the
-    edges, so the per-superstep state is as narrow as the reference's rank
-    array (pagerank.v:98-99).
+  * ``edges`` are hash-repartitioned by ``src`` ONCE, with the static
+    per-edge gather coefficient attached, then persisted; every iteration's
+    gather-join reuses that layout (Catalyst sees matching hashpartitioning
+    on both sides — no per-iteration edge shuffle).
+  * the dangling mass is a one-row aggregate over the ``dang``-flagged
+    slice of the cached state — a lazy in-plan scalar (broadcast of one
+    row), never a driver action and never a scan of the E-sized edge
+    layout; degree information never re-joins in the hot loop.
+  * iteration state is just ``(id, rank, prev_rank[, dang])`` — degrees
+    live on the edges, so the per-superstep state is as narrow as the
+    reference's rank array (pagerank.v:98-99).
   * ranks come out of the previous iteration hash-partitioned by id (output
     of the groupBy/join), so only the per-edge contributions shuffle each
     superstep — the communication inherent to PageRank.
@@ -69,9 +67,6 @@ def _num_partitions(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 
-VIRTUAL_DST = -1  # dst of virtual dangling edges; vertex ids must be >= 0
-
-
 def prepare_edges(
     edges: DataFrame, deg: DataFrame, p: int, mode: str, weight_col: str | None = None,
 ) -> DataFrame:
@@ -83,12 +78,10 @@ def prepare_edges(
     so the hot loop never joins the degree table and the per-edge
     contribution is one multiply, ``rank * coef`` — 8 bytes of edge
     attribute instead of two, which matters when E >> V and the layout is
-    scanned every superstep. Appends one virtual edge
-    ``(v, VIRTUAL_DST, 1.0)`` per dangling vertex: the virtual slice is the
-    materialized dangling set, so each superstep's dangling mass is a tiny
-    filter of this layout joined with the state. Requires non-negative
-    vertex ids (all engine sources assign dense ids >= 0) and, when
-    weighted, strictly positive weights.
+    scanned every superstep. Dangling vertices contribute no edge rows; the
+    dangling-mass scalar comes from the static ``dang`` flag carried on the
+    iteration state (see :func:`_superstep`), so the layout holds real
+    edges only. Weights, when given, must be strictly positive.
     """
     if weight_col is None:
         # dangling rows are filtered BEFORE the 1/out_degree projection:
@@ -104,15 +97,10 @@ def prepare_edges(
         ew = edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
         wdeg = ew.groupBy("src").agg(F.sum("w").alias("wout"))
         e = ew.join(wdeg, "src").select("src", "dst", (F.col("w") / F.col("wout")).alias("coef"))
-    virtual = deg.filter(F.col("out_degree") == 0).select(
-        F.col("id").alias("src"),
-        F.lit(VIRTUAL_DST).cast("long").alias("dst"),
-        F.lit(1.0).alias("coef"),
-    )
-    allx = e.select("src", "dst", "coef").unionByName(virtual)
+    e = e.select("src", "dst", "coef")
     if mode == "csr":
-        return bucketize_edges(allx, p)
-    return allx.repartition(p, "src")
+        return bucketize_edges(e, p)
+    return e.repartition(p, "src")
 
 
 def _superstep(
@@ -124,22 +112,23 @@ def _superstep(
 
     Supersteps chain lazily; the driver materializes only every
     ``check_every`` iterations. Dangling-mass exactness is per-iteration
-    (the virtual-edge group is over state k, like the reference recurrence
-    and the SQL oracle), not block-stale.
+    (the dangling sum is over state k, like the reference recurrence and
+    the SQL oracle), not block-stale.
 
     Physical strategy: ``shuffle_hash`` hints on both joins. PageRank state
     is never broadcastable at the target scale, and SHJ avoids SMJ's
     per-iteration sorts; measured 2.3x over the unhinted plan at 5M edges
     (the planner otherwise picks broadcast/SMJ by size heuristics that are
-    wrong for an iterated join). The dangling scalar is a one-row broadcast
-    nested-loop join fed from the gather aggregation's own output.
+    wrong for an iterated join). The dangling-mass scalar is an aggregate
+    over the ``dang``-flagged slice of the (cached, narrow) state — one
+    extra pass of the V-sized state cache, never a scan of the E-sized edge
+    layout — landing in the plan as a one-row broadcast.
     """
-    real = edges_p.filter(F.col("dst") != VIRTUAL_DST) if has_dangling else edges_p
     if mode == "csr":
-        contribs = csr_contributions(real, state, p)
+        contribs = csr_contributions(edges_p, state, p)
     else:
         contribs = (
-            real.join(state.hint("shuffle_hash"), real.src == state.id, "inner")
+            edges_p.join(state.hint("shuffle_hash"), edges_p.src == state.id, "inner")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("coef")).alias("contrib"))
         )
@@ -152,16 +141,15 @@ def _superstep(
         new_rank = F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
     out = state.join(contribs.hint("shuffle_hash"), state.id == contribs.dst, "left")
     if has_dangling:
-        # dangling mass = sum of dangling-vertex ranks = rank sum over the
-        # virtual-edge slice (src = the dangling set, w/wout = 1). The
-        # slice is a tiny filter of the checkpointed edge layout, so this
-        # subtree reads |dangling| edge rows + one pass of the narrow state
-        # cache — not a second gather — and lands in the plan as a one-row
-        # broadcast, keeping the whole block lazy (one action per block).
-        virt = edges_p.filter(F.col("dst") == VIRTUAL_DST).select("src")
-        dm = (
-            virt.join(state, virt.src == state.id, "inner")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        # dangling mass = rank sum over the dang-flagged state slice. The
+        # flag is static (out_degree == 0 never changes), carried on the
+        # narrow state, so this subtree is one pass of the cached V-sized
+        # state — no join, no scan of the E-sized edge layout — and lands
+        # in the plan as a one-row broadcast, keeping the block lazy (one
+        # action per block). Exactness is per-iteration: the sum is over
+        # state k, like the reference recurrence and the SQL oracle.
+        dm = state.filter(F.col("dang")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
         out = out.crossJoin(dm)
         if personalized:
@@ -169,6 +157,8 @@ def _superstep(
         else:
             new_rank = new_rank + F.lit(damping) * F.col("__dm") / F.lit(float(n))
     cols = [state.id, new_rank.alias("rank"), state.rank.alias("prev_rank")]
+    if has_dangling:
+        cols.append(state.dang)
     if personalized:
         cols.append(state.tele)
     return out.select(*cols)
@@ -255,17 +245,23 @@ def pagerank(
     # a billion-vertex graph takes the full configured width.
     p = num_partitions or max(4, min(_num_partitions(edges), n // 25_000 + 4))
     deg = deg0.repartition(p, "id").persist()
-    # computed once: if no vertex dangles, no virtual edges exist and the
-    # dangling branch of the superstep disappears entirely
+    # computed once: if no vertex dangles, the dangling branch of the
+    # superstep (and the state's dang column) disappears entirely
     has_dangling = int(row["dangling"] or 0) > 0
-    # Edges shuffled ONCE (with out_degree attached + virtual dangling
-    # edges); reused by every iteration's gather. Join mode partitions by
+    # Edges shuffled ONCE (with the static gather coefficient attached);
+    # reused by every iteration's gather. Join mode partitions by
     # src (matches the ranks side of the gather-join); CSR mode lays out
     # hash buckets sorted by src for the Arrow kernel. Eager localCheckpoint:
     # materializes the layout AND truncates its logical plan to a leaf —
-    # the prepare plan (degree join + virtual-edge union) would otherwise be
+    # the prepare plan (degree join + coef projection) would otherwise be
     # embedded in every superstep's gather subtree.
     edges_p = prepare_edges(edges, deg, p, mode, weight_col).localCheckpoint()
+
+    # static dangling flag (out_degree never changes); carried on the state
+    # when any vertex dangles so the per-superstep dangling-mass aggregate
+    # is a filter of the cached V-sized state, not an edge-layout scan
+    dang_cols = ["dang"] if has_dangling else []
+    dang_flag = (F.col("out_degree") == 0).alias("dang")
 
     personalized = teleport is not None
     tele_table = None
@@ -275,10 +271,11 @@ def pagerank(
         if n_seeds == 0:
             raise ValueError("personalized PageRank requires a non-empty teleport set")
         tele_table = (
-            deg.select("id")
+            deg.select("id", dang_flag)
             .join(seeds.withColumn("__seed", F.lit(1)), "id", "left")
             .select(
                 "id",
+                "dang",
                 F.when(F.col("__seed").isNotNull(), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias("tele"),
             )
             .repartition(p, "id")
@@ -288,18 +285,24 @@ def pagerank(
 
     start_iter = 0
     state = None
+    # committed checkpoint schema stays (id, rank, prev_rank[, tele]) — the
+    # dang flag is derivable, so it is re-attached on resume, never stored
     state_cols = ["id", "rank", "prev_rank"] + (["tele"] if personalized else [])
     if checkpointer is not None:
         resumed = checkpointer.latest()
         if resumed is not None:
             start_iter, state, _extra = resumed
-            state = state.select(*state_cols).repartition(p, "id").localCheckpoint(eager=False)
+            state = state.select(*state_cols)
+            if has_dangling:
+                state = state.join(deg.select("id", dang_flag), "id")
+            state = state.repartition(p, "id").localCheckpoint(eager=False)
 
     if state is None:
         if personalized:
             # ranks start as the seed distribution (mass 1 on the seed set)
             state = tele_table.select(
-                "id", F.col("tele").alias("rank"), F.col("tele").alias("prev_rank"), "tele"
+                "id", F.col("tele").alias("rank"), F.col("tele").alias("prev_rank"),
+                *dang_cols, "tele",
             ).localCheckpoint(eager=False)
         elif init_ranks is not None:
             # warm start: previous ranks where known, uniform prior for new
@@ -311,9 +314,9 @@ def pagerank(
             # simplex and convergence is fast.
             prev = init_ranks.select("id", F.col("rank").alias("__r0"))
             seeded = (
-                deg.select("id")
+                deg.select("id", dang_flag)
                 .join(prev, "id", "left")
-                .select("id", F.coalesce(F.col("__r0"), F.lit(1.0 / n)).alias("__r"))
+                .select("id", "dang", F.coalesce(F.col("__r0"), F.lit(1.0 / n)).alias("__r"))
                 .repartition(p, "id")
                 .persist()
             )
@@ -322,12 +325,15 @@ def pagerank(
                 "id",
                 (F.col("__r") / F.lit(total)).alias("rank"),
                 (F.col("__r") / F.lit(total)).alias("prev_rank"),
+                *dang_cols,
             ).localCheckpoint(eager=False)
         else:
             # Iteration-0 state: uniform prior 1/N (the reference's init-round
             # shortcut, pagerank.v:1042-1046 — no gather needed to seed it).
             state = deg.select(
-                "id", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev_rank")
+                "id", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev_rank"), *(
+                    [dang_flag] if has_dangling else []
+                )
             ).localCheckpoint(eager=False)
 
     # force the initial state so the loop below measures steady-state

@@ -49,7 +49,8 @@ def test_superstep_plan_shape(spark):
     edges_p = prepare_edges(edges, deg, p, "join").persist()
     edges_p.count()
     state = deg.select(
-        "id", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev_rank")
+        "id", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev_rank"),
+        (F.col("out_degree") == 0).alias("dang"),
     ).localCheckpoint()
     ns = _superstep(edges_p, state, "join", p, 0.85, 0.15 / n, n, True)
     plan = _plan(ns)
