@@ -359,6 +359,17 @@ def q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(docs, 0.7).select("doc_id", "n_chars")
 
 
+def q_winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash family): min k-gram per sliding
+    window of the char-5-gram sequence, deduped. Gate runs the
+    string-output mode so DuckDB can mirror it (list_min over list_slice);
+    production mode emits xxhash64 of the same grams."""
+    from pagerank_spark.operators.textops import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, k=5, w=4, hashed=False)
+
+
 def q_bpe_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token budgets per document at both granularities: whitespace tokens
     and BPE-ish pretokenizer tokens (functions/text.py BPE_TOKEN_RE) —
@@ -651,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": q_lang_id_docs,
         "quality_filter_docs": q_quality_filter_docs,
         "bpe_tokens_docs": q_bpe_tokens_docs,
+        "winnow_fingerprints_docs": q_winnow_fingerprints_docs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
@@ -780,6 +792,22 @@ SELECT doc_id,
        {_TOKENS_SQL} AS n_ws_tokens,
        len(regexp_extract_all(text, '(''s|''t|''re|''ve|''m|''ll|''d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS n_bpe_tokens
 FROM documents"""
+
+    sqls["winnow_fingerprints_docs"] = f"""
+WITH normd AS (SELECT doc_id, {_NORM_TEXT_SQL} AS nt FROM documents),
+g AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(nt) - 4, 1) + 1),
+                        i -> substr(nt, i, 5)) AS grams
+  FROM normd
+),
+m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+                                      j -> list_min(list_slice(grams, j, j + 3)))) AS fps
+  FROM g
+)
+SELECT doc_id, unnest(fps) AS fp FROM m"""
 
     sqls["ann_topk_cosine"] = """
 SELECT vec_id, ROUND(sim, 6) AS sim FROM (

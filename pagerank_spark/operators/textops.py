@@ -76,3 +76,40 @@ def fingerprint_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
     w = Window.partitionBy(fingerprint(text_col))
     return docs.select(F.col(id_col).alias("doc_id"), F.min(id_col).over(w).alias("canonical_id"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 5, w: int = 4,
+    id_col: str = "doc_id", text_col: str = "text", hashed: bool = True,
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash fingerprint family):
+    per doc, take the character ``k``-gram sequence of the normalized text
+    and keep the minimum gram of every sliding window of ``w`` consecutive
+    grams, deduplicated — the classic winnowing guarantee (any shared
+    substring of length >= k+w-1 yields a shared fingerprint).
+
+    Returns ``(doc_id, fp)``, one row per selected fingerprint. ``hashed``
+    emits compact ``xxhash64`` values (production); ``hashed=False`` emits
+    the gram strings themselves (oracle-mirrorable — DuckDB lacks xxhash64).
+
+    Plan shape: TWO projections — the gram array is materialized as a column
+    before the window pass, so Catalyst computes each gram once. A single
+    nested-transform projection re-expands the gram lambda per window index
+    (the measured 100x trap documented for minhash signatures,
+    BENCH/SCALING_NOTES.md §6). Everything is JVM array expressions: no
+    UDFs, no shuffle before the final explode.
+    """
+    from ..functions.text import normalize_text
+
+    nt = normalize_text(text_col)
+    gi = F.sequence(F.lit(1), F.greatest(F.length(nt) - (k - 1), F.lit(1)))
+    grams = F.transform(gi, lambda i: nt.substr(i, F.lit(k)))
+    g = docs.select(F.col(id_col).alias("doc_id"), grams.alias("__grams"))
+    wi = F.sequence(F.lit(1), F.greatest(F.size(F.col("__grams")) - (w - 1), F.lit(1)))
+    mins = F.array_distinct(
+        F.transform(wi, lambda j: F.array_min(F.slice(F.col("__grams"), j, w)))
+    )
+    out = g.select("doc_id", F.explode(mins).alias("fp"))
+    if hashed:
+        out = out.select("doc_id", F.xxhash64("fp").alias("fp"))
+    return out

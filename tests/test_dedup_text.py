@@ -185,3 +185,20 @@ def test_bpe_token_count_exact(spark):
     rows = df.select("expected", bpe_token_count("text").alias("got")).collect()
     for r in rows:
         assert r["got"] == r["expected"]
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k+w-1
+    share at least one fingerprint; disjoint docs share none."""
+    from pagerank_spark.operators.textops import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "aaaa commonsegment bbbb"), (2, "cccc commonsegment dddd"), (3, "unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(df, k=5, w=4, hashed=False).collect()
+    sets = {i: {r["fp"] for r in rows if r["doc_id"] == i} for i in (1, 2, 3)}
+    assert sets[1] & sets[2]                      # shared 14-char substring
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    # hashed mode fingerprints the same gram selection (same row count)
+    assert len(winnow_fingerprints(df, k=5, w=4, hashed=True).collect()) == len(rows)
