@@ -408,6 +408,16 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+def q_simhash_near_dups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding (exact for
+    hamming <= 3; banded-equals-bruteforce is pytest-gated). Rows-only:
+    simhash is xxhash64-based, which DuckDB cannot replicate."""
+    from pagerank_spark.operators.dedup import simhash_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dups(docs, max_hamming=3)
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -666,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": q_ann_topk_cosine,
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
+        "simhash_near_dups_docs": q_simhash_near_dups_docs,
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "window_top_orders": q_window_top_orders,

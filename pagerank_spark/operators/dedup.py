@@ -200,6 +200,53 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """``(a, b, hamming)`` pairs with simhash Hamming distance <= ``max_hamming``.
+
+    Candidate generation by pigeonhole banding: the 64-bit simhash splits
+    into ``max_hamming + 1`` bands, and any pair within ``max_hamming`` bit
+    flips agrees EXACTLY on at least one band — so an equi-join on
+    ``(band_idx, band_bits)`` finds every qualifying pair while touching
+    only same-band buckets (the Hamming analogue of banded MinHash-LSH; at
+    scale the band value is the shuffle key and no all-pairs join exists).
+    The exact ``bit_count(xor)`` filter then runs on candidates only.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sh = simhash(docs, id_col, text_col)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    # final band absorbs the remainder bits; shift-and-mask
+                    # keeps everything in codegen'd long arithmetic
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << (width if i < n_bands - 1 else 64 - i * width)) - 1))
+                    .alias("band_bits"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_bits")
+    left = bands.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"), "band_idx", "band_bits"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sh_b"), "band_idx", "band_bits"
+    )
+    cand = left.join(right, ["band_idx", "band_bits"]).filter(F.col("a") < F.col("b"))
+    return (
+        cand.select("a", "b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a", "b"])
+    )
+
+
 # -- exact n-gram jaccard -------------------------------------------------
 
 

@@ -202,3 +202,23 @@ def test_winnow_fingerprints_guarantee(spark):
     assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
     # hashed mode fingerprints the same gram selection (same row count)
     assert len(winnow_fingerprints(df, k=5, w=4, hashed=True).collect()) == len(rows)
+
+
+def test_simhash_near_dups_equals_bruteforce(spark):
+    """Pigeonhole banding is exact: banded pairs == all-pairs hamming filter."""
+    from pagerank_spark.operators.dedup import hamming64, simhash, simhash_near_dups
+    from pagerank_spark.sources.docs import synth_docs
+
+    docs = synth_docs(spark, 60, dup_every=10)  # planted exact dups -> hamming 0
+    got = {(r["a"], r["b"], r["hamming"]) for r in simhash_near_dups(docs, max_hamming=3).collect()}
+
+    sh = simhash(docs).cache()
+    a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    brute = (
+        a.crossJoin(b).filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming64(F.col("ha"), F.col("hb")).alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+    want = {(r["a"], r["b"], r["hamming"]) for r in brute.collect()}
+    assert got == want and len(want) > 0
