@@ -418,6 +418,34 @@ def q_simhash_near_dups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, max_hamming=3)
 
 
+def q_minhash_dedup_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level gate for the flagship near-dup pipeline: minhash_dedup
+    over the planted-structure synthetic corpus (sources/docs.py — doc i
+    with i % 100 == 1 exactly duplicates doc i-1, everything else unique
+    w.h.p.), so the expected (doc_id, canonical_id) groups are closed-form
+    and the oracle needs no engine-side hashing: exact dups share every
+    minhash band and estimate Jaccard 1.0; unrelated docs share ~0 shingles
+    and cannot pass the 0.9 threshold."""
+    from pagerank_spark.operators.dedup import minhash_dedup
+    from pagerank_spark.sources.docs import synth_docs
+
+    docs = synth_docs(spark, 5000, dup_every=100)
+    return minhash_dedup(docs, threshold=0.9)
+
+
+def q_simhash_near_dups_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level gate for banded SimHash search: planted exact duplicates
+    are the only pairs within Hamming distance 3 (identical text -> equal
+    simhash -> hamming 0; unrelated 20-token docs give effectively
+    independent 64-bit simhashes, P(hamming<=3) ~ 2^-47 per pair), so the
+    expected (a, b, hamming) set is closed-form."""
+    from pagerank_spark.operators.dedup import simhash_near_dups
+    from pagerank_spark.sources.docs import synth_docs
+
+    docs = synth_docs(spark, 4000, dup_every=100)
+    return simhash_near_dups(docs, max_hamming=3)
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -589,6 +617,81 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
 
 
+def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with nprobe == n_centroids: every inverted list is probed,
+    so the quantizer prunes nothing and the result is EXACTLY the brute-force
+    top-k — which the DuckDB cosine oracle can check. This value-gates the
+    whole IVF machinery (seeded centroid sample, Lloyd refinement, list
+    assignment, probe routing); the pruned-nprobe path stays a separate
+    rows-only + recall-pytest gate (ann_ivf_topk)."""
+    from pagerank_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = ivf_topk(emb, query_id=0, k=10, n_centroids=16, nprobe=16)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+def q_cosine_near_dup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level gate for embedding near-dup detection: the corpus is the
+    embeddings table plus exact copies of vec_id < 25 at vec_id + 10000.
+    The only pairs with cosine >= 0.95 are the planted (v, v+10000) copies
+    (measured max non-identical cosine on this table is ~0.51), and exact
+    copies always share every LSH bucket — so the bucketed candidate
+    generation provably loses nothing and the expected pair set is
+    closed-form."""
+    from pagerank_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    out = cosine_near_dup_pairs(corpus, threshold=0.95, n_planes=12)
+    return out.select("a", "b", F.round("sim", 6).alias("sim"))
+
+
+def q_multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio pipeline end-to-end with REAL decode: deterministic
+    PCM16 WAV payloads (seeded sine mixtures) synthesized per media_id in an
+    Arrow-batched stage, then the mapInPandas RIFF/WAVE decode + 8-band RMS
+    features (operators/multimodal.py). Binary decode is not
+    SQL-expressible -> rows-only gate; decode round-trip and feature values
+    are pytest-checked (tests/test_dedup_text.py)."""
+    from pagerank_spark.operators.multimodal import extract_audio_features
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pagerank_spark.operators.multimodal import encode_wav
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            for i in ids:
+                sr = 8000
+                t = np.arange(sr // 4, dtype=np.float64) / sr  # 250ms clip
+                freq = 100.0 + 37.0 * (int(i) % 13)
+                wave = 0.5 * np.sin(2 * np.pi * freq * t) + 0.25 * np.sin(
+                    2 * np.pi * 2 * freq * t
+                )
+                payloads.append(encode_wav(wave.astype(np.float32), sr))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = spark.range(64).mapInPandas(gen, schema="media_id long, payload binary")
+    feats = extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "decode_ok",
+        F.size("feature").alias("dims"),
+        F.round(F.element_at("feature", 1), 3).alias("rms0"),
+    )
+
+
 def q_multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end-to-end with REAL decode: deterministic P6 PPM
     payloads synthesized per media_id in an Arrow-batched stage, then the
@@ -675,8 +778,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_docs": q_winnow_fingerprints_docs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "minhash_dedup_docs": q_minhash_dedup_docs,
+        "minhash_dedup_synth": q_minhash_dedup_synth,
         "simhash_docs": q_simhash_docs,
         "simhash_near_dups_docs": q_simhash_near_dups_docs,
+        "simhash_near_dups_synth": q_simhash_near_dups_synth,
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "window_top_orders": q_window_top_orders,
@@ -690,7 +795,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": q_set_ops_customers,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+        "cosine_near_dup_planted": q_cosine_near_dup_planted,
         "multimodal_ppm_features": q_multimodal_ppm_features,
+        "multimodal_wav_features": q_multimodal_wav_features,
     }
 
 
@@ -959,7 +1067,33 @@ SELECT p.a, p.b,
                        / len(list_distinct(list_concat(x.s, y.s))) END, 6) AS jaccard
 FROM pairs p JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b"""
 
-    # minhash_dedup_docs, simhash_docs: engine-side hashing (xxhash64/LSH);
-    # ann_ivf_topk: k-means-style coarse quantizer; multimodal_ppm_features:
-    # binary PPM decode — none replicable in DuckDB -> rows-only checks.
+    # planted-structure corpora: the dedup group structure is closed-form
+    # arithmetic over doc ids (sources/docs.py), so the oracle needs no
+    # engine-side hashing — just range() (DuckDB's table function)
+    sqls["minhash_dedup_synth"] = """
+SELECT r.range AS doc_id,
+       r.range - (CASE WHEN r.range % 100 = 1 AND r.range > 0 THEN 1 ELSE 0 END) AS canonical_id
+FROM range(5000) r"""
+
+    sqls["simhash_near_dups_synth"] = """
+SELECT r.range - 1 AS a, r.range AS b, 0 AS hamming
+FROM range(4000) r
+WHERE r.range % 100 = 1 AND r.range > 0"""
+
+    # nprobe == n_centroids degenerates IVF to exact search -> same oracle
+    # as the brute-force cosine top-k
+    sqls["ann_ivf_exhaustive"] = sqls["ann_topk_cosine"]
+
+    # planted exact-copy pairs are the only ones >= 0.95 (max non-identical
+    # cosine on this table ~0.51) and copies share every LSH bucket
+    sqls["cosine_near_dup_planted"] = """
+SELECT vec_id AS a, vec_id + 10000 AS b, 1.0 AS sim
+FROM embeddings WHERE vec_id < 25"""
+
+    # minhash_dedup_docs, simhash_docs, simhash_near_dups_docs: engine-side
+    # hashing (xxhash64/LSH) on the REAL corpus; ann_ivf_topk (pruned
+    # nprobe): quantizer routing; multimodal_*: binary decode — not
+    # replicable in DuckDB -> rows-only checks. Each has a value-gated
+    # sibling above (planted-structure corpus / exhaustive-probe variant)
+    # except simhash_docs raw values and multimodal.
     return sqls

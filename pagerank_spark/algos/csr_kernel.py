@@ -75,8 +75,9 @@ def _kernel(edf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
 def csr_contributions(edges_bucketed: DataFrame, state: DataFrame, p: int) -> DataFrame:
     """Per-dst rank contributions via the cogrouped Arrow kernel.
 
-    ``edges_bucketed`` must carry ``bucket`` and ``out_degree`` columns (see
-    :func:`bucketize_edges`); ``state`` is ``(id, rank, ...)``. Returns
+    ``edges_bucketed`` must carry ``bucket`` and ``coef`` columns (see
+    :func:`bucketize_edges` — ``coef`` is the static per-edge gather
+    coefficient, so ``state`` needs only ``(id, rank, ...)``). Returns
     ``(dst, contrib)``.
     """
     r = state.select(

@@ -95,6 +95,20 @@ def prepare_edges(
         )
     else:
         ew = edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+        # the documented precondition, enforced: a zero/negative/null/NaN
+        # weight silently corrupts coef (wout can be <= 0). One cheap
+        # column-pruned agg during setup — the layout build scans edges
+        # anyway, and this runs once per pagerank() call, never in the loop.
+        badrow = ew.agg(
+            F.sum(
+                F.when(F.col("w").isNull() | F.isnan("w") | (F.col("w") <= 0), 1).otherwise(0)
+            ).alias("bad")
+        ).first()
+        if int(badrow["bad"] or 0) > 0:
+            raise ValueError(
+                f"weight column {weight_col!r} must be strictly positive and non-null; "
+                f"{int(badrow['bad'])} offending edge(s)"
+            )
         wdeg = ew.groupBy("src").agg(F.sum("w").alias("wout"))
         e = ew.join(wdeg, "src").select("src", "dst", (F.col("w") / F.col("wout")).alias("coef"))
     e = e.select("src", "dst", "coef")
@@ -266,10 +280,13 @@ def pagerank(
     personalized = teleport is not None
     tele_table = None
     if personalized:
-        seeds = teleport.select("id").dropDuplicates()
+        # restrict seeds to vertices that exist in the graph BEFORE counting:
+        # unknown ids would inflate n_seeds while their 1/n_seeds mass is
+        # dropped by the left join below, so ranks would no longer sum to 1
+        seeds = teleport.select("id").dropDuplicates().join(deg.select("id"), "id", "left_semi")
         n_seeds = seeds.count()
         if n_seeds == 0:
-            raise ValueError("personalized PageRank requires a non-empty teleport set")
+            raise ValueError("personalized PageRank requires a non-empty teleport set intersecting the vertex set")
         tele_table = (
             deg.select("id", dang_flag)
             .join(seeds.withColumn("__seed", F.lit(1)), "id", "left")
@@ -285,6 +302,7 @@ def pagerank(
 
     start_iter = 0
     state = None
+    warm_tmp = None
     # committed checkpoint schema stays (id, rank, prev_rank[, tele]) — the
     # dang flag is derivable, so it is re-attached on resume, never stored
     state_cols = ["id", "rank", "prev_rank"] + (["tele"] if personalized else [])
@@ -313,7 +331,7 @@ def pagerank(
             # the start sits near the new fixed point inside the mass-1
             # simplex and convergence is fast.
             prev = init_ranks.select("id", F.col("rank").alias("__r0"))
-            seeded = (
+            warm_tmp = seeded = (
                 deg.select("id", dang_flag)
                 .join(prev, "id", "left")
                 .select("id", "dang", F.coalesce(F.col("__r0"), F.lit(1.0 / n)).alias("__r"))
@@ -339,6 +357,13 @@ def pagerank(
     # force the initial state so the loop below measures steady-state
     # superstep cost only (edges_p is already materialized by localCheckpoint)
     state.count()
+    if warm_tmp is not None:
+        # the warm-start scratch frame fed state's (now materialized)
+        # localCheckpoint; free its executor blocks immediately rather than
+        # leaking them until GC across repeated pagerank() calls. edges_p's
+        # localCheckpoint blocks are freed by the ContextCleaner when the
+        # frame goes out of scope at return (documented reliance).
+        warm_tmp.unpersist()
     result = PageRankResult(ranks=state, iterations=start_iter, converged=False)
     result.setup_seconds = time.monotonic() - t_start
     t_loop = time.monotonic()

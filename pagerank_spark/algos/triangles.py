@@ -79,18 +79,28 @@ def triangle_count(edges: DataFrame) -> int:
 
 
 def triangles_per_vertex(edges: DataFrame) -> DataFrame:
-    """``(id, triangles)`` — number of triangles each vertex participates in."""
-    o = _oriented(edges).persist()
-    tris = _triangle_rows(o)
-    per = (
-        tris.select(F.col("a").alias("id"))
-        .unionByName(tris.select(F.col("b").alias("id")))
-        .unionByName(tris.select(F.col("c").alias("id")))
+    """``(id, triangles)`` — number of triangles each vertex participates in.
+
+    Two recompute traps avoided:
+
+    - The oriented edge set is referenced three times by the wedge join
+      (e1, e2, closer), and the returned DataFrame is evaluated by the
+      CALLER — so the orientation subtree (2 joins + degree agg) is
+      materialized here with an eager ``localCheckpoint`` and every
+      downstream reference reads the RDD leaf. (A persist/unpersist pair
+      around a lazily-returned frame would recompute the subtree 3x: the
+      unpersist fires before the caller's action.)
+    - Per-corner attribution uses ``explode(array(a, b, c))``, not a 3-way
+      union of projections — a union references the triangle-rows subtree
+      three times and re-runs BOTH wedge joins per branch.
+    """
+    o = _oriented(edges).localCheckpoint()
+    return (
+        _triangle_rows(o)
+        .select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    o.unpersist()
-    return per
 
 
 def triangle_count_csr(edges: DataFrame) -> int:

@@ -92,13 +92,19 @@ def minhash_signatures(
     return hs.select("doc_id", sig.alias("sig"))
 
 
-def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 16) -> DataFrame:
+def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 16, n_hashes: int | None = None) -> DataFrame:
     """Candidate near-dup pairs ``(a, b)`` (a < b) sharing >= 1 LSH band.
 
     Banding is pure DataFrame: slice the signature into ``n_bands`` chunks,
     hash each chunk, groupBy (band, bucket) and self-join within buckets.
+
+    ``n_hashes`` is the signature width; callers that built the signatures
+    (``minhash_dedup``) pass it through so no probe job runs. When omitted
+    (standalone use on a foreign signature table), one ``.first()`` probe
+    reads it from the data.
     """
-    n_hashes = len(sigs.select("sig").first()["sig"])
+    if n_hashes is None:
+        n_hashes = len(sigs.select("sig").first()["sig"])
     rows_per_band = max(1, n_hashes // n_bands)
     banded = sigs.select(
         "doc_id",
@@ -139,7 +145,7 @@ def minhash_dedup(
     from ..algos.components import connected_components
 
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k, seed).persist()
-    pairs = minhash_lsh_candidates(sigs, n_bands)
+    pairs = minhash_lsh_candidates(sigs, n_bands, n_hashes=n_hashes)
     passing = estimated_jaccard(sigs, pairs).filter(F.col("est_jaccard") >= threshold)
     edges = passing.select(F.col("a").alias("src"), F.col("b").alias("dst")).persist()
     # CC runs ONLY over docs that appear in a passing pair — at corpus scale
@@ -215,20 +221,24 @@ def simhash_near_dups(
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
+
+    def _band_bits(i: int):
+        # final band absorbs the remainder bits; shift-and-mask keeps
+        # everything in codegen'd long arithmetic. A full-width (64-bit)
+        # band — max_hamming=0, or any layout whose last band spans 64
+        # bits — needs mask -1 (all bits set in two's complement):
+        # (1 << 64) - 1 overflows LongType.
+        w = width if i < n_bands - 1 else 64 - i * width
+        mask = F.lit(-1).cast("long") if w >= 64 else F.lit((1 << w) - 1)
+        return F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(mask)
+
     sh = simhash(docs, id_col, text_col)
     bands = sh.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("band_idx"),
-                    # final band absorbs the remainder bits; shift-and-mask
-                    # keeps everything in codegen'd long arithmetic
-                    F.shiftrightunsigned(F.col("simhash"), i * width)
-                    .bitwiseAND(F.lit((1 << (width if i < n_bands - 1 else 64 - i * width)) - 1))
-                    .alias("band_bits"),
-                )
+                F.struct(F.lit(i).alias("band_idx"), _band_bits(i).alias("band_bits"))
                 for i in range(n_bands)
             ])
         ).alias("band"),

@@ -187,8 +187,17 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """``(a, b, sim)`` pairs with cosine >= threshold among same-bucket
-    candidates (embedding near-dup detection)."""
-    sigs = hyperplane_signatures(emb, n_planes, seed, id_col, vec_col).withColumnRenamed("vec_id", "__sig_id")
+    candidates (embedding near-dup detection).
+
+    The signature table is joined on BOTH sides of the bucket self-join, so
+    it is materialized once (eager ``localCheckpoint`` — tiny: id + int
+    bucket) and the hyperplane pandas UDF scans the corpus exactly once.
+    """
+    sigs = (
+        hyperplane_signatures(emb, n_planes, seed, id_col, vec_col)
+        .withColumnRenamed("vec_id", "__sig_id")
+        .localCheckpoint()
+    )
     ea = emb.join(sigs, emb[id_col] == F.col("__sig_id")).select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
     )

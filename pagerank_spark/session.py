@@ -55,4 +55,11 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # experiment hook: ';'-separated k=v pairs, e.g.
+    # SPARK_GRAFT_EXTRA_CONF='spark.io.compression.codec=zstd' — lets the
+    # scaling harness A/B runtime confs without code edits
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -91,6 +91,32 @@ def personalized_oracle(
     return r, max_iters
 
 
+def weighted_personalized_oracle(
+    v: int, edges: np.ndarray, weights: np.ndarray, seeds: np.ndarray,
+    damping: float = 0.85, tol: float = 1e-9, max_iters: int = 100,
+):
+    """Weighted AND personalized PageRank composed: contributions are
+    rank*w/total_out_weight, teleport + dangling mass land on the seed
+    distribution, ranks start as the seed distribution."""
+    wout = np.zeros(v)
+    np.add.at(wout, edges[:, 0], weights)
+    has_out = np.zeros(v, dtype=bool)
+    has_out[edges[:, 0]] = True
+    t = np.zeros(v)
+    t[seeds] = 1.0 / len(seeds)
+    r = t.copy()
+    for it in range(1, max_iters + 1):
+        contrib = np.zeros(v)
+        np.add.at(contrib, edges[:, 1], r[edges[:, 0]] * weights / wout[edges[:, 0]])
+        dangling = r[~has_out].sum()
+        new = (1 - damping) * t + damping * (contrib + dangling * t)
+        l1 = np.abs(new - r).sum()
+        r = new
+        if l1 < tol:
+            return r, it
+    return r, max_iters
+
+
 def triangle_oracle(v: int, edges: np.ndarray) -> int:
     """Brute-force triangle count of the undirected simple projection."""
     adj = np.zeros((v, v), dtype=bool)

@@ -222,3 +222,16 @@ def test_simhash_near_dups_equals_bruteforce(spark):
     )
     want = {(r["a"], r["b"], r["hamming"]) for r in brute.collect()}
     assert got == want and len(want) > 0
+
+
+def test_simhash_near_dups_max_hamming_zero(spark):
+    """max_hamming=0 degenerates to a single full-width (64-bit) band — the
+    mask must be two's-complement -1, not the LongType-overflowing
+    (1 << 64) - 1. Expected pairs: exactly the planted exact dups."""
+    from pagerank_spark.operators.dedup import simhash_near_dups
+    from pagerank_spark.sources.docs import synth_docs
+
+    docs = synth_docs(spark, 60, dup_every=10)
+    got = {(r["a"], r["b"], r["hamming"]) for r in simhash_near_dups(docs, max_hamming=0).collect()}
+    want = {(i - 1, i, 0) for i in range(1, 60) if i % 10 == 1}
+    assert got == want

@@ -52,6 +52,18 @@ def test_fixed_point_at_2_16_boundary(spark):
     assert (got_arr == golden).all()
 
 
+def test_fixed_point_just_below_boundary(spark):
+    """V = 2^16 - 1: largest size where init_val is still 1 via flooring a
+    non-power-of-two ratio (floor(65536/65535)); three rounds of the
+    near-vacuous arithmetic must stay bit-exact."""
+    v = (1 << 16) - 1
+    arr = ensure_min_outdeg(er_edges_numpy(v, 2 * v, seed=5), v)
+    golden = fixed_point_oracle(v, arr, n_rounds=3)
+    got = {r["id"]: r["rank_fp"] for r in pagerank_fixed_point(_df_from_arr(spark, arr), 3).collect()}
+    got_arr = np.array([got.get(i, 0) for i in range(v)], dtype=np.int64)
+    assert (got_arr == golden).all()
+
+
 def test_fixed_point_rejects_above_2_16(spark):
     """V = 2^16 + 1 must raise: above the boundary init_val floors to 0 and
     every rank is identically zero (SURVEY.md §2a degeneracy guard)."""

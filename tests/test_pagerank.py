@@ -7,7 +7,13 @@ import pytest
 from pagerank_spark.algos.pagerank import pagerank, pagerank_fixed_point
 from pagerank_spark.sources.graphs import er_edges_numpy, ensure_min_outdeg
 
-from .oracles import damped_oracle, fixed_point_oracle, personalized_oracle, weighted_damped_oracle
+from .oracles import (
+    damped_oracle,
+    fixed_point_oracle,
+    personalized_oracle,
+    weighted_damped_oracle,
+    weighted_personalized_oracle,
+)
 
 FIX4 = np.array([[0, 1], [1, 2], [2, 0], [2, 3], [3, 0]], dtype=np.int64)
 GOLDEN_FIX4 = {
@@ -109,6 +115,57 @@ def test_personalized_matches_oracle(spark):
     np.testing.assert_allclose(np.array([got[i] for i in range(v)]), oracle, atol=1e-6)
     # mass concentrates near seeds: non-seed-reachable-only vertices get 0
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_weighted_personalized_composition(spark):
+    """weight_col and teleport set SIMULTANEOUSLY (the previously-untested
+    composition): contributions follow edge weights, teleport + dangling
+    mass land on the seed distribution."""
+    v, e = 100, 400
+    arr = er_edges_numpy(v, e, seed=17)
+    weights = (1.0 + (arr[:, 0] * 3 + arr[:, 1]) % 4).astype(float)
+    seeds = np.arange(0, v, 9)
+    oracle, _ = weighted_personalized_oracle(v, arr, weights, seeds, tol=1e-9, max_iters=200)
+    df = spark.createDataFrame(
+        [(int(s), int(d), float(w)) for (s, d), w in zip(arr, weights)],
+        "src long, dst long, weight double",
+    )
+    seed_df = spark.createDataFrame([(int(s),) for s in seeds], "id long")
+    res = pagerank(df, max_iters=200, tol=1e-9, weight_col="weight", teleport=seed_df, check_every=3)
+    assert res.converged
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    np.testing.assert_allclose(np.array([got[i] for i in range(v)]), oracle, atol=1e-6)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_personalized_unknown_seeds_ignored(spark):
+    """Seed ids absent from the graph must not count toward n_seeds (their
+    teleport mass would silently vanish and ranks would sum below 1)."""
+    v, e = 80, 320
+    arr = er_edges_numpy(v, e, seed=19)
+    seeds = np.arange(0, v, 8)
+    oracle, _ = personalized_oracle(v, arr, seeds, tol=1e-9, max_iters=200)
+    df = _edges_df(spark, arr)
+    # inject ids far outside the vertex range alongside the real seeds
+    seed_df = spark.createDataFrame(
+        [(int(s),) for s in seeds] + [(10_000,), (10_001,)], "id long"
+    )
+    res = pagerank(df, max_iters=200, tol=1e-9, teleport=seed_df, check_every=3)
+    assert res.converged
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    np.testing.assert_allclose(np.array([got[i] for i in range(v)]), oracle, atol=1e-6)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # a fully-disjoint seed set is an error, not a silent all-zero run
+    with pytest.raises(ValueError):
+        pagerank(df, max_iters=5, teleport=spark.createDataFrame([(10_000,)], "id long"))
+
+
+def test_weight_validation_rejects_nonpositive(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 0.0), (2, 0, 2.0)], "src long, dst long, weight double"
+    )
+    with pytest.raises(ValueError, match="strictly positive"):
+        pagerank(df, max_iters=3, weight_col="weight")
 
 
 def test_damped_l1_monotone_tail(spark):

@@ -40,6 +40,22 @@ def test_events_graph_scan_pruned(spark):
         assert col not in read_schema
 
 
+def test_triangles_per_vertex_single_orientation_subtree(spark):
+    """The oriented edge set is referenced 3x (e1, e2, closer); it must be
+    materialized once (localCheckpoint leaf), so the final plan holds ONLY
+    the 2 wedge joins — an inlined orientation would re-run its 2 joins per
+    reference (8 joins total) and recompute the degree agg 3x."""
+    from pagerank_spark.algos.triangles import triangles_per_vertex
+
+    arr = er_edges_numpy(120, 600, seed=4)
+    edges = spark.createDataFrame([(int(s), int(d)) for s, d in arr], "src long, dst long")
+    per = triangles_per_vertex(edges)
+    plan = _plan(per)
+    assert plan.count("Join") == 2, plan
+    # all three references read the checkpointed RDD leaf
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
 def test_superstep_plan_shape(spark):
     arr = er_edges_numpy(200, 1000, seed=2)
     edges = spark.createDataFrame([(int(s), int(d)) for s, d in arr], "src long, dst long")
