@@ -726,6 +726,72 @@ def q_multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each order picks up the most
+    recent event of its customer at or before the order date — the classic
+    feature-attribution join. Right side is pre-aggregated to one row per
+    (user_id, ts) so tie identity is deterministic in both engines; the
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from pagerank_spark.operators.temporal import asof_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.sum("value"), 6).alias("ev_value"), F.min("event_id").alias("ev_id"))
+    )
+    out = asof_join(
+        orders, ev, on="o_orderdate", by="o_custkey",
+        right_on="ts", right_by="user_id", value_cols=["ev_value", "ev_id"],
+    )
+    # no-match sentinel: DuckDB NULL doubles surface as NaN through pandas
+    # in the compare harness, so both sides coalesce identically
+    return out.select(
+        "o_orderkey",
+        F.coalesce("ev_value", F.lit(-1.0)).alias("ev_value"),
+        F.coalesce("ev_id", F.lit(-1)).alias("ev_id"),
+    )
+
+
+def q_range_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure (non-equi) range join via interval bucketing
+    (operators/temporal.py): every part whose price falls within +/-0.5 of a
+    probe part's price. Catalyst would plan the naive form as a
+    BroadcastNestedLoopJoin cross product; bucketing restores an equi-join
+    shuffle. Oracle: DuckDB's native IEJoin on the BETWEEN predicate."""
+    from pagerank_spark.operators.temporal import range_join_points_intervals
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    points = part.select(F.col("p_partkey").alias("point_key"), "p_retailprice")
+    intervals = part.filter(F.col("p_partkey") < 200).select(
+        F.col("p_partkey").alias("interval_key"),
+        (F.col("p_retailprice") - 0.5).alias("lo"),
+        (F.col("p_retailprice") + 0.5).alias("hi"),
+    )
+    out = range_join_points_intervals(points, intervals, "p_retailprice", "lo", "hi", bucket_width=2.0)
+    return out.select("point_key", "interval_key")
+
+
+def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise EXACT quantiles (linear interpolation — Spark `percentile`,
+    DuckDB `quantile_cont`): median and p95 of extended price per return
+    flag. The scale path swaps in percentile_approx (t-digest) — gated here
+    in exact mode so values are oracle-comparable."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))").alias("qs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return q.select(
+        "l_returnflag",
+        F.round(F.element_at("qs", 1), 4).alias("p50"),
+        F.round(F.element_at("qs", 2), 4).alias("p95"),
+        "n",
+    )
+
+
 def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way broadcast-dim join: revenue per nation over BUILDING-segment
     customers (TPC-H Q5 flavor, minus region/supplier legs)."""
@@ -790,6 +856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_events": q_session_window_events,
         "rollup_orders": q_rollup_orders,
         "join_customer_orders": q_join_customer_orders,
+        "asof_orders_events": q_asof_orders_events,
+        "range_join_parts": q_range_join_parts,
+        "quantiles_lineitem": q_quantiles_lineitem,
         "triangles_per_part": q_triangles_per_part,
         "fingerprint_dedup_docs": q_fingerprint_dedup_docs,
         "set_ops_customers": q_set_ops_customers,
@@ -1017,6 +1086,30 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY n_name"""
+
+    sqls["asof_orders_events"] = """
+WITH r AS (
+  SELECT user_id, ts, ROUND(SUM(value), 6) AS ev_value, MIN(event_id) AS ev_id
+  FROM events GROUP BY user_id, ts
+)
+SELECT o_orderkey, COALESCE(ev_value, -1.0) AS ev_value, COALESCE(ev_id, -1) AS ev_id
+FROM orders ASOF LEFT JOIN r
+  ON orders.o_custkey = r.user_id AND orders.o_orderdate >= r.ts"""
+
+    sqls["range_join_parts"] = """
+SELECT p.p_partkey AS point_key, i.p_partkey AS interval_key
+FROM part p
+JOIN (
+  SELECT p_partkey, p_retailprice - 0.5 AS lo, p_retailprice + 0.5 AS hi
+  FROM part WHERE p_partkey < 200
+) i ON p.p_retailprice BETWEEN i.lo AND i.hi"""
+
+    sqls["quantiles_lineitem"] = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag"""
 
     sqls["triangles_per_part"] = f"""
 WITH {COPURCHASE_EDGES_CTE.strip()},

@@ -46,8 +46,11 @@ wall = time.time() - t0
 # steady-state throughput: superstep loop only (setup — degree build, the
 # one-time edge shuffle, initial state — is a fixed cost amortized over any
 # real run's iteration count and reported separately)
+build = sum(m.get("build_seconds", 0.0) for m in res.metrics)
+action = sum(m.get("action_seconds", 0.0) for m in res.metrics)
 print(json.dumps({{"cpus": cpus, "edges": e, "iters": iters, "wall": wall,
                   "setup": res.setup_seconds, "iter_wall": res.iter_seconds,
+                  "driver_build": build, "exec_action": action,
                   "edges_per_sec": e * iters / res.iter_seconds}}))
 """
 
@@ -87,6 +90,8 @@ def main() -> None:
             "median_edges_per_sec": statistics.median(tputs),
             "edges": r["edges"],
             "setup": r["setup"],
+            "driver_build": r.get("driver_build", 0.0),
+            "exec_action": r.get("exec_action", 0.0),
             "runs": walls,
         }
 
@@ -113,6 +118,8 @@ def main() -> None:
             f"| total wall seconds ({args.iters} iters, E={summary['edges']}) | "
             f"{results[8]['median_wall']:.2f} | {results[32]['median_wall']:.2f} |\n"
             f"| setup seconds (one-time) | {results[8]['setup']:.2f} | {results[32]['setup']:.2f} |\n"
+            f"| driver plan-build seconds in loop (fixed, last run) | {results[8]['driver_build']:.2f} | {results[32]['driver_build']:.2f} |\n"
+            f"| executor action seconds in loop (last run) | {results[8]['exec_action']:.2f} | {results[32]['exec_action']:.2f} |\n"
             f"| steady-state edges/sec | {summary['local8_edges_per_sec']} | {summary['local32_edges_per_sec']} |\n\n"
             f"**Scaling efficiency (T_4N/T_N)/4 = {summary['scaling_efficiency']}** (target >= 0.8 per BASELINE.json).\n"
             "Context: a pure-CPU control experiment measures this VM's own ceiling at ~0.77\n"

@@ -1,0 +1,118 @@
+"""Temporal/ordered joins Spark lacks as built-ins: as-of join and
+point-in-interval range join.
+
+Neither operator exists in Catalyst (SPARK-22947 is open for as-of), and the
+naive formulations are scale traps: an as-of join written as
+``t2 <= t`` theta-join + per-left-row max is a near-cross-product, and a
+pure range join (no equi key) IS a cross product to Catalyst (BNLJ). Both
+implementations below restore linear shuffles:
+
+- :func:`asof_join` — union-sort-fill: tag left/right rows, union, one hash
+  shuffle on the key, one in-partition sort by (time, tag), then
+  ``last(value, ignorenulls=True)`` over an unbounded-preceding window
+  carries the most recent right row forward onto each left row. Cost: one
+  shuffle + one sort over |L| + |R| — the merge-join shape pandas calls
+  ``merge_asof``, expressed in pure Catalyst window machinery (no UDFs).
+- :func:`range_join_points_intervals` — bucketize: intervals explode to the
+  fixed-width buckets they overlap, points land in exactly ONE bucket, an
+  equi-join on bucket + residual BETWEEN filter yields each qualifying
+  (point, interval) pair exactly once (no dedup needed — the point's single
+  bucket is the only place the pair can meet). ``bucket_width`` trades
+  interval duplication against bucket population; at scale the bucket id is
+  the shuffle key, and AQE's skew splitting handles hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    right_on: str | None = None,
+    right_by: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: for every ``left`` row, attach ``value_cols``
+    from the most recent ``right`` row of the same ``by`` key with
+    ``right[right_on] <= left[on]`` (inclusive). Left rows with no prior
+    right row keep nulls (left-join semantics).
+
+    Matches DuckDB's ``ASOF LEFT JOIN ... ON l.by = r.by AND l.on >= r.on``
+    (the oracle used by the driver gate). Right rows should be unique per
+    ``(by, on)`` — among exact timestamp ties the carried row is the last in
+    (deterministic) sort order, which the caller should make unique
+    (pre-aggregate) if tie identity matters.
+    """
+    right_on = right_on or on
+    right_by = right_by or by
+
+    rv_struct = F.struct(*[F.col(c) for c in value_cols])
+    r = right.select(
+        F.col(right_by).alias("__k"),
+        F.col(right_on).alias("__t"),
+        rv_struct.alias("__rv"),
+        F.lit(0).alias("__tag"),  # right sorts BEFORE left at equal time -> inclusive
+    )
+    l = left.select(
+        "*",
+        F.col(by).alias("__k"),
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__tag"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn("__rv", F.last("__rv", ignorenulls=True).over(w))
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"__rv.{c}").alias(c + (suffix if c in left.columns else ""))
+        for c in value_cols
+    ]
+    return filled.filter(F.col("__tag") == 1).select(*out_cols)
+
+
+def range_join_points_intervals(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """All (point, interval) pairs with ``start <= point <= end`` — no equi
+    key, without the cross product Catalyst would otherwise plan.
+
+    Returns ``points.columns + intervals.columns``. Intervals with
+    ``end < start`` match nothing; nulls in any bound/point match nothing.
+    """
+    bw = float(bucket_width)
+    if bw <= 0:
+        raise ValueError("bucket_width must be positive")
+    ivals = intervals.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(start_col) <= F.col(end_col))
+    ).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bw).cast("long"),
+                F.floor(F.col(end_col) / bw).cast("long"),
+            )
+        ),
+    )
+    pts = points.filter(F.col(point_col).isNotNull()).withColumn(
+        "__bucket", F.floor(F.col(point_col) / bw).cast("long")
+    )
+    joined = pts.join(ivals, "__bucket").filter(
+        (F.col(start_col) <= F.col(point_col)) & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.select(*[F.col(c) for c in points.columns + intervals.columns])
