@@ -174,6 +174,34 @@ def _labelprop_sql(edges_cte: str, k: int) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{k}"
 
 
+def _sssp_sql(edges_cte: str, k: int, seed_mod: int, weighted: bool) -> str:
+    """Unrolled k-round multi-source Bellman-Ford mirroring algos/paths.py:
+    round r holds min path weight using <= r edges (the frontier-limited
+    engine computes the identical prefix); early engine convergence is a
+    fixed point, so exactly-k unrolling matches run-with-early-stop.
+    Integer-valued weights keep the double sums exact — no rounding."""
+    w_expr = "CAST(1 + (src + dst) % 5 AS DOUBLE)" if weighted else "1.0"
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        f"ew AS MATERIALIZED (SELECT src, dst, {w_expr} AS w FROM e)",
+        f"d0 AS MATERIALIZED (SELECT id, 0.0 AS dist FROM v WHERE id % {seed_mod} = 0)",
+    ]
+    for it in range(1, k + 1):
+        prev, cur = f"d{it - 1}", f"d{it}"
+        ctes.append(f"""{cur} AS MATERIALIZED (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM {prev}
+    UNION ALL
+    SELECT ew.dst AS id, d.dist + ew.w AS dist FROM ew JOIN {prev} d ON ew.src = d.id
+  ) GROUP BY id
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v.id, COALESCE(d.dist, -1.0) AS dist FROM v LEFT JOIN d{k} d ON d.id = v.id"
+    )
+
+
 _NORM_TEXT_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _STOP_RE = "\\b(the|a|of|and|to|in|is|it)\\b"
 # empty/blank guard mirrors functions/text.py token_count (Spark returns 0;
@@ -792,6 +820,56 @@ def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sssp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest paths (algos/paths.py), 6 synchronized
+    Bellman-Ford rounds: sources = ids % 97 == 0, weight = 1 + (src+dst) % 5
+    (integer-valued, so distance sums are float-exact). Unreached sentinel
+    -1. Oracle: the same 6 rounds unrolled as DuckDB CTEs."""
+    from pagerank_spark.algos.paths import shortest_paths
+
+    edges = _graph_for(spark, sf_dir, "events").withColumn(
+        "weight", (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5))).cast("double")
+    )
+    verts = edges.select(F.col("src").alias("id")).union(edges.select(F.col("dst").alias("id"))).distinct()
+    seeds = verts.filter(F.col("id") % 97 == 0)
+    d = shortest_paths(edges, seeds, weight_col="weight", max_iters=6)
+    return verts.join(d, "id", "left").select(
+        "id", F.coalesce("dist", F.lit(-1.0)).alias("dist")
+    )
+
+
+def q_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted multi-source BFS hop counts (weight_col=None path of
+    algos/paths.py), 4 rounds on the co-purchase graph, sources =
+    part ids % 50 == 0; unreached sentinel -1."""
+    from pagerank_spark.algos.paths import shortest_paths
+
+    edges = _graph_for(spark, sf_dir, "copurchase")
+    verts = edges.select(F.col("src").alias("id")).union(edges.select(F.col("dst").alias("id"))).distinct()
+    seeds = verts.filter(F.col("id") % 50 == 0)
+    d = shortest_paths(edges, seeds, max_iters=4)
+    return verts.join(d, "id", "left").select(
+        "id", F.coalesce("dist", F.lit(-1.0)).alias("dist")
+    )
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 4 grouping sets over status x priority) —
+    the multi-level rollup shape OLAP engines special-case; Spark plans it
+    as a single Expand + one hash aggregate (one shuffle for every level)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "total",
+            "n",
+        )
+    )
+
+
 def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way broadcast-dim join: revenue per nation over BUILDING-segment
     customers (TPC-H Q5 flavor, minus region/supplier legs)."""
@@ -859,6 +937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_orders_events": q_asof_orders_events,
         "range_join_parts": q_range_join_parts,
         "quantiles_lineitem": q_quantiles_lineitem,
+        "sssp_events": q_sssp_events,
+        "bfs_copurchase": q_bfs_copurchase,
+        "cube_orders": q_cube_orders,
         "triangles_per_part": q_triangles_per_part,
         "fingerprint_dedup_docs": q_fingerprint_dedup_docs,
         "set_ops_customers": q_set_ops_customers,
@@ -1103,6 +1184,16 @@ JOIN (
   SELECT p_partkey, p_retailprice - 0.5 AS lo, p_retailprice + 0.5 AS hi
   FROM part WHERE p_partkey < 200
 ) i ON p.p_retailprice BETWEEN i.lo AND i.hi"""
+
+    sqls["sssp_events"] = _sssp_sql(EVENTS_EDGES_CTE, 6, 97, weighted=True)
+    sqls["bfs_copurchase"] = _sssp_sql(COPURCHASE_EDGES_CTE, 4, 50, weighted=False)
+
+    sqls["cube_orders"] = """
+SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       ROUND(SUM(o_totalprice), 2) AS total,
+       COUNT(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
 
     sqls["quantiles_lineitem"] = """
 SELECT l_returnflag,

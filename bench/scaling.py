@@ -118,8 +118,8 @@ def main() -> None:
             f"| total wall seconds ({args.iters} iters, E={summary['edges']}) | "
             f"{results[8]['median_wall']:.2f} | {results[32]['median_wall']:.2f} |\n"
             f"| setup seconds (one-time) | {results[8]['setup']:.2f} | {results[32]['setup']:.2f} |\n"
-            f"| driver plan-build seconds in loop (fixed, last run) | {results[8]['driver_build']:.2f} | {results[32]['driver_build']:.2f} |\n"
-            f"| executor action seconds in loop (last run) | {results[8]['exec_action']:.2f} | {results[32]['exec_action']:.2f} |\n"
+            f"| plan-resolution seconds in loop (AQE executes map stages here; last run) | {results[8]['driver_build']:.2f} | {results[32]['driver_build']:.2f} |\n"
+            f"| final L1/materialize action seconds in loop (last run) | {results[8]['exec_action']:.2f} | {results[32]['exec_action']:.2f} |\n"
             f"| steady-state edges/sec | {summary['local8_edges_per_sec']} | {summary['local32_edges_per_sec']} |\n\n"
             f"**Scaling efficiency (T_4N/T_N)/4 = {summary['scaling_efficiency']}** (target >= 0.8 per BASELINE.json).\n"
             "Context: a pure-CPU control experiment measures this VM's own ceiling at ~0.77\n"

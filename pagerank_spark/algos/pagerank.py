@@ -367,87 +367,65 @@ def pagerank(
     result = PageRankResult(ranks=state, iterations=start_iter, converged=False)
     result.setup_seconds = time.monotonic() - t_start
     t_loop = time.monotonic()
-    def build_block(base_state, block):
-        """Assemble one lazily-checkpointed block of ``block`` supersteps.
-
-        Pure driver work (eager analysis per DataFrame op + the full query
-        planning ``localCheckpoint(eager=False)`` performs to wrap the plan
-        in an RDD leaf) — measured ~1-2 s per block REGARDLESS of data
-        size, i.e. a fixed cost that does not shrink with cores.
-        """
-        ns = base_state
-        inter = []
+    # Sequential block loop. A cross-block software-pipelined variant
+    # (build block k+1's plan while block k's action runs) was built and
+    # MEASURED WORSE in round 3 (eff 0.559 -> 0.365 at 40M edges): with AQE
+    # enabled, ``localCheckpoint(eager=False)`` resolves the final physical
+    # plan, which EXECUTES the block's shuffle map stages at build time — so
+    # "plan building" is ~all of the block's real executor work (measured:
+    # build 89s vs awaited-action 1.2s at local[32]), leaving nothing to
+    # hide behind the action. Worse, the speculative build raced the L1 agg
+    # job to materialize the same lazy-checkpoint partitions (duplicate
+    # partition computation; "Block rdd_N already exists" churn) and held
+    # block k's intra-block persists alive during block k+1's execution —
+    # exactly where 32-way memory pressure is the binding constraint. The
+    # build/action split instrumentation is kept: it attributes per-block
+    # wall between stage execution at plan-resolution time and the final
+    # materializing action (BENCH/SCALING_NOTES.md §9).
+    it = start_iter
+    while it < max_iters:
+        block = min(check_every, max_iters - it)
+        new_state = state
+        intermediates = []
+        t0 = time.monotonic()
         for i in range(block):
-            ns = _superstep(edges_p, ns, mode, p, damping, base, n, has_dangling, personalized)
+            new_state = _superstep(edges_p, new_state, mode, p, damping, base, n, has_dangling, personalized)
             if i < block - 1:
                 # lazy persist: each intra-block state is consumed by up to 2
                 # downstream operators; without the cache the block's single
                 # job recomputes the superstep subtree per consumer
-                ns = ns.persist()
-                inter.append(ns)
-        # lazy localCheckpoint: truncates the 3^block logical plan to a leaf
-        # now; the L1 agg materializes it in one job (see docstring)
-        return ns.localCheckpoint(eager=False), inter
-
-    # Pipelined planning: while block k's single action executes on the
-    # executors, the driver concurrently assembles block k+1's plan against
-    # block k's (not-yet-materialized) checkpoint leaf — plan construction
-    # needs the RDD object, never its data, and SparkSession plan building
-    # is thread-safe. This hides the fixed per-block driver cost behind
-    # executor time (the cost that otherwise caps multi-executor scaling:
-    # it is identical at N and 4N cores). If convergence lands first, the
-    # speculatively-built block is discarded (its lazy persists unregistered).
-    from concurrent.futures import ThreadPoolExecutor
-
-    it = start_iter
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        t0 = time.monotonic()
-        pending = build_block(state, min(check_every, max_iters - it)) if it < max_iters else None
+                new_state = new_state.persist()
+                intermediates.append(new_state)
+        # lazy localCheckpoint: truncates the 3^block logical plan to a leaf.
+        # Under AQE this resolves the final physical plan, running the
+        # block's shuffle map stages NOW (the bulk of the block's work)
+        new_state = new_state.localCheckpoint(eager=False)
         build_s = time.monotonic() - t0
-        while it < max_iters:
-            new_state, intermediates = pending
-            block = min(check_every, max_iters - it)
 
-            fut = pool.submit(
-                new_state.agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("l1")).first
-            )
-            nxt = None
-            next_build_s = 0.0
-            if it + block < max_iters:
-                t0 = time.monotonic()
-                nxt = build_block(new_state, min(check_every, max_iters - it - block))
-                next_build_s = time.monotonic() - t0
-            t0 = time.monotonic()
-            row = fut.result()
-            wait_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        row = new_state.agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("l1")).first()
+        action_s = time.monotonic() - t0
+        l1 = float(row["l1"])
+        for df in intermediates:
+            df.unpersist()
+        state = new_state
+        it += block
+        result.l1_history.append(l1)
+        result.metrics.append({
+            "iteration": it,
+            "l1": l1,
+            # build_seconds: superstep assembly + AQE stage execution during
+            # plan resolution; action_seconds: the final L1/materialize job
+            "build_seconds": round(build_s, 4),
+            "action_seconds": round(action_s, 4),
+        })
+        result.iterations = it
 
-            l1 = float(row["l1"])
-            for df in intermediates:
-                df.unpersist()
-            state = new_state
-            it += block
-            result.l1_history.append(l1)
-            result.metrics.append({
-                "iteration": it,
-                "l1": l1,
-                # build_seconds is the driver cost of assembling THIS block
-                # (paid during the previous block's action, except the first);
-                # action_seconds is the main-thread wait on the L1 action
-                "build_seconds": round(build_s, 4),
-                "action_seconds": round(wait_s, 4),
-            })
-            result.iterations = it
-            build_s = next_build_s
-
-            if checkpointer is not None:
-                checkpointer.commit(it, state.select(*state_cols), {"l1": l1})
-            if l1 < tol:
-                result.converged = True
-                if nxt is not None:
-                    for df in nxt[1]:
-                        df.unpersist()
-                break
-            pending = nxt
+        if checkpointer is not None:
+            checkpointer.commit(it, state.select(*state_cols), {"l1": l1})
+        if l1 < tol:
+            result.converged = True
+            break
 
     result.iter_seconds = time.monotonic() - t_loop
     result.ranks = state.select("id", "rank")

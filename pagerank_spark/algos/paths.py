@@ -1,0 +1,103 @@
+"""Multi-source shortest paths (weighted SSSP / unweighted BFS) via
+frontier-limited Bellman-Ford rounds.
+
+Reference parity: the reference accelerator's gather/sum/apply superstep
+machinery (pagerank.v control loop; SURVEY.md §2b's iterative-algorithm
+family) generalizes to any semiring; shortest paths is the (min, +) instance
+of the same dataflow — gather = dist + w over in-edges, reduce = min,
+apply = keep-if-improved. This module expresses that instance with the same
+Spark plan shape as algos/pagerank.py (one hash join + one grouped agg per
+superstep, eager localCheckpoint lineage truncation).
+
+Scale design:
+
+- **Frontier-limited relaxation**: each round joins edges against only the
+  vertices whose distance improved last round, not the full vertex set. On
+  high-diameter graphs (transcript chains) most rounds touch a small
+  frontier, so per-round shuffle volume tracks the frontier, not V. The
+  synchronized-round invariant still holds: after round k the state equals
+  full Bellman-Ford's "shortest path using <= k edges" (a vertex absent
+  from the frontier already propagated its final distance the round it was
+  last improved), which is what makes the unrolled SQL oracle exact.
+- **State holds reached vertices only** — unreached vertices cost nothing
+  until a path arrives (callers left-join against the vertex set if they
+  need sentinel rows).
+- **Edges are shuffled once** (repartition by src + localCheckpoint); every
+  round's join reuses that layout, the same one-time-shuffle contract as
+  pagerank.prepare_edges.
+- Integer-valued weights keep distance arithmetic exact in doubles (sums of
+  small ints), so cross-engine value comparison needs no rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .pagerank import _num_partitions
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str | None = None,
+    max_iters: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Return ``(id, dist)`` for every vertex reachable from ``sources``
+    (directed; ``dist`` minimal over path weight sums, hop count when
+    ``weight_col`` is None). Runs synchronized Bellman-Ford rounds; stops
+    early when a round improves nothing (a fixed point, so stopping early
+    equals running all ``max_iters`` rounds — the oracle-parity property).
+
+    ``edges``: (src, dst [, weight_col]); negative weights are rejected
+    (min-plus with a frontier assumes monotone relaxation).
+    ``sources``: one column ``id``.
+    """
+    p = num_partitions or _num_partitions(edges)
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = (
+        edges.select("src", "dst", w.alias("w"))
+        .repartition(p, "src")
+        .localCheckpoint()
+    )
+    if weight_col is not None:
+        row = e.agg(F.min("w").alias("m")).first()
+        if row["m"] is not None and row["m"] < 0:
+            raise ValueError(f"negative weight {row['m']} — min-plus SSSP requires w >= 0")
+
+    # state == reached vertices; frontier == improved-last-round subset
+    state = sources.select("id", F.lit(0.0).alias("dist")).repartition(p, "id").localCheckpoint()
+    frontier = state
+
+    for _ in range(max_iters):
+        cand = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select("dst", (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("dst")
+            .agg(F.min("dist").alias("cand"))
+            .withColumnRenamed("dst", "id")
+        )
+        merged = (
+            state.join(cand, "id", "full_outer")
+            .select(
+                "id",
+                # least() skips nulls: newly-reached -> cand, no-candidate -> dist
+                F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                # improved: newly reached, or candidate strictly better
+                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("__imp"),
+            )
+            .repartition(p, "id")
+            .localCheckpoint()
+        )
+        n_improved = merged.filter(F.col("__imp")).count()
+        state = merged.select("id", "dist").localCheckpoint(eager=False)
+        if n_improved == 0:
+            break
+        frontier = merged.filter(F.col("__imp")).select("id", "dist")
+
+    return state
