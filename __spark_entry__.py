@@ -380,6 +380,62 @@ def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs)
 
 
+def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/textops.py:pii_scrub): the corpus has no
+    natural PII, so the gate plants a deterministic email/phone/IP tail on
+    every 3rd/5th/7th document (same concat in the oracle) and then scrubs.
+    Output: per-doc counts + scrubbed-text length (whole-string compare is
+    wasteful in the hash gate; the length pins the rewrite exactly since
+    every placeholder has fixed width)."""
+    from pagerank_spark.operators.textops import pii_scrub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now"))
+                   ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" call 555-01"), (F.col("doc_id") % 10), F.lit("-2345"))
+                   ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256), F.lit(".1"))
+                   ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_scrub(docs)
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        F.length("scrubbed").alias("scrubbed_len"),
+    )
+
+
+def q_pack_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing placement (operators/packing.py),
+    budget 256 tokens, doc_id order: window cumsum + floor division — the
+    pretraining packing discipline as one window pass. Sharded numbering is
+    the scale path; the gate runs the unsharded stream for oracle parity."""
+    from pagerank_spark.operators.packing import pack_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_chunks(docs, budget=256)
+
+
+def q_hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment via multiplicative hash
+    (operators/packing.py:hash_split) — stable across runs/partitioning,
+    cross-engine reproducible; gate reports per-(lang, split) counts."""
+    from pagerank_spark.operators.packing import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        hash_split(docs, train_pct=90, val_pct=5)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.operators.textops import quality_filter
 
@@ -940,6 +996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_events": q_sssp_events,
         "bfs_copurchase": q_bfs_copurchase,
         "cube_orders": q_cube_orders,
+        "pii_scrub_docs": q_pii_scrub_docs,
+        "pack_chunks_docs": q_pack_chunks_docs,
+        "hash_split_docs": q_hash_split_docs,
         "triangles_per_part": q_triangles_per_part,
         "fingerprint_dedup_docs": q_fingerprint_dedup_docs,
         "set_ops_customers": q_set_ops_customers,
@@ -1184,6 +1243,54 @@ JOIN (
   SELECT p_partkey, p_retailprice - 0.5 AS lo, p_retailprice + 0.5 AS hi
   FROM part WHERE p_partkey < 200
 ) i ON p.p_retailprice BETWEEN i.lo AND i.hi"""
+
+    from pagerank_spark.operators.packing import KNUTH
+    from pagerank_spark.operators.textops import PII_PATTERNS
+
+    _em, _ph, _ip = (PII_PATTERNS[k] for k in ("email", "phone", "ipv4"))
+    sqls["pii_scrub_docs"] = f"""
+WITH d AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', doc_id, '@example.com now') ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN concat(' call 555-01', doc_id % 10, '-2345') ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN concat(' from 10.0.', doc_id % 256, '.1') ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_em}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{_ph}')) AS INT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{_ip}')) AS INT) AS n_ipv4,
+  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+       '{_em}', '<email>', 'g'), '{_ph}', '<phone>', 'g'), '{_ip}', '<ipv4>', 'g')) AS INT)
+    AS scrubbed_len
+FROM d"""
+
+    sqls["pack_chunks_docs"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(start_offset AS BIGINT) AS start_offset,
+  CAST(CASE WHEN n_tokens > 0 THEN start_offset // 256 ELSE -1 END AS BIGINT) AS first_chunk,
+  CAST(CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 256 ELSE -1 END AS BIGINT) AS last_chunk,
+  CAST(CASE WHEN n_tokens > 0
+       THEN (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1
+       ELSE 0 END AS BIGINT) AS n_chunks
+FROM c"""
+
+    sqls["hash_split_docs"] = f"""
+SELECT lang,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n
+FROM (SELECT lang, ((doc_id * {KNUTH}) % 4294967296) % 100 AS b FROM documents)
+GROUP BY 1, 2"""
 
     sqls["sssp_events"] = _sssp_sql(EVENTS_EDGES_CTE, 6, 97, weighted=True)
     sqls["bfs_copurchase"] = _sssp_sql(COPURCHASE_EDGES_CTE, 4, 50, weighted=False)

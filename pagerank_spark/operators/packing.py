@@ -1,0 +1,96 @@
+"""Sequence packing and deterministic split assignment for training-data
+pipelines.
+
+``pack_chunks`` implements concat-and-chunk packing: documents are laid
+end-to-end in a deterministic order and the token stream is cut every
+``budget`` tokens (documents may straddle cut points — the standard
+pretraining packing discipline). Each document's placement is pure window
+arithmetic over the running token total, so the whole operator is one
+sort-within-shard window pass — no UDFs, no iteration.
+
+100-TB design: a single global ordering would funnel the cumulative sum
+through one partition, so the operator packs WITHIN SHARDS (``shard_col``):
+each shard is an independent token stream with its own chunk numbering,
+which is exactly how a 1000-executor packing job wants to run (shard =
+input file / bucket; chunk ids are (shard, chunk) pairs). The unsharded
+default is for small inputs and oracle comparison.
+
+``hash_split`` assigns rows to train/val/test deterministically from the id
+via a multiplicative (Knuth) hash — pure BIGINT arithmetic, reproducible
+across engines and runs, no RNG state. Unlike ``df.randomSplit`` the
+assignment is stable under repartitioning, retries, and incremental reruns
+(a document keeps its split forever — the property that prevents train/test
+leakage across pipeline re-executions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+
+KNUTH = 2654435761  # 2^32 / golden ratio, the classic multiplicative hash
+
+
+def pack_chunks(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Per-document packing placement: ``(doc_id[, shard], n_tokens,
+    start_offset, first_chunk, last_chunk, n_chunks)`` where chunk c covers
+    token offsets [c*budget, (c+1)*budget) of the shard's concatenated
+    stream. Zero-token documents occupy no chunk (sentinel -1, n_chunks 0).
+    Deterministic order: ``id_col`` ascending within shard.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    shard = F.col(shard_col) if shard_col else F.lit(0)
+    w = Window.partitionBy(shard).orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    toks = token_count(text_col)
+    start = F.coalesce(F.sum(toks).over(w), F.lit(0))
+    first = F.floor(start / budget)
+    last = F.floor((start + toks - 1) / budget)
+    cols = [F.col(id_col).alias("doc_id")]
+    if shard_col:
+        cols.append(F.col(shard_col).alias("shard"))
+    return docs.select(
+        *cols,
+        toks.alias("n_tokens"),
+        start.alias("start_offset"),
+        F.when(toks > 0, first).otherwise(F.lit(-1)).alias("first_chunk"),
+        F.when(toks > 0, last).otherwise(F.lit(-1)).alias("last_chunk"),
+        F.when(toks > 0, last - first + 1).otherwise(F.lit(0)).alias("n_chunks"),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    salt: int = 0,
+) -> DataFrame:
+    """Append a deterministic ``split`` column (train/val/test) from a
+    multiplicative hash of the id: bucket = ((id + salt) * KNUTH) mod 2^32
+    mod 100. Pure integer arithmetic — identical in any engine, stable
+    across runs/partitioning (no RNG), so split membership never drifts.
+    Assumes ``id + salt`` < 2^31 so the product fits in a 64-bit long;
+    rehash wider ids (e.g. ``xxhash64 & 0x7fffffff``) before splitting.
+    """
+    if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError("percentages must be positive and sum to <= 100")
+    bucket = F.pmod(
+        F.pmod((F.col(id_col) + F.lit(salt)) * F.lit(KNUTH), F.lit(1 << 32)), F.lit(100)
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -113,3 +113,33 @@ def winnow_fingerprints(
     if hashed:
         out = out.select("doc_id", F.xxhash64("fp").alias("fp"))
     return out
+
+
+# PII patterns shared with the DuckDB oracle — keep to the regex subset both
+# Java (Spark) and RE2 (DuckDB) interpret identically: character classes,
+# non-capturing groups, bounded repetition, \b word boundaries.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact PII spans (emails, phones, IPv4s) and count them per document.
+
+    100-TB shape: one codegen'd scan projection — counts are
+    ``regexp_extract_all`` sizes on the raw text, the scrubbed column is a
+    chain of ``regexp_replace`` (applied in PII_PATTERNS order, so the
+    placeholder of an earlier pattern is never re-matched by a later one).
+    Zero UDFs, zero shuffles; predicates on the count columns push down to
+    the scan. Pattern set is deliberately oracle-mirrorable.
+    """
+    out_cols = [F.col(id_col).alias("doc_id")]
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out_cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name}>")
+    return docs.select(*out_cols, scrubbed.alias("scrubbed"))
