@@ -810,6 +810,43 @@ def q_multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling end-to-end (operators/multimodal.py): synthesize
+    deterministic PV61 containers (length-prefixed PPM frames) per media_id,
+    then sample every 2nd frame via the seeking mapInPandas stage — one row
+    per sampled frame with its pooled feature. Binary container decode is
+    not SQL-expressible -> rows-only gate; seek-exactness and feature parity
+    are pytest-checked (tests/test_multimodal_video.py)."""
+    from pagerank_spark.operators.multimodal import sample_frames
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pagerank_spark.operators.multimodal import encode_video
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            for i in ids:
+                n_frames = 3 + int(i) % 4
+                frames = []
+                for fi in range(n_frames):
+                    w, h = 8 + int(i) % 5, 6 + int(i) % 3
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    gray = ((yy * 13 + xx * 7 + int(i) * 31 + fi * 5) % 256).astype(np.uint8)
+                    frames.append(np.repeat(gray[:, :, None], 3, axis=2))
+                payloads.append(encode_video(frames, fps=24))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = spark.range(48).mapInPandas(gen, schema="media_id long, payload binary")
+    out = sample_frames(media, every_k=2)
+    return out.select(
+        "media_id", "frame_idx", "decode_ok",
+        F.round(F.element_at("feature", 1), 3).alias("band0"),
+    )
+
+
 def q_asof_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/temporal.py): each order picks up the most
     recent event of its customer at or before the order date — the classic
@@ -1008,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup_planted": q_cosine_near_dup_planted,
         "multimodal_ppm_features": q_multimodal_ppm_features,
         "multimodal_wav_features": q_multimodal_wav_features,
+        "multimodal_video_frames": q_multimodal_video_frames,
     }
 
 

@@ -217,3 +217,113 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(run, schema=FEATURE_SCHEMA)
     )
+
+
+# -- video: length-prefixed PPM frame container ---------------------------
+
+VIDEO_MAGIC = b"PV61"
+FRAME_SCHEMA = "media_id long, frame_idx int, feature array<float>, decode_ok boolean"
+VIDEO_FEATURE_SCHEMA = "media_id long, n_frames int, fps int, feature array<float>, decode_ok boolean"
+
+
+def encode_video(frames: list, fps: int) -> bytes:
+    """Encode frames (uint8 ``(H, W, 3)`` arrays) as a ``PV61`` container:
+    ``PV61 <n_frames> <fps>\\n`` then each frame as an 8-byte big-endian
+    length prefix + PPM P6 payload. The length prefix is the design point:
+    frame extraction SEEKS to the k-th frame instead of decoding the whole
+    stream — the property real containers provide via their index atoms.
+    """
+    out = [VIDEO_MAGIC + b" %d %d\n" % (len(frames), int(fps))]
+    for fr in frames:
+        ppm = encode_ppm(fr)
+        out.append(len(ppm).to_bytes(8, "big") + ppm)
+    return b"".join(out)
+
+
+def _video_header(payload: bytes) -> tuple[int, int, int]:
+    """Return (n_frames, fps, body_offset); raises ValueError if not PV61."""
+    if not payload.startswith(VIDEO_MAGIC + b" "):
+        raise ValueError("not a PV61 container")
+    nl = payload.index(b"\n", 4)
+    n_s, fps_s = payload[5:nl].split()
+    return int(n_s), int(fps_s), nl + 1
+
+
+def decode_video_frame(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Seek to and decode exactly one frame (no full-stream decode)."""
+    n, _fps, off = _video_header(payload)
+    if not (0 <= frame_idx < n):
+        raise ValueError(f"frame {frame_idx} out of range (n={n})")
+    for i in range(frame_idx + 1):
+        ln = int.from_bytes(payload[off:off + 8], "big")
+        start = off + 8
+        off = start + ln
+        if off > len(payload):
+            raise ValueError("truncated container")
+    return decode_ppm(payload[start:start + ln])
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling over video payloads: one output row per SAMPLED frame
+    (indices 0, k, 2k, ...) with the frame's 8-band pooled feature.
+
+    Arrow-batched mapInPandas; each task seeks within its payloads rather
+    than decoding every frame — per-task cost tracks sampled frames, not
+    stream length. Undecodable payloads emit a single ``decode_ok=false``
+    row (frame_idx -1) so downstream accounting never loses a media_id.
+    """
+    if every_k <= 0:
+        raise ValueError("every_k must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats, oks = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    b = bytes(payload)
+                    n, _fps, _off = _video_header(b)
+                    for fi in range(0, n, every_k):
+                        gray = decode_video_frame(b, fi).mean(axis=2)
+                        ids.append(mid); idxs.append(fi)
+                        feats.append([float(x) for x in _pool8(gray)]); oks.append(True)
+                except ValueError:
+                    ids.append(mid); idxs.append(-1)
+                    feats.append([0.0] * 8); oks.append(False)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "feature": feats, "decode_ok": oks}
+            )
+
+    return (
+        media.repartition(F.col("media_id"))
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=FRAME_SCHEMA)
+    )
+
+
+def extract_video_features(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Per-video summary: frame count, fps, mean of sampled-frame features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "n_frames": [], "fps": [], "feature": [], "decode_ok": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    b = bytes(payload)
+                    n, fps, _off = _video_header(b)
+                    fs = [
+                        _pool8(decode_video_frame(b, fi).mean(axis=2))
+                        for fi in range(0, n, every_k)
+                    ]
+                    mean = np.mean(fs, axis=0) if fs else np.zeros(8, dtype=np.float32)
+                    vals = (mid, n, fps, [float(x) for x in mean], True)
+                except ValueError:
+                    vals = (mid, 0, 0, [0.0] * 8, False)
+                for k, v in zip(rows, vals):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return (
+        media.repartition(F.col("media_id"))
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=VIDEO_FEATURE_SCHEMA)
+    )
