@@ -202,6 +202,47 @@ def _sssp_sql(edges_cte: str, k: int, seed_mod: int, weighted: bool) -> str:
     )
 
 
+def _hits_sql(edges_cte: str, k: int) -> str:
+    """Unrolled k-iteration HITS mirroring algos/hits.py exactly: auth from
+    old hub, hub from NEW auth, L2 normalization per half-step, uniform
+    positive hub init (1/V)."""
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        "n AS MATERIALIZED (SELECT COUNT(*) AS c FROM v)",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT c FROM n) AS hub FROM v)",
+    ]
+    for it in range(1, k + 1):
+        prev = f"h{it - 1}"
+        ctes.append(
+            f"ar{it} AS MATERIALIZED (SELECT e.dst AS id, SUM(h.hub) AS s "
+            f"FROM e JOIN {prev} h ON e.src = h.id GROUP BY 1)"
+        )
+        ctes.append(
+            f"""a{it} AS MATERIALIZED (
+  SELECT v.id, COALESCE(r.s, 0) / na.x AS auth
+  FROM v LEFT JOIN ar{it} r ON r.id = v.id
+  CROSS JOIN (SELECT GREATEST(sqrt(SUM(s * s)), 1e-300) AS x FROM ar{it}) na
+)"""
+        )
+        ctes.append(
+            f"hr{it} AS MATERIALIZED (SELECT e.src AS id, SUM(a.auth) AS s "
+            f"FROM e JOIN a{it} a ON e.dst = a.id GROUP BY 1)"
+        )
+        ctes.append(
+            f"""h{it} AS MATERIALIZED (
+  SELECT v.id, COALESCE(r.s, 0) / nh.x AS hub
+  FROM v LEFT JOIN hr{it} r ON r.id = v.id
+  CROSS JOIN (SELECT GREATEST(sqrt(SUM(s * s)), 1e-300) AS x FROM hr{it}) nh
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.id, ROUND(a.auth, 6) AS auth, ROUND(h.hub, 6) AS hub"
+        + f"\nFROM a{k} a JOIN h{k} h ON a.id = h.id"
+    )
+
+
 _NORM_TEXT_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _STOP_RE = "\\b(the|a|of|and|to|in|is|it)\\b"
 # empty/blank guard mirrors functions/text.py token_count (Spark returns 0;
@@ -245,6 +286,51 @@ def _q_pagerank(which: str, k: int):
         return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
     return run
+
+
+def q_hits_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the events graph, k=4 iterations.
+
+    Oracle: unrolled 4-iteration SQL (_hits_sql) with per-half-step L2
+    normalization — same recurrence, same init. pytest additionally checks
+    allclose vs a NumPy oracle on seeded random graphs (tests/test_hits.py).
+    """
+    from pagerank_spark.algos.hits import hits
+
+    # tiny gate graph (~10k edges): 4 iterations x 4 shuffles each at 32-way
+    # is pure per-stage fixed cost — run narrow for the duration
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        res = hits(
+            _graph_for(spark, sf_dir, "events"), max_iters=4, tol=0.0,
+            check_every=2, num_partitions=4,
+        )
+        out = res.scores.select(
+            "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+        ).localCheckpoint()  # materialize before restoring the conf
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
+def q_linkpred_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (common-neighbors / Adamic-Adar / Jaccard) on the
+    copurchase graph, subset to source vertices a % 101 == 0 (the full
+    candidate set is ~1.9M pairs at sf0.01 — the modulus filter bounds the
+    gate's hash-compare while pushing through the pair aggregate into the
+    wedge join's left scan).
+
+    Oracle: the same wedge-enumeration SQL in DuckDB (open wedges only,
+    full-degree jaccard denominators).
+    """
+    from pagerank_spark.algos.linkpred import link_prediction_scores
+
+    g = _graph_for(spark, sf_dir, "copurchase")
+    s = link_prediction_scores(g, min_common=2)
+    return s.filter(F.col("a") % 101 == 0).select(
+        "a", "b", "cn", F.round("aa", 6).alias("aa"), F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 def q_pagerank_events_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1046,6 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm_refresh": q_pagerank_warm_refresh,
         "pagerank_weighted_events_k3": q_pagerank_weighted_events_k3,
         "ppr_events_k3": q_ppr_events_k3,
+        "hits_events_k4": q_hits_events,
+        "linkpred_copurchase": q_linkpred_copurchase,
         "cc_events": q_cc_events,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
@@ -1106,6 +1194,26 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sqls["pagerank_events_k3"] = _pagerank_sql(EVENTS_EDGES_CTE, 3)
+    sqls["hits_events_k4"] = _hits_sql(EVENTS_EDGES_CTE, 4)
+    sqls["linkpred_copurchase"] = f"""
+WITH {_materialize(COPURCHASE_EDGES_CTE.strip())},
+adj AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e WHERE src != dst
+  UNION SELECT dst, src FROM e WHERE src != dst),
+dg AS MATERIALIZED (SELECT a AS id, COUNT(*) AS deg FROM adj GROUP BY 1),
+w AS MATERIALIZED (
+  SELECT x.b AS u, y.b AS v, x.a AS z
+  FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b
+  WHERE x.b % 101 = 0),
+s AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS cn, SUM(1.0 / ln(dz.deg)) AS aa
+  FROM w JOIN dg dz ON dz.id = w.z GROUP BY 1, 2),
+c AS MATERIALIZED (
+  SELECT s.* FROM s LEFT JOIN adj ON adj.a = s.u AND adj.b = s.v
+  WHERE adj.a IS NULL AND s.cn >= 2)
+SELECT c.u AS a, c.v AS b, c.cn, ROUND(c.aa, 6) AS aa,
+       ROUND(c.cn * 1.0 / (du.deg + dv.deg - c.cn), 6) AS jaccard
+FROM c JOIN dg du ON du.id = c.u JOIN dg dv ON dv.id = c.v"""
     sqls["pagerank_copurchase_k2"] = _pagerank_sql(COPURCHASE_EDGES_CTE, 2)
     # converged gate: the 6-decimal-rounded iterate is stationary from k=40
     # on this graph (verified k=40..80 all equal); the engine converges at

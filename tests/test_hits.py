@@ -1,0 +1,80 @@
+"""HITS correctness: NumPy oracle on seeded random graphs, a star-graph
+hand fixture, and convergence behavior."""
+
+import numpy as np
+import pytest
+
+from pagerank_spark.algos.hits import hits
+from pagerank_spark.sources.graphs import er_edges_numpy
+
+
+def _edges_df(spark, arr):
+    return spark.createDataFrame([(int(s), int(d)) for s, d in arr], "src long, dst long")
+
+
+def _numpy_hits(arr, k):
+    """Same recurrence as algos/hits.py: auth from old hub, hub from NEW
+    auth, L2 normalization per half-step, uniform 1/V hub init; multi-edges
+    add multiplicity."""
+    ids = sorted({int(x) for x in arr.ravel()})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for s, d in arr:
+        A[idx[int(s)], idx[int(d)]] += 1.0
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(k):
+        a = A.T @ h
+        a = a / max(float(np.linalg.norm(a)), 1e-300)
+        h = A @ a
+        h = h / max(float(np.linalg.norm(h)), 1e-300)
+    return ids, a, h
+
+
+@pytest.mark.parametrize("v,e,seed,k", [(60, 240, 7, 8), (200, 1000, 11, 5)])
+def test_hits_matches_numpy_oracle(spark, v, e, seed, k):
+    arr = er_edges_numpy(v, e, seed)
+    res = hits(_edges_df(spark, arr), max_iters=k, tol=0.0, check_every=3)
+    assert res.iterations == k
+    rows = {r["id"]: (r["auth"], r["hub"]) for r in res.scores.collect()}
+    ids, a, h = _numpy_hits(arr, k)
+    assert set(rows) == set(ids)
+    got_a = np.array([rows[i][0] for i in ids])
+    got_h = np.array([rows[i][1] for i in ids])
+    assert np.allclose(got_a, a, atol=1e-9)
+    assert np.allclose(got_h, h, atol=1e-9)
+
+
+def test_hits_star_fixture(spark):
+    """Star pointing at a center: the center is the sole authority (auth=1),
+    the leaves are identical hubs (1/sqrt(L) each), and the fixed point is
+    reached after the first iteration."""
+    leaves = 4
+    arr = np.array([[i, 99] for i in range(1, leaves + 1)], dtype=np.int64)
+    res = hits(_edges_df(spark, arr), max_iters=6, tol=1e-12, check_every=2)
+    rows = {r["id"]: (r["auth"], r["hub"]) for r in res.scores.collect()}
+    assert rows[99][0] == pytest.approx(1.0, abs=1e-12)
+    assert rows[99][1] == pytest.approx(0.0, abs=1e-12)
+    for i in range(1, leaves + 1):
+        assert rows[i][0] == pytest.approx(0.0, abs=1e-12)
+        assert rows[i][1] == pytest.approx(1.0 / np.sqrt(leaves), abs=1e-12)
+    assert res.converged
+
+
+def test_hits_converges_and_stops_early(spark):
+    arr = er_edges_numpy(80, 400, 5)
+    res = hits(_edges_df(spark, arr), max_iters=100, tol=1e-10, check_every=4)
+    assert res.converged
+    assert res.iterations < 100
+    # converged iterate is stationary: one more iteration moves nothing
+    ids, a, h = _numpy_hits(arr, res.iterations)
+    rows = {r["id"]: (r["auth"], r["hub"]) for r in res.scores.collect()}
+    got_a = np.array([rows[i][0] for i in ids])
+    assert np.allclose(got_a, a, atol=1e-8)
+
+
+def test_hits_empty_raises(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits(df, max_iters=2)
