@@ -146,12 +146,13 @@ def _pagerank_sql(edges_cte: str, k: int) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{k}"
 
 
-def _labelprop_sql(edges_cte: str, k: int) -> str:
-    """Unrolled k-iteration synchronous label propagation mirroring
-    algos/labelprop.py: undirected (symmetrized, deduped) edges; each vertex
-    adopts the most frequent neighbor label, ties to the smallest label;
-    isolated vertices keep their label. Early convergence is a fixed point,
-    so unrolling exactly k steps equals the engine's run-with-early-stop."""
+def _labelprop_ctes(edges_cte: str, k: int) -> list:
+    """CTE list for unrolled k-iteration synchronous label propagation
+    mirroring algos/labelprop.py: undirected (symmetrized, deduped) edges;
+    each vertex adopts the most frequent neighbor label, ties to the
+    smallest label; isolated vertices keep their label. Early convergence
+    is a fixed point, so unrolling exactly k steps equals the engine's
+    run-with-early-stop. Final label table is ``l{k}``."""
     ctes = [_materialize(edges_cte.strip()),
             "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
             "sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e)",
@@ -171,7 +172,37 @@ def _labelprop_sql(edges_cte: str, k: int) -> str:
     ) WHERE rn = 1
   ) w ON w.id = p.id
 )""")
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{k}"
+    return ctes
+
+
+def _labelprop_sql(edges_cte: str, k: int) -> str:
+    return "WITH " + ",\n".join(_labelprop_ctes(edges_cte, k)) + f"\nSELECT id, label FROM l{k}"
+
+
+def _modularity_sql(edges_cte: str, k: int) -> str:
+    """Newman modularity per labelprop-k community, mirroring
+    algos/modularity.py exactly: undirected simple graph, in-plan m,
+    q_c = e_c/m - (d_c/(2m))^2."""
+    ctes = _labelprop_ctes(edges_cte, k)
+    ctes += [
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e WHERE src <> dst)",
+        "mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM und)",
+        "dg2 AS (SELECT id, COUNT(*) AS deg FROM "
+        "(SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1)",
+        f"ein AS (SELECT la.label, COUNT(*) AS e_in FROM und "
+        f"JOIN l{k} la ON und.a = la.id JOIN l{k} lb ON und.b = lb.id "
+        f"WHERE la.label = lb.label GROUP BY 1)",
+        f"dt AS (SELECT l.label, SUM(dg2.deg) AS d FROM dg2 "
+        f"JOIN l{k} l ON dg2.id = l.id GROUP BY 1)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT dt.label, COALESCE(ein.e_in, 0) AS internal_edges, dt.d AS degree_sum,
+       ROUND(COALESCE(ein.e_in, 0) / mm.m - POW(dt.d / (2 * mm.m), 2), 6) AS q_contrib
+FROM dt LEFT JOIN ein ON ein.label = dt.label CROSS JOIN mm"""
+    )
 
 
 def _sssp_sql(edges_cte: str, k: int, seed_mod: int, weighted: bool) -> str:
@@ -443,6 +474,44 @@ def q_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.algos.labelprop import label_propagation
 
     return label_propagation(_graph_for(spark, sf_dir, "events"), max_iters=5)
+
+
+def q_modularity_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the labelprop-k=5 communities on the events
+    graph: per-community (internal_edges, degree_sum, q_contrib) rows.
+
+    Oracle: the unrolled labelprop CTEs composed with the same modularity
+    arithmetic (_modularity_sql) — value-checks BOTH the community
+    assignment and the quality score in one gate.
+    """
+    from pagerank_spark.algos.labelprop import label_propagation
+    from pagerank_spark.algos.modularity import modularity_by_community
+
+    g = _graph_for(spark, sf_dir, "events")
+    labels = label_propagation(g, max_iters=5)
+    return modularity_by_community(g, labels).select(
+        "label", "internal_edges", "degree_sum", F.round("q_contrib", 6).alias("q_contrib")
+    )
+
+
+def q_clustering_coef_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients (per-vertex triangles / wedge count)
+    on the copurchase graph. Oracle: the canonical-edge triangle
+    enumeration SQL joined against undirected degrees."""
+    from pagerank_spark.algos.triangles import clustering_coefficients
+
+    return clustering_coefficients(_graph_for(spark, sf_dir, "copurchase")).select(
+        "id", "triangles", "deg", F.round("coef", 6).alias("coef")
+    )
+
+
+def q_graph_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structural profile (V, E, loops, reciprocity, degree
+    extremes) of the events graph. Oracle: the same aggregates in plain
+    SQL."""
+    from pagerank_spark.operators.graphstats import graph_summary
+
+    return graph_summary(_graph_for(spark, sf_dir, "events"))
 
 
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1138,6 +1207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "labelprop_events": q_labelprop_events,
+        "modularity_labelprop_events": q_modularity_labelprop_events,
+        "clustering_coef_copurchase": q_clustering_coef_copurchase,
+        "graph_summary_events": q_graph_summary_events,
         "triangles_copurchase": q_triangles_copurchase,
         "exact_dedup_docs": q_exact_dedup_docs,
         "text_profile_docs": q_text_profile_docs,
@@ -1226,6 +1298,44 @@ FROM c JOIN dg du ON du.id = c.u JOIN dg dv ON dv.id = c.v"""
     sqls["pagerank_weighted_events_k3"] = _pagerank_weighted_sql(EVENTS_EDGES_CTE, 3)
     sqls["ppr_events_k3"] = _ppr_sql(EVENTS_EDGES_CTE, 3)
     sqls["labelprop_events"] = _labelprop_sql(EVENTS_EDGES_CTE, 5)
+    sqls["modularity_labelprop_events"] = _modularity_sql(EVENTS_EDGES_CTE, 5)
+    # copurchase e is already the canonical loop-free a<b DISTINCT edge set,
+    # so the per-vertex triangle CTE mirrors the triangles_per_part oracle
+    sqls["clustering_coef_copurchase"] = f"""
+WITH {COPURCHASE_EDGES_CTE.strip()},
+dg AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM
+  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY 1),
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+tv AS (SELECT id, COUNT(*) AS t FROM (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+) GROUP BY 1)
+SELECT dg.id, COALESCE(tv.t, 0) AS triangles, dg.deg,
+       ROUND(CASE WHEN dg.deg >= 2
+                  THEN 2.0 * COALESCE(tv.t, 0) / (dg.deg * (dg.deg - 1))
+                  ELSE 0.0 END, 6) AS coef
+FROM dg LEFT JOIN tv ON tv.id = dg.id"""
+    sqls["graph_summary_events"] = f"""
+WITH {EVENTS_EDGES_CTE.strip()},
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+nv AS (SELECT COUNT(*) AS n_vertices FROM (SELECT src AS id FROM de UNION SELECT dst FROM de)),
+base AS (SELECT COUNT(*) AS n_edges,
+                SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS n_self_loops FROM de),
+ud AS (SELECT COUNT(*) AS n_undirected FROM
+  (SELECT DISTINCT least(src, dst), greatest(src, dst) FROM de WHERE src <> dst)),
+rc AS (SELECT COUNT(*) AS n_reciprocal FROM de a
+  WHERE a.src <> a.dst AND EXISTS (SELECT 1 FROM de b WHERE b.src = a.dst AND b.dst = a.src)),
+os AS (SELECT MAX(d) AS max_out_deg, AVG(d) AS avg_o FROM
+  (SELECT COUNT(*) AS d FROM de GROUP BY src)),
+ins AS (SELECT MAX(d) AS max_in_deg FROM (SELECT COUNT(*) AS d FROM de GROUP BY dst))
+SELECT nv.n_vertices, base.n_edges, base.n_self_loops, ud.n_undirected, rc.n_reciprocal,
+       ROUND(rc.n_reciprocal / GREATEST(CAST(base.n_edges - base.n_self_loops AS DOUBLE), 1.0), 6)
+         AS reciprocity,
+       os.max_out_deg, ins.max_in_deg, ROUND(os.avg_o, 6) AS avg_out_deg
+FROM nv, base, ud, rc, os, ins"""
 
     sqls["cc_events"] = f"""
 WITH {EVENTS_EDGES_CTE.strip()},

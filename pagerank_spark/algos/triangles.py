@@ -139,3 +139,44 @@ def triangle_count_csr(edges: DataFrame) -> int:
     )
     row = counted.agg(F.sum("n").alias("total")).first()
     return int(row["total"] or 0)
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficients over the undirected simple graph.
+
+    Returns ``(id, triangles, deg, coef)`` for every vertex of the
+    symmetrized, deduplicated, loop-free graph, where
+    ``coef = 2 * T(v) / (deg(v) * (deg(v) - 1))`` and vertices of degree < 2
+    get ``coef = 0.0`` (they close no wedge).
+
+    Plan shape: ONE orientation pass (the degree-orientation subtree is
+    materialized with an eager ``localCheckpoint`` — it is referenced three
+    times by the wedge join and twice more for degree recovery), one wedge
+    join, one explode/count. Degrees are recovered from the orientation
+    keys (``ku.d`` / ``kv.d``) that :func:`_oriented` already carries — no
+    second degree aggregation over the edge set.
+    """
+    o = _oriented(edges).localCheckpoint()
+    tri = (
+        _triangle_rows(o)
+        .select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    degs = (
+        o.select(F.col("u").alias("id"), F.col("ku.d").alias("deg"))
+        .unionByName(o.select(F.col("v").alias("id"), F.col("kv.d").alias("deg")))
+        .dropDuplicates(["id"])
+    )
+    t = F.coalesce(F.col("triangles"), F.lit(0))
+    return degs.join(tri.hint("shuffle_hash"), "id", "left").select(
+        "id",
+        t.alias("triangles"),
+        "deg",
+        F.when(
+            F.col("deg") >= 2,
+            2.0 * t / (F.col("deg").cast("double") * (F.col("deg") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coef"),
+    )

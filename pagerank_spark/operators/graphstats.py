@@ -1,0 +1,83 @@
+"""One-pass structural summary of a directed edge table — the profiling
+step that precedes any partitioning decision at 100 TB (skew bounds, salting
+thresholds, broadcast eligibility all read off these numbers).
+
+Everything is built-in Catalyst aggregates; each sub-count is a one-row
+aggregate broadcast-joined into the final projection (in-plan scalars, no
+driver actions), so the whole summary is ONE lazy plan over the
+materialized deduplicated edge leaf. No collect, no UDFs, output is a
+single row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """Single-row structural profile of a directed ``(src, dst)`` graph.
+
+    Columns: ``n_vertices``, ``n_edges`` (distinct directed, loops
+    included), ``n_self_loops``, ``n_undirected`` (simple-graph edges),
+    ``n_reciprocal`` (distinct non-loop directed edges whose reverse also
+    exists), ``reciprocity`` (n_reciprocal / non-loop directed edges),
+    ``max_out_deg``, ``max_in_deg``, ``avg_out_deg`` (over vertices with
+    out-degree >= 1, 6 dp).
+    """
+    # the dedup leaf is referenced by every sub-aggregate below — one eager
+    # materialization, then each branch reads the RDD leaf
+    e = edges.select("src", "dst").dropDuplicates().localCheckpoint()
+
+    nv = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        e.filter(F.col("src") != F.col("dst"))
+        .join(rev.hint("shuffle_hash"), ["src", "dst"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    )
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .dropDuplicates()
+        .agg(F.count(F.lit(1)).alias("n_undirected"))
+    )
+    out_stats = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("max_out_deg"), F.avg("d").alias("__avg_out"))
+    )
+    in_stats = (
+        e.groupBy("dst").agg(F.count(F.lit(1)).alias("d")).agg(F.max("d").alias("max_in_deg"))
+    )
+    base = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0)).alias("n_self_loops"),
+    )
+    return (
+        base.crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(und))
+        .crossJoin(F.broadcast(recip))
+        .crossJoin(F.broadcast(out_stats))
+        .crossJoin(F.broadcast(in_stats))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_self_loops",
+            "n_undirected",
+            "n_reciprocal",
+            F.round(
+                F.col("n_reciprocal")
+                / F.greatest((F.col("n_edges") - F.col("n_self_loops")).cast("double"), F.lit(1.0)),
+                6,
+            ).alias("reciprocity"),
+            "max_out_deg",
+            "max_in_deg",
+            F.round(F.col("__avg_out"), 6).alias("avg_out_deg"),
+        )
+    )

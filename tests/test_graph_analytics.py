@@ -1,0 +1,112 @@
+"""Clustering coefficients, modularity, graph summary — hand fixtures and
+NumPy brute-force oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.algos.modularity import modularity, modularity_by_community
+from pagerank_spark.algos.triangles import clustering_coefficients
+from pagerank_spark.operators.graphstats import graph_summary
+from pagerank_spark.sources.graphs import er_edges_numpy
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame([(int(s), int(d)) for s, d in pairs], "src long, dst long")
+
+
+def _brute_coefs(pairs):
+    """Per-vertex (triangles, deg, coef) over the undirected simple graph."""
+    adj = {}
+    for s, d in pairs:
+        s, d = int(s), int(d)
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    out = {}
+    for v, nbrs in adj.items():
+        deg = len(nbrs)
+        t = sum(len(adj[u] & nbrs) for u in nbrs) // 2
+        coef = 2.0 * t / (deg * (deg - 1)) if deg >= 2 else 0.0
+        out[v] = (t, deg, coef)
+    return out
+
+
+def test_clustering_triangle_plus_pendant(spark):
+    # K3 on {1,2,3} plus pendant 4-1: coefs 1/3 at vertex 1 (deg 3, 1 tri),
+    # 1.0 at 2 and 3, 0.0 at the pendant
+    df = _edges_df(spark, [(1, 2), (2, 3), (1, 3), (4, 1)])
+    rows = {r["id"]: r for r in clustering_coefficients(df).collect()}
+    assert rows[1]["triangles"] == 1 and rows[1]["deg"] == 3
+    assert rows[1]["coef"] == pytest.approx(1.0 / 3.0)
+    assert rows[2]["coef"] == pytest.approx(1.0) and rows[3]["coef"] == pytest.approx(1.0)
+    assert rows[4]["triangles"] == 0 and rows[4]["coef"] == 0.0
+
+
+def test_clustering_matches_bruteforce(spark):
+    arr = er_edges_numpy(80, 400, seed=3)
+    rows = {r["id"]: r for r in clustering_coefficients(_edges_df(spark, arr)).collect()}
+    exp = _brute_coefs(arr)
+    assert set(rows) == set(exp)
+    for v, (t, deg, coef) in exp.items():
+        assert rows[v]["triangles"] == t, v
+        assert rows[v]["deg"] == deg, v
+        assert rows[v]["coef"] == pytest.approx(coef, abs=1e-12), v
+
+
+def test_modularity_two_cliques(spark):
+    # two K4 cliques bridged by one edge; labels = clique membership.
+    # m = 13 edges (6 + 6 + 1); each community: e_c = 6, d_c = 13.
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a + 10, b + 10) for a, b in k4a]
+    pairs = k4a + k4b + [(0, 10)]
+    labels = spark.createDataFrame(
+        [(i, 0) for i in range(4)] + [(i + 10, 1) for i in range(4)], "id long, label long"
+    )
+    df = _edges_df(spark, pairs)
+    rows = {r["label"]: r for r in modularity_by_community(df, labels).collect()}
+    m = 13.0
+    for lbl in (0, 1):
+        assert rows[lbl]["internal_edges"] == 6
+        assert rows[lbl]["degree_sum"] == 13
+        assert rows[lbl]["q_contrib"] == pytest.approx(6 / m - (13 / (2 * m)) ** 2)
+    q = modularity(df, labels)
+    assert q == pytest.approx(2 * (6 / m - (13 / (2 * m)) ** 2))
+    # sanity: the natural partition scores higher than everything-in-one
+    one = labels.select("id", F.lit(0).alias("label"))
+    assert q > modularity(df, one)
+
+
+def test_modularity_matches_bruteforce(spark):
+    arr = er_edges_numpy(60, 240, seed=8)
+    und = {(min(int(s), int(d)), max(int(s), int(d))) for s, d in arr if s != d}
+    ids = sorted({x for e in und for x in e})
+    lab = {v: v % 4 for v in ids}
+    m = float(len(und))
+    deg = {v: 0 for v in ids}
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    q_exp = 0.0
+    for c in range(4):
+        e_c = sum(1 for a, b in und if lab[a] == c and lab[b] == c)
+        d_c = sum(deg[v] for v in ids if lab[v] == c)
+        q_exp += e_c / m - (d_c / (2 * m)) ** 2
+    labels = spark.createDataFrame([(v, lab[v]) for v in ids], "id long, label long")
+    assert modularity(_edges_df(spark, arr), labels) == pytest.approx(q_exp, abs=1e-12)
+
+
+def test_graph_summary_fixture(spark):
+    # edges: loop (5,5); reciprocal pair 1<->2; chain 2->3, 3->4; dup row
+    pairs = [(5, 5), (1, 2), (2, 1), (2, 3), (3, 4), (3, 4)]
+    row = graph_summary(_edges_df(spark, pairs)).collect()[0]
+    assert row["n_vertices"] == 5
+    assert row["n_edges"] == 5          # distinct directed, loop included
+    assert row["n_self_loops"] == 1
+    assert row["n_undirected"] == 3     # {1,2} {2,3} {3,4}
+    assert row["n_reciprocal"] == 2     # 1->2 and 2->1
+    assert row["reciprocity"] == pytest.approx(2 / 4)
+    assert row["max_out_deg"] == 2      # vertex 2 (or 3): 2 distinct out-edges
+    assert row["max_in_deg"] == 1
+    assert row["avg_out_deg"] == pytest.approx(round(5 / 4, 6))  # 4 sources, 5 edges
