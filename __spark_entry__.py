@@ -274,6 +274,36 @@ def _hits_sql(edges_cte: str, k: int) -> str:
     )
 
 
+def _harmonic_sql(edges_cte: str, k: int, seed_mod: int) -> str:
+    """Unrolled k-round landmark BFS (seeds = ids % seed_mod == 0, unit
+    weights) with per-seed identity, then harmonic closeness: per vertex,
+    sum of 1/dist over landmarks at dist > 0. Mirrors
+    algos/paths.py landmark_distances + harmonic_closeness exactly (round
+    r = '<= r edges' Bellman-Ford prefix per seed)."""
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        f"d0 AS MATERIALIZED (SELECT id AS seed, id, 0.0 AS dist FROM v WHERE id % {seed_mod} = 0)",
+    ]
+    for it in range(1, k + 1):
+        prev, cur = f"d{it - 1}", f"d{it}"
+        ctes.append(f"""{cur} AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM {prev}
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN {prev} d ON e.src = d.id
+  ) GROUP BY 1, 2
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT v.id,
+       ROUND(COALESCE(SUM(CASE WHEN d.dist > 0 THEN 1.0 / d.dist END), 0.0), 6) AS closeness
+FROM v LEFT JOIN d{k} d ON d.id = v.id
+GROUP BY v.id"""
+    )
+
+
 _NORM_TEXT_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _STOP_RE = "\\b(the|a|of|and|to|in|is|it)\\b"
 # empty/blank guard mirrors functions/text.py token_count (Spark returns 0;
@@ -512,6 +542,28 @@ def q_graph_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.operators.graphstats import graph_summary
 
     return graph_summary(_graph_for(spark, sf_dir, "events"))
+
+
+def q_harmonic_closeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-estimated harmonic centrality on the events graph: seeds =
+    ids % 97 == 0, 6 unweighted BFS rounds with per-seed identity. Oracle:
+    the same rounds unrolled with a seed column (_harmonic_sql)."""
+    from pagerank_spark.algos.paths import harmonic_closeness
+
+    edges = _graph_for(spark, sf_dir, "events")
+    verts = edges.select(F.col("src").alias("id")).union(edges.select(F.col("dst").alias("id"))).distinct()
+    seeds = verts.filter(F.col("id") % 97 == 0)
+    return harmonic_closeness(edges, seeds, max_iters=6).select(
+        "id", F.round("closeness", 6).alias("closeness")
+    )
+
+
+def q_assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row degree-assortativity coefficient of the copurchase graph.
+    Oracle: CORR over the symmetrized degree-joined edge list."""
+    from pagerank_spark.operators.graphstats import degree_assortativity
+
+    return degree_assortativity(_graph_for(spark, sf_dir, "copurchase"))
 
 
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1210,6 +1262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_labelprop_events": q_modularity_labelprop_events,
         "clustering_coef_copurchase": q_clustering_coef_copurchase,
         "graph_summary_events": q_graph_summary_events,
+        "harmonic_closeness_events": q_harmonic_closeness_events,
+        "assortativity_copurchase": q_assortativity_copurchase,
         "triangles_copurchase": q_triangles_copurchase,
         "exact_dedup_docs": q_exact_dedup_docs,
         "text_profile_docs": q_text_profile_docs,
@@ -1616,6 +1670,16 @@ FROM (SELECT lang, ((doc_id * {KNUTH}) % 4294967296) % 100 AS b FROM documents)
 GROUP BY 1, 2"""
 
     sqls["sssp_events"] = _sssp_sql(EVENTS_EDGES_CTE, 6, 97, weighted=True)
+    sqls["harmonic_closeness_events"] = _harmonic_sql(EVENTS_EDGES_CTE, 6, 97)
+    sqls["assortativity_copurchase"] = f"""
+WITH {COPURCHASE_EDGES_CTE.strip()},
+und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst),
+dg AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM
+  (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und)
+SELECT ROUND(CORR(CAST(da.deg AS DOUBLE), CAST(db.deg AS DOUBLE)), 6) AS assortativity
+FROM sym JOIN dg da ON da.id = sym.a JOIN dg db ON db.id = sym.b"""
     sqls["bfs_copurchase"] = _sssp_sql(COPURCHASE_EDGES_CTE, 4, 50, weighted=False)
 
     sqls["cube_orders"] = """

@@ -101,3 +101,89 @@ def shortest_paths(
         frontier = merged.filter(F.col("__imp")).select("id", "dist")
 
     return state
+
+
+def landmark_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    weight_col: str | None = None,
+    max_iters: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-seed shortest paths: ``(seed, id, dist)`` for every (landmark,
+    vertex) pair connected within ``max_iters`` synchronized rounds.
+
+    Identical (min, +) relaxation to :func:`shortest_paths` but the state is
+    keyed by the composite ``(seed, id)``, preserving per-landmark identity
+    — the building block for landmark-based centrality (harmonic closeness)
+    and distance-oracle sketches. Shuffle volume scales with
+    ``|seeds| x reached-set`` instead of ``reached-set``, so landmark sets
+    stay small (tens) at scale; each round is still one co-partitioned hash
+    join (edges shuffled once by src) + one grouped min.
+
+    ``seeds``: one column ``id``.
+    """
+    p = num_partitions or _num_partitions(edges)
+    w = F.col(weight_col).cast("double") if weight_col is not None else F.lit(1.0)
+    e = edges.select("src", "dst", w.alias("w")).repartition(p, "src").localCheckpoint()
+
+    state = (
+        seeds.select(F.col("id").alias("seed"), F.col("id").alias("id"), F.lit(0.0).alias("dist"))
+        .repartition(p, "id")
+        .localCheckpoint()
+    )
+    frontier = state
+
+    for _ in range(max_iters):
+        cand = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select("seed", F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("seed", "id")
+            .agg(F.min("dist").alias("cand"))
+        )
+        merged = (
+            state.join(cand, ["seed", "id"], "full_outer")
+            .select(
+                "seed",
+                "id",
+                F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("__imp"),
+            )
+            .repartition(p, "id")
+            .localCheckpoint()
+        )
+        n_improved = merged.filter(F.col("__imp")).count()
+        state = merged.select("seed", "id", "dist").localCheckpoint(eager=False)
+        if n_improved == 0:
+            break
+        frontier = merged.filter(F.col("__imp")).select("seed", "id", "dist")
+
+    return state
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    seeds: DataFrame,
+    weight_col: str | None = None,
+    max_iters: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Landmark-estimated harmonic centrality: for every vertex v of the
+    graph, ``closeness(v) = sum over landmarks s != v reaching v of
+    1 / d(s, v)`` (0.0 when no landmark reaches v). With ``seeds`` = all
+    vertices this is exact harmonic centrality; with a small landmark set
+    it is the standard scalable estimator."""
+    d = landmark_distances(edges, seeds, weight_col, max_iters, num_partitions)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    contrib = (
+        d.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum(1.0 / F.col("dist")).alias("closeness"))
+    )
+    return verts.join(contrib.hint("shuffle_hash"), "id", "left").select(
+        "id", F.coalesce("closeness", F.lit(0.0)).alias("closeness")
+    )

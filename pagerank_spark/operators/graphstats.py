@@ -81,3 +81,33 @@ def graph_summary(edges: DataFrame) -> DataFrame:
             F.round(F.col("__avg_out"), 6).alias("avg_out_deg"),
         )
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row degree-assortativity coefficient of the undirected simple
+    graph: the Pearson correlation between the degrees at either end of
+    every edge, each undirected edge counted once per direction (the
+    standard symmetric estimator). Positive = hubs attach to hubs;
+    negative = hub-leaf (star-like) mixing. Plan: one degree aggregate,
+    two V-sized joins onto the symmetrized edge list, one corr() aggregate
+    — no driver math."""
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("__db"))
+    return (
+        sym.join(da.hint("shuffle_hash"), "a")
+        .join(db.hint("shuffle_hash"), "b")
+        .agg(F.round(F.corr(F.col("__da").cast("double"), F.col("__db").cast("double")), 6).alias("assortativity"))
+    )
