@@ -205,6 +205,38 @@ FROM dt LEFT JOIN ein ON ein.label = dt.label CROSS JOIN mm"""
     )
 
 
+def _wppr_sql(edges_cte: str, k: int, seed_mod: int = 97) -> str:
+    """Unrolled k-iteration WEIGHTED + PERSONALIZED PageRank — the
+    composition pagerank(weight_col=..., teleport=...): contributions are
+    rank * w / total_out_weight(src), teleport AND dangling mass land on
+    the seed distribution, ranks start as the seed distribution."""
+    ctes = [_materialize(edges_cte.strip()), _materialize(GRAPH_BASE_CTES.strip()),
+            "ew AS MATERIALIZED (SELECT src, dst, CAST(1 + (src + dst) % 5 AS DOUBLE) AS w FROM e)",
+            "wd AS MATERIALIZED (SELECT src AS id, SUM(w) AS wout FROM ew GROUP BY 1)",
+            f"ns AS MATERIALIZED (SELECT COUNT(*) AS c FROM v WHERE id % {seed_mod} = 0)",
+            f"""t AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.id % {seed_mod} = 0 THEN CAST(1.0 AS DOUBLE) / ns.c
+              ELSE CAST(0.0 AS DOUBLE) END AS tele
+  FROM v CROSS JOIN ns)""",
+            "r0 AS MATERIALIZED (SELECT id, tele AS rank FROM t)"]
+    for it in range(1, k + 1):
+        prev, cur = f"r{it - 1}", f"r{it}"
+        ctes.append(f"""{cur} AS MATERIALIZED (
+  SELECT t.id,
+         (1 - {DAMPING}) * t.tele
+         + {DAMPING} * COALESCE(s.contrib, 0)
+         + {DAMPING} * d.m * t.tele AS rank
+  FROM t
+  CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0) AS m
+              FROM {prev} r JOIN deg ON deg.id = r.id AND deg.out_degree = 0) d
+  LEFT JOIN (SELECT ew.dst AS id, SUM(r.rank * (ew.w / wd.wout)) AS contrib
+             FROM ew JOIN {prev} r ON ew.src = r.id JOIN wd ON wd.id = ew.src
+             GROUP BY ew.dst) s ON s.id = t.id
+)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{k}"
+
+
 def _sssp_sql(edges_cte: str, k: int, seed_mod: int, weighted: bool) -> str:
     """Unrolled k-round multi-source Bellman-Ford mirroring algos/paths.py:
     round r holds min path weight using <= r edges (the frontier-limited
@@ -470,6 +502,21 @@ def q_ppr_events_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_wppr_events_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted AND personalized PageRank simultaneously (the composition
+    VERDICT r2 flagged as untested), k=3: weight = 1 + (src+dst) % 5,
+    teleport set = vertex ids % 97 == 0. Oracle: _wppr_sql."""
+    from pagerank_spark.algos.pagerank import pagerank
+
+    edges = _graph_for(spark, sf_dir, "events").withColumn(
+        "weight", (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5))).cast("double")
+    )
+    verts = edges.select(F.col("src").alias("id")).union(edges.select(F.col("dst").alias("id"))).distinct()
+    seeds = verts.filter(F.col("id") % 97 == 0)
+    res = pagerank(edges, max_iters=3, tol=0.0, weight_col="weight", teleport=seeds)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.algos.components import connected_components
 
@@ -542,6 +589,42 @@ def q_graph_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.operators.graphstats import graph_summary
 
     return graph_summary(_graph_for(spark, sf_dir, "events"))
+
+
+def _walks_sql(edges_cte: str, k: int) -> str:
+    """Unrolled k-step pseudorandom walk replay mirroring algos/walks.py:
+    next hop = out-neighbor minimizing the int64-exact LCG mixer
+    ((w % M) * 1009 + t * 131 + (v % M) * 7919) % M, ties to smaller v."""
+    M = 1_000_003
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM e)",
+        "vv AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst AS id FROM de)",
+        "w0 AS MATERIALIZED (SELECT id AS walk_id, 0 AS step, id AS v FROM vv)",
+    ]
+    for t in range(1, k + 1):
+        prev, cur = f"w{t - 1}", f"w{t}"
+        ctes.append(f"""{cur} AS MATERIALIZED (
+  SELECT walk_id, {t} AS step, v FROM (
+    SELECT p.walk_id, de.dst AS v,
+           row_number() OVER (PARTITION BY p.walk_id
+             ORDER BY ((p.walk_id % {M}) * 1009 + {t} * 131 + (de.dst % {M}) * 7919) % {M},
+                      de.dst) AS rn
+    FROM {prev} p JOIN de ON de.src = p.v
+  ) WHERE rn = 1
+)""")
+    union = "\nUNION ALL\n".join(f"SELECT walk_id, step, v FROM w{t}" for t in range(k + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+def q_walks_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudorandom walk corpus (one walk per vertex, 4 steps) on the
+    copurchase graph — the DeepWalk-style sampling stage of an embedding
+    pipeline, deterministic by construction so the oracle replays it
+    exactly (_walks_sql)."""
+    from pagerank_spark.algos.walks import pseudorandom_walks
+
+    return pseudorandom_walks(_graph_for(spark, sf_dir, "copurchase"), walk_len=4)
 
 
 def q_harmonic_closeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1253,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm_refresh": q_pagerank_warm_refresh,
         "pagerank_weighted_events_k3": q_pagerank_weighted_events_k3,
         "ppr_events_k3": q_ppr_events_k3,
+        "wppr_events_k3": q_wppr_events_k3,
         "hits_events_k4": q_hits_events,
         "linkpred_copurchase": q_linkpred_copurchase,
         "cc_events": q_cc_events,
@@ -1264,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary_events": q_graph_summary_events,
         "harmonic_closeness_events": q_harmonic_closeness_events,
         "assortativity_copurchase": q_assortativity_copurchase,
+        "walks_copurchase": q_walks_copurchase,
         "triangles_copurchase": q_triangles_copurchase,
         "exact_dedup_docs": q_exact_dedup_docs,
         "text_profile_docs": q_text_profile_docs,
@@ -1351,6 +1436,7 @@ FROM c JOIN dg du ON du.id = c.u JOIN dg dv ON dv.id = c.v"""
     sqls["pagerank_warm_refresh"] = _pagerank_sql(EVENTS_EDGES_CTE, 60)
     sqls["pagerank_weighted_events_k3"] = _pagerank_weighted_sql(EVENTS_EDGES_CTE, 3)
     sqls["ppr_events_k3"] = _ppr_sql(EVENTS_EDGES_CTE, 3)
+    sqls["wppr_events_k3"] = _wppr_sql(EVENTS_EDGES_CTE, 3)
     sqls["labelprop_events"] = _labelprop_sql(EVENTS_EDGES_CTE, 5)
     sqls["modularity_labelprop_events"] = _modularity_sql(EVENTS_EDGES_CTE, 5)
     # copurchase e is already the canonical loop-free a<b DISTINCT edge set,
@@ -1671,6 +1757,7 @@ GROUP BY 1, 2"""
 
     sqls["sssp_events"] = _sssp_sql(EVENTS_EDGES_CTE, 6, 97, weighted=True)
     sqls["harmonic_closeness_events"] = _harmonic_sql(EVENTS_EDGES_CTE, 6, 97)
+    sqls["walks_copurchase"] = _walks_sql(COPURCHASE_EDGES_CTE, 4)
     sqls["assortativity_copurchase"] = f"""
 WITH {COPURCHASE_EDGES_CTE.strip()},
 und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

@@ -1,0 +1,90 @@
+"""Pseudorandom graph walks — the corpus-sampling step of embedding
+pipelines (DeepWalk/node2vec generate per-vertex walk sequences that a
+skip-gram trainer consumes; at 100 TB the walk table IS the training set).
+
+Determinism by construction: the next hop from vertex u at step t of walk w
+is the out-neighbor v minimizing the LCG-style mixer
+
+    mix(w, t, v) = ((w % M) * 1009 + t * 131 + (v % M) * 7919) % M,
+    M = 1_000_003   (ties broken by smaller v)
+
+— every term stays below 8e9, so the arithmetic is exact in int64 in ANY
+engine (no engine-private hash; a SQL oracle can replay the walk bit-for-
+bit; the round-2 lesson that xxhash64-seeded ops are un-oracle-able).
+Distributionally the mixer scatters like a hash — good enough for corpus
+sampling, NOT for cryptographic or adversarial settings.
+
+Scale shape: one walk step = one co-partitioned hash join (edge layout
+shuffled ONCE by src, walk frontier repartitioned by the join key) + one
+min_by aggregate keyed by walk id. Walk state is the narrow
+``(walk_id, v)``; finished walks (no out-neighbor) drop out of the frontier
+via the inner join, so late steps cost only the surviving walk set. Every
+step is truncated with an eager localCheckpoint (lineage discipline,
+SURVEY.md §7) and the output table is the union of the per-step leaves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .pagerank import _num_partitions
+
+_M = 1_000_003
+
+
+def _mix(walk_id, step: int, v):
+    return F.pmod(
+        F.pmod(walk_id, F.lit(_M)) * 1009 + F.lit(step * 131) + F.pmod(v, F.lit(_M)) * 7919,
+        F.lit(_M),
+    )
+
+
+def pseudorandom_walks(
+    edges: DataFrame,
+    walk_len: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One walk per vertex over the directed graph; returns
+    ``(walk_id, step, v)`` rows — step 0 is the start vertex, and a walk
+    emits no further rows once it reaches a vertex with no out-edges.
+
+    ``walk_id`` equals the start vertex id (one walk per vertex keeps the
+    output linear in V x walk_len; callers wanting more walks per vertex
+    union calls with remapped walk ids).
+    """
+    p = num_partitions or _num_partitions(edges)
+    e = edges.select("src", "dst").dropDuplicates().repartition(p, "src").localCheckpoint()
+    starts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    cur = (
+        starts.select(
+            F.col("id").alias("walk_id"), F.lit(0).alias("step"), F.col("id").alias("v")
+        )
+        .repartition(p, "v")
+        .localCheckpoint()
+    )
+    steps = [cur]
+    for t in range(1, walk_len + 1):
+        nxt = (
+            cur.join(e, cur.v == e.src, "inner")
+            .groupBy("walk_id")
+            .agg(
+                F.min_by(
+                    F.col("dst"), F.struct(_mix(F.col("walk_id"), t, F.col("dst")), F.col("dst"))
+                ).alias("v")
+            )
+            .select("walk_id", F.lit(t).alias("step"), "v")
+            .repartition(p, "v")
+            .localCheckpoint()
+        )
+        steps.append(nxt)
+        cur = nxt
+
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out

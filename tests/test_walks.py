@@ -1,0 +1,57 @@
+"""Pseudorandom walks: exact replay against a pure-Python oracle, and
+structural invariants (every hop is an edge, walks die at sinks)."""
+
+from pagerank_spark.algos.walks import _M, pseudorandom_walks
+from pagerank_spark.sources.graphs import er_edges_numpy
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame([(int(s), int(d)) for s, d in pairs], "src long, dst long")
+
+
+def _brute_walks(pairs, k):
+    adj = {}
+    verts = set()
+    for s, d in pairs:
+        s, d = int(s), int(d)
+        adj.setdefault(s, set()).add(d)
+        verts.update((s, d))
+    rows = {(v, 0): v for v in verts}
+    cur = {v: v for v in verts}  # walk_id -> current vertex
+    for t in range(1, k + 1):
+        nxt = {}
+        for w, u in cur.items():
+            nbrs = adj.get(u)
+            if not nbrs:
+                continue
+            v = min(nbrs, key=lambda x: (((w % _M) * 1009 + t * 131 + (x % _M) * 7919) % _M, x))
+            nxt[w] = v
+            rows[(w, t)] = v
+        cur = nxt
+    return rows
+
+
+def test_walks_match_python_replay(spark):
+    arr = er_edges_numpy(70, 350, seed=23)
+    got = {
+        (r["walk_id"], r["step"]): r["v"]
+        for r in pseudorandom_walks(_edges_df(spark, arr), walk_len=5).collect()
+    }
+    assert got == _brute_walks(arr, 5)
+
+
+def test_walks_every_hop_is_an_edge_and_sinks_stop(spark):
+    pairs = [(1, 2), (2, 3), (2, 4)]  # 3 and 4 are sinks
+    rows = pseudorandom_walks(_edges_df(spark, pairs), walk_len=6).collect()
+    edges = {(s, d) for s, d in pairs}
+    byw = {}
+    for r in rows:
+        byw.setdefault(r["walk_id"], {})[r["step"]] = r["v"]
+    for w, path in byw.items():
+        assert path[0] == w
+        for t in range(1, max(path) + 1):
+            assert t in path  # steps are contiguous
+            assert (path[t - 1], path[t]) in edges
+    # sink starts emit only step 0; walk from 1 runs 1->2->sink (3 steps max)
+    assert set(byw[3]) == {0} and set(byw[4]) == {0}
+    assert max(byw[1]) == 2
