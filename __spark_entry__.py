@@ -617,6 +617,23 @@ def _walks_sql(edges_cte: str, k: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+def _skipgram_sql(edges_cte: str, k: int, window: int) -> str:
+    """Walk replay (see _walks_sql) + skip-gram co-occurrence counts within
+    the step window, mirroring algos/walks.py skipgram_pairs."""
+    base = _walks_sql(edges_cte, k)
+    head, union = base.split("\nSELECT walk_id", 1)
+    return (
+        head
+        + ",\nwt AS MATERIALIZED (SELECT walk_id"
+        + union
+        + f""")
+SELECT a.v AS center, b.v AS context, COUNT(*) AS cnt
+FROM wt a JOIN wt b ON a.walk_id = b.walk_id
+WHERE a.step <> b.step AND ABS(a.step - b.step) <= {window}
+GROUP BY 1, 2"""
+    )
+
+
 def q_walks_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudorandom walk corpus (one walk per vertex, 4 steps) on the
     copurchase graph — the DeepWalk-style sampling stage of an embedding
@@ -625,6 +642,16 @@ def q_walks_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.algos.walks import pseudorandom_walks
 
     return pseudorandom_walks(_graph_for(spark, sf_dir, "copurchase"), walk_len=4)
+
+
+def q_skipgram_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts (window 2) from the
+    4-step walk corpus — the full DeepWalk sampling pipeline end-to-end.
+    Oracle: walk replay + windowed self-join counts (_skipgram_sql)."""
+    from pagerank_spark.algos.walks import pseudorandom_walks, skipgram_pairs
+
+    w = pseudorandom_walks(_graph_for(spark, sf_dir, "copurchase"), walk_len=4)
+    return skipgram_pairs(w, window=2)
 
 
 def q_harmonic_closeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1349,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_closeness_events": q_harmonic_closeness_events,
         "assortativity_copurchase": q_assortativity_copurchase,
         "walks_copurchase": q_walks_copurchase,
+        "skipgram_copurchase": q_skipgram_copurchase,
         "triangles_copurchase": q_triangles_copurchase,
         "exact_dedup_docs": q_exact_dedup_docs,
         "text_profile_docs": q_text_profile_docs,
@@ -1758,6 +1786,7 @@ GROUP BY 1, 2"""
     sqls["sssp_events"] = _sssp_sql(EVENTS_EDGES_CTE, 6, 97, weighted=True)
     sqls["harmonic_closeness_events"] = _harmonic_sql(EVENTS_EDGES_CTE, 6, 97)
     sqls["walks_copurchase"] = _walks_sql(COPURCHASE_EDGES_CTE, 4)
+    sqls["skipgram_copurchase"] = _skipgram_sql(COPURCHASE_EDGES_CTE, 4, 2)
     sqls["assortativity_copurchase"] = f"""
 WITH {COPURCHASE_EDGES_CTE.strip()},
 und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

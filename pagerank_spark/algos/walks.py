@@ -88,3 +88,25 @@ def pseudorandom_walks(
     for s in steps[1:]:
         out = out.unionByName(s)
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Aggregate (center, context) co-occurrence counts from a walk table
+    ``(walk_id, step, v)`` — the skip-gram training pairs an embedding
+    trainer consumes (window = max step distance, both directions).
+
+    One self-join keyed by walk_id (walks are short, so the per-key fan-out
+    is bounded by walk_len^2) followed by one map-side-combined count
+    aggregate on (center, context). Returns ``(center, context, cnt)``.
+    """
+    a = walks.select("walk_id", F.col("step").alias("__sc"), F.col("v").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("__st"), F.col("v").alias("context"))
+    return (
+        a.join(b.hint("shuffle_hash"), "walk_id")
+        .filter(
+            (F.col("__sc") != F.col("__st"))
+            & (F.abs(F.col("__sc") - F.col("__st")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

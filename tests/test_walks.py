@@ -55,3 +55,18 @@ def test_walks_every_hop_is_an_edge_and_sinks_stop(spark):
     # sink starts emit only step 0; walk from 1 runs 1->2->sink (3 steps max)
     assert set(byw[3]) == {0} and set(byw[4]) == {0}
     assert max(byw[1]) == 2
+
+
+def test_skipgram_pairs_chain(spark):
+    from pagerank_spark.algos.walks import skipgram_pairs
+
+    # one walk 0: [10, 11, 12, 13]; window 2
+    rows = [(0, 0, 10), (0, 1, 11), (0, 2, 12), (0, 3, 13)]
+    walks = spark.createDataFrame(rows, "walk_id long, step int, v long")
+    got = {(r["center"], r["context"]): r["cnt"] for r in skipgram_pairs(walks, window=2).collect()}
+    exp = {}
+    for _, sc, c in rows:
+        for _, st, x in rows:
+            if sc != st and abs(sc - st) <= 2:
+                exp[(c, x)] = exp.get((c, x), 0) + 1
+    assert got == exp
