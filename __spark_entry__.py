@@ -336,6 +336,25 @@ GROUP BY v.id"""
     )
 
 
+def _katz_sql(edges_cte: str, k: int, alpha: float, beta: float) -> str:
+    """Unrolled k-iteration Katz centrality mirroring algos/katz.py:
+    x_{k+1} = beta + alpha * in-gather(x_k), x_0 = beta."""
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        f"x0 AS MATERIALIZED (SELECT id, CAST({beta} AS DOUBLE) AS katz FROM v)",
+    ]
+    for it in range(1, k + 1):
+        prev, cur = f"x{it - 1}", f"x{it}"
+        ctes.append(f"""{cur} AS MATERIALIZED (
+  SELECT v.id, {beta} + {alpha} * COALESCE(s.s, 0) AS katz
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, SUM(x.katz) AS s FROM e JOIN {prev} x ON e.src = x.id GROUP BY 1
+  ) s ON s.id = v.id
+)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(katz, 6) AS katz FROM x{k}"
+
+
 _NORM_TEXT_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _STOP_RE = "\\b(the|a|of|and|to|in|is|it)\\b"
 # empty/blank guard mirrors functions/text.py token_count (Spark returns 0;
@@ -402,6 +421,26 @@ def q_hits_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = res.scores.select(
             "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
         ).localCheckpoint()  # materialize before restoring the conf
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
+def q_katz_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality on the events graph, alpha=0.05, beta=1, k=4.
+    Oracle: unrolled 4-iteration SQL (_katz_sql)."""
+    from pagerank_spark.algos.katz import katz
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        res = katz(
+            _graph_for(spark, sf_dir, "events"), alpha=0.05, beta=1.0,
+            max_iters=4, tol=0.0, check_every=4, num_partitions=4,
+        )
+        out = res.scores.select(
+            "id", F.round("katz", 6).alias("katz")
+        ).localCheckpoint()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out
@@ -1365,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_events_k3": q_ppr_events_k3,
         "wppr_events_k3": q_wppr_events_k3,
         "hits_events_k4": q_hits_events,
+        "katz_events_k4": q_katz_events,
         "linkpred_copurchase": q_linkpred_copurchase,
         "cc_events": q_cc_events,
         "cc_sizes_events": q_cc_sizes_events,
@@ -1434,6 +1474,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["pagerank_events_k3"] = _pagerank_sql(EVENTS_EDGES_CTE, 3)
     sqls["hits_events_k4"] = _hits_sql(EVENTS_EDGES_CTE, 4)
+    sqls["katz_events_k4"] = _katz_sql(EVENTS_EDGES_CTE, 4, 0.05, 1.0)
     sqls["linkpred_copurchase"] = f"""
 WITH {_materialize(COPURCHASE_EDGES_CTE.strip())},
 adj AS MATERIALIZED (

@@ -78,3 +78,31 @@ def test_hits_empty_raises(spark):
     df = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError):
         hits(df, max_iters=2)
+
+
+def test_katz_matches_numpy(spark):
+    from pagerank_spark.algos.katz import katz
+
+    arr = er_edges_numpy(60, 240, seed=9)
+    alpha, beta, k = 0.05, 1.0, 6
+    ids = sorted({int(x) for x in arr.ravel()})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for s, d in arr:
+        A[idx[int(s)], idx[int(d)]] += 1.0
+    x = np.full(len(ids), beta)
+    for _ in range(k):
+        x = beta + alpha * (A.T @ x)
+    res = katz(_edges_df(spark, arr), alpha=alpha, beta=beta, max_iters=k, tol=0.0, check_every=3)
+    assert res.iterations == k
+    rows = {r["id"]: r["katz"] for r in res.scores.collect()}
+    got = np.array([rows[v] for v in ids])
+    assert np.allclose(got, x, atol=1e-9)
+
+
+def test_katz_converges(spark):
+    from pagerank_spark.algos.katz import katz
+
+    arr = er_edges_numpy(80, 320, seed=4)
+    res = katz(_edges_df(spark, arr), alpha=0.01, max_iters=100, tol=1e-10, check_every=4)
+    assert res.converged and res.iterations < 100
