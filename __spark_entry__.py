@@ -355,6 +355,54 @@ def _katz_sql(edges_cte: str, k: int, alpha: float, beta: float) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(katz, 6) AS katz FROM x{k}"
 
 
+def _betweenness_sql(edges_cte: str, k: int, seed_mod: int) -> str:
+    """Unrolled landmark k-bounded Brandes betweenness mirroring
+    algos/betweenness.py: forward BFS levels with shortest-path counts
+    (sigma), backward per-level dependency accumulation
+    delta(v) = sum sigma(v)/sigma(w) * (1 + delta(w)) over DAG successors."""
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM e)",
+        "vv AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst AS id FROM de)",
+        f"f0 AS MATERIALIZED (SELECT id AS seed, id, CAST(1 AS DOUBLE) AS sigma "
+        f"FROM vv WHERE id % {seed_mod} = 0)",
+        "r0 AS MATERIALIZED (SELECT seed, id FROM f0)",
+    ]
+    for t in range(1, k + 1):
+        ctes.append(f"""f{t} AS MATERIALIZED (
+  SELECT c.seed, c.id, c.sigma FROM (
+    SELECT p.seed, de.dst AS id, SUM(p.sigma) AS sigma
+    FROM de JOIN f{t - 1} p ON de.src = p.id GROUP BY 1, 2
+  ) c LEFT JOIN r{t - 1} r ON r.seed = c.seed AND r.id = c.id
+  WHERE r.id IS NULL
+)""")
+        ctes.append(
+            f"r{t} AS MATERIALIZED (SELECT seed, id FROM r{t - 1} "
+            f"UNION ALL SELECT seed, id FROM f{t})"
+        )
+    ctes.append(f"d{k} AS MATERIALIZED (SELECT seed, id, CAST(0 AS DOUBLE) AS delta FROM f{k})")
+    for t in range(k - 1, -1, -1):
+        ctes.append(f"""d{t} AS MATERIALIZED (
+  SELECT u.seed, u.id,
+         COALESCE(SUM((u.sigma / w.sigma) * (1 + w.delta)), 0) AS delta
+  FROM f{t} u
+  LEFT JOIN de ON de.src = u.id
+  LEFT JOIN (SELECT f.seed, f.id, f.sigma, dn.delta
+             FROM f{t + 1} f JOIN d{t + 1} dn ON dn.seed = f.seed AND dn.id = f.id) w
+    ON w.seed = u.seed AND w.id = de.dst
+  GROUP BY 1, 2
+)""")
+    union = "\nUNION ALL\n".join(f"SELECT seed, id, delta FROM d{t}" for t in range(k + 1))
+    return (
+        "WITH " + ",\n".join(ctes) + f",\ndd AS MATERIALIZED ({union})"
+        + """
+SELECT vv.id,
+       ROUND(COALESCE(SUM(CASE WHEN dd.seed <> dd.id THEN dd.delta END), 0), 6) AS betweenness
+FROM vv LEFT JOIN dd ON dd.id = vv.id
+GROUP BY vv.id"""
+    )
+
+
 _NORM_TEXT_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _STOP_RE = "\\b(the|a|of|and|to|in|is|it)\\b"
 # empty/blank guard mirrors functions/text.py token_count (Spark returns 0;
@@ -681,6 +729,20 @@ def q_walks_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.algos.walks import pseudorandom_walks
 
     return pseudorandom_walks(_graph_for(spark, sf_dir, "copurchase"), walk_len=4)
+
+
+def q_betweenness_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark 4-bounded Brandes betweenness on the copurchase graph,
+    seeds = ids % 50 == 0. Oracle: forward sigma + backward delta levels
+    unrolled (_betweenness_sql)."""
+    from pagerank_spark.algos.betweenness import betweenness_landmark
+
+    edges = _graph_for(spark, sf_dir, "copurchase")
+    verts = edges.select(F.col("src").alias("id")).union(edges.select(F.col("dst").alias("id"))).distinct()
+    seeds = verts.filter(F.col("id") % 50 == 0)
+    return betweenness_landmark(edges, seeds, max_depth=4).select(
+        "id", F.round("betweenness", 6).alias("betweenness")
+    )
 
 
 def q_skipgram_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1417,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity_copurchase": q_assortativity_copurchase,
         "walks_copurchase": q_walks_copurchase,
         "skipgram_copurchase": q_skipgram_copurchase,
+        "betweenness_copurchase": q_betweenness_copurchase,
         "triangles_copurchase": q_triangles_copurchase,
         "exact_dedup_docs": q_exact_dedup_docs,
         "text_profile_docs": q_text_profile_docs,
@@ -1828,6 +1891,7 @@ GROUP BY 1, 2"""
     sqls["harmonic_closeness_events"] = _harmonic_sql(EVENTS_EDGES_CTE, 6, 97)
     sqls["walks_copurchase"] = _walks_sql(COPURCHASE_EDGES_CTE, 4)
     sqls["skipgram_copurchase"] = _skipgram_sql(COPURCHASE_EDGES_CTE, 4, 2)
+    sqls["betweenness_copurchase"] = _betweenness_sql(COPURCHASE_EDGES_CTE, 4, 50)
     sqls["assortativity_copurchase"] = f"""
 WITH {COPURCHASE_EDGES_CTE.strip()},
 und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
