@@ -854,6 +854,63 @@ def q_hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/trainprep.py:decontaminate):
+    flag training docs sharing any 13-token-gram with the evaluation set
+    (GPT-3 rule). Eval set = every 37th doc of the same corpus, so its exact
+    duplicates (the corpus plants them) plus the eval docs themselves get
+    contaminated=1 — nontrivial on both sides of the flag."""
+    from pagerank_spark.operators.trainprep import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate(docs, ev, n=13)
+
+
+def q_tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (operators/trainprep.py:
+    tfidf_top_terms) — smooth idf, deterministic (score desc, term asc)
+    ranking."""
+    from pagerank_spark.operators.trainprep import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=3)
+
+
+def q_blend_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset blending (operators/trainprep.py:blend_corpora):
+    sample the corpus to a 50/20/15/10/5 lang mixture by taking the
+    lowest-multiplicative-hash docs per lang. Integer weights keep the
+    floor arithmetic integer-exact so DuckDB replays the selection
+    bit-for-bit."""
+    from pagerank_spark.operators.trainprep import blend_corpora
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = blend_corpora(docs, {"en": 50, "de": 20, "es": 15, "fr": 10, "zh": 5})
+    return out.select("doc_id", "lang", "blend_rk")
+
+
+def q_dedup_paragraphs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal (operators/trainprep.py:
+    dedup_paragraphs): the corpus has no natural paragraph repeats, so the
+    gate plants them — [text, filler, text, tail(doc_id%7), filler] — and
+    checks the kept set, order, and reassembled text exactly."""
+    from pagerank_spark.operators.trainprep import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("filler para"),
+            F.col("text"),
+            F.concat(F.lit("tail "), (F.col("doc_id") % 7).cast("string")),
+            F.lit("filler para"),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(docs)
+
+
 def q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.operators.textops import quality_filter
 
@@ -1512,6 +1569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": q_pii_scrub_docs,
         "pack_chunks_docs": q_pack_chunks_docs,
         "hash_split_docs": q_hash_split_docs,
+        "decontam_docs": q_decontam_docs,
+        "tfidf_docs": q_tfidf_docs,
+        "blend_docs": q_blend_docs,
+        "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
         "triangles_per_part": q_triangles_per_part,
         "fingerprint_dedup_docs": q_fingerprint_dedup_docs,
         "set_ops_customers": q_set_ops_customers,
@@ -1965,6 +2026,75 @@ SELECT p.a, p.b,
                   ELSE len(list_intersect(x.s, y.s)) * 1.0
                        / len(list_distinct(list_concat(x.s, y.s))) END, 6) AS jaccard
 FROM pairs p JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b"""
+
+    sqls["decontam_docs"] = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
+),
+g AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 13, 0) + 2),
+                                      i -> array_to_string(list_slice(t, i, i + 12), ' '))) AS s
+  FROM toks
+),
+evl AS (
+  SELECT list(DISTINCT gram) AS gl FROM (SELECT unnest(s) AS gram FROM g WHERE doc_id % 37 = 0)
+)
+SELECT doc_id, len(s) AS n_grams, len(list_intersect(s, gl)) AS n_hits,
+       CASE WHEN len(list_intersect(s, gl)) >= 1 THEN 1 ELSE 0 END AS contaminated
+FROM g, evl"""
+
+    sqls["tfidf_docs"] = """
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM documents
+),
+tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+dfq AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS sco
+  FROM tf JOIN dfq USING (term), n
+),
+rk AS (
+  SELECT doc_id, term, tf, sco,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sco DESC, term ASC) AS rk
+  FROM sc
+)
+SELECT doc_id, term, tf, ROUND(sco, 6) AS score, rk FROM rk WHERE rk <= 3"""
+
+    sqls["blend_docs"] = """
+WITH w(lang, wt) AS (VALUES ('en', 50), ('de', 20), ('es', 15), ('fr', 10), ('zh', 5)),
+cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+s AS (SELECT MIN(cnt.n * 100 // w.wt) AS st FROM cnt JOIN w USING (lang)),
+takes AS (SELECT w.lang, (w.wt * s.st) // 100 AS tk FROM w, s),
+rk AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS blend_rk
+  FROM documents WHERE lang IN (SELECT lang FROM w)
+)
+SELECT rk.doc_id, rk.lang, rk.blend_rk FROM rk JOIN takes USING (lang)
+WHERE rk.blend_rk <= takes.tk"""
+
+    sqls["dedup_paragraphs_docs"] = """
+WITH d AS (
+  SELECT doc_id,
+         text || chr(10) || 'filler para' || chr(10) || text || chr(10)
+              || 'tail ' || (doc_id % 7) || chr(10) || 'filler para' AS t
+  FROM documents
+),
+p AS (SELECT doc_id, string_split(t, chr(10)) AS ps FROM d),
+u AS (
+  SELECT doc_id, unnest(ps) AS para, generate_subscripts(ps, 1) AS i, len(ps) AS n_paras
+  FROM p
+),
+k AS (
+  SELECT doc_id, para, i, n_paras, MIN(i) OVER (PARTITION BY doc_id, para) AS fi FROM u
+)
+SELECT doc_id, n_paras, COUNT(*) AS n_kept,
+       string_agg(para, chr(10) ORDER BY i) AS text_dedup
+FROM k WHERE i = fi GROUP BY doc_id, n_paras"""
 
     # planted-structure corpora: the dedup group structure is closed-form
     # arithmetic over doc ids (sources/docs.py), so the oracle needs no

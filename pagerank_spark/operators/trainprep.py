@@ -1,0 +1,218 @@
+"""Training-corpus preparation operators: eval-set decontamination, TF-IDF
+term weighting, deterministic dataset blending, and intra-document
+paragraph deduplication.
+
+These extend the link-graph mandate with the data-prep stages a pretraining
+pipeline runs next to dedup/quality filtering (operators/dedup.py,
+operators/textops.py). Everything here is pure JVM column expressions — no
+UDFs, no driver-side loops over data — so each operator is a codegen'd scan
+projection plus the minimum shuffles:
+
+- :func:`decontaminate` — flag training documents sharing any token n-gram
+  with an evaluation set (the GPT-3-style 13-gram collision rule). The eval
+  gram dictionary is broadcast (eval suites are tiny next to the corpus),
+  so the train side is ONE scan + explode + broadcast semi-probe + partial
+  agg: no shuffle of corpus text at all.
+- :func:`tfidf_top_terms` — classic tf-idf with smooth idf; document
+  frequency is aggregated once and broadcast back (the vocabulary after
+  aggregation is millions of rows, not corpus-sized).
+- :func:`blend_corpora` — deterministic mixture sampling: hit target domain
+  proportions exactly (floor arithmetic) by taking the lowest-hash documents
+  per domain. Multiplicative-hash ordering (packing.KNUTH) makes the sample
+  stable under repartitioning/reruns and cross-engine reproducible — the
+  same leakage-safety property as packing.hash_split.
+- :func:`dedup_paragraphs` — Gopher-style repetition removal WITHIN a
+  document: drop repeated paragraphs, keep first occurrences in order.
+  Entirely per-row array expressions (zero shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .packing import KNUTH
+
+
+def _ngram_set(text_col: str, n: int):
+    """Distinct token ``n``-gram array (same tokenizer + short-doc clamp as
+    dedup.ngram_jaccard so the DuckDB oracle mirrors both identically)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-train-document eval-set n-gram contamination report.
+
+    Returns ``(doc_id, n_grams, n_hits, contaminated)`` where ``n_hits`` is
+    the number of DISTINCT train-doc n-grams that appear anywhere in the
+    evaluation set and ``contaminated = 1`` iff ``n_hits >= min_hits`` (the
+    GPT-3 decontamination rule with its default single-collision trigger).
+
+    Scale shape: the eval side collapses to a distinct gram dictionary
+    (benchmark suites are MBs against a 100-TB corpus) and is broadcast, so
+    the train corpus is scanned once — explode + broadcast hash probe +
+    map-side-combined count. Documents shorter than ``n`` tokens contribute
+    their whole text as one gram (clamp shared with the oracle).
+    """
+    grams = F.broadcast(
+        eval_docs.select(F.explode(_ngram_set(text_col, n)).alias("gram"))
+        .dropDuplicates()
+        .withColumn("__hit", F.lit(1))
+    )
+    tr = train.select(
+        F.col(id_col).alias("doc_id"),
+        _ngram_set(text_col, n).alias("__grams"),
+    ).select("doc_id", F.size("__grams").alias("n_grams"), F.explode("__grams").alias("gram"))
+    return (
+        tr.join(grams, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits") >= min_hits).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` tf-idf terms per document.
+
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` (smooth idf). Returns
+    ``(doc_id, term, tf, score, rk)``, ``rk`` 1..k ordered by score
+    descending with the term string as the deterministic tiebreak (equal
+    scores arise exactly when (tf, df) coincide).
+
+    Plan: one explode + (doc, term) partial-agg shuffle for tf; the df
+    relation is the aggregated vocabulary — broadcast back onto tf so the
+    per-document ranking window is the only other shuffle. N is taken with
+    one count() on the input (a setup action, not per-row driver work).
+    """
+    n_docs = docs.count()
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf") * (
+        F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("__score").desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("__score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", F.round("__score", 6).alias("score"), "rk")
+    )
+
+
+def blend_corpora(
+    docs: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic mixture sampling to target domain proportions.
+
+    Given target weights ``{domain: w}`` (any positive scale; normalized
+    internally), computes the largest total sample size ``S`` such that
+    every domain can supply its share (``S = min_d floor(n_d / w_d)`` after
+    normalization), then takes ``take_d = floor(w_d * S)`` documents from
+    each domain — specifically the ``take_d`` with the SMALLEST
+    multiplicative hash ``((id + salt) * KNUTH) mod 2^32`` (ties broken by
+    id). The selection is a pure function of ids, so reruns, repartitioning,
+    and incremental re-executions pick the same sample (no RNG state), and a
+    DuckDB oracle reproduces it bit-for-bit.
+
+    Domains absent from ``weights`` are dropped. Returns the selected rows
+    with all input columns plus ``blend_rk`` (1-based within-domain rank).
+
+    Scale shape: one small count-by-domain aggregate (collected — rows =
+    #domains), then a per-domain ranking window. The window shuffles on the
+    domain key; with few heavy domains that is the natural skew point, so at
+    real scale run it per-domain-bucket (the hash order is total, so any
+    partition-parallel top-take_d over hash ranges composes exactly).
+    """
+    from fractions import Fraction
+
+    # exact rational normalization: with integer weights, S and take_d are
+    # pure integer arithmetic — floor(n_d * wsum / w_d), floor(w_d * S / wsum)
+    # — reproducible bit-for-bit by a SQL oracle (no float-boundary drift)
+    wsum = sum(Fraction(w) for w in weights.values())
+    if wsum <= 0:
+        raise ValueError("blend weights must sum to a positive value")
+    norm = {d: Fraction(w) / wsum for d, w in weights.items()}
+    counts = {
+        r["d"]: r["n"]
+        for r in docs.filter(F.col(domain_col).isin(list(norm)))
+        .groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    missing = sorted(set(norm) - set(counts))
+    if missing:
+        raise ValueError(f"blend domains absent from corpus: {missing}")
+    s_total = min(counts[d] // norm[d] for d in norm)
+    takes = {d: int(norm[d] * s_total) for d in norm}
+    h = F.pmod((F.col(id_col) + F.lit(salt)) * F.lit(KNUTH), F.lit(1 << 32))
+    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
+    take_expr = F.create_map(
+        *[x for d, t in sorted(takes.items()) for x in (F.lit(d), F.lit(t))]
+    )
+    return (
+        docs.filter(F.col(domain_col).isin(list(norm)))
+        .withColumn("blend_rk", F.row_number().over(w))
+        .filter(F.col("blend_rk") <= take_expr[F.col(domain_col)])
+    )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove repeated paragraphs within each document (first occurrence
+    kept, original order preserved) — the intra-document repetition-removal
+    stage of quality pipelines (Gopher rules family).
+
+    Returns ``(doc_id, n_paras, n_kept, text_dedup)``. Implementation is a
+    single per-row projection: split on ``sep``, keep element ``i`` iff its
+    first occurrence index is ``i`` (``array_position``), re-join. No
+    shuffle, no UDF; cost is O(p^2) string compares per doc where p is the
+    paragraph count — p is tens, not thousands, for real documents.
+    """
+    parts = F.split(F.col(text_col), sep, -1)  # sep is a regex, like F.split itself
+    d = docs.select(F.col(id_col).alias("doc_id"), parts.alias("__p"))
+    kept = F.filter(
+        F.col("__p"), lambda x, i: F.array_position(F.col("__p"), x) == i + F.lit(1)
+    )
+    return d.select(
+        "doc_id",
+        F.size("__p").alias("n_paras"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, sep).alias("text_dedup"),
+    )

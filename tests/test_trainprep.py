@@ -1,0 +1,109 @@
+"""Training-corpus preparation operators (operators/trainprep.py):
+decontamination, tf-idf, deterministic blending, paragraph dedup."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.trainprep import (
+    blend_corpora,
+    decontaminate,
+    dedup_paragraphs,
+    tfidf_top_terms,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_decontaminate_flags_ngram_collisions(spark):
+    train = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta epsilon"),  # shares 3-gram with eval
+            (1, "one two three four five"),  # clean
+            (2, "alpha beta gamma"),  # whole doc is one clamped gram? no: 3 toks -> 1 gram
+            (3, "zz"),  # short doc, clamped single gram, clean
+        ],
+    )
+    ev = _docs(spark, [(100, "xx alpha beta gamma yy"), (101, "alpha beta gamma")])
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+        for r in decontaminate(train, ev, n=3).collect()
+    }
+    # doc 0: grams {a b g, b g d, g d e} -> 1 hit
+    assert out[0] == (3, 1, 1)
+    assert out[1] == (3, 0, 0)
+    assert out[2] == (1, 1, 1)
+    assert out[3] == (1, 0, 0)
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    train = _docs(spark, [(0, "a b c d e f")])
+    ev = _docs(spark, [(1, "a b c d")])  # eval grams: {a b c, b c d}
+    one = decontaminate(train, ev, n=3, min_hits=3).collect()[0]
+    assert one["n_hits"] == 2 and one["contaminated"] == 0
+
+
+def test_tfidf_matches_closed_form(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "cat cat dog"),
+            (1, "dog bird"),
+            (2, "cat fish fish fish"),
+        ],
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    n = 3
+
+    def score(tf, df):
+        return tf * (math.log((n + 1) / (df + 1)) + 1.0)
+
+    got = {(r["doc_id"], r["rk"]): (r["term"], r["tf"], r["score"]) for r in out}
+    # doc 0: cat tf=2 df=2 -> 2*(ln(4/3)+1); dog tf=1 df=2
+    assert got[(0, 1)][0] == "cat"
+    assert abs(got[(0, 1)][2] - round(score(2, 2), 6)) < 1e-9
+    assert got[(0, 2)][0] == "dog"
+    # doc 2: fish tf=3 df=1 ranks above cat tf=1 df=2
+    assert got[(2, 1)][0] == "fish"
+    assert abs(got[(2, 1)][2] - round(score(3, 1), 6)) < 1e-9
+    # ties (equal tf, df) break by term string: doc 1 dog/bird both tf=1 df=2... bird df=1
+    assert got[(1, 1)][0] == "bird"  # df=1 -> higher idf than dog (df=2)
+
+
+def test_blend_exact_proportions_and_determinism(spark):
+    rows = [(i, "t", "en" if i % 4 != 3 else "de") for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = blend_corpora(docs, {"en": 0.5, "de": 0.5})
+    by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # n_en=300, n_de=100 -> S = min(300/.5, 100/.5) = 200 -> 100 each
+    assert by == {"en": 100, "de": 100}
+    ids_a = sorted(r["doc_id"] for r in out.collect())
+    ids_b = sorted(r["doc_id"] for r in blend_corpora(docs.repartition(13), {"en": 0.5, "de": 0.5}).collect())
+    assert ids_a == ids_b  # stable under repartitioning
+
+
+def test_blend_salt_changes_sample_not_counts(spark):
+    # en oversupplied (200 docs) vs its 25% mixture share; de is the binding
+    # domain: S = min(200/.25, 100/.75) = 133 -> take en 33, de 99
+    rows = [(i, "t", "en" if i < 200 else "de") for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    weights = {"en": 0.25, "de": 0.75}
+    s0 = blend_corpora(docs, weights, salt=0)
+    s1 = blend_corpora(docs, weights, salt=7)
+    c0 = {r["lang"]: r["n"] for r in s0.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    c1 = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert c0 == c1 == {"en": 33, "de": 99}
+    en0 = set(r["doc_id"] for r in s0.filter(F.col("lang") == "en").collect())
+    en1 = set(r["doc_id"] for r in s1.filter(F.col("lang") == "en").collect())
+    assert len(en0) == len(en1) == 33 and en0 != en1  # salt reshuffles the pick
+
+
+def test_dedup_paragraphs_first_occurrence_order(spark):
+    docs = _docs(spark, [(0, "A\nB\nA\nC\nB"), (1, "X"), (2, "A\nA\nA")])
+    got = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert (got[0]["n_paras"], got[0]["n_kept"], got[0]["text_dedup"]) == (5, 3, "A\nB\nC")
+    assert (got[1]["n_paras"], got[1]["n_kept"], got[1]["text_dedup"]) == (1, 1, "X")
+    assert (got[2]["n_paras"], got[2]["n_kept"], got[2]["text_dedup"]) == (3, 1, "A")
