@@ -355,6 +355,31 @@ def _katz_sql(edges_cte: str, k: int, alpha: float, beta: float) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, ROUND(katz, 6) AS katz FROM x{k}"
 
 
+def _eigen_sql(edges_cte: str, k: int) -> str:
+    """Unrolled k-step power iteration mirroring
+    algos/katz.py:eigenvector_centrality: x' = in-gather(x), x_0 = 1,
+    L2-normalized at the end (scale invariance makes end-normalization
+    exact for the engine's block-normalized iteration)."""
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        "x0 AS MATERIALIZED (SELECT id, CAST(1 AS DOUBLE) AS eig FROM v)",
+    ]
+    for it in range(1, k + 1):
+        prev, cur = f"x{it - 1}", f"x{it}"
+        ctes.append(f"""{cur} AS MATERIALIZED (
+  SELECT v.id, COALESCE(s.s, 0) AS eig
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, SUM(x.eig) AS s FROM e JOIN {prev} x ON e.src = x.id GROUP BY 1
+  ) s ON s.id = v.id
+)""")
+    ctes.append(f"n2 AS (SELECT SQRT(SUM(eig * eig)) AS n FROM x{k})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(eig / n, 6) AS eig FROM x{k}, n2"
+    )
+
+
 def _betweenness_sql(edges_cte: str, k: int, seed_mod: int) -> str:
     """Unrolled landmark k-bounded Brandes betweenness mirroring
     algos/betweenness.py: forward BFS levels with shortest-path counts
@@ -488,6 +513,26 @@ def q_katz_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = res.scores.select(
             "id", F.round("katz", 6).alias("katz")
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
+def q_eigenvector_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality on the events graph, k=4 power-iteration
+    steps, L2-normalized. Oracle: unrolled 4-step SQL (_eigen_sql)."""
+    from pagerank_spark.algos.katz import eigenvector_centrality
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        res = eigenvector_centrality(
+            _graph_for(spark, sf_dir, "events"),
+            max_iters=4, tol=0.0, check_every=4, num_partitions=4,
+        )
+        out = res.scores.select(
+            "id", F.round("eig", 6).alias("eig")
         ).localCheckpoint()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -1524,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wppr_events_k3": q_wppr_events_k3,
         "hits_events_k4": q_hits_events,
         "katz_events_k4": q_katz_events,
+        "eigenvector_events_k4": q_eigenvector_events,
         "linkpred_copurchase": q_linkpred_copurchase,
         "cc_events": q_cc_events,
         "cc_sizes_events": q_cc_sizes_events,
@@ -1599,6 +1645,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["pagerank_events_k3"] = _pagerank_sql(EVENTS_EDGES_CTE, 3)
     sqls["hits_events_k4"] = _hits_sql(EVENTS_EDGES_CTE, 4)
     sqls["katz_events_k4"] = _katz_sql(EVENTS_EDGES_CTE, 4, 0.05, 1.0)
+    sqls["eigenvector_events_k4"] = _eigen_sql(EVENTS_EDGES_CTE, 4)
     sqls["linkpred_copurchase"] = f"""
 WITH {_materialize(COPURCHASE_EDGES_CTE.strip())},
 adj AS MATERIALIZED (
