@@ -380,6 +380,38 @@ def _eigen_sql(edges_cte: str, k: int) -> str:
     )
 
 
+def _truss_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """Unrolled k-truss peeling mirroring algos/truss.py: per round, count
+    common neighbors per canonical edge (triangle support) and keep edges
+    with support >= k-2. ``rounds`` must be >= the engine's measured
+    fixpoint round count — extra rounds are no-ops at the fixpoint, so a
+    safety margin is free."""
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM e WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        ctes.append(
+            f"adj{r} AS (SELECT a AS u, b AS v FROM {prev} UNION ALL SELECT b, a FROM {prev})"
+        )
+        ctes.append(f"""s{r} AS MATERIALIZED (
+  SELECT t.a, t.b, COUNT(n2.v) AS support
+  FROM {prev} t
+  LEFT JOIN adj{r} n1 ON n1.u = t.a
+  LEFT JOIN adj{r} n2 ON n2.u = t.b AND n2.v = n1.v
+  GROUP BY 1, 2
+)""")
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT a, b FROM s{r} WHERE support >= {k - 2})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a, b, support FROM s{rounds} WHERE support >= {k - 2}"
+    )
+
+
 def _betweenness_sql(edges_cte: str, k: int, seed_mod: int) -> str:
     """Unrolled landmark k-bounded Brandes betweenness mirroring
     algos/betweenness.py: forward BFS levels with shortest-path counts
@@ -662,6 +694,17 @@ def q_k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.algos.kcore import k_core
 
     return k_core(_graph_for(spark, sf_dir, "copurchase"), k=90, rounds=4)
+
+
+def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-truss of the copurchase graph, peeled to fixpoint (measured 4
+    rounds at sf0.01; the oracle unrolls 5 — no-op rounds at the fixpoint
+    are free). Output is the surviving canonical edge set with final
+    triangle support."""
+    from pagerank_spark.algos.truss import k_truss
+
+    res = k_truss(_graph_for(spark, sf_dir, "copurchase"), k=5, num_partitions=8)
+    return res.edges.select("a", "b", "support")
 
 
 def q_cc_sizes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1574,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_events": q_cc_events,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
+        "k_truss_copurchase": q_k_truss_copurchase,
         "labelprop_events": q_labelprop_events,
         "modularity_labelprop_events": q_modularity_labelprop_events,
         "clustering_coef_copurchase": q_clustering_coef_copurchase,
@@ -1737,6 +1781,8 @@ FROM v JOIN events ev ON ev.event_id = v.id"""
             f"JOIN a{t} x ON s.src = x.id JOIN a{t} y ON s.dst = y.id)"
         )
     sqls["k_core_copurchase"] = "WITH " + ",\n".join(peel) + "\nSELECT id FROM a4"
+
+    sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
 
     sqls["cc_sizes_events"] = f"""
 WITH {EVENTS_EDGES_CTE.strip()},
