@@ -707,6 +707,29 @@ def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.edges.select("a", "b", "support")
 
 
+def q_gnn_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-mean feature propagation (algos/gnn.py:neighborhood_mean),
+    2 hops over the events graph with features attached from the embeddings
+    table by id mod 500 (the tables are independently keyed), sliced to 8
+    dims. Output exploded to (id, pos, val) on a 1-in-10 vertex sample to
+    bound the hash compare; per-dimension means are independent, so the
+    dim slice is exact."""
+    from pagerank_spark.algos.gnn import neighborhood_mean
+
+    g = _graph_for(spark, sf_dir, "events")
+    ids = g.select(F.col("src").alias("id")).union(g.select("dst")).dropDuplicates()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("embedding")
+    )
+    feats = ids.join(emb, ids.id % 500 == emb.vec_id).select("id", "embedding")
+    out = neighborhood_mean(g, feats, hops=2, num_partitions=8)
+    return (
+        out.select("id", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("id") % 10 == 0)
+        .select("id", "pos", F.round("val", 6).alias("val"))
+    )
+
+
 def q_cc_sizes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-size distribution: per-component vertex counts."""
     from pagerank_spark.algos.components import connected_components
@@ -1618,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "k_truss_copurchase": q_k_truss_copurchase,
+        "gnn_agg_events": q_gnn_agg_events,
         "labelprop_events": q_labelprop_events,
         "modularity_labelprop_events": q_modularity_labelprop_events,
         "clustering_coef_copurchase": q_clustering_coef_copurchase,
@@ -1783,6 +1807,26 @@ FROM v JOIN events ev ON ev.event_id = v.id"""
     sqls["k_core_copurchase"] = "WITH " + ",\n".join(peel) + "\nSELECT id FROM a4"
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
+
+    sqls["gnn_agg_events"] = f"""
+WITH {_materialize(EVENTS_EDGES_CTE.strip())},
+v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+f AS MATERIALIZED (
+  SELECT v.id, m.pos, m.val FROM v JOIN (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+  ) m ON m.vec_id = v.id % 500
+  WHERE m.pos < 8
+),
+se AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT id, id FROM v),
+h1 AS MATERIALIZED (
+  SELECT se.dst AS id, f.pos, AVG(f.val) AS val FROM se JOIN f ON f.id = se.src GROUP BY 1, 2
+),
+h2 AS MATERIALIZED (
+  SELECT se.dst AS id, h1.pos, AVG(h1.val) AS val FROM se JOIN h1 ON h1.id = se.src GROUP BY 1, 2
+)
+SELECT id, pos, ROUND(val, 6) AS val FROM h2 WHERE id % 10 = 0"""
 
     sqls["cc_sizes_events"] = f"""
 WITH {EVENTS_EDGES_CTE.strip()},

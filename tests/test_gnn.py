@@ -1,0 +1,54 @@
+"""Neighborhood feature aggregation (algos/gnn.py) vs a NumPy oracle."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pagerank_spark.algos.gnn import neighborhood_mean
+
+
+def _numpy_prop(pairs, feats, hops):
+    ids = sorted({v for p in pairs for v in p})
+    nin = {v: [v] for v in ids}  # self-loop
+    for s, d in pairs:
+        nin[d].append(s)
+    h = {v: np.asarray(feats[v], dtype=float) for v in ids if v in feats}
+    for _ in range(hops):
+        nh = {}
+        for v in ids:
+            contrib = [h[u] for u in nin[v] if u in h]
+            if contrib:
+                nh[v] = np.mean(contrib, axis=0)
+        h = nh
+    return h
+
+
+def test_neighborhood_mean_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 12, size=(40, 2)) if a != b]
+    feats = {i: rng.rand(5).tolist() for i in range(12)}
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    fdf = spark.createDataFrame([(i, v) for i, v in feats.items()], ["id", "embedding"])
+    for hops in (1, 2):
+        got = {r["id"]: r["embedding"] for r in neighborhood_mean(edges, fdf, hops=hops, num_partitions=4).collect()}
+        exp = _numpy_prop(pairs, feats, hops)
+        assert set(got) == set(exp)
+        for v in exp:
+            np.testing.assert_allclose(got[v], exp[v], atol=1e-12)
+
+
+def test_neighborhood_mean_missing_features_average_present_only(spark):
+    # vertex 2 has no feature: 0 -> 2 and 1 -> 2; mean over {0, 1} only
+    edges = spark.createDataFrame([(0, 2), (1, 2)], ["src", "dst"])
+    fdf = spark.createDataFrame([(0, [1.0, 3.0]), (1, [3.0, 5.0])], ["id", "embedding"])
+    got = {r["id"]: r["embedding"] for r in neighborhood_mean(edges, fdf, hops=1, num_partitions=4).collect()}
+    np.testing.assert_allclose(got[2], [2.0, 4.0])
+    np.testing.assert_allclose(got[0], [1.0, 3.0])  # self-loop only
+
+
+def test_neighborhood_mean_chain_two_hops(spark):
+    # 0 -> 1 -> 2 chain, hop 2 mixes grand-neighbor mass into 2
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    fdf = spark.createDataFrame([(0, [8.0]), (1, [0.0]), (2, [0.0])], ["id", "embedding"])
+    got = {r["id"]: r["embedding"][0] for r in neighborhood_mean(edges, fdf, hops=2, num_partitions=4).collect()}
+    # h1: 0 -> 8, 1 -> 4, 2 -> 0 ; h2: 2 -> mean(h1[1], h1[2]) = 2
+    assert got[0] == 8.0 and got[1] == 6.0 and got[2] == 2.0
