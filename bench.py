@@ -119,6 +119,28 @@ def run_bench(spark, sf_dir: str) -> dict:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("ann_topk_bruteforce", lambda: cosine_topk_bruteforce(emb, 0, k=10).count())
 
+    # round-3 additions — appended AFTER the shared r1/r2 sequence so the
+    # in-JVM ordering of shared queries stays comparable round-over-round
+    from pagerank_spark.algos.gnn import neighborhood_mean
+    from pagerank_spark.operators.trainprep import decontaminate, tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs.count()
+    timed("decontam_13gram", lambda: decontaminate(
+        docs, docs.filter(F.col("doc_id") % 37 == 0), n=13).count())
+    timed("tfidf_top3", lambda: tfidf_top_terms(docs, k=3).count())
+    docs.unpersist()
+
+    emb64 = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    n_emb = emb64.count()
+    verts = (
+        edges.select(F.col("src").alias("id")).union(edges.select("dst")).dropDuplicates()
+    )
+    feats = verts.join(emb64, verts.id % n_emb == emb64.vec_id).select("id", "embedding").persist()
+    feats.count()
+    timed("gnn_2hop_64d", lambda: neighborhood_mean(edges, feats, hops=2).count())
+    feats.unpersist()
+
     edges.unpersist()
     return {"timings": timings, "samples": samples, "extras": extras, "n_edges": n_edges}
 
