@@ -412,6 +412,47 @@ def _truss_sql(edges_cte: str, k: int, rounds: int) -> str:
     )
 
 
+def _mis_sql(edges_cte: str, rounds: int) -> str:
+    """Unrolled Luby MIS mirroring algos/mis.py: per round, vertices whose
+    deterministic priority (Knuth hash of (id, round), ties by id) is a
+    strict local minimum join; winners + neighbors leave. The engine's
+    (h, id) lexicographic pair is encoded as the scalar h * 2^31 + id
+    (exact for id < 2^31). Extra rounds past the fixpoint are empty no-ops,
+    so ``rounds`` only needs to be >= the measured round count."""
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "ue AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM e WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT a AS u, b AS v FROM ue UNION ALL SELECT b, a FROM ue)",
+        "av0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM adj)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"av{r - 1}"
+        ctes.append(
+            f"ae{r} AS (SELECT adj.u, adj.v FROM adj "
+            f"JOIN {prev} x ON x.id = adj.u JOIN {prev} y ON y.id = adj.v)"
+        )
+        ctes.append(
+            f"pr{r} AS (SELECT id, ((id + {r} * 1000003) * 2654435761) % 4294967296 "
+            f"* 2147483648 + id AS k FROM {prev})"
+        )
+        ctes.append(
+            f"nm{r} AS (SELECT e.u, MIN(p.k) AS mk FROM ae{r} e JOIN pr{r} p ON p.id = e.v GROUP BY 1)"
+        )
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT p.id FROM pr{r} p LEFT JOIN nm{r} n ON n.u = p.id "
+            f"WHERE n.mk IS NULL OR p.k < n.mk)"
+        )
+        ctes.append(
+            f"av{r} AS MATERIALIZED (SELECT id FROM {prev} EXCEPT (SELECT id FROM w{r} "
+            f"UNION SELECT e.v FROM ae{r} e JOIN w{r} w ON w.id = e.u))"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT id, {r} AS round FROM w{r}" for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 def _betweenness_sql(edges_cte: str, k: int, seed_mod: int) -> str:
     """Unrolled landmark k-bounded Brandes betweenness mirroring
     algos/betweenness.py: forward BFS levels with shortest-path counts
@@ -705,6 +746,17 @@ def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = k_truss(_graph_for(spark, sf_dir, "copurchase"), k=5, num_partitions=8)
     return res.edges.select("a", "b", "support")
+
+
+def q_mis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set with deterministic Knuth-hash
+    priorities on the events graph (measured 4 rounds to fixpoint at
+    sf0.01; the oracle unrolls 7 — empty rounds past the fixpoint are
+    no-ops). Output: MIS members with the round they joined."""
+    from pagerank_spark.algos.mis import luby_mis
+
+    res = luby_mis(_graph_for(spark, sf_dir, "events"), num_partitions=8)
+    return res.members.select("id", "round")
 
 
 def q_gnn_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1642,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_copurchase": q_k_core_copurchase,
         "k_truss_copurchase": q_k_truss_copurchase,
         "gnn_agg_events": q_gnn_agg_events,
+        "mis_events": q_mis_events,
         "labelprop_events": q_labelprop_events,
         "modularity_labelprop_events": q_modularity_labelprop_events,
         "clustering_coef_copurchase": q_clustering_coef_copurchase,
@@ -1807,6 +1860,7 @@ FROM v JOIN events ev ON ev.event_id = v.id"""
     sqls["k_core_copurchase"] = "WITH " + ",\n".join(peel) + "\nSELECT id FROM a4"
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
+    sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)
 
     sqls["gnn_agg_events"] = f"""
 WITH {_materialize(EVENTS_EDGES_CTE.strip())},
