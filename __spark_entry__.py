@@ -1074,6 +1074,19 @@ def q_dedup_paragraphs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(docs)
 
 
+def q_prepare_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation (operators/trainprep.py:
+    prepare_training_corpus): quality filter -> exact dedup -> eval-set
+    decontamination -> hash split -> per-split packing, as ONE fused plan.
+    Each stage is oracle-checked individually by its own gate; this one
+    pins the stage INTERACTIONS (dropped docs shift packing offsets)."""
+    from pagerank_spark.operators.trainprep import prepare_training_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    return prepare_training_corpus(docs, ev, budget=256)
+
+
 def q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.operators.textops import quality_filter
 
@@ -1740,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_docs": q_tfidf_docs,
         "blend_docs": q_blend_docs,
         "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
+        "prepare_corpus_docs": q_prepare_corpus_docs,
         "triangles_per_part": q_triangles_per_part,
         "fingerprint_dedup_docs": q_fingerprint_dedup_docs,
         "set_ops_customers": q_set_ops_customers,
@@ -2267,6 +2281,55 @@ rk AS (
 )
 SELECT rk.doc_id, rk.lang, rk.blend_rk FROM rk JOIN takes USING (lang)
 WHERE rk.blend_rk <= takes.tk"""
+
+    sqls["prepare_corpus_docs"] = f"""
+WITH q AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  WHERE (CASE WHEN {_TOKENS_SQL} BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN {_MEANTOK_SQL} BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN {_STOPRATIO_SQL} BETWEEN 0.0 AND 0.5 THEN 0.3 ELSE 0.0 END) >= 0.7
+),
+dd AS MATERIALIZED (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY {_NORM_TEXT_SQL}) AS cid FROM q
+  ) WHERE doc_id = cid
+),
+gt AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 13, 0) + 2),
+         i -> array_to_string(list_slice(t, i, i + 12), ' '))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM dd)
+),
+evl AS (
+  SELECT list(DISTINCT gram) AS gl FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t) - 13, 0) + 2),
+           i -> array_to_string(list_slice(t, i, i + 12), ' '))) AS gram
+    FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM documents WHERE doc_id % 37 = 0)
+  )
+),
+clean AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM dd d JOIN gt ON gt.doc_id = d.doc_id, evl
+  WHERE len(list_intersect(gt.s, evl.gl)) = 0
+),
+sp AS (
+  SELECT doc_id, text,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id, text, ((doc_id * {KNUTH}) % 4294967296) % 100 AS b FROM clean)
+),
+c AS (
+  SELECT doc_id, split, {_TOKENS_SQL} AS n_tokens,
+         COALESCE(SUM({_TOKENS_SQL}) OVER (PARTITION BY split ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM sp
+)
+SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(start_offset AS BIGINT) AS start_offset,
+  CAST(CASE WHEN n_tokens > 0 THEN start_offset // 256 ELSE -1 END AS BIGINT) AS first_chunk,
+  CAST(CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 256 ELSE -1 END AS BIGINT) AS last_chunk,
+  CAST(CASE WHEN n_tokens > 0
+       THEN (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1
+       ELSE 0 END AS BIGINT) AS n_chunks
+FROM c"""
 
     sqls["dedup_paragraphs_docs"] = """
 WITH d AS (

@@ -189,6 +189,53 @@ def blend_corpora(
     )
 
 
+def prepare_training_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    min_quality: float = 0.7,
+    ngram: int = 13,
+    budget: int = 256,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full corpus-preparation pipeline as ONE declarative plan:
+
+    quality filter -> exact dedup (keep canonical copy) -> eval-set
+    decontamination (drop contaminated) -> deterministic train/val/test
+    split -> per-split sequence packing.
+
+    Returns per-document placement rows ``(doc_id, split, n_tokens,
+    start_offset, first_chunk, last_chunk, n_chunks)``. Because every stage
+    is pure column/window algebra, Catalyst fuses the whole pipeline —
+    filters reach the scan, the only wide exchanges are the dedup window,
+    the decontamination count, and the per-split packing window, and the
+    eval gram dictionary rides a broadcast. This is the composition gate:
+    each stage is individually oracle-checked elsewhere, this one pins the
+    stage INTERACTIONS (e.g. packing offsets shift when dedup drops a doc).
+    """
+    from .dedup import exact_dedup
+    from .packing import hash_split, pack_chunks
+    from .textops import quality_filter
+
+    q = quality_filter(docs, min_quality, text_col=text_col)
+    canon = exact_dedup(q, id_col=id_col, text_col=text_col)
+    keep_ids = (
+        canon.filter(F.col("doc_id") == F.col("canonical_id"))
+        .select(F.col("doc_id").alias("__keep_id"))
+    )
+    kept = q.join(keep_ids, q[id_col] == F.col("__keep_id"), "left_semi")
+    dec = decontaminate(kept, eval_docs, n=ngram, id_col=id_col, text_col=text_col)
+    clean_ids = (
+        dec.filter(F.col("contaminated") == 0).select(F.col("doc_id").alias("__clean_id"))
+    )
+    clean = kept.join(clean_ids, kept[id_col] == F.col("__clean_id"), "left_semi")
+    s = hash_split(clean, id_col=id_col, train_pct=train_pct, val_pct=val_pct)
+    packed = pack_chunks(s, budget, id_col=id_col, text_col=text_col, shard_col="split")
+    return packed.withColumnRenamed("shard", "split")
+
+
 def dedup_paragraphs(
     docs: DataFrame,
     sep: str = "\n",

@@ -101,6 +101,42 @@ def test_blend_salt_changes_sample_not_counts(spark):
     assert len(en0) == len(en1) == 33 and en0 != en1  # salt reshuffles the pick
 
 
+def test_prepare_training_corpus_stage_interactions(spark):
+    from pagerank_spark.operators.packing import KNUTH
+    from pagerank_spark.operators.trainprep import prepare_training_corpus
+
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    evaltxt = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    rows = [
+        (0, "tiny"),                      # fails quality (1 token)
+        (1, good),                        # survives, canonical of the dup pair
+        (2, good),                        # exact dup of 1 -> dropped
+        (3, evaltxt),                     # contaminated (13-gram hit) -> dropped
+        (4, good + " nu"),                # survives
+        (5, good + " nu xi"),             # survives
+    ]
+    docs = _docs(spark, rows)
+    ev = _docs(spark, [(100, evaltxt)])
+    out = {r["doc_id"]: r for r in prepare_training_corpus(docs, ev, budget=13).collect()}
+    assert set(out) == {1, 4, 5}
+
+    def split_of(i):
+        b = ((i * KNUTH) % (1 << 32)) % 100
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    # packing offsets are PER SPLIT, over survivors only, doc_id ascending
+    offsets = {}
+    for i in (1, 4, 5):
+        s = split_of(i)
+        assert out[i]["split"] == s
+        start = offsets.get(s, 0)
+        n = len(rows[i][1].split())
+        assert out[i]["start_offset"] == start, i
+        assert out[i]["first_chunk"] == start // 13
+        assert out[i]["last_chunk"] == (start + n - 1) // 13
+        offsets[s] = start + n
+
+
 def test_dedup_paragraphs_first_occurrence_order(spark):
     docs = _docs(spark, [(0, "A\nB\nA\nC\nB"), (1, "X"), (2, "A\nA\nA")])
     got = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
