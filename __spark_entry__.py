@@ -748,6 +748,16 @@ def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.edges.select("a", "b", "support")
 
 
+def q_bipartite_project_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted one-mode projection of the order->part membership table
+    (operators/graphstats.py:bipartite_project), min co-occurrence 2 —
+    the weighted generalization of the copurchase gate graph."""
+    from pagerank_spark.operators.graphstats import bipartite_project
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return bipartite_project(li, "l_orderkey", "l_partkey", min_weight=2)
+
+
 def q_mis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luby maximal independent set with deterministic Knuth-hash
     priorities on the events graph (measured 4 rounds to fixpoint at
@@ -1708,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss_copurchase": q_k_truss_copurchase,
         "gnn_agg_events": q_gnn_agg_events,
         "mis_events": q_mis_events,
+        "bipartite_project_orders": q_bipartite_project_orders,
         "labelprop_events": q_labelprop_events,
         "modularity_labelprop_events": q_modularity_labelprop_events,
         "clustering_coef_copurchase": q_clustering_coef_copurchase,
@@ -1875,6 +1886,11 @@ FROM v JOIN events ev ON ev.event_id = v.id"""
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)
+    sqls["bipartite_project_orders"] = """
+WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem)
+SELECT x.i AS a, y.i AS b, COUNT(*) AS weight
+FROM m x JOIN m y ON x.g = y.g AND x.i < y.i
+GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
 
     sqls["gnn_agg_events"] = f"""
 WITH {_materialize(EVENTS_EDGES_CTE.strip())},

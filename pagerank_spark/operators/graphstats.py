@@ -83,6 +83,49 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     )
 
 
+def bipartite_project(
+    memberships: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_weight: int = 1,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite membership table:
+    ``(a, b, weight)`` with ``a < b`` and ``weight`` = number of groups
+    containing both items — the recommender/co-occurrence preprocessing
+    step (the copurchase gate graph is this projection with weight
+    discarded, sources/graphs.py:109).
+
+    Scale shape: one self-join co-partitioned on the group key + one
+    grouped count on the pair key. The quadratic hazard is a hub GROUP
+    (size g contributes g^2/2 pairs); ``max_group_size`` drops groups
+    above the cap BEFORE the self-join (one pre-aggregated semi-join) —
+    the standard mitigation, since a group with thousands of members
+    contributes near-zero signal per pair while dominating the shuffle.
+    ``min_weight`` prunes the long tail AFTER the count (predicate on the
+    aggregate, map-side partially applied).
+    """
+    m = memberships.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).dropDuplicates()
+    if max_group_size is not None:
+        ok = (
+            m.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_group_size)
+            .select("g")
+        )
+        m = m.join(ok, "g", "left_semi")
+    a = m.select(F.col("g"), F.col("i").alias("a"))
+    b = m.select(F.col("g"), F.col("i").alias("b"))
+    return (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """One-row degree-assortativity coefficient of the undirected simple
     graph: the Pearson correlation between the degrees at either end of

@@ -110,3 +110,35 @@ def test_graph_summary_fixture(spark):
     assert row["max_out_deg"] == 2      # vertex 2 (or 3): 2 distinct out-edges
     assert row["max_in_deg"] == 1
     assert row["avg_out_deg"] == pytest.approx(round(5 / 4, 6))  # 4 sources, 5 edges
+
+
+def test_bipartite_project_weights_and_caps(spark):
+    from pagerank_spark.operators.graphstats import bipartite_project
+
+    rows = [
+        ("g1", 1), ("g1", 2), ("g1", 3),
+        ("g2", 1), ("g2", 2),
+        ("g3", 2), ("g3", 3),
+        ("hub", 1), ("hub", 2), ("hub", 3), ("hub", 4), ("hub", 5),
+    ]
+    m = spark.createDataFrame(rows, ["order_id", "item"])
+    got = {
+        (r["a"], r["b"]): r["weight"]
+        for r in bipartite_project(m, "order_id", "item").collect()
+    }
+    # pair (1,2): g1, g2, hub -> 3; (2,3): g1, g3, hub -> 3; (1,3): g1, hub -> 2
+    assert got[(1, 2)] == 3 and got[(2, 3)] == 3 and got[(1, 3)] == 2
+    assert got[(4, 5)] == 1  # hub-only pair
+
+    capped = {
+        (r["a"], r["b"]): r["weight"]
+        for r in bipartite_project(m, "order_id", "item", max_group_size=3).collect()
+    }
+    # hub (size 5) dropped before the self-join
+    assert capped == {(1, 2): 2, (2, 3): 2, (1, 3): 1}
+
+    pruned = {
+        (r["a"], r["b"]): r["weight"]
+        for r in bipartite_project(m, "order_id", "item", min_weight=3).collect()
+    }
+    assert pruned == {(1, 2): 3, (2, 3): 3}
