@@ -412,6 +412,42 @@ def _truss_sql(edges_cte: str, k: int, rounds: int) -> str:
     )
 
 
+def _multi_ppr_sql(edges_cte: str, iters: int, seed_mod: int, d: float = 0.85) -> str:
+    """Unrolled batched PPR mirroring algos/ppr.py: sparse (seed, id, rank)
+    state, r0 = e_seed; per iteration gather + per-seed dangling mass folded
+    back onto the seed row."""
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        "odeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS c FROM e GROUP BY 1)",
+        f"sds AS MATERIALIZED (SELECT id AS seed FROM v WHERE id % {seed_mod} = 0)",
+        "x0 AS MATERIALIZED (SELECT seed, seed AS id, CAST(1 AS DOUBLE) AS r FROM sds)",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"x{t - 1}"
+        ctes.append(f"""c{t} AS (
+  SELECT x.seed, e.dst AS id, SUM({d} * x.r / dg.c) AS val
+  FROM e JOIN {prev} x ON e.src = x.id JOIN odeg dg ON dg.id = e.src
+  GROUP BY 1, 2
+)""")
+        ctes.append(f"""dm{t} AS (
+  SELECT x.seed, SUM(x.r) AS dm FROM {prev} x LEFT JOIN odeg o ON o.id = x.id
+  WHERE o.id IS NULL GROUP BY 1
+)""")
+        ctes.append(f"""x{t} AS MATERIALIZED (
+  SELECT seed, id, SUM(val) AS r FROM (
+    SELECT seed, id, val FROM c{t}
+    UNION ALL
+    SELECT s.seed, s.seed AS id, {1.0 - d} + {d} * COALESCE(dm.dm, 0) AS val
+    FROM sds s LEFT JOIN dm{t} dm ON dm.seed = s.seed
+  ) GROUP BY 1, 2
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT seed, id, ROUND(r, 6) AS rank FROM x{iters}"
+    )
+
+
 def _mis_sql(edges_cte: str, rounds: int) -> str:
     """Unrolled Luby MIS mirroring algos/mis.py: per round, vertices whose
     deterministic priority (Knuth hash of (id, round), ties by id) is a
@@ -746,6 +782,21 @@ def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = k_truss(_graph_for(spark, sf_dir, "copurchase"), k=5, num_partitions=8)
     return res.edges.select("a", "b", "support")
+
+
+def q_multi_ppr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-seed PPR (algos/ppr.py): ~1% of events vertices as
+    seeds (id % 97 == 0), 3 supersteps, sparse (seed, id, rank) state.
+    Oracle: unrolled 3-iteration SQL (_multi_ppr_sql)."""
+    from pagerank_spark.algos.ppr import multi_ppr
+
+    g = _graph_for(spark, sf_dir, "events")
+    seeds = (
+        g.select(F.col("src").alias("id")).union(g.select("dst")).dropDuplicates()
+        .filter(F.col("id") % 97 == 0)
+    )
+    res = multi_ppr(g, seeds, iters=3, num_partitions=8)
+    return res.ranks.select("seed", "id", F.round("rank", 6).alias("rank"))
 
 
 def q_bipartite_project_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1719,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gnn_agg_events": q_gnn_agg_events,
         "mis_events": q_mis_events,
         "bipartite_project_orders": q_bipartite_project_orders,
+        "multi_ppr_events": q_multi_ppr_events,
         "labelprop_events": q_labelprop_events,
         "modularity_labelprop_events": q_modularity_labelprop_events,
         "clustering_coef_copurchase": q_clustering_coef_copurchase,
@@ -1792,6 +1844,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["hits_events_k4"] = _hits_sql(EVENTS_EDGES_CTE, 4)
     sqls["katz_events_k4"] = _katz_sql(EVENTS_EDGES_CTE, 4, 0.05, 1.0)
     sqls["eigenvector_events_k4"] = _eigen_sql(EVENTS_EDGES_CTE, 4)
+    sqls["multi_ppr_events"] = _multi_ppr_sql(EVENTS_EDGES_CTE, 3, 97)
     sqls["linkpred_copurchase"] = f"""
 WITH {_materialize(COPURCHASE_EDGES_CTE.strip())},
 adj AS MATERIALIZED (
