@@ -784,6 +784,31 @@ def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.edges.select("a", "b", "support")
 
 
+def q_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (operators/sequences.py):
+    one lead window + grouped count + row-normalize window, with an
+    explicit event_id tiebreak so equal timestamps stay deterministic."""
+    from pagerank_spark.operators.sequences import transition_matrix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transition_matrix(ev)
+
+
+def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull props.k out of the JSON payload
+    column (get_json_object — JVM JSON path, no UDF) and aggregate per
+    event_type. Oracle: DuckDB json_extract_string."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 def q_multi_ppr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched multi-seed PPR (algos/ppr.py): ~1% of events vertices as
     seeds (id % 97 == 0), 3 supersteps, sparse (seed, id, rank) state.
@@ -1771,6 +1796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_events": q_mis_events,
         "bipartite_project_orders": q_bipartite_project_orders,
         "multi_ppr_events": q_multi_ppr_events,
+        "transitions_events": q_transitions_events,
+        "json_props_events": q_json_props_events,
         "labelprop_events": q_labelprop_events,
         "modularity_labelprop_events": q_modularity_labelprop_events,
         "clustering_coef_copurchase": q_clustering_coef_copurchase,
@@ -1845,6 +1872,21 @@ def oracle_sql() -> dict[str, str]:
     sqls["katz_events_k4"] = _katz_sql(EVENTS_EDGES_CTE, 4, 0.05, 1.0)
     sqls["eigenvector_events_k4"] = _eigen_sql(EVENTS_EDGES_CTE, 4)
     sqls["multi_ppr_events"] = _multi_ppr_sql(EVENTS_EDGES_CTE, 3, 97)
+
+    sqls["transitions_events"] = """
+WITH s AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+c AS (SELECT src, dst, COUNT(*) AS n FROM s WHERE dst IS NOT NULL GROUP BY 1, 2)
+SELECT src, dst, n, ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY src), 6) AS prob FROM c"""
+
+    sqls["json_props_events"] = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(k) AS sum_k, ROUND(AVG(k), 6) AS avg_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY 1"""
     sqls["linkpred_copurchase"] = f"""
 WITH {_materialize(COPURCHASE_EDGES_CTE.strip())},
 adj AS MATERIALIZED (

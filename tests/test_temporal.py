@@ -109,3 +109,23 @@ def test_range_join_degenerate_intervals_and_negative_width(spark):
     assert range_join_points_intervals(pts, iv, "x", "lo", "hi", 1.0).count() == 0
     with pytest.raises(ValueError):
         range_join_points_intervals(pts, iv, "x", "lo", "hi", 0.0)
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from datetime import datetime
+
+    from pagerank_spark.operators.sequences import transition_matrix
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        # user 1: A -> B -> A -> C ; user 2: B -> B
+        (0, t, 1, "A"), (1, t, 1, "B"), (2, t, 1, "A"), (3, t, 1, "C"),
+        (4, t, 2, "B"), (5, t, 2, "B"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {(r["src"], r["dst"]): (r["n"], r["prob"]) for r in transition_matrix(ev).collect()}
+    # equal timestamps: event_id tiebreak makes the order deterministic
+    assert got[("A", "B")] == (1, 0.5) and got[("A", "C")] == (1, 0.5)
+    assert got[("B", "A")] == (1, 0.5) and got[("B", "B")] == (1, 0.5)
+    assert ("C", "A") not in got  # C is terminal for user 1
+    assert len(got) == 4
