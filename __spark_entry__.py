@@ -784,6 +784,20 @@ def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.edges.select("a", "b", "support")
 
 
+def q_seeded_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (algos/labelprop.py:
+    label_propagation_seeded): 200 clamped seeds (id % 50 == 0, 4 classes)
+    spread over the events graph for up to 4 supersteps; sparse labeled set
+    grows outward from the seeds. Oracle: unrolled 4-round SQL."""
+    from pagerank_spark.algos.labelprop import label_propagation_seeded
+
+    g = _graph_for(spark, sf_dir, "events")
+    verts = g.select(F.col("src").alias("id")).union(g.select("dst")).dropDuplicates()
+    seeds = verts.filter(F.col("id") % 50 == 0).select("id", (F.col("id") % 4).alias("label"))
+    out = label_propagation_seeded(g, seeds, max_iters=4, num_partitions=8)
+    return out.select("id", "label", F.col("seed").cast("int").alias("seed"))
+
+
 def q_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition matrix (operators/sequences.py):
     one lead window + grouped count + row-normalize window, with an
@@ -1796,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_events": q_mis_events,
         "bipartite_project_orders": q_bipartite_project_orders,
         "multi_ppr_events": q_multi_ppr_events,
+        "seeded_labelprop_events": q_seeded_labelprop_events,
         "transitions_events": q_transitions_events,
         "json_props_events": q_json_props_events,
         "labelprop_events": q_labelprop_events,
@@ -1872,6 +1887,34 @@ def oracle_sql() -> dict[str, str]:
     sqls["katz_events_k4"] = _katz_sql(EVENTS_EDGES_CTE, 4, 0.05, 1.0)
     sqls["eigenvector_events_k4"] = _eigen_sql(EVENTS_EDGES_CTE, 4)
     sqls["multi_ppr_events"] = _multi_ppr_sql(EVENTS_EDGES_CTE, 3, 97)
+
+    seeded_ctes = [
+        _materialize(EVENTS_EDGES_CTE.strip()),
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e) WHERE src <> dst)",
+        "vv AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)",
+        "sd AS MATERIALIZED (SELECT id, id % 4 AS label FROM vv WHERE id % 50 = 0)",
+        "l0 AS MATERIALIZED (SELECT id, label FROM sd)",
+    ]
+    for t in range(1, 5):
+        seeded_ctes.append(
+            f"vt{t} AS (SELECT s.dst, l.label, COUNT(*) AS n "
+            f"FROM sym s JOIN l{t - 1} l ON l.id = s.src GROUP BY 1, 2)"
+        )
+        seeded_ctes.append(
+            f"w{t} AS (SELECT dst, label FROM (SELECT dst, label, "
+            f"ROW_NUMBER() OVER (PARTITION BY dst ORDER BY n DESC, label ASC) AS rn "
+            f"FROM vt{t}) WHERE rn = 1)"
+        )
+        seeded_ctes.append(
+            f"l{t} AS MATERIALIZED (SELECT id, label FROM sd UNION ALL "
+            f"SELECT dst, label FROM w{t} WHERE dst NOT IN (SELECT id FROM sd))"
+        )
+    sqls["seeded_labelprop_events"] = (
+        "WITH " + ",\n".join(seeded_ctes)
+        + "\nSELECT l4.id, l4.label, CASE WHEN sd.id IS NULL THEN 0 ELSE 1 END AS seed"
+        + "\nFROM l4 LEFT JOIN sd ON sd.id = l4.id"
+    )
 
     sqls["transitions_events"] = """
 WITH s AS (

@@ -90,3 +90,75 @@ def label_propagation(
 
     sym.unpersist()
     return labels.select("id", "label")
+
+
+def label_propagation_seeded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iters: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Semi-supervised label propagation: ``seeds`` is ``(id, label)`` with
+    KNOWN classes; every other vertex adopts the most frequent label among
+    its labeled (undirected) neighbors each superstep (ties -> smallest
+    label), seeds stay CLAMPED, and vertices with no labeled neighbor stay
+    unlabeled. Returns ``(id, label, seed)`` for the labeled set only —
+    the state is SPARSE and grows monotonically outward from the seeds
+    (iteration t holds the seeds' t-hop labeled neighborhood, not V rows).
+
+    The node-classification counterpart of :func:`label_propagation`
+    (which detects communities from id-labels); same vote/argmax superstep
+    and double-buffer discipline.
+    """
+    p = num_partitions or _num_partitions(edges)
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .repartition(p, "src")
+        .localCheckpoint()
+    )
+    sd = (
+        seeds.select("id", "label")
+        .dropDuplicates(["id"])
+        .repartition(p, "id")
+        .localCheckpoint()
+    )
+    labels = sd.localCheckpoint(eager=False)
+    labels.count()
+
+    for _ in range(max_iters):
+        votes = (
+            sym.join(labels.hint("shuffle_hash"), sym.src == labels.id, "inner")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        winner = votes.groupBy("dst").agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("votes"), (-F.col("label")).alias("neg"))
+            ).alias("label")
+        )
+        new_labels = (
+            sd.unionByName(
+                winner.join(sd.select("id"), winner.dst == sd.id, "left_anti")
+                .select(F.col("dst").alias("id"), "label")
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("label").alias("__prev")).hint("shuffle_hash"),
+                "id",
+                "left",
+            )
+            .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("label")))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    is_seed = sd.select(F.col("id").alias("__sid"))
+    return labels.join(is_seed, labels.id == F.col("__sid"), "left").select(
+        "id", "label", F.col("__sid").isNotNull().alias("seed")
+    )

@@ -122,3 +122,58 @@ def test_k_core_triangle_graph(spark):
     )
     assert {r["id"] for r in k_core(edges, k=2).collect()} == {0, 1, 2}
     assert k_core(edges, k=3).count() == 0
+
+
+def test_seeded_labelprop_matches_python_replay(spark):
+    import random
+
+    from pagerank_spark.algos.labelprop import label_propagation_seeded
+
+    rng = random.Random(9)
+    pairs = list({tuple(sorted((rng.randrange(20), rng.randrange(20)))) for _ in range(50)})
+    pairs = [list(p) for p in pairs if p[0] != p[1]]
+    seed_map = {0: 10, 7: 20, 13: 30}
+
+    def replay(iters=20):
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lab = dict(seed_map)
+        for _ in range(iters):
+            new = dict(seed_map)
+            for v in adj:
+                if v in seed_map:
+                    continue
+                votes = {}
+                for u in adj[v]:
+                    if u in lab:
+                        votes[lab[u]] = votes.get(lab[u], 0) + 1
+                if votes:
+                    best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                    new[v] = best[0]
+            if new == lab:
+                return lab
+            lab = new
+        return lab
+
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    seeds = spark.createDataFrame(list(seed_map.items()), ["id", "label"])
+    got = {
+        r["id"]: (r["label"], r["seed"])
+        for r in label_propagation_seeded(edges, seeds, num_partitions=4).collect()
+    }
+    exp = replay()
+    assert {k: v[0] for k, v in got.items()} == exp
+    assert all(got[s] == (l, True) for s, l in seed_map.items())
+    assert all(not got[v][1] for v in got if v not in seed_map)
+
+
+def test_seeded_labelprop_unreachable_stays_unlabeled(spark):
+    from pagerank_spark.algos.labelprop import label_propagation_seeded
+
+    # two components; seeds only in the first
+    edges = spark.createDataFrame([[0, 1], [1, 2], [10, 11]], ["src", "dst"])
+    seeds = spark.createDataFrame([(0, 5)], ["id", "label"])
+    got = {r["id"]: r["label"] for r in label_propagation_seeded(edges, seeds, num_partitions=4).collect()}
+    assert got == {0: 5, 1: 5, 2: 5}  # 10, 11 never labeled
