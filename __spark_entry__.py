@@ -984,6 +984,36 @@ GROUP BY 1, 2"""
     )
 
 
+def _pmi_sql(edges_cte: str, k: int, window: int, min_count: int) -> str:
+    """Skip-gram counts (_skipgram_sql) + PMI arithmetic mirroring
+    algos/walks.py:pmi_scores."""
+    base = _skipgram_sql(edges_cte, k, window)
+    head, final = base.split("\nSELECT a.v AS center", 1)
+    return (
+        head
+        + ",\npc AS MATERIALIZED (SELECT a.v AS center"
+        + final
+        + f"""),
+mc AS (SELECT center, SUM(cnt) AS nc FROM pc GROUP BY 1),
+mx AS (SELECT context, SUM(cnt) AS nx FROM pc GROUP BY 1),
+tt AS (SELECT SUM(cnt) AS n FROM pc)
+SELECT pc.center, pc.context, pc.cnt,
+       ROUND(ln((pc.cnt * 1.0 * tt.n) / (mc.nc * 1.0 * mx.nx)), 6) AS pmi
+FROM pc JOIN mc ON mc.center = pc.center JOIN mx ON mx.context = pc.context, tt
+WHERE pc.cnt >= {min_count}"""
+    )
+
+
+def q_pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI association scores over the skip-gram pair counts of the walk
+    corpus (algos/walks.py:pmi_scores) — the walks -> pairs -> PMI chain an
+    embedding/collocation pipeline runs before factorization."""
+    from pagerank_spark.algos.walks import pmi_scores, pseudorandom_walks, skipgram_pairs
+
+    w = pseudorandom_walks(_graph_for(spark, sf_dir, "copurchase"), walk_len=4)
+    return pmi_scores(skipgram_pairs(w, window=2), min_count=2)
+
+
 def q_walks_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudorandom walk corpus (one walk per vertex, 4 steps) on the
     copurchase graph — the DeepWalk-style sampling stage of an embedding
@@ -1821,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity_copurchase": q_assortativity_copurchase,
         "walks_copurchase": q_walks_copurchase,
         "skipgram_copurchase": q_skipgram_copurchase,
+        "pmi_copurchase": q_pmi_copurchase,
         "betweenness_copurchase": q_betweenness_copurchase,
         "triangles_copurchase": q_triangles_copurchase,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -2311,6 +2342,7 @@ GROUP BY 1, 2"""
     sqls["harmonic_closeness_events"] = _harmonic_sql(EVENTS_EDGES_CTE, 6, 97)
     sqls["walks_copurchase"] = _walks_sql(COPURCHASE_EDGES_CTE, 4)
     sqls["skipgram_copurchase"] = _skipgram_sql(COPURCHASE_EDGES_CTE, 4, 2)
+    sqls["pmi_copurchase"] = _pmi_sql(COPURCHASE_EDGES_CTE, 4, 2, 2)
     sqls["betweenness_copurchase"] = _betweenness_sql(COPURCHASE_EDGES_CTE, 4, 50)
     sqls["assortativity_copurchase"] = f"""
 WITH {COPURCHASE_EDGES_CTE.strip()},

@@ -110,3 +110,40 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def pmi_scores(pairs: DataFrame, min_count: int = 1) -> DataFrame:
+    """Pointwise mutual information over ``(center, context, cnt)``
+    co-occurrence counts (:func:`skipgram_pairs` output):
+
+        pmi(a, b) = ln( (cnt(a,b) * N) / (cnt(a) * cnt(b)) )
+
+    with N = total pair count and cnt(x) the marginal center/context
+    totals — the association score an embedding or collocation pipeline
+    derives before factorization (word2vec's implicit matrix). Returns
+    ``(center, context, cnt, pmi)``, pruned to ``cnt >= min_count``.
+
+    Plan: two marginal aggregates broadcast back onto the pair table (the
+    vertex/term vocabulary after aggregation is tiny next to the pair
+    table), the grand total as an in-plan broadcast scalar — one pass over
+    the pairs, no re-shuffle of the pair key.
+    """
+    ctr = pairs.groupBy("center").agg(F.sum("cnt").alias("__nc"))
+    ctx = pairs.groupBy("context").agg(F.sum("cnt").alias("__nx"))
+    tot = pairs.agg(F.sum("cnt").alias("__n"))
+    return (
+        pairs.filter(F.col("cnt") >= min_count)
+        .join(F.broadcast(ctr), "center")
+        .join(F.broadcast(ctx), "context")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "center", "context", "cnt",
+            F.round(
+                F.log(
+                    (F.col("cnt").cast("double") * F.col("__n"))
+                    / (F.col("__nc").cast("double") * F.col("__nx"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -70,3 +70,19 @@ def test_skipgram_pairs_chain(spark):
             if sc != st and abs(sc - st) <= 2:
                 exp[(c, x)] = exp.get((c, x), 0) + 1
     assert got == exp
+
+
+def test_pmi_matches_closed_form(spark):
+    import math
+
+    from pagerank_spark.algos.walks import pmi_scores
+
+    rows = [(1, 2, 4), (2, 1, 4), (1, 3, 1), (3, 1, 1)]
+    pairs = spark.createDataFrame(rows, ["center", "context", "cnt"])
+    got = {(r["center"], r["context"]): (r["cnt"], r["pmi"]) for r in pmi_scores(pairs).collect()}
+    n = 10
+    # marginals: center 1 -> 5, 2 -> 4, 3 -> 1; context 1 -> 5, 2 -> 4, 3 -> 1
+    assert got[(1, 2)] == (4, round(math.log(4 * n / (5 * 4)), 6))
+    assert got[(1, 3)] == (1, round(math.log(1 * n / (5 * 1)), 6))
+    assert got[(3, 1)] == (1, round(math.log(1 * n / (1 * 5)), 6))
+    assert len(pmi_scores(pairs, min_count=2).collect()) == 2
