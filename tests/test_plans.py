@@ -79,3 +79,46 @@ def test_superstep_plan_shape(spark):
     assert "InMemoryTableScan" in plan
     edges_p.unpersist()
     deg.unpersist()
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    from pagerank_spark.operators.trainprep import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    plan = _plan(decontaminate(docs, ev, n=13))
+    # the eval gram dictionary is the BROADCAST side; the train corpus is
+    # never broadcast and its text is never shuffled
+    assert "BroadcastHashJoin" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    from pagerank_spark.operators.trainprep import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs, k=3))
+    assert "BroadcastHashJoin" in plan  # df vocabulary joined broadcast-side
+
+
+def test_pmi_single_pass_over_pairs(spark):
+    from pagerank_spark.algos.walks import pmi_scores
+
+    pairs = spark.createDataFrame([(1, 2, 3), (2, 1, 3)], ["center", "context", "cnt"])
+    plan = _plan(pmi_scores(pairs))
+    # both marginals and the total ride broadcast joins: no sort-merge or
+    # shuffled hash join re-keys the pair table
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_paragraphs_no_exchange(spark):
+    from pagerank_spark.operators.trainprep import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup_paragraphs(docs))
+    # pure per-row projection: no shuffle anywhere
+    assert "Exchange" not in plan
