@@ -784,6 +784,36 @@ def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.edges.select("a", "b", "support")
 
 
+def q_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user activity aggregates for every event
+    (operators/temporal.py:rolling_time_agg) — one rangeBetween window
+    pass over epoch seconds, no self-join."""
+    from pagerank_spark.operators.temporal import rolling_time_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_time_agg(ev, 3600)
+
+
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/temporal.py:snapshot_diff): old/new order
+    snapshots derived deterministically (keys % 11 == 0 absent from old ->
+    added; % 13 == 0 absent from new -> removed; % 7 == 0 repriced ->
+    changed); unchanged rows omitted. The engine compares non-key columns
+    via one xxhash64 struct hash; the oracle compares values directly —
+    identical classes (collision probability 2^-64)."""
+    from pagerank_spark.operators.temporal import snapshot_diff
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0)
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
 def q_seeded_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label propagation (algos/labelprop.py:
     label_propagation_seeded): 200 clamped seeds (id % 50 == 0, 4 classes)
@@ -1841,6 +1871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_project_orders": q_bipartite_project_orders,
         "multi_ppr_events": q_multi_ppr_events,
         "seeded_labelprop_events": q_seeded_labelprop_events,
+        "rolling_events": q_rolling_events,
+        "snapshot_diff_orders": q_snapshot_diff_orders,
         "transitions_events": q_transitions_events,
         "json_props_events": q_json_props_events,
         "labelprop_events": q_labelprop_events,
@@ -1955,6 +1987,29 @@ WITH s AS (
 ),
 c AS (SELECT src, dst, COUNT(*) AS n FROM s WHERE dst IS NOT NULL GROUP BY 1, 2)
 SELECT src, dst, n, ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY src), 6) AS prob FROM c"""
+
+    sqls["rolling_events"] = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_window,
+       ROUND(SUM(value) OVER w, 6) AS sum_window,
+       ROUND(AVG(value) OVER w, 6) AS avg_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
+
+    sqls["snapshot_diff_orders"] = """
+WITH o AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 0),
+n AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.o_totalprice <> n.o_totalprice"""
 
     sqls["json_props_events"] = """
 SELECT event_type, COUNT(*) AS n,

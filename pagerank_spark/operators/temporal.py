@@ -116,3 +116,64 @@ def range_join_points_intervals(
         (F.col(start_col) <= F.col(point_col)) & (F.col(point_col) <= F.col(end_col))
     )
     return joined.select(*[F.col(c) for c in points.columns + intervals.columns])
+
+
+def rolling_time_agg(
+    events: DataFrame,
+    window_sec: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-row trailing time-range aggregate: for every event, the count /
+    sum / mean of ``value_col`` over the same key's events in the closed
+    interval ``[ts - window_sec, ts]`` — the feature-engineering staple
+    ("activity in the last hour") as ONE rangeBetween window pass.
+
+    A RANGE frame needs a numeric ordering column, so the timestamp is
+    projected to epoch seconds first (cast keeps sub-second events in the
+    same second together — matching the SQL oracle's integer-second
+    semantics). One shuffle on the key; no self-join (the naive theta-join
+    formulation is quadratic per key)."""
+    from pyspark.sql import Window
+
+    sec = F.unix_timestamp(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(sec)
+        .rangeBetween(-window_sec, 0)
+    )
+    return events.select(
+        F.col("event_id"),
+        F.col(key_col),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.round(F.sum(value_col).over(w), 6).alias("sum_window"),
+        F.round(F.avg(value_col).over(w), 6).alias("avg_window"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same table: returns
+    ``(*key_cols, change)`` with change in {'added', 'removed', 'changed'}
+    (unchanged rows are omitted) — the primitive an incremental pipeline
+    uses to process only deltas between snapshot versions.
+
+    One full-outer join co-partitioned on the key; non-key columns are
+    compared via a single xxhash64 over their canonical struct (null-safe,
+    no per-column predicate explosion at wide schemas)."""
+    non_key = [c for c in old.columns if c not in key_cols]
+    if [c for c in new.columns if c not in key_cols] != non_key:
+        raise ValueError("snapshots must share the same schema")
+    oh = old.select(*key_cols, F.xxhash64(F.struct(*non_key)).alias("__ho"))
+    nh = new.select(*key_cols, F.xxhash64(F.struct(*non_key)).alias("__hn"))
+    j = oh.join(nh, key_cols, "full_outer")
+    change = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+    )
+    return j.select(*key_cols, change.alias("change")).filter(F.col("change").isNotNull())

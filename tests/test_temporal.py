@@ -129,3 +129,32 @@ def test_transition_matrix_counts_and_probs(spark):
     assert got[("B", "A")] == (1, 0.5) and got[("B", "B")] == (1, 0.5)
     assert ("C", "A") not in got  # C is terminal for user 1
     assert len(got) == 4
+
+
+def test_rolling_time_agg_window_bounds(spark):
+    from datetime import datetime, timedelta
+
+    from pagerank_spark.operators.temporal import rolling_time_agg
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, 10.0),
+        (1, t0 + timedelta(seconds=30), 1, 20.0),
+        (2, t0 + timedelta(seconds=61), 1, 40.0),   # event 0 fell out of a 60s window
+        (3, t0, 2, 5.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    got = {r["event_id"]: (r["n_window"], r["sum_window"]) for r in rolling_time_agg(ev, 60).collect()}
+    assert got[0] == (1, 10.0)
+    assert got[1] == (2, 30.0)
+    assert got[2] == (2, 60.0)  # events 1 and 2 within [1s, 61s]
+    assert got[3] == (1, 5.0)   # other key isolated
+
+
+def test_snapshot_diff_classes(spark):
+    from pagerank_spark.operators.temporal import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], ["k", "s", "v"])
+    new = spark.createDataFrame([(2, "b", 2.0), (3, "C", 3.0), (4, "d", 4.0)], ["k", "s", "v"])
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged -> omitted
