@@ -784,6 +784,20 @@ def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.edges.select("a", "b", "support")
 
 
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (user bucket, time bucket)
+    (functions/layout.py:zorder_key) — the multi-dimensional clustering
+    key a 100-TB table sorts by so predicates on EITHER dimension prune
+    files. Pure BIGINT shift/mask arithmetic; the oracle replays the
+    10-bit interleave as a sum of disjoint bit terms."""
+    from pagerank_spark.functions.layout import zorder_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = F.pmod(F.col("user_id"), F.lit(1024))
+    b = F.pmod(F.unix_timestamp("ts"), F.lit(1024))
+    return ev.select("event_id", zorder_key(a, b, bits=10).alias("z"))
+
+
 def q_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour per-user activity aggregates for every event
     (operators/temporal.py:rolling_time_agg) — one rangeBetween window
@@ -1872,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_ppr_events": q_multi_ppr_events,
         "seeded_labelprop_events": q_seeded_labelprop_events,
         "rolling_events": q_rolling_events,
+        "zorder_events": q_zorder_events,
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "transitions_events": q_transitions_events,
         "json_props_events": q_json_props_events,
@@ -1987,6 +2002,15 @@ WITH s AS (
 ),
 c AS (SELECT src, dst, COUNT(*) AS n FROM s WHERE dst IS NOT NULL GROUP BY 1, 2)
 SELECT src, dst, n, ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY src), 6) AS prob FROM c"""
+
+    def _spread_sql(x: str, bits: int) -> str:
+        return "(" + " + ".join(f"(({x} & {1 << i}) << {i})" for i in range(bits)) + ")"
+
+    sqls["zorder_events"] = f"""
+SELECT event_id,
+       {_spread_sql("(user_id % 1024)", 10)}
+       + ({_spread_sql("(CAST(FLOOR(epoch(ts)) AS BIGINT) % 1024)", 10)} << 1) AS z
+FROM events"""
 
     sqls["rolling_events"] = """
 SELECT event_id, user_id,
