@@ -784,6 +784,22 @@ def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.edges.select("a", "b", "support")
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_*): hash-seeded
+    codebooks + one distributed Lloyd step, byte codes, ADC lookup-table
+    scoring — the memory-compression scale path next to the inverted-list
+    one (ann_ivf_topk). Rows-only: the quantizer is engine-side (NumPy
+    kernels); encode/ADC exactness is pinned by tests/test_pq.py against a
+    NumPy replay of the trained codebooks."""
+    from pagerank_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = pq_topk(emb, query_id=0, k=10, n_sub=4, n_codes=16)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout keys over (user bucket, time bucket)
     (functions/layout.py:zorder_key) — the multi-dimensional clustering
@@ -1887,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_labelprop_events": q_seeded_labelprop_events,
         "rolling_events": q_rolling_events,
         "zorder_events": q_zorder_events,
+        "ann_pq_topk": q_ann_pq_topk,
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "transitions_events": q_transitions_events,
         "json_props_events": q_json_props_events,
@@ -2640,8 +2657,9 @@ FROM embeddings WHERE vec_id < 25"""
 
     # minhash_dedup_docs, simhash_docs, simhash_near_dups_docs: engine-side
     # hashing (xxhash64/LSH) on the REAL corpus; ann_ivf_topk (pruned
-    # nprobe): quantizer routing; multimodal_*: binary decode — not
-    # replicable in DuckDB -> rows-only checks. Each has a value-gated
+    # nprobe) and ann_pq_topk (NumPy quantizer + ADC): quantizer routing —
+    # not replicable in DuckDB -> rows-only checks. Each has a value-gated
     # sibling above (planted-structure corpus / exhaustive-probe variant)
-    # except simhash_docs raw values and multimodal.
+    # or a NumPy-replay test (tests/test_pq.py pins PQ encode/ADC exactly),
+    # except simhash_docs raw values and multimodal binary decode.
     return sqls

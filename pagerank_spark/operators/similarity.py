@@ -210,3 +210,103 @@ def cosine_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .dropDuplicates(["a", "b"])
     )
+
+
+# -- product quantization ---------------------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame, n_sub: int = 4, n_codes: int = 16, seed: int = 13,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks: split the vector into ``n_sub`` contiguous
+    subspaces; per subspace, seed ``n_codes`` codewords from a
+    deterministic hash-spread sample and refine with ONE distributed Lloyd
+    step (grouped mean over exploded components — no driver-side corpus).
+    Returns ``(n_sub, n_codes, sub_dim)`` float64.
+
+    PQ is the memory-side scale lever the inverted lists (ivf_*) don't
+    give: codes are n_sub bytes per vector, so a 100-TB float corpus scans
+    as a ~100x smaller code table under ADC.
+    """
+    sample = (
+        emb.select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"))
+        .orderBy("__h")
+        .limit(n_codes)
+        .collect()
+    )
+    init = np.array([[float(x) for x in r[vec_col]] for r in sample], dtype=np.float64)
+    dim = init.shape[1]
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_dim = dim // n_sub
+    books = init.reshape(n_codes, n_sub, sub_dim).transpose(1, 0, 2).copy()
+
+    codes0 = pq_encode(emb, books, id_col, vec_col)
+    # one Lloyd step per subspace: codeword <- mean of assigned sub-vectors
+    comp = codes0.join(emb.select(F.col(id_col).alias("vec_id"), vec_col), "vec_id").select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+        F.col("codes"),
+    ).select(
+        (F.col("pos") / sub_dim).cast("int").alias("sub"),
+        F.pmod(F.col("pos"), F.lit(sub_dim)).alias("subpos"),
+        F.col("val"),
+        F.element_at(F.col("codes"), (F.col("pos") / sub_dim).cast("int") + 1).alias("code"),
+    )
+    means = comp.groupBy("sub", "code", "subpos").agg(F.avg("val").alias("m")).collect()
+    refined = books.copy()
+    for r in means:
+        refined[int(r["sub"]), int(r["code"]), int(r["subpos"])] = float(r["m"])
+    return refined
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, codes array<int>)`` — per subspace, the L2-nearest
+    codeword index. Arrow-batched NumPy kernel (one distance matrix per
+    subspace per batch); the codebooks (n_sub x n_codes x sub_dim) ride the
+    UDF closure — kilobytes, the PQ analogue of a broadcast dim table."""
+    n_sub, _, sub_dim = codebooks.shape
+    cb = codebooks.copy()
+
+    @pandas_udf("array<int>")
+    def encode_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        out = np.empty((mat.shape[0], n_sub), dtype=np.int32)
+        for s in range(n_sub):
+            sub = mat[:, s * sub_dim:(s + 1) * sub_dim]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+            d = -2.0 * (sub @ cb[s].T) + (cb[s] ** 2).sum(axis=1)[None, :]
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return emb.select(F.col(id_col).alias("vec_id"), encode_udf(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    emb: DataFrame, query_id: int, k: int = 10, n_sub: int = 4, n_codes: int = 16,
+    seed: int = 13, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate inner-product top-k via asymmetric distance computation:
+    the query builds an (n_sub x n_codes) dot-product lookup table against
+    the codebooks, and every corpus vector is scored as the SUM of n_sub
+    table lookups over its byte codes — the scan never touches the float
+    vectors. Returns ``(vec_id, score)``, score descending."""
+    books = pq_codebooks(emb, n_sub, n_codes, seed, id_col, vec_col)
+    n_sub_, _, sub_dim = books.shape
+    q = np.asarray(_query_vec(emb, query_id, id_col, vec_col), dtype=np.float64)
+    lut = np.stack([books[s] @ q[s * sub_dim:(s + 1) * sub_dim] for s in range(n_sub_)])
+
+    codes = pq_encode(emb, books, id_col, vec_col)
+
+    @pandas_udf("double")
+    def adc_udf(code_col: pd.Series) -> pd.Series:
+        c = np.vstack(code_col.to_numpy()).astype(np.int64)
+        return pd.Series(lut[np.arange(n_sub_)[None, :], c].sum(axis=1))
+
+    scored = codes.filter(F.col("vec_id") != query_id).select(
+        "vec_id", adc_udf(F.col("codes")).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
