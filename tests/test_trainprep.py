@@ -143,3 +143,29 @@ def test_dedup_paragraphs_first_occurrence_order(spark):
     assert (got[0]["n_paras"], got[0]["n_kept"], got[0]["text_dedup"]) == (5, 3, "A\nB\nC")
     assert (got[1]["n_paras"], got[1]["n_kept"], got[1]["text_dedup"]) == (1, 1, "X")
     assert (got[2]["n_paras"], got[2]["n_kept"], got[2]["text_dedup"]) == (3, 1, "A")
+
+
+def test_prepare_corpus_job_partitioned_write(spark, tmp_path):
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_prepare_corpus",
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                      "jobs", "run_prepare_corpus.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    sf = "/root/testdata/sf0.001"
+    ev_dir, out_dir = str(tmp_path / "ev"), str(tmp_path / "out")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs.filter(F.col("doc_id") % 37 == 0).write.parquet(ev_dir)
+    summary = job.run(spark, f"{sf}/documents.parquet", ev_dir, out_dir,
+                      0.7, 13, 2048, 90, 5)
+    assert summary["kept_docs"] < summary["input_docs"]
+    back = spark.read.parquet(out_dir)
+    assert set(r["split"] for r in back.select("split").distinct().collect()) <= {"train", "val", "test"}
+    assert back.count() == summary["kept_docs"]
+    # placement columns survive the partitioned layout
+    assert {"doc_id", "n_tokens", "start_offset", "first_chunk", "last_chunk", "n_chunks", "split"} <= set(back.columns)
