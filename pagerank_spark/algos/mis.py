@@ -52,6 +52,7 @@ def luby_mis(
     max_rounds: int = 40,
     num_partitions: int | None = None,
     coloring: bool = False,
+    checkpointer=None,
 ) -> MISResult:
     """Compute a maximal independent set (``coloring=False``) or an
     iterated-MIS proper coloring (``coloring=True``, ``round`` = color).
@@ -59,6 +60,11 @@ def luby_mis(
     ``edges`` is symmetrized internally; isolated vertices (none here —
     vertices exist only via edges) would trivially join. Returns one row
     per MIS member (or per vertex with its color in coloring mode).
+
+    ``checkpointer`` commits the CUMULATIVE decided set per round; a rerun
+    reconstructs the active set from it (decided vertices plus, in MIS
+    mode, their neighbors leave) and continues — round-keyed priorities
+    make the continuation bit-identical to an uninterrupted run.
     """
     p = num_partitions or max(4, _num_partitions(edges))
 
@@ -74,12 +80,39 @@ def luby_mis(
         .localCheckpoint()
     )
     active_v = adj.select(F.col("u").alias("id")).dropDuplicates().repartition(p, "id").localCheckpoint()
+
+    start_round = 0
+    picked_parts: list[DataFrame] = []
+    if checkpointer is not None:
+        resumed = checkpointer.latest()
+        if resumed is not None:
+            start_round, state, extra = resumed
+            decided = state.select("id", "round").localCheckpoint()
+            picked_parts = [decided]
+            if extra.get("active") == 0:
+                res = MISResult(members=decided, rounds=start_round, converged=True)
+                return res
+            removed = decided.select("id")
+            if not coloring:
+                removed = removed.unionByName(
+                    adj.join(decided.select(F.col("id").alias("u")), "u")
+                    .select(F.col("v").alias("id"))
+                ).dropDuplicates()
+            active_v = (
+                active_v.join(removed, "id", "left_anti").repartition(p, "id").localCheckpoint()
+            )
     n_active = active_v.count()
 
-    result = MISResult(members=None, rounds=0, converged=(n_active == 0))  # type: ignore[arg-type]
+    result = MISResult(members=None, rounds=start_round, converged=(n_active == 0))  # type: ignore[arg-type]
     result.active_history.append(n_active)
-    picked_parts: list[DataFrame] = []
     active_e = adj
+    if start_round > 0:
+        active_e = (
+            adj.join(active_v.select(F.col("id").alias("u")), "u")
+            .join(active_v.select(F.col("id").alias("v")), "v")
+            .repartition(p, "u")
+            .localCheckpoint(eager=False)
+        )
     t0 = time.monotonic()
 
     while n_active > 0 and result.rounds < max_rounds:
@@ -131,6 +164,11 @@ def luby_mis(
         )
         result.rounds = rnd
         result.active_history.append(n_active)
+        if checkpointer is not None:
+            acc = picked_parts[0]
+            for part in picked_parts[1:]:
+                acc = acc.unionByName(part)
+            checkpointer.commit(rnd, acc, {"active": n_active, "coloring": coloring})
 
     result.converged = n_active == 0
     members = picked_parts[0] if picked_parts else und.select(

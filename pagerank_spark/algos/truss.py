@@ -43,27 +43,47 @@ def k_truss(
     k: int,
     max_rounds: int = 30,
     num_partitions: int | None = None,
+    checkpointer=None,
 ) -> TrussResult:
     """Peel to the ``k``-truss of the symmetrized simple graph.
 
     Returns the surviving canonical edges with their final triangle support
     (valid because the support emitted at the fixpoint round — the round
     that removed nothing — IS the support within the returned subgraph).
+
+    ``checkpointer`` (plans.checkpoint.Checkpointer) commits the surviving
+    edge set per peel round (edge-keyed lineage on ``a``); a rerun resumes
+    from the last committed round — or returns immediately if the committed
+    round was the fixpoint.
     """
     if k < 3:
         raise ValueError("k-truss requires k >= 3 (k=2 is the whole simple graph)")
     p = num_partitions or max(4, _num_partitions(edges))
 
-    e = (
-        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
-        .repartition(p, "a", "b")
-        .localCheckpoint()
-    )
+    start_round = 0
+    e = None
+    if checkpointer is not None:
+        resumed = checkpointer.latest()
+        if resumed is not None:
+            start_round, state, extra = resumed
+            if extra.get("converged"):
+                return TrussResult(
+                    edges=state.select("a", "b", "support"),
+                    rounds=start_round, converged=True,
+                    edge_history=[extra.get("edges")],
+                )
+            e = state.select("a", "b").repartition(p, "a", "b").localCheckpoint()
+    if e is None:
+        e = (
+            edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
+            .repartition(p, "a", "b")
+            .localCheckpoint()
+        )
     n = e.count()
 
-    result = TrussResult(edges=e.withColumn("support", F.lit(0)), rounds=0, converged=(n == 0))
+    result = TrussResult(edges=e.withColumn("support", F.lit(0)), rounds=start_round, converged=(n == 0))
     result.edge_history.append(n)
     if n == 0:
         return result
@@ -96,6 +116,10 @@ def k_truss(
         n2 = kept.count()
         result.rounds += 1
         result.edge_history.append(n2)
+        if checkpointer is not None:
+            checkpointer.commit(
+                result.rounds, kept, {"edges": n2, "converged": n2 == n}, id_col="a"
+            )
         if n2 == n:
             result.converged = True
             result.edges = kept

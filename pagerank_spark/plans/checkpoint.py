@@ -47,7 +47,9 @@ class Checkpointer:
         return os.path.join(self._step_dir(k), "_SUCCESS.json")
 
     # -- commit (write-audit-publish) -------------------------------------
-    def commit(self, k: int, state: DataFrame, extra: dict) -> None:
+    def commit(self, k: int, state: DataFrame, extra: dict, id_col: str = "id") -> None:
+        """``id_col`` names the column whose range the per-partition lineage
+        audit records (edge-keyed states pass e.g. "a")."""
         step = self._step_dir(k)
         data = os.path.join(step, "data")
         state.write.mode("overwrite").parquet(data)
@@ -59,7 +61,7 @@ class Checkpointer:
              "min_id": r["min_id"], "max_id": r["max_id"]}
             for r in (
                 audited.groupBy(F.input_file_name().alias("file"))
-                .agg(F.count(F.lit(1)).alias("rows"), F.min("id").alias("min_id"), F.max("id").alias("max_id"))
+                .agg(F.count(F.lit(1)).alias("rows"), F.min(id_col).alias("min_id"), F.max(id_col).alias("max_id"))
                 .collect()
             )
         ]
