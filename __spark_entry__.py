@@ -908,6 +908,24 @@ def q_bipartite_project_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bipartite_project(li, "l_orderkey", "l_partkey", min_weight=2)
 
 
+def q_hill_alpha_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law tail exponent (Hill MLE, d_min=50) of the copurchase
+    degree distribution (operators/graphstats.py:hill_alpha) — one degree
+    aggregate + one global agg, no sort."""
+    from pagerank_spark.operators.graphstats import hill_alpha
+
+    return hill_alpha(_graph_for(spark, sf_dir, "copurchase"), d_min=50)
+
+
+def q_sample_subgraph_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 30% vertex-induced subgraph of the events graph
+    (operators/graphstats.py:sample_subgraph) — Knuth-hash bucket filter
+    on both endpoints, structure-preserving within the sample."""
+    from pagerank_spark.operators.graphstats import sample_subgraph
+
+    return sample_subgraph(_graph_for(spark, sf_dir, "events"), pct=30)
+
+
 def q_mis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luby maximal independent set with deterministic Knuth-hash
     priorities on the events graph (measured 4 rounds to fixpoint at
@@ -1899,6 +1917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gnn_agg_events": q_gnn_agg_events,
         "mis_events": q_mis_events,
         "bipartite_project_orders": q_bipartite_project_orders,
+        "hill_alpha_copurchase": q_hill_alpha_copurchase,
+        "sample_subgraph_events": q_sample_subgraph_events,
         "multi_ppr_events": q_multi_ppr_events,
         "seeded_labelprop_events": q_seeded_labelprop_events,
         "rolling_events": q_rolling_events,
@@ -2151,6 +2171,21 @@ FROM v JOIN events ev ON ev.event_id = v.id"""
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)
+    sqls["hill_alpha_copurchase"] = f"""
+WITH {COPURCHASE_EDGES_CTE.strip()},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+dg AS (
+  SELECT id, COUNT(*) AS deg FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1 HAVING COUNT(*) >= 50
+)
+SELECT COUNT(*) AS n_tail, ROUND(1.0 + COUNT(*) / SUM(ln(deg / 50.0)), 6) AS alpha FROM dg"""
+
+    sqls["sample_subgraph_events"] = f"""
+WITH {EVENTS_EDGES_CTE.strip()}
+SELECT src, dst FROM e
+WHERE ((src * 2654435761) % 4294967296) % 100 < 30
+  AND ((dst * 2654435761) % 4294967296) % 100 < 30"""
+
     sqls["bipartite_project_orders"] = """
 WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem)
 SELECT x.i AS a, y.i AS b, COUNT(*) AS weight

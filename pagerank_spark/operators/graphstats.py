@@ -154,3 +154,69 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         .join(db.hint("shuffle_hash"), "b")
         .agg(F.round(F.corr(F.col("__da").cast("double"), F.col("__db").cast("double")), 6).alias("assortativity"))
     )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One-row ``(n_directed, n_reciprocal, reciprocity)``: the fraction of
+    distinct directed edges whose reverse edge also exists (self-loops
+    excluded) — the standard directed-graph symmetry statistic. One
+    self-join co-partitioned on the reversed key."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n = e.count()
+    r = e.join(rev, ["src", "dst"], "left_semi").count()
+    return e.sparkSession.createDataFrame(
+        [(n, r, round(r / n, 6) if n else 0.0)],
+        "n_directed long, n_reciprocal long, reciprocity double",
+    )
+
+
+def hill_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
+    """Hill (MLE) estimate of the degree-distribution power-law exponent:
+
+        alpha = 1 + n / sum over deg >= d_min of ln(deg / d_min)
+
+    over the undirected simple graph's degree sequence — the one-pass
+    closed-form tail estimator (Clauset-Shalizi-Newman family) a graph
+    profile reports next to the moments in :func:`graph_summary`. Returns
+    ``(n_tail, alpha)``; degrees below ``d_min`` are outside the modeled
+    tail. Plan: the degree aggregate then ONE global agg — no sort, no
+    quantile pass."""
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= d_min)
+    )
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.round(
+            1.0 + F.count(F.lit(1)) / F.sum(F.log(F.col("deg") / F.lit(float(d_min)))),
+            6,
+        ).alias("alpha"),
+    )
+
+
+def sample_subgraph(edges: DataFrame, pct: int, salt: int = 0) -> DataFrame:
+    """Deterministic vertex-induced subgraph: keep vertices whose Knuth
+    hash bucket is < ``pct`` (of 100) and the edges BETWEEN kept vertices —
+    the debugging/estimation subsample that preserves within-sample
+    structure (unlike edge sampling, which destroys triangles and degree
+    correlations). Pure arithmetic on ids: stable under repartitioning and
+    replayable in SQL, like packing.hash_split."""
+    from .packing import KNUTH
+
+    def keep(col):
+        return F.pmod(F.pmod((F.col(col) + F.lit(salt)) * F.lit(KNUTH), F.lit(1 << 32)), F.lit(100)) < pct
+
+    return edges.filter(keep("src") & keep("dst"))

@@ -142,3 +142,36 @@ def test_bipartite_project_weights_and_caps(spark):
         for r in bipartite_project(m, "order_id", "item", min_weight=3).collect()
     }
     assert pruned == {(1, 2): 3, (2, 3): 3}
+
+
+def test_reciprocity_counts(spark):
+    from pagerank_spark.operators.graphstats import reciprocity
+
+    e = spark.createDataFrame([[0, 1], [1, 0], [1, 2], [2, 3], [3, 2], [4, 4]], ["src", "dst"])
+    r = reciprocity(e).collect()[0]
+    assert (r["n_directed"], r["n_reciprocal"]) == (5, 4)  # self-loop dropped
+    assert abs(r["reciprocity"] - 0.8) < 1e-9
+
+
+def test_hill_alpha_closed_form(spark):
+    import math
+
+    from pagerank_spark.operators.graphstats import hill_alpha
+
+    # star on 5 leaves: center deg 5, leaves deg 1 -> tail (d_min=2) = {center}
+    e = spark.createDataFrame([[0, i] for i in range(1, 6)], ["src", "dst"])
+    r = hill_alpha(e, d_min=2).collect()[0]
+    assert r["n_tail"] == 1
+    assert abs(r["alpha"] - round(1 + 1 / math.log(5 / 2), 6)) < 1e-9
+
+
+def test_sample_subgraph_deterministic_and_induced(spark):
+    from pagerank_spark.operators.graphstats import sample_subgraph
+    from pagerank_spark.operators.packing import KNUTH
+
+    pairs = [[a, b] for a in range(30) for b in range(30) if a < b and (a + b) % 3 == 0]
+    e = spark.createDataFrame(pairs, ["src", "dst"])
+    got = set(map(tuple, sample_subgraph(e, 50).collect()))
+    kept = {v for v in range(30) if ((v * KNUTH) % (1 << 32)) % 100 < 50}
+    assert got == {(a, b) for a, b in pairs if a in kept and b in kept}
+    assert got == set(map(tuple, sample_subgraph(e.repartition(11), 50).collect()))
