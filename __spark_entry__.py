@@ -1225,6 +1225,16 @@ def q_hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_bins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning of document lengths into deciles
+    (operators/packing.py:quantile_bins) — NTILE over a total order
+    (value, id tiebreak), deterministic under repartitioning."""
+    from pagerank_spark.operators.packing import quantile_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quantile_bins(docs, "n_chars", 10)
+
+
 def q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (operators/trainprep.py:decontaminate):
     flag training docs sharing any 13-token-gram with the evaluation set
@@ -1969,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": q_pii_scrub_docs,
         "pack_chunks_docs": q_pack_chunks_docs,
         "hash_split_docs": q_hash_split_docs,
+        "quantile_bins_docs": q_quantile_bins_docs,
         "decontam_docs": q_decontam_docs,
         "tfidf_docs": q_tfidf_docs,
         "blend_docs": q_blend_docs,
@@ -2548,6 +2559,9 @@ SELECT p.a, p.b,
                   ELSE len(list_intersect(x.s, y.s)) * 1.0
                        / len(list_distinct(list_concat(x.s, y.s))) END, 6) AS jaccard
 FROM pairs p JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b"""
+
+    sqls["quantile_bins_docs"] = """
+SELECT doc_id, n_chars, NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bin FROM documents"""
 
     sqls["decontam_docs"] = """
 WITH toks AS MATERIALIZED (

@@ -94,3 +94,26 @@ def hash_split(
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Equal-frequency (quantile) binning: append ``bin`` in [1, n_bins]
+    by rank of ``value_col`` (ties broken by ``id_col`` so the binning is
+    a total order — deterministic under repartitioning, unlike raw NTILE
+    over a non-unique key). The feature-engineering discretization step;
+    also the bucket-encoding front end for layout keys
+    (functions/layout.py:zorder_key wants rank buckets, not raw skewed
+    values).
+
+    Plan note: NTILE needs a global order — one range-partitioned sort.
+    For 100-TB columns swap in percentile_approx cutpoints (the t-digest
+    scale path documented with the exact quantile gate) and bin by
+    comparison instead; this operator is the exact small/medium-table form.
+    """
+    w = Window.orderBy(F.col(value_col), F.col(id_col))
+    return df.select(id_col, value_col, F.ntile(n_bins).over(w).alias("bin"))

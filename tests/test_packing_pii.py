@@ -90,3 +90,20 @@ def test_pii_scrub_fixture(spark):
     assert got[1]["scrubbed"] == "no pii here at all"
     assert got[2]["n_email"] == 2
     assert got[2]["scrubbed"] == "two mails: <email> and <email>"
+
+
+def test_quantile_bins_equal_frequency_and_determinism(spark):
+    from pagerank_spark.operators.packing import quantile_bins
+
+    rows = [(i, float((i * 7) % 20)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "v"])
+    got = {r["doc_id"]: r["bin"] for r in quantile_bins(df, "v", 4).collect()}
+    # equal frequency: 10 per bin
+    from collections import Counter
+
+    assert Counter(got.values()) == {1: 10, 2: 10, 3: 10, 4: 10}
+    # rank order respected: every bin-1 value <= every bin-4 value
+    v = dict(rows)
+    assert max(v[i] for i, b in got.items() if b == 1) <= min(v[i] for i, b in got.items() if b == 4)
+    got2 = {r["doc_id"]: r["bin"] for r in quantile_bins(df.repartition(9), "v", 4).collect()}
+    assert got == got2  # id tiebreak makes ties deterministic
