@@ -1689,6 +1689,40 @@ def q_multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_ppm_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-gated multimodal: solid-gray P6 PPM payloads whose intensity
+    is closed-form in media_id — mean-pooled band features of a constant
+    image equal that constant exactly, so the REAL decode + feature kernel
+    is value-checked by pure SQL arithmetic (the planted-structure trick
+    the dedup family uses, applied to binary decode)."""
+    from pagerank_spark.operators.multimodal import extract_features
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pagerank_spark.operators.multimodal import encode_ppm
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            for i in ids:
+                w, h = 8 + int(i) % 9, 6 + int(i) % 5
+                g = (7 * int(i) + 11) % 256
+                payloads.append(encode_ppm(np.full((h, w, 3), g, dtype=np.uint8)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = spark.range(64).mapInPandas(gen, schema="media_id long, payload binary")
+    feats = extract_features(media, fake_decode=False)
+    return feats.select(
+        "media_id",
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+        F.size("feature").alias("dims"),
+        F.round(F.element_at("feature", 1), 3).alias("band0"),
+        F.round(F.element_at("feature", 8), 3).alias("band7"),
+    )
+
+
 def q_multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end-to-end with REAL decode: deterministic P6 PPM
     payloads synthesized per media_id in an Arrow-batched stage, then the
@@ -1993,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "cosine_near_dup_planted": q_cosine_near_dup_planted,
         "multimodal_ppm_features": q_multimodal_ppm_features,
+        "multimodal_ppm_planted": q_multimodal_ppm_planted,
         "multimodal_wav_features": q_multimodal_wav_features,
         "multimodal_video_frames": q_multimodal_video_frames,
     }
@@ -2694,6 +2729,14 @@ SELECT r.range - 1 AS a, r.range AS b, 0 AS hamming
 FROM range(4000) r
 WHERE r.range % 100 = 1 AND r.range > 0"""
 
+    # solid-gray planted payloads: band means of a constant image equal the
+    # closed-form intensity, value-gating the REAL PPM decode kernel
+    sqls["multimodal_ppm_planted"] = """
+SELECT r.range AS media_id, 1 AS decode_ok, 8 AS dims,
+       CAST((7 * r.range + 11) % 256 AS DOUBLE) AS band0,
+       CAST((7 * r.range + 11) % 256 AS DOUBLE) AS band7
+FROM range(64) r"""
+
     # nprobe == n_centroids degenerates IVF to exact search -> same oracle
     # as the brute-force cosine top-k
     sqls["ann_ivf_exhaustive"] = sqls["ann_topk_cosine"]
@@ -2708,7 +2751,8 @@ FROM embeddings WHERE vec_id < 25"""
     # hashing (xxhash64/LSH) on the REAL corpus; ann_ivf_topk (pruned
     # nprobe) and ann_pq_topk (NumPy quantizer + ADC): quantizer routing —
     # not replicable in DuckDB -> rows-only checks. Each has a value-gated
-    # sibling above (planted-structure corpus / exhaustive-probe variant)
-    # or a NumPy-replay test (tests/test_pq.py pins PQ encode/ADC exactly),
-    # except simhash_docs raw values and multimodal binary decode.
+    # sibling above (planted-structure corpus / exhaustive-probe /
+    # solid-gray planted-payload variant) or a NumPy-replay test
+    # (tests/test_pq.py pins PQ encode/ADC exactly), except simhash_docs
+    # raw values.
     return sqls
