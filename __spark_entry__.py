@@ -1723,6 +1723,50 @@ def q_multimodal_ppm_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_wav_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-gated audio decode: DC (constant) PCM16 payloads with sample
+    value 64*(media_id+1) — every RMS band of a constant signal equals
+    |sample|/32768 = (media_id+1)/512 exactly (an exact binary fraction,
+    so float32 rounding stays ~1e-7 from any 3-dp boundary). The RIFF
+    container is assembled with integer samples directly (no float
+    round-trip), value-checking the real WAV chunk-walk decoder."""
+    from pagerank_spark.operators.multimodal import extract_audio_features
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            for i in ids:
+                pcm = np.full(800, 64 * (int(i) + 1), dtype="<i2").tobytes()
+                sr = 8000
+                fmt = (
+                    (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                    + sr.to_bytes(4, "little") + (sr * 2).to_bytes(4, "little")
+                    + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+                )
+                chunks = (
+                    b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                    + b"data" + len(pcm).to_bytes(4, "little") + pcm
+                )
+                payloads.append(b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = spark.range(48).mapInPandas(gen, schema="media_id long, payload binary")
+    feats = extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+        F.size("feature").alias("dims"),
+        # cast BEFORE round: rounding a float32 keeps float32 (0.002f
+        # stringifies as 0.00200000009); round-after-cast is exact double
+        F.round(F.element_at("feature", 1).cast("double"), 3).alias("band0"),
+        F.round(F.element_at("feature", 8).cast("double"), 3).alias("band7"),
+    )
+
+
 def q_multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end-to-end with REAL decode: deterministic P6 PPM
     payloads synthesized per media_id in an Arrow-batched stage, then the
@@ -2028,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup_planted": q_cosine_near_dup_planted,
         "multimodal_ppm_features": q_multimodal_ppm_features,
         "multimodal_ppm_planted": q_multimodal_ppm_planted,
+        "multimodal_wav_planted": q_multimodal_wav_planted,
         "multimodal_wav_features": q_multimodal_wav_features,
         "multimodal_video_frames": q_multimodal_video_frames,
     }
@@ -2736,6 +2781,12 @@ SELECT r.range AS media_id, 1 AS decode_ok, 8 AS dims,
        CAST((7 * r.range + 11) % 256 AS DOUBLE) AS band0,
        CAST((7 * r.range + 11) % 256 AS DOUBLE) AS band7
 FROM range(64) r"""
+
+    sqls["multimodal_wav_planted"] = """
+SELECT r.range AS media_id, 1 AS decode_ok, 8 AS dims,
+       ROUND((r.range + 1) / 512.0, 3) AS band0,
+       ROUND((r.range + 1) / 512.0, 3) AS band7
+FROM range(48) r"""
 
     # nprobe == n_centroids degenerates IVF to exact search -> same oracle
     # as the brute-force cosine top-k
