@@ -1801,6 +1801,43 @@ def q_multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_video_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-gated video: PV61 containers of solid-gray frames whose
+    intensity is closed-form in (media_id, frame_idx) — sampled-frame band
+    means equal (17*media_id + 29*frame_idx) % 256 exactly, value-checking
+    the seeking frame decoder and the every-k sampling pattern by SQL
+    arithmetic."""
+    from pagerank_spark.operators.multimodal import sample_frames
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pagerank_spark.operators.multimodal import encode_video
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            for i in ids:
+                n_frames = 3 + int(i) % 4
+                frames = []
+                for fi in range(n_frames):
+                    g = (17 * int(i) + 29 * fi) % 256
+                    frames.append(np.full((6, 8, 3), g, dtype=np.uint8))
+                payloads.append(encode_video(frames, fps=4))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = spark.range(40).mapInPandas(gen, schema="media_id long, payload binary")
+    out = sample_frames(media, every_k=2)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+        F.round(F.element_at("feature", 1).cast("double"), 3).alias("band0"),
+        F.round(F.element_at("feature", 5).cast("double"), 3).alias("band4"),
+    )
+
+
 def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling end-to-end (operators/multimodal.py): synthesize
     deterministic PV61 containers (length-prefixed PPM frames) per media_id,
@@ -2073,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ppm_features": q_multimodal_ppm_features,
         "multimodal_ppm_planted": q_multimodal_ppm_planted,
         "multimodal_wav_planted": q_multimodal_wav_planted,
+        "multimodal_video_planted": q_multimodal_video_planted,
         "multimodal_wav_features": q_multimodal_wav_features,
         "multimodal_video_frames": q_multimodal_video_frames,
     }
@@ -2787,6 +2825,14 @@ SELECT r.range AS media_id, 1 AS decode_ok, 8 AS dims,
        ROUND((r.range + 1) / 512.0, 3) AS band0,
        ROUND((r.range + 1) / 512.0, 3) AS band7
 FROM range(48) r"""
+
+    # sampled frames: indices 0, 2, ... below 3 + id % 4 frames
+    sqls["multimodal_video_planted"] = """
+SELECT m.range AS media_id, CAST(f.range AS INTEGER) AS frame_idx, 1 AS decode_ok,
+       CAST((17 * m.range + 29 * f.range) % 256 AS DOUBLE) AS band0,
+       CAST((17 * m.range + 29 * f.range) % 256 AS DOUBLE) AS band4
+FROM range(40) m, range(7) f
+WHERE f.range % 2 = 0 AND f.range < 3 + m.range % 4"""
 
     # nprobe == n_centroids degenerates IVF to exact search -> same oracle
     # as the brute-force cosine top-k
