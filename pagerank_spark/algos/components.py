@@ -37,6 +37,7 @@ def connected_components(
     max_iters: int = 50,
     checkpointer=None,
     num_partitions: int | None = None,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Return ``(id, component)`` where component = min vertex id reachable
     in the undirected sense. Deterministic and exact.
@@ -44,6 +45,15 @@ def connected_components(
     ``checkpointer`` (plans.checkpoint.Checkpointer) commits the label
     vector + frontier size per superstep; a rerun with the same checkpointer
     resumes from the last committed superstep (north-rule resumability).
+
+    ``init_labels``: ``(id, component)`` warm start for INCREMENTAL refresh
+    over a grown edge table — seed known vertices with their previous
+    component label (which is the min id of the old component, so the
+    min-label fixpoint over the new graph is unchanged: min over merged
+    components of old labels and new ids == true min vertex id). Old
+    components are pre-collapsed, so supersteps track the diameter of the
+    NEW structure, not the whole graph. Vertices absent from
+    ``init_labels`` start at their own id, exactly like a cold run.
     """
     p = num_partitions or _num_partitions(edges)
     sym = (
@@ -69,7 +79,18 @@ def connected_components(
                 return state.select("id", "component")
             labels = state.select("id", "component").repartition(p, "id").localCheckpoint(eager=False)
     if labels is None:
-        labels = verts.select("id", F.col("id").alias("component")).repartition(p, "id").localCheckpoint(eager=False)
+        if init_labels is not None:
+            seed = init_labels.select(
+                F.col("id").alias("__sid"), F.col("component").alias("__scomp")
+            )
+            labels = (
+                verts.join(seed, verts.id == F.col("__sid"), "left")
+                .select("id", F.coalesce(F.col("__scomp"), F.col("id")).alias("component"))
+                .repartition(p, "id")
+                .localCheckpoint(eager=False)
+            )
+        else:
+            labels = verts.select("id", F.col("id").alias("component")).repartition(p, "id").localCheckpoint(eager=False)
 
     for it in range(start, max_iters):
         # 1. neighbor-min propagation (shuffle-hash: labels are never

@@ -50,3 +50,28 @@ def test_lpa_resume_identical(spark, tmp_path):
     assert ck.committed_supersteps() and max(ck.committed_supersteps()) <= 2
     resumed = {r["id"]: r["label"] for r in label_propagation(df, max_iters=8, checkpointer=ck).collect()}
     assert resumed == full
+
+
+def test_cc_incremental_warm_start_matches_full(spark):
+    """Grown edge table: warm-starting from the previous components produces
+    the same exact components as a cold full recompute — including batches
+    that MERGE previously separate components."""
+    import random
+
+    from pagerank_spark.algos.components import connected_components
+
+    rng = random.Random(12)
+    # batch 1: two chains (components {0..9} and {20..29})
+    b1 = [[i, i + 1] for i in range(9)] + [[i, i + 1] for i in range(20, 29)]
+    # batch 2: new vertices + a bridge that MERGES the two old components
+    b2 = [[9, 20], [30, 31], [31, 32], [5, 30]]
+    e1 = spark.createDataFrame(b1, ["src", "dst"])
+    e_all = spark.createDataFrame(b1 + b2, ["src", "dst"])
+
+    old = connected_components(e1, num_partitions=4)
+    warm = connected_components(e_all, num_partitions=4, init_labels=old)
+    cold = connected_components(e_all, num_partitions=4)
+    got_w = {r["id"]: r["component"] for r in warm.collect()}
+    got_c = {r["id"]: r["component"] for r in cold.collect()}
+    assert got_w == got_c
+    assert set(got_w.values()) == {0}  # everything merged into component 0
