@@ -122,3 +122,27 @@ def test_dedup_paragraphs_no_exchange(spark):
     plan = _plan(dedup_paragraphs(docs))
     # pure per-row projection: no shuffle anywhere
     assert "Exchange" not in plan
+
+
+def test_multi_ppr_state_lineage_truncated(spark):
+    from pagerank_spark.algos.ppr import multi_ppr
+
+    edges = spark.createDataFrame([(i, (i + 1) % 12) for i in range(12)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (3,)], ["id"])
+    res = multi_ppr(edges, seeds, iters=6, num_partitions=4)
+    plan = _plan(res.ranks)
+    # per-superstep localCheckpoint: the returned state is a flat RDD scan,
+    # NOT a 6-superstep join tree (the exponential-plan-growth discipline)
+    assert "Scan ExistingRDD" in plan
+    assert "Join" not in plan
+
+
+def test_gnn_gather_stays_in_hash_joins(spark):
+    from pagerank_spark.algos.gnn import neighborhood_mean
+
+    edges = spark.createDataFrame([(i, (i + 1) % 10) for i in range(10)], ["src", "dst"])
+    feats = spark.createDataFrame([(i, [float(i), 1.0]) for i in range(10)], ["id", "embedding"])
+    plan = _plan(neighborhood_mean(edges, feats, hops=2, num_partitions=4))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # per-dimension partial aggregation (map-side combine) before the shuffle
+    assert "partial_avg" in plan or "HashAggregate" in plan
