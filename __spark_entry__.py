@@ -2006,6 +2006,38 @@ def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top word/bigram fraction,
+    duplicate-word fraction) — zero-shuffle sorted-run-length plan."""
+    from pagerank_spark.operators.textops import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_signals(docs)
+
+
+def q_top_bigrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact top-20 bigrams with deterministic tiebreak
+    (heavy-hitters baseline; partial-agg + TakeOrderedAndProject)."""
+    from pagerank_spark.operators.textops import top_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_ngrams(docs, n=2, k=20)
+
+
+def q_scc_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components over the planted cyclic graph
+    (sources/graphs.py::synth_cyclic — the gate tables are DAGs, so SCC
+    needs its own deterministic cyclic input; 84 singleton chains exercise
+    trim, 12 ring blocks and 6 merged multi-block SCCs exercise the
+    color/collect phases). Oracle: exact recursive-CTE transitive closure —
+    scc(v) = max u with v->u and u->v mutually reachable."""
+    from pagerank_spark.algos.scc import strongly_connected_components
+    from pagerank_spark.sources.graphs import synth_cyclic
+
+    edges = synth_cyclic(spark, 300, block=10)
+    return strongly_connected_components(edges, num_partitions=8).labels
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2036,6 +2068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_events_k4": q_eigenvector_events,
         "linkpred_copurchase": q_linkpred_copurchase,
         "cc_events": q_cc_events,
+        "scc_synth": q_scc_synth,
+        "repetition_docs": q_repetition_docs,
+        "top_bigrams_docs": q_top_bigrams_docs,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "k_truss_copurchase": q_k_truss_copurchase,
@@ -2843,6 +2878,67 @@ WHERE f.range % 2 = 0 AND f.range < 3 + m.range % 4"""
     sqls["cosine_near_dup_planted"] = """
 SELECT vec_id AS a, vec_id + 10000 AS b, 1.0 AS sim
 FROM embeddings WHERE vec_id < 25"""
+
+    sqls["repetition_docs"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+wc AS (
+  SELECT doc_id, MAX(c) AS maxw, SUM(c) AS nw, COUNT(*) AS ndist
+  FROM (SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w)
+  GROUP BY doc_id),
+bg AS (SELECT doc_id, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs FROM t),
+bc AS (
+  SELECT doc_id, MAX(c) AS maxb, SUM(c) AS nb
+  FROM (SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(bgs) AS g FROM bg) GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT w.doc_id AS doc_id, CAST(w.nw AS INT) AS n_words,
+       ROUND(w.maxw * 1.0 / w.nw, 6) AS top_word_frac,
+       COALESCE(ROUND(b.maxb * 1.0 / b.nb, 6), 0.0) AS top_bigram_frac,
+       ROUND(1.0 - w.ndist * 1.0 / w.nw, 6) AS dup_word_frac
+FROM wc w LEFT JOIN bc b ON w.doc_id = b.doc_id"""
+
+    # deterministic tiebreak (cnt desc, gram asc) on BOTH sides makes the
+    # top-20 multiset unique, so the order-insensitive compare is exact
+    sqls["top_bigrams_docs"] = """
+SELECT g AS gram, COUNT(*) AS cnt FROM (
+  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+         i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS g
+  FROM documents)
+GROUP BY g ORDER BY cnt DESC, gram ASC LIMIT 20"""
+
+    # SCC ground truth by exact transitive closure (recursive CTE): the
+    # planted graph regenerated in closed-form arithmetic (must match
+    # sources/graphs.py::synth_cyclic edge rules exactly; DuckDB `//` is the
+    # integer division Spark writes as `DIV`)
+    sqls["scc_synth"] = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT r.range AS src, (r.range - r.range % 10) + ((r.range % 10 + 1) % 10) AS dst
+    FROM range(300) r
+    WHERE NOT ((r.range // 10) % 3 = 2 AND r.range % 10 = 9)
+    UNION ALL
+    SELECT r.range, (r.range - r.range % 10) + ((r.range % 10 + 3) % 10)
+    FROM range(300) r
+    WHERE (r.range // 10) % 3 <> 2 AND (r.range * 2654435761) % 7 = 0
+    UNION ALL
+    SELECT r.range, r.range + 10 FROM range(300) r WHERE r.range % 10 = 0 AND r.range + 10 < 300
+    UNION ALL
+    SELECT r.range, r.range + 10 FROM range(300) r WHERE (r.range * 40503 + 7) % 5 = 0 AND r.range + 10 < 300
+    UNION ALL
+    SELECT r.range, r.range - 10 FROM range(300) r WHERE r.range % 10 = 0 AND (r.range // 10) % 5 = 3
+  )
+),
+reach AS (
+  SELECT src AS s, dst AS d FROM e
+  UNION
+  SELECT r.s, e2.dst FROM reach r JOIN e e2 ON e2.src = r.d
+),
+verts AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+mutual AS (SELECT a.s AS u, a.d AS v FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s)
+SELECT v.id AS id, GREATEST(v.id, COALESCE(MAX(m.v), v.id)) AS scc
+FROM verts v LEFT JOIN mutual m ON m.u = v.id
+GROUP BY v.id"""
 
     # minhash_dedup_docs, simhash_docs, simhash_near_dups_docs: engine-side
     # hashing (xxhash64/LSH) on the REAL corpus; ann_ivf_topk (pruned

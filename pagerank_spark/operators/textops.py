@@ -143,3 +143,88 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{name}>")
     return docs.select(*out_cols, scrubbed.alias("scrubbed"))
+
+
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style per-document repetition quality signals: documents
+    dominated by a few repeated words/bigrams are low-quality training data
+    (Rae et al. 2021, "Scaling Language Models" §A1.1 repetition filters —
+    public methodology).
+
+    Returns ``(doc_id, n_words, top_word_frac, top_bigram_frac,
+    dup_word_frac)`` where top_*_frac is the count of the most frequent
+    word/bigram over the total and dup_word_frac the fraction of word
+    occurrences that are repeats.
+
+    Scale shape: **zero shuffle and zero UDFs** — the most-frequent count is
+    the longest equal-run of the *sorted* token array, computed with an
+    ``aggregate`` lambda over ``array_sort`` entirely inside whole-stage
+    codegen, so the operator is a single scan projection at any corpus size
+    (the per-doc groupBy alternative would shuffle every token).
+    """
+
+    def _max_run(arr_col: str):
+        # longest run of equal adjacent elements in a sorted array ==
+        # max frequency of any element
+        return F.expr(
+            f"""aggregate(
+                  array_sort({arr_col}),
+                  struct(CAST('' AS STRING) AS prev, 0L AS run, 0L AS best),
+                  (acc, x) -> struct(
+                      x AS prev,
+                      IF(x = acc.prev, acc.run + 1L, 1L) AS run,
+                      GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L)) AS best),
+                  acc -> acc.best)"""
+        )
+
+    toks = F.split(F.col(text_col), " ")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__t"),
+        # NB sequence(1, 0) is DESCENDING [1, 0] in Spark, so short docs
+        # need the explicit empty-array guard
+        F.expr(
+            f"IF(size(split({text_col}, ' ')) < 2, array(),"
+            f" transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+            f" i -> concat(element_at(split({text_col}, ' '), i), ' ',"
+            f" element_at(split({text_col}, ' '), i + 1))))"
+        ).alias("__b"),
+    )
+    nw = F.size("__t")
+    nb = F.size("__b")
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.round(_max_run("__t") / nw, 6).alias("top_word_frac"),
+        F.when(nb > 0, F.round(_max_run("__b") / nb, 6)).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        F.round(1.0 - F.size(F.array_distinct("__t")) / nw, 6).alias("dup_word_frac"),
+    )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k most frequent word n-grams ``(gram, cnt)`` with a
+    deterministic tiebreak (count desc, gram asc) — the exact heavy-hitters
+    baseline for vocabulary/boilerplate inspection.
+
+    Scale shape: explode -> partial-aggregated groupBy(gram) ->
+    TakeOrderedAndProject; the map-side combine collapses each partition's
+    gram counts before the single shuffle, and top-k never global-sorts.
+    """
+    grams = F.expr(
+        f"IF(size(split({text_col}, ' ')) < {n}, array(),"
+        f" transform(sequence(1, size(split({text_col}, ' ')) - {n} + 1),"
+        f" i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')))"
+    )
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(k)
+    )

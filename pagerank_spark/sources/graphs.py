@@ -123,3 +123,56 @@ def lineitem_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
+
+
+def synth_cyclic(spark: SparkSession, n: int = 300, block: int = 10) -> DataFrame:
+    """Deterministic directed graph with a rich planted SCC structure —
+    the gate graphs are DAGs by construction (events is per-user succession,
+    copurchase is canonically ordered), so SCC needs its own cyclic input.
+
+    Vertices 0..n-1 fall into blocks of ``block``; block g = id // block:
+
+    - blocks with g % 3 in {0, 1} are **rings** (intra-block successor
+      edges close the cycle; extra chords where (id * 2654435761) % 7 == 0)
+      — each ring is one SCC of size ``block``;
+    - blocks with g % 3 == 2 are **chains** (no closing edge) — every
+      vertex is a singleton SCC, exercising the trim phase;
+    - every block head has a guaranteed forward edge head -> head + block,
+      plus extra forward edges where (id * 40503 + 7) % 5 == 0 — the
+      condensation stays a DAG;
+    - block heads with g % 5 == 3 add one **backward** edge to the previous
+      block head, merging adjacent SCCs into larger ones (sizes 11/17/20 at
+      the default n=300).
+
+    All edge rules are closed-form integer arithmetic over ``range(n)`` so a
+    DuckDB oracle reproduces the table exactly, and the ground-truth SCCs
+    come from a recursive-CTE transitive closure (exact at gate scale).
+    Columnar generation (spark.range + projections) — scales to any n.
+    """
+    b = block
+    r = spark.range(n).select(F.col("id"))
+    g = F.col("id") - F.col("id") % b  # block base
+    off = F.col("id") % b
+    blk = F.expr(f"id DIV {b}")
+    succ = r.filter(~((blk % 3 == 2) & (off == b - 1))).select(
+        F.col("id").alias("src"), (g + (off + 1) % b).alias("dst")
+    )
+    chord = r.filter((blk % 3 != 2) & ((F.col("id") * 2654435761) % 7 == 0)).select(
+        F.col("id").alias("src"), (g + (off + 3) % b).alias("dst")
+    )
+    fwd_head = r.filter((off == 0) & (F.col("id") + b < n)).select(
+        F.col("id").alias("src"), (F.col("id") + b).alias("dst")
+    )
+    fwd_extra = r.filter(((F.col("id") * 40503 + 7) % 5 == 0) & (F.col("id") + b < n)).select(
+        F.col("id").alias("src"), (F.col("id") + b).alias("dst")
+    )
+    back = r.filter((off == 0) & (blk % 5 == 3)).select(
+        F.col("id").alias("src"), (F.col("id") - b).alias("dst")
+    )
+    return (
+        succ.unionByName(chord)
+        .unionByName(fwd_head)
+        .unionByName(fwd_extra)
+        .unionByName(back)
+        .dropDuplicates(["src", "dst"])
+    )
