@@ -1,9 +1,9 @@
 """spark-submit entry point: connected components / label propagation /
-triangle count over a transcripts table.
+strongly connected components / triangle count over a transcripts table.
 
 Usage:
   spark-submit --py-files pagerank_spark.zip jobs/run_components.py \
-      --transcripts t.parquet --algo cc|lpa|triangles --output out/
+      --transcripts t.parquet --algo cc|lpa|scc|triangles --output out/
 """
 
 from __future__ import annotations
@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pagerank_spark.algos.components import connected_components
 from pagerank_spark.algos.labelprop import label_propagation
+from pagerank_spark.algos.scc import strongly_connected_components
 from pagerank_spark.algos.triangles import triangle_count
 from pagerank_spark.operators.edges import transcripts_to_graph
 from pagerank_spark.plans.checkpoint import Checkpointer
@@ -26,7 +27,7 @@ from pagerank_spark.session import get_spark
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--transcripts", required=True)
-    ap.add_argument("--algo", choices=["cc", "lpa", "triangles"], default="cc")
+    ap.add_argument("--algo", choices=["cc", "lpa", "scc", "triangles"], default="cc")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", default=None)
     args = ap.parse_args()
@@ -45,13 +46,19 @@ def main() -> None:
         return
 
     ck = Checkpointer(spark, args.checkpoint) if args.checkpoint else None
+    extra = {}
     if args.algo == "cc":
         result = connected_components(edges, vertices=verts, checkpointer=ck)
+    elif args.algo == "scc":
+        # directed semantics on the reply graph (no symmetrization)
+        scc = strongly_connected_components(edges, checkpointer=ck)
+        result = scc.labels
+        extra = {"rounds": scc.rounds, "converged": scc.converged}
     else:
         result = label_propagation(edges, vertices=verts, checkpointer=ck)
     result.join(ids, result.id == ids.vid).drop("vid").write.mode("overwrite").parquet(args.output)
     print(json.dumps({"algo": args.algo, "rows": result.count(),
-                      "supersteps": ck.committed_supersteps()[-1] if ck else None}))
+                      "supersteps": ck.committed_supersteps()[-1] if ck else None, **extra}))
 
 
 if __name__ == "__main__":

@@ -142,11 +142,15 @@ def strongly_connected_components(
         .dropDuplicates()
         .repartition(p, "id")
     ).localCheckpoint()
-    # self-loop-only vertices never enter `verts`; recover them at the end
+    # self-loop-only vertices never enter `verts`; recover them at the end.
+    # Barriered: the caller's edge plan may contain a Union (e.g. reply ∪
+    # tool edges from transcripts_to_graph), and joining over a Union trips
+    # the Catalyst constraint-rewrite bug described at the return site.
     loops = (
         edges.select(F.col("src").cast("long").alias("id"))
         .filter(F.col("src").cast("long") == F.col("dst").cast("long"))
         .dropDuplicates()
+        .localCheckpoint(eager=False)
     )
 
     def _refilter(cur_e: DataFrame, cur_v: DataFrame) -> DataFrame:
@@ -244,7 +248,27 @@ def strongly_connected_components(
 
     out = _all_done()
     # vertices that only ever appeared as self-loops: singleton SCCs
-    out = out.unionByName(
-        loops.join(out, "id", "left_anti").select("id", F.col("id").alias("scc"))
+    loop_only = (
+        loops.join(out, "id", "left_anti")
+        .select("id", F.col("id").alias("scc"))
+        .localCheckpoint(eager=False)
     )
+    out = out.unionByName(loop_only)
+    # Final plan barrier, resolved with constraint propagation OFF:
+    # Dataset.localCheckpoint preserves `originConstraints`, and the trim/
+    # collect legs' constraints reference attributes of their PRE-checkpoint
+    # lineage (not in their own output), so Union's rewriteConstraints —
+    # whose AttributeMap is keyed on child outputs only — dies with
+    # `NoSuchElementException: key not found <attr>` when any join's
+    # constraints meet this Union (e.g. jobs/run_components.py's id
+    # re-join). Resolving the union once behind a barrier, constraints
+    # disabled, sidesteps the rewrite; callers then only ever see a single
+    # LogicalRDD, where constraint propagation works normally again.
+    spark = out.sparkSession
+    prev = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        out = out.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev)
     return SCCResult(labels=out, rounds=rnd, converged=converged)
