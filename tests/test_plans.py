@@ -146,3 +146,17 @@ def test_gnn_gather_stays_in_hash_joins(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # per-dimension partial aggregation (map-side combine) before the shuffle
     assert "partial_avg" in plan or "HashAggregate" in plan
+
+
+def test_tpch_q5_q10_join_strategy(spark):
+    """Q5: the dimension chain (region->nation->supplier, customer) must
+    come in as broadcast joins with no sort-merge anywhere at gate scale;
+    Q10's top-20 must be a TakeOrderedAndProject, not a global sort."""
+    import __spark_entry__ as entry
+
+    p5 = _plan(entry.q_tpch_q5(spark, SF))
+    assert p5.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p5
+    p10 = _plan(entry.q_tpch_q10(spark, SF))
+    assert "TakeOrderedAndProject" in p10
+    assert p10.count("BroadcastHashJoin") >= 1
