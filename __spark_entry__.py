@@ -2056,6 +2056,21 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-rule learning (operators/bpe.py) on a planted
+    two-pattern corpus whose full merge sequence is closed-form (verified by
+    Python replay): alternating 'x y'*4 / 'p q'*3 docs collapse in exactly 6
+    deterministic merges with freqs 800/600/600/400/200/200, including a
+    count tie at round 2 broken by the (left, right) ascending rule."""
+    from pagerank_spark.operators.bpe import learn_bpe_merges
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("x y x y x y x y")).otherwise(F.lit("p q p q p q")).alias("text"),
+    )
+    return learn_bpe_merges(docs, k=8)
+
+
 def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (top word/bigram fraction,
     duplicate-word fraction) — zero-shuffle sorted-run-length plan."""
@@ -2120,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_events": q_cc_events,
         "scc_synth": q_scc_synth,
         "repetition_docs": q_repetition_docs,
+        "bpe_merges_synth": q_bpe_merges_synth,
         "top_bigrams_docs": q_top_bigrams_docs,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
@@ -2952,6 +2968,18 @@ WHERE f.range % 2 = 0 AND f.range < 3 + m.range % 4"""
     sqls["cosine_near_dup_planted"] = """
 SELECT vec_id AS a, vec_id + 10000 AS b, 1.0 AS sim
 FROM embeddings WHERE vec_id < 25"""
+
+    # closed-form BPE merge sequence on the planted two-pattern corpus
+    # (Python-replay verified; chr(31) = the engine's merge separator)
+    sqls["bpe_merges_synth"] = """
+SELECT * FROM (VALUES
+  (1, 'x', 'y', 800),
+  (2, 'p', 'q', 600),
+  (3, 'x' || chr(31) || 'y', 'x' || chr(31) || 'y', 600),
+  (4, 'p' || chr(31) || 'q', 'p' || chr(31) || 'q', 400),
+  (5, 'p' || chr(31) || 'q' || chr(31) || 'p' || chr(31) || 'q', 'p' || chr(31) || 'q', 200),
+  (6, 'x' || chr(31) || 'y' || chr(31) || 'x' || chr(31) || 'y', 'x' || chr(31) || 'y' || chr(31) || 'x' || chr(31) || 'y', 200)
+) AS t("round", "left", "right", freq)"""
 
     sqls["repetition_docs"] = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
