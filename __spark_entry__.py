@@ -2056,6 +2056,19 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neg_samples_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word2vec/LINE-style negative sampling over the events
+    link graph (algos/walks.py::negative_samples): quantized inverse-CDF
+    unigram table (1024 slots, exact integer targets) + the walks LCG mixer
+    — fully SQL-replayable, incl. the as-of slot->token lookup (DuckDB
+    ASOF JOIN)."""
+    from pagerank_spark.algos.walks import negative_samples
+
+    edges = _graph_for(spark, sf_dir, "events")
+    pairs = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    return negative_samples(pairs, k=3, table_size=1024)
+
+
 def q_bpe_merges_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge-rule learning (operators/bpe.py) on a planted
     two-pattern corpus whose full merge sequence is closed-form (verified by
@@ -2136,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_synth": q_scc_synth,
         "repetition_docs": q_repetition_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
+        "neg_samples_events": q_neg_samples_events,
         "top_bigrams_docs": q_top_bigrams_docs,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
@@ -2968,6 +2982,22 @@ WHERE f.range % 2 = 0 AND f.range < 3 + m.range % 4"""
     sqls["cosine_near_dup_planted"] = """
 SELECT vec_id AS a, vec_id + 10000 AS b, 1.0 AS sim
 FROM embeddings WHERE vec_id < 25"""
+
+    sqls["neg_samples_events"] = f"""
+WITH {EVENTS_EDGES_CTE.strip()},
+cnts AS (SELECT dst AS tok, COUNT(*) AS cnt FROM e GROUP BY dst),
+cum AS (SELECT tok, SUM(cnt) OVER (ORDER BY tok) - cnt AS lo FROM cnts),
+tot AS (SELECT SUM(cnt) AS total FROM cnts),
+slots AS (
+  SELECT r.range AS slot,
+         ((2 * r.range + 1) * (SELECT total FROM tot)) // 2048 AS target
+  FROM range(1024) r),
+lut AS (SELECT s.slot, c.tok AS neg FROM slots s ASOF JOIN cum c ON s.target >= c.lo),
+samples AS (
+  SELECT e.src AS a, e.dst AS b, CAST(j.range AS INT) AS j,
+         ((e.src % 1024) * 1009 + (e.dst % 1024) * 7919 + j.range * 131 + 17) % 1024 AS slot
+  FROM e, range(1, 4) j)
+SELECT s.a, s.b, s.j, l.neg FROM samples s JOIN lut l ON s.slot = l.slot"""
 
     # closed-form BPE merge sequence on the planted two-pattern corpus
     # (Python-replay verified; chr(31) = the engine's merge separator)

@@ -25,7 +25,7 @@ SURVEY.md §7) and the output table is the union of the per-step leaves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .pagerank import _num_partitions
@@ -147,3 +147,65 @@ def pmi_scores(pairs: DataFrame, min_count: int = 1) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+def negative_samples(
+    pairs: DataFrame,
+    k: int = 3,
+    table_size: int = 1024,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """word2vec/LINE-style deterministic negative sampling for embedding
+    training over id pairs: for every positive pair (a, b) draw ``k``
+    negatives from the unigram distribution of the context column, via the
+    public word2vec technique of a quantized inverse-CDF lookup table
+    (Mikolov et al.'s 1e8-slot unigram table; here ``table_size`` slots).
+
+    Returns ``(a, b, j, neg)`` for j in 1..k. Fully deterministic and
+    SQL-replayable: the slot index is the same modular LCG mixer as
+    ``pseudorandom_walks`` (ids reduced mod table_size BEFORE multiplying —
+    int64-exact on engines that error on overflow), and the table targets
+    are exact integer arithmetic ``((2s+1)*total) div (2*table_size)`` —
+    no floating point anywhere. Collisions (neg == b) are kept and left to
+    the caller, exactly like the reference implementation's table draw.
+
+    Plan shape: one map-side-combined count over the pairs (the vocabulary
+    relation, tiny next to the corpus), a cumulative-sum window over the
+    vocabulary, an as-of join building the ``table_size``-row LUT, then one
+    BROADCAST equi-join of the exploded (pair, j) rows against the LUT —
+    the corpus-sized side is touched exactly once and never re-shuffled.
+    The vocabulary cumsum is a single-partition window; at a 10^7-term
+    vocabulary swap in a two-phase (per-partition totals + prefix) scan.
+    """
+    from ..operators.temporal import asof_join
+
+    m = table_size
+    a, b = F.col(a_col), F.col(b_col)
+    cnts = pairs.groupBy(b.alias("tok")).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("tok").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnts.select(
+        "tok", F.lit(0).alias("__one"), (F.sum("cnt").over(w) - F.col("cnt")).alias("lo")
+    )
+    tot = cnts.agg(F.sum("cnt").alias("__total"))
+    slots = (
+        pairs.sparkSession.range(m)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("id").alias("slot"),
+            F.lit(0).alias("__one"),
+            F.expr(f"(2 * id + 1) * __total DIV {2 * m}").alias("target"),
+        )
+    )
+    lut = asof_join(slots, cum, on="target", by="__one", value_cols=["tok"], right_on="lo").select(
+        "slot", F.col("tok").alias("neg")
+    )
+    samples = pairs.select(
+        a.alias("a"),
+        b.alias("b"),
+        F.explode(F.expr(f"sequence(1, {k})")).alias("j"),
+    ).withColumn(
+        "slot",
+        ((F.col("a") % m) * 1009 + (F.col("b") % m) * 7919 + F.col("j") * 131 + 17) % m,
+    )
+    return samples.join(F.broadcast(lut), "slot").select("a", "b", "j", "neg")

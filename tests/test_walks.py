@@ -86,3 +86,43 @@ def test_pmi_matches_closed_form(spark):
     assert got[(1, 3)] == (1, round(math.log(1 * n / (5 * 1)), 6))
     assert got[(3, 1)] == (1, round(math.log(1 * n / (1 * 5)), 6))
     assert len(pmi_scores(pairs, min_count=2).collect()) == 2
+
+
+def test_negative_samples_exact_replay(spark):
+    import collections
+    import random
+
+    from pagerank_spark.algos.walks import negative_samples
+
+    rng = random.Random(3)
+    prs = [(rng.randrange(0, 50), rng.randrange(0, 30)) for _ in range(400)]
+    pairs = spark.createDataFrame(prs, "a long, b long")
+    M, K = 64, 3
+    got = sorted((r.a, r.b, r.j, r.neg) for r in negative_samples(pairs, k=K, table_size=M).collect())
+
+    # pure-Python replay: exact-integer inverse-CDF table + LCG mixer
+    cnt = collections.Counter(b for _, b in prs)
+    cum, lo = [], 0
+    for t in sorted(cnt):
+        cum.append((t, lo))
+        lo += cnt[t]
+    total = lo
+
+    def lut_tok(target):
+        best = None
+        for t, l in cum:
+            if l <= target:
+                best = t
+            else:
+                break
+        return best
+
+    lut = {s: lut_tok(((2 * s + 1) * total) // (2 * M)) for s in range(M)}
+    exp = sorted(
+        (a, b, j, lut[((a % M) * 1009 + (b % M) * 7919 + j * 131 + 17) % M])
+        for a, b in prs
+        for j in range(1, K + 1)
+    )
+    assert got == exp
+    # every positive pair got exactly k negatives
+    assert len(got) == len(prs) * K
