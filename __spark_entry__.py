@@ -2056,6 +2056,28 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangles_estimate_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION-family sampled triangle estimate (vertex-induced 50% hash
+    sample, x8 scale-up) — deterministic, so the oracle replays it exactly."""
+    from pagerank_spark.algos.triangles import approx_triangle_count
+
+    edges = _graph_for(spark, sf_dir, "copurchase")
+    n, est = approx_triangle_count(edges, pct=50)
+    return spark.createDataFrame(
+        [(int(n), float(est))], "sampled_triangles long, estimate double"
+    )
+
+
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus rebalancing: keep 30% of English,
+    100% of the low-resource languages (hash-bucket filter, no shuffle)."""
+    from pagerank_spark.operators.packing import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, by="lang", fractions={"en": 30}, default_pct=100)
+    return out.select("doc_id", "lang")
+
+
 def q_neg_samples_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic word2vec/LINE-style negative sampling over the events
     link graph (algos/walks.py::negative_samples): quantized inverse-CDF
@@ -2150,6 +2172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
         "neg_samples_events": q_neg_samples_events,
+        "triangles_estimate_copurchase": q_triangles_estimate_copurchase,
+        "stratified_sample_docs": q_stratified_sample_docs,
         "top_bigrams_docs": q_top_bigrams_docs,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
@@ -2982,6 +3006,22 @@ WHERE f.range % 2 = 0 AND f.range < 3 + m.range % 4"""
     sqls["cosine_near_dup_planted"] = """
 SELECT vec_id AS a, vec_id + 10000 AS b, 1.0 AS sim
 FROM embeddings WHERE vec_id < 25"""
+
+    sqls["triangles_estimate_copurchase"] = f"""
+WITH {COPURCHASE_EDGES_CTE.strip()},
+s AS (
+  SELECT src, dst FROM e
+  WHERE ((src * 2654435761) % 4294967296) % 100 < 50
+    AND ((dst * 2654435761) % 4294967296) % 100 < 50)
+SELECT COUNT(*) AS sampled_triangles, CAST(COUNT(*) * 8 AS DOUBLE) AS estimate
+FROM s e1
+JOIN s e2 ON e1.src = e2.src AND e1.dst < e2.dst
+JOIN s e3 ON e3.src = e1.dst AND e3.dst = e2.dst"""
+
+    sqls["stratified_sample_docs"] = """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100
+      < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END)"""
 
     sqls["neg_samples_events"] = f"""
 WITH {EVENTS_EDGES_CTE.strip()},

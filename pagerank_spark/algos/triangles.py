@@ -180,3 +180,22 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("coef"),
     )
+
+
+def approx_triangle_count(edges: DataFrame, pct: int = 50, salt: int = 0) -> tuple[int, float]:
+    """Sampled triangle estimate in the DOULION family (Tsourakakis et al.,
+    KDD'09 — public methodology; vertex-induced variant): count triangles
+    on the deterministic ``pct``% vertex-induced subgraph
+    (operators/graphstats.py::sample_subgraph) and scale by (100/pct)^3 —
+    a triangle survives iff all 3 vertices are kept, so the estimator is
+    unbiased under the hash-uniformity assumption. Returns
+    ``(sampled_triangles, estimate)``.
+
+    At 100-TB scale this runs the full triangle machinery on a q^2 fraction
+    of the edges (q = pct/100) — an 8x-64x edge reduction for q = 1/2..1/4
+    — and, being hash-deterministic, the estimate is reproducible and
+    SQL-replayable (no RNG)."""
+    from ..operators.graphstats import sample_subgraph
+
+    n = triangle_count(sample_subgraph(edges, pct, salt))
+    return n, n * (100.0 / pct) ** 3

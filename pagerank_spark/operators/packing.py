@@ -117,3 +117,28 @@ def quantile_bins(
     """
     w = Window.orderBy(F.col(value_col), F.col(id_col))
     return df.select(id_col, value_col, F.ntile(n_bins).over(w).alias("bin"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    by: str,
+    fractions: dict[str, int],
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-group downsampling: keep a row when its hash
+    bucket (same multiplicative Knuth hash as ``hash_split``) is below the
+    group's percentage — the corpus-rebalancing primitive (e.g. keep 100%
+    of low-resource languages, 30% of English). Groups absent from
+    ``fractions`` fall back to ``default_pct``.
+
+    Pure integer arithmetic on ids: stable under repartitioning, no RNG,
+    replayable in SQL; one codegen'd filter, the scan-level predicate a
+    100-TB pass wants (no shuffle, no per-group pass).
+    """
+    bucket = F.pmod(F.pmod((F.col(id_col) + F.lit(salt)) * F.lit(KNUTH), F.lit(1 << 32)), F.lit(100))
+    pct = F.lit(default_pct)
+    for key, p in sorted(fractions.items()):
+        pct = F.when(F.col(by) == key, F.lit(p)).otherwise(pct)
+    return df.filter(bucket < pct)

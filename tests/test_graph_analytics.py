@@ -175,3 +175,20 @@ def test_sample_subgraph_deterministic_and_induced(spark):
     kept = {v for v in range(30) if ((v * KNUTH) % (1 << 32)) % 100 < 50}
     assert got == {(a, b) for a, b in pairs if a in kept and b in kept}
     assert got == set(map(tuple, sample_subgraph(e.repartition(11), 50).collect()))
+
+
+def test_approx_triangle_count_unbiased_form(spark):
+    from pagerank_spark.algos.triangles import approx_triangle_count, triangle_count
+    from pagerank_spark.operators.graphstats import sample_subgraph
+    from pagerank_spark.sources.graphs import er_edges_numpy
+
+    arr = er_edges_numpy(80, 500, seed=6)
+    edges = spark.createDataFrame([(int(a), int(b)) for a, b in arr], "src long, dst long")
+    n, est = approx_triangle_count(edges, pct=50)
+    # the estimate is exactly the sampled count x (100/50)^3, and the
+    # sampled count is the true count of the deterministic subgraph
+    assert est == n * 8.0
+    assert n == triangle_count(sample_subgraph(edges, 50, 0))
+    # pct=100 degenerates to the exact count
+    n_full, est_full = approx_triangle_count(edges, pct=100)
+    assert n_full == est_full == triangle_count(edges)

@@ -107,3 +107,28 @@ def test_quantile_bins_equal_frequency_and_determinism(spark):
     assert max(v[i] for i, b in got.items() if b == 1) <= min(v[i] for i, b in got.items() if b == 4)
     got2 = {r["doc_id"]: r["bin"] for r in quantile_bins(df.repartition(9), "v", 4).collect()}
     assert got == got2  # id tiebreak makes ties deterministic
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    from pagerank_spark.operators.packing import KNUTH, stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {(r.doc_id, r.lang) for r in stratified_sample(df, "lang", {"en": 25}, default_pct=80).collect()}
+    exp = {
+        (i, l)
+        for i, l in rows
+        if ((i * KNUTH) % (1 << 32)) % 100 < (25 if l == "en" else 80)
+    }
+    assert out == exp
+    # repartitioning must not change membership
+    out2 = {(r.doc_id, r.lang) for r in stratified_sample(df.repartition(7), "lang", {"en": 25}, default_pct=80).collect()}
+    assert out2 == exp
+
+
+def test_stratified_sample_default_drops_unlisted_groups(spark):
+    from pagerank_spark.operators.packing import stratified_sample
+
+    df = spark.createDataFrame([(1, "en"), (2, "fr")], "doc_id long, lang string")
+    kept = stratified_sample(df, "lang", {"en": 100}).collect()  # default_pct=0
+    assert {r.lang for r in kept} == {"en"}
