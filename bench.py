@@ -141,6 +141,26 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("gnn_2hop_64d", lambda: neighborhood_mean(edges, feats, hops=2).count())
     feats.unpersist()
 
+    # late round-3 additions — appended after everything above (ordering
+    # comparability of the shared sequence preserved)
+    from pagerank_spark.algos.scc import strongly_connected_components
+    from pagerank_spark.algos.walks import negative_samples
+    from pagerank_spark.operators.bpe import learn_bpe_merges
+    from pagerank_spark.sources.graphs import synth_cyclic
+
+    cyc = synth_cyclic(spark, 200_000, block=10).persist()
+    cyc.count()
+    timed("scc_synth200k", lambda: strongly_connected_components(cyc).labels.count())
+    cyc.unpersist()
+
+    big_docs = synth_docs(spark, 100_000, dup_every=100).persist()
+    big_docs.count()
+    timed("bpe_learn6_100k", lambda: learn_bpe_merges(big_docs, k=6).count())
+    big_docs.unpersist()
+
+    prs = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    timed("neg_samples_k3", lambda: negative_samples(prs, k=3, table_size=1024).count())
+
     edges.unpersist()
     return {"timings": timings, "samples": samples, "extras": extras, "n_edges": n_edges}
 
