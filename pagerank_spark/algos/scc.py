@@ -119,9 +119,9 @@ def strongly_connected_components(
 
     ``max_rounds`` bounds outer peel rounds; ``max_inner`` bounds the
     supersteps of each inner fixpoint (which raise ``RuntimeError`` if
-    exhausted — they are mathematically bounded by O(log reach-diameter), so
-    exhaustion means a bug, while outer-round exhaustion is a legitimate
-    budget cut reported as ``converged=False``).
+    exhausted — they are bounded by the remaining subgraph's reach-diameter,
+    so raise ``max_inner`` for graphs with huge cycles, while outer-round
+    exhaustion is a legitimate budget cut reported as ``converged=False``).
 
     ``checkpointer`` (plans.checkpoint.Checkpointer) commits the resolved
     label table + remaining-vertex count once per outer round; a rerun with
@@ -213,14 +213,14 @@ def strongly_connected_components(
                 checkpointer.commit(rnd, _all_done(), {"remaining": 0})
             break
 
-        # --- color: forward max-propagation (neighbor-max + pointer jump)
+        # --- color: forward max-propagation to the fixpoint
         colors = _max_fixpoint(e, verts, "src", "dst", max_inner, "coloring")
 
         # --- collect: v belongs to SCC(root) iff v reaches its color root
         # within its color class; the root is the class MAX, so "reaches
         # root" == "max id forward-reachable over REVERSED same-color edges
-        # equals own color" — the same doubled max-propagation as coloring,
-        # O(log circumference) supersteps instead of a frontier walk
+        # equals own color" — the same max-propagation as coloring, every
+        # color class resolving in parallel
         csrc = colors.select(F.col("id").alias("src"), F.col("color").alias("__c1"))
         cdst = colors.select(F.col("id").alias("dst"), F.col("color").alias("__c2"))
         ecc = (
