@@ -73,3 +73,16 @@ def test_bpe_planted_closed_form(spark):
         (5, m2 + SEP + m2, m2, 200),
         (6, m1 + SEP + m1, m1 + SEP + m1, 200),
     ]
+
+
+def test_bpe_apply_long_rule_chain_checkpoint_path(spark):
+    # >8 rules exercises the mid-chain localCheckpoint in apply_bpe_merges
+    text = " ".join(str(i) for i in range(12))  # "0 1 2 ... 11"
+    docs = spark.createDataFrame([(0, text), (1, text)], "doc_id long, text string")
+    rules = []
+    cur = [str(i) for i in range(12)]
+    for _ in range(10):  # fold left: merge the first pair repeatedly
+        rules.append((cur[0], cur[1]))
+        cur = [cur[0] + SEP + cur[1]] + cur[2:]
+    out = {r.doc_id: (list(r.tokens), r.n_tokens) for r in apply_bpe_merges(docs, rules).collect()}
+    assert out[0] == (cur, 2) and out[1] == (cur, 2)

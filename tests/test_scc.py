@@ -100,3 +100,14 @@ def test_scc_resume_identity(spark, tmp_path):
     again = strongly_connected_components(edges, num_partitions=4, checkpointer=ck)
     assert again.converged
     assert {r.id: r.scc for r in again.labels.collect()} == exp
+
+
+def test_scc_budget_cut_reports_unconverged(spark):
+    # two chained 2-cycles need 2 rounds; max_rounds=1 must return a partial
+    # result flagged converged=False (never a silently-wrong full answer)
+    pairs = [(0, 1), (1, 0), (2, 3), (3, 2), (2, 0)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    res = strongly_connected_components(edges, max_rounds=1, num_partitions=4)
+    assert not res.converged and res.rounds == 1
+    got = {r.id: r.scc for r in res.labels.collect()}
+    assert got == {2: 3, 3: 3}  # round 1 resolves only the top color class
