@@ -2056,6 +2056,34 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_reach_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability with a 2h max waiting time over the
+    forward event-succession graph (algos/paths.py::temporal_reachability),
+    4 synchronized rounds — the delta constraint genuinely bites (127
+    reached vs 484 without it at sf0.01). Exact integer-microsecond
+    arithmetic; oracle unrolls the same 4 rounds."""
+    from pyspark.sql import Window
+
+    from pagerank_spark.algos.paths import temporal_reachability
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("prev", F.lag("event_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.col("prev").alias("src"),
+            F.col("event_id").alias("dst"),
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)").alias("ts_us"),
+        )
+    )
+    seeds = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("id"),
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)").alias("arrival_us"),
+    )
+    return temporal_reachability(edges, seeds, delta_us=7_200_000_000, max_rounds=4)
+
+
 def q_triangles_estimate_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION-family sampled triangle estimate (vertex-induced 50% hash
     sample, x8 scale-up) — deterministic, so the oracle replays it exactly."""
@@ -2173,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_synth": q_bpe_merges_synth,
         "neg_samples_events": q_neg_samples_events,
         "triangles_estimate_copurchase": q_triangles_estimate_copurchase,
+        "temporal_reach_events": q_temporal_reach_events,
         "stratified_sample_docs": q_stratified_sample_docs,
         "top_bigrams_docs": q_top_bigrams_docs,
         "cc_sizes_events": q_cc_sizes_events,
@@ -3006,6 +3035,28 @@ WHERE f.range % 2 = 0 AND f.range < 3 + m.range % 4"""
     sqls["cosine_near_dup_planted"] = """
 SELECT vec_id AS a, vec_id + 10000 AS b, 1.0 AS sim
 FROM embeddings WHERE vec_id < 25"""
+
+    # time-respecting reachability, 4 unrolled rounds, 2h waiting limit
+    _tr_rounds = []
+    _tr_prev = "s0"
+    for _k in range(1, 5):
+        _tr_rounds.append(f"""
+c{_k} AS (SELECT te.dst AS id, MIN(te.ts_us) AS arr
+  FROM {_tr_prev} JOIN te ON te.src = {_tr_prev}.id
+  AND te.ts_us >= {_tr_prev}.arr AND te.ts_us <= {_tr_prev}.arr + 7200000000
+  GROUP BY te.dst),
+s{_k} AS (SELECT id, MIN(arr) AS arr
+  FROM (SELECT * FROM {_tr_prev} UNION ALL SELECT * FROM c{_k}) GROUP BY id)""")
+        _tr_prev = f"s{_k}"
+    sqls["temporal_reach_events"] = (
+        """WITH te AS (
+  SELECT prev AS src, event_id AS dst, epoch_us(ts) AS ts_us FROM (
+    SELECT event_id, ts, lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events) WHERE prev IS NOT NULL),
+s0 AS (SELECT event_id AS id, epoch_us(ts) AS arr FROM events WHERE event_id % 97 = 0),"""
+        + ",".join(_tr_rounds)
+        + f" SELECT id, arr AS arrival_us FROM {_tr_prev}"
+    )
 
     sqls["triangles_estimate_copurchase"] = f"""
 WITH {COPURCHASE_EDGES_CTE.strip()},

@@ -187,3 +187,75 @@ def harmonic_closeness(
     return verts.join(contrib.hint("shuffle_hash"), "id", "left").select(
         "id", F.coalesce("closeness", F.lit(0.0)).alias("closeness")
     )
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    delta_us: int,
+    max_rounds: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Earliest-arrival TIME-RESPECTING reachability ``(id, arrival_us)``:
+    an edge ``(u, v, ts_us)`` can extend a journey iff
+    ``arrival(u) <= ts_us <= arrival(u) + delta_us`` — reachability with a
+    maximum waiting time, the standard temporal-graph formulation (Holme &
+    Saramaki 2012, public methodology). On transcript graphs this answers
+    "which turns can a seed turn have influenced within delta per hop",
+    which plain reachability overstates (it happily crosses month-long
+    gaps).
+
+    ``edges``: (src, dst, ts_us) with integer microsecond timestamps —
+    exact arithmetic, no timestamp-format or float hazards. ``seeds``:
+    (id, arrival_us) — a seed is "available" from its own timestamp.
+
+    Same plan shape and oracle-parity argument as ``shortest_paths``:
+    frontier-limited synchronized rounds; after k rounds the state equals
+    full relaxation's "earliest arrival using <= k temporal hops" (a vertex
+    whose arrival did not improve re-yields the same candidates, so
+    skipping it loses nothing), so a k-round unrolled SQL oracle is exact.
+    Arrival merging is min-monotone; stops early at the fixed point.
+    """
+    p = num_partitions or _num_partitions(edges)
+    e = (
+        edges.select("src", "dst", F.col("ts_us").cast("long").alias("ts_us"))
+        .repartition(p, "src")
+        .localCheckpoint()
+    )
+    state = (
+        seeds.select("id", F.col("arrival_us").cast("long").alias("arrival_us"))
+        .groupBy("id")
+        .agg(F.min("arrival_us").alias("arrival_us"))
+        .repartition(p, "id")
+        .localCheckpoint()
+    )
+    frontier = state
+
+    for _ in range(max_rounds):
+        cand = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .filter(
+                (F.col("ts_us") >= F.col("arrival_us"))
+                & (F.col("ts_us") <= F.col("arrival_us") + F.lit(delta_us))
+            )
+            .groupBy("dst")
+            .agg(F.min("ts_us").alias("cand"))
+            .withColumnRenamed("dst", "id")
+        )
+        merged = (
+            state.join(cand, "id", "full_outer")
+            .select(
+                "id",
+                F.least(F.col("arrival_us"), F.col("cand")).alias("arrival_us"),
+                (F.col("arrival_us").isNull() | (F.col("cand") < F.col("arrival_us"))).alias("__imp"),
+            )
+            .repartition(p, "id")
+            .localCheckpoint()
+        )
+        n_improved = merged.filter(F.col("__imp")).count()
+        state = merged.select("id", "arrival_us").localCheckpoint(eager=False)
+        if n_improved == 0:
+            break
+        frontier = merged.filter(F.col("__imp")).select("id", "arrival_us")
+
+    return state

@@ -90,3 +90,34 @@ def test_negative_weight_rejected(spark):
 
     with pytest.raises(ValueError, match="negative"):
         shortest_paths(df, _sources_df(spark, [0]), weight_col="weight")
+
+
+def test_temporal_reachability_delta_rejects_and_waits(spark):
+    from pagerank_spark.algos.paths import temporal_reachability
+
+    # 0 -(t=10)-> 1 -(t=15)-> 2 -(t=100)-> 3 : with delta=20, vertex 3 is
+    # unreachable (waiting 85 > 20); 4 -(t=5)-> 5 arrives before seed 4 is
+    # available (arrival 8 > 5) and must be rejected too
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 15), (2, 3, 100), (4, 5, 5)],
+        "src long, dst long, ts_us long",
+    )
+    seeds = spark.createDataFrame([(0, 0), (4, 8)], "id long, arrival_us long")
+    got = {r.id: r.arrival_us for r in temporal_reachability(edges, seeds, delta_us=20).collect()}
+    assert got == {0: 0, 1: 10, 2: 15, 4: 8}
+
+
+def test_temporal_reachability_min_merge_and_rounds(spark):
+    from pagerank_spark.algos.paths import temporal_reachability
+
+    # two seeds race to vertex 2: the earlier time-respecting arrival wins
+    edges = spark.createDataFrame(
+        [(0, 2, 50), (1, 2, 30), (2, 3, 60)],
+        "src long, dst long, ts_us long",
+    )
+    seeds = spark.createDataFrame([(0, 0), (1, 0)], "id long, arrival_us long")
+    full = {r.id: r.arrival_us for r in temporal_reachability(edges, seeds, delta_us=100).collect()}
+    assert full == {0: 0, 1: 0, 2: 30, 3: 60}
+    # fixed 1 round == "earliest arrival using <= 1 temporal hop"
+    one = {r.id: r.arrival_us for r in temporal_reachability(edges, seeds, delta_us=100, max_rounds=1).collect()}
+    assert one == {0: 0, 1: 0, 2: 30}
