@@ -2056,6 +2056,22 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cumsum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact running revenue (integer cents) over orders in (date, key)
+    order via the two-phase distributed prefix sum
+    (operators/cumsum.py::distributed_cumsum) — NO single-partition window
+    anywhere in the plan."""
+    from pagerank_spark.operators.cumsum import distributed_cumsum
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = distributed_cumsum(orders, ["o_orderdate", "o_orderkey"], "cents", out_col="cum_cents")
+    return out.select("o_orderkey", "cum_cents")
+
+
 def q_temporal_reach_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-respecting reachability with a 2h max waiting time over the
     forward event-succession graph (algos/paths.py::temporal_reachability),
@@ -2202,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neg_samples_events": q_neg_samples_events,
         "triangles_estimate_copurchase": q_triangles_estimate_copurchase,
         "temporal_reach_events": q_temporal_reach_events,
+        "cumsum_orders": q_cumsum_orders,
         "stratified_sample_docs": q_stratified_sample_docs,
         "top_bigrams_docs": q_top_bigrams_docs,
         "cc_sizes_events": q_cc_sizes_events,
@@ -3035,6 +3052,12 @@ WHERE f.range % 2 = 0 AND f.range < 3 + m.range % 4"""
     sqls["cosine_near_dup_planted"] = """
 SELECT vec_id AS a, vec_id + 10000 AS b, 1.0 AS sim
 FROM embeddings WHERE vec_id < 25"""
+
+    sqls["cumsum_orders"] = """
+SELECT o_orderkey,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         OVER (ORDER BY o_orderdate, o_orderkey) AS cum_cents
+FROM orders"""
 
     # time-respecting reachability, 4 unrolled rounds, 2h waiting limit
     _tr_rounds = []

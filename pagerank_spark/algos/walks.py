@@ -175,8 +175,10 @@ def negative_samples(
     vocabulary, an as-of join building the ``table_size``-row LUT, then one
     BROADCAST equi-join of the exploded (pair, j) rows against the LUT —
     the corpus-sized side is touched exactly once and never re-shuffled.
-    The vocabulary cumsum is a single-partition window; at a 10^7-term
-    vocabulary swap in a two-phase (per-partition totals + prefix) scan.
+    The vocabulary cumsum here is a single-partition window (fine while the
+    vocabulary is small next to the corpus); at a 10^7-term vocabulary swap
+    in ``operators/cumsum.py::distributed_cumsum`` — the engine's two-phase
+    prefix sum with no single-partition window.
     """
     from ..operators.temporal import asof_join
 
