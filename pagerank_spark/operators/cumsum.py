@@ -44,7 +44,9 @@ def distributed_cumsum(
 ) -> DataFrame:
     """Append ``out_col`` = inclusive cumulative sum of ``value_col`` in the
     total order given by ``order_cols`` (must be a total order — add a
-    tiebreak column if the leading keys can repeat)."""
+    tiebreak column if the leading keys can repeat). ``value_col`` must be
+    non-null (a null would poison every later running sum, exactly like the
+    window form)."""
     p = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
     ranged = df.repartitionByRange(p, *[F.col(c) for c in order_cols]).sortWithinPartitions(
         *[F.col(c) for c in order_cols]
