@@ -57,13 +57,15 @@ deg AS (
 n AS (SELECT COUNT(*) AS c FROM v)"""
 
 
-def _pagerank_weighted_sql(edges_cte: str, k: int) -> str:
-    """Unrolled k-iteration edge-weighted damped PageRank. Weight =
-    1 + (src+dst) % 5 (deterministic, strictly positive); contributions
-    rank * w / total_out_weight(src); dangling = no-out-edge vertices,
-    redistributed uniformly. Mirrors pagerank(weight_col=...)."""
+def _pagerank_weighted_sql(edges_cte: str, k: int, ew_cte: str | None = None) -> str:
+    """Unrolled k-iteration edge-weighted damped PageRank. Default weight =
+    1 + (src+dst) % 5 (deterministic, strictly positive); ``ew_cte``
+    overrides the weighted-edge CTE (must produce ``ew(src, dst, w)`` over
+    the same topology as ``e``). Contributions rank * w /
+    total_out_weight(src); dangling = no-out-edge vertices, redistributed
+    uniformly. Mirrors pagerank(weight_col=...)."""
     ctes = [_materialize(edges_cte.strip()), _materialize(GRAPH_BASE_CTES.strip()),
-            "ew AS MATERIALIZED (SELECT src, dst, CAST(1 + (src + dst) % 5 AS DOUBLE) AS w FROM e)",
+            ew_cte or "ew AS MATERIALIZED (SELECT src, dst, CAST(1 + (src + dst) % 5 AS DOUBLE) AS w FROM e)",
             "wd AS MATERIALIZED (SELECT src AS id, SUM(w) AS wout FROM ew GROUP BY 1)",
             "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT c FROM n) AS rank FROM v)"]
     for it in range(1, k + 1):
@@ -729,6 +731,32 @@ def q_pagerank_weighted_events_k3(spark: SparkSession, sf_dir: str) -> DataFrame
         "weight", (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5))).cast("double")
     )
     res = pagerank(edges, max_iters=3, tol=0.0, weight_col="weight")
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_decayed_events_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed PageRank, k=3: recency-weighted influence for evolving
+    link graphs — each citation edge carries weight 2^(-age_weeks) with age
+    measured from the citing event's timestamp to the corpus max. Weights
+    are exact binary fractions (1/(1<<weeks)), so both engines compute
+    bit-identical per-edge weights; the rest is pagerank(weight_col=...)."""
+    from pagerank_spark.algos.pagerank import pagerank
+
+    WEEK_US = 7 * 86_400 * 1_000_000
+    edges = _graph_for(spark, sf_dir, "events")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("src"),
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)").alias("__us"),
+    )
+    mx = ev.agg(F.max("__us").alias("__mx"))
+    weighted = (
+        edges.join(ev, "src")
+        .crossJoin(F.broadcast(mx))
+        .withColumn("__weeks", F.expr(f"CAST((__mx - __us) DIV {WEEK_US} AS INT)"))
+        .withColumn("weight", F.expr("1.0 / CAST(shiftleft(1, __weeks) AS DOUBLE)"))
+        .select("src", "dst", "weight")
+    )
+    res = pagerank(weighted, max_iters=3, tol=0.0, weight_col="weight")
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -2205,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_copurchase_k2": _q_pagerank("copurchase", 2),
         "pagerank_warm_refresh": q_pagerank_warm_refresh,
         "pagerank_weighted_events_k3": q_pagerank_weighted_events_k3,
+        "pagerank_decayed_events_k3": q_pagerank_decayed_events_k3,
         "ppr_events_k3": q_ppr_events_k3,
         "wppr_events_k3": q_wppr_events_k3,
         "hits_events_k4": q_hits_events,
@@ -2422,6 +2451,17 @@ FROM c JOIN dg du ON du.id = c.u JOIN dg dv ON dv.id = c.v"""
     # run (damped update is a contraction), so it shares the stationary oracle
     sqls["pagerank_warm_refresh"] = _pagerank_sql(EVENTS_EDGES_CTE, 60)
     sqls["pagerank_weighted_events_k3"] = _pagerank_weighted_sql(EVENTS_EDGES_CTE, 3)
+    # time-decayed: weight 2^(-age_weeks) from the citing event's ts — exact
+    # binary fractions, bit-identical across engines
+    sqls["pagerank_decayed_events_k3"] = _pagerank_weighted_sql(
+        EVENTS_EDGES_CTE,
+        3,
+        ew_cte="""ew AS MATERIALIZED (
+  SELECT e.src, e.dst,
+         1.0 / CAST(1 << CAST(((SELECT MAX(epoch_us(ts)) FROM events) - epoch_us(ev.ts))
+                              // 604800000000 AS INT) AS DOUBLE) AS w
+  FROM e JOIN events ev ON ev.event_id = e.src)""",
+    )
     sqls["ppr_events_k3"] = _ppr_sql(EVENTS_EDGES_CTE, 3)
     sqls["wppr_events_k3"] = _wppr_sql(EVENTS_EDGES_CTE, 3)
     sqls["labelprop_events"] = _labelprop_sql(EVENTS_EDGES_CTE, 5)

@@ -197,3 +197,21 @@ def test_warm_start_incremental_refresh(spark):
     g_warm = {r["id"]: r["rank"] for r in warm.ranks.collect()}
     for k in g_cold:
         assert abs(g_cold[k] - g_warm[k]) < 1e-6
+
+
+def test_time_decayed_weights_match_oracle(spark):
+    # recency-decayed PageRank is weighted PageRank with w = 2^(-age_weeks);
+    # exact binary fractions keep per-edge weights bit-identical everywhere
+    v, e = 80, 320
+    arr = er_edges_numpy(v, e, seed=23)
+    weeks = (arr[:, 0] * 7 + arr[:, 1]) % 5  # deterministic 0..4 "ages"
+    weights = 1.0 / (1 << weeks)
+    oracle, _ = weighted_damped_oracle(v, arr, weights.astype(float), tol=1e-9, max_iters=160)
+    df = spark.createDataFrame(
+        [(int(s), int(d), float(w)) for (s, d), w in zip(arr, weights)],
+        "src long, dst long, weight double",
+    )
+    res = pagerank(df, max_iters=160, tol=1e-9, weight_col="weight", check_every=3)
+    assert res.converged
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    np.testing.assert_allclose(np.array([got[i] for i in range(v)]), oracle, atol=1e-6)
