@@ -189,7 +189,7 @@ def _modularity_sql(edges_cte: str, k: int) -> str:
     ctes += [
         "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
         "FROM e WHERE src <> dst)",
-        "mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM und)",
+        "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS mi FROM und)",
         "dg2 AS (SELECT id, COUNT(*) AS deg FROM "
         "(SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1)",
         f"ein AS (SELECT la.label, COUNT(*) AS e_in FROM und "
@@ -201,8 +201,8 @@ def _modularity_sql(edges_cte: str, k: int) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + """
-SELECT dt.label, COALESCE(ein.e_in, 0) AS internal_edges, dt.d AS degree_sum,
-       ROUND(COALESCE(ein.e_in, 0) / mm.m - POW(dt.d / (2 * mm.m), 2), 6) AS q_contrib
+SELECT dt.label, COALESCE(ein.e_in, 0) AS internal_edges, CAST(dt.d AS BIGINT) AS degree_sum,
+       CAST(4 * mm.mi * COALESCE(ein.e_in, 0) - dt.d * dt.d AS BIGINT) AS q_num
 FROM dt LEFT JOIN ein ON ein.label = dt.label CROSS JOIN mm"""
     )
 
@@ -245,12 +245,15 @@ def _sssp_sql(edges_cte: str, k: int, seed_mod: int, weighted: bool) -> str:
     engine computes the identical prefix); early engine convergence is a
     fixed point, so exactly-k unrolling matches run-with-early-stop.
     Integer-valued weights keep the double sums exact — no rounding."""
-    w_expr = "CAST(1 + (src + dst) % 5 AS DOUBLE)" if weighted else "1.0"
+    # unweighted 1.0 must be DOUBLE: a bare 1.0 literal is DECIMAL in DuckDB
+    # and the decimal type then propagates through every dist sum, making
+    # fetched values Decimal objects instead of floats (hash-fragile)
+    w_expr = "CAST(1 + (src + dst) % 5 AS DOUBLE)" if weighted else "CAST(1.0 AS DOUBLE)"
     ctes = [
         _materialize(edges_cte.strip()),
         "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
         f"ew AS MATERIALIZED (SELECT src, dst, {w_expr} AS w FROM e)",
-        f"d0 AS MATERIALIZED (SELECT id, 0.0 AS dist FROM v WHERE id % {seed_mod} = 0)",
+        f"d0 AS MATERIALIZED (SELECT id, CAST(0.0 AS DOUBLE) AS dist FROM v WHERE id % {seed_mod} = 0)",
     ]
     for it in range(1, k + 1):
         prev, cur = f"d{it - 1}", f"d{it}"
@@ -263,7 +266,8 @@ def _sssp_sql(edges_cte: str, k: int, seed_mod: int, weighted: bool) -> str:
 )""")
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT v.id, COALESCE(d.dist, -1.0) AS dist FROM v LEFT JOIN d{k} d ON d.id = v.id"
+        + f"\nSELECT v.id, COALESCE(d.dist, CAST(-1.0 AS DOUBLE)) AS dist"
+        + f" FROM v LEFT JOIN d{k} d ON d.id = v.id"
     )
 
 
@@ -899,15 +903,20 @@ def q_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull props.k out of the JSON payload
     column (get_json_object — JVM JSON path, no UDF) and aggregate per
-    event_type. Oracle: DuckDB json_extract_string."""
+    event_type. Oracle: DuckDB json_extract_string. All output columns are
+    exact integers (avg is emitted micro-scaled via integer division) so the
+    driver's stringified-value hash is representation-stable."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(k).alias("sum_k"),
-        F.round(F.avg(k), 6).alias("avg_k"),
-        F.min(k).alias("min_k"),
-        F.max(k).alias("max_k"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .withColumn("avg_k_micro", F.expr("(sum_k * 1000000) div n"))
     )
 
 
@@ -1016,14 +1025,30 @@ def q_modularity_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFrame
     Oracle: the unrolled labelprop CTEs composed with the same modularity
     arithmetic (_modularity_sql) — value-checks BOTH the community
     assignment and the quality score in one gate.
+
+    The quality score is emitted as the exact integer numerator
+    ``q_num = 4*m*e_c - d_c^2`` (so ``q_contrib = q_num / (4*m^2)``): pure
+    BIGINT arithmetic on both engines, immune to double-representation
+    hash drift. ``m`` is recovered in-plan as ``sum(degree_sum)/2``.
     """
     from pagerank_spark.algos.labelprop import label_propagation
     from pagerank_spark.algos.modularity import modularity_by_community
 
     g = _graph_for(spark, sf_dir, "events")
     labels = label_propagation(g, max_iters=5)
-    return modularity_by_community(g, labels).select(
-        "label", "internal_edges", "degree_sum", F.round("q_contrib", 6).alias("q_contrib")
+    md = modularity_by_community(g, labels)
+    m = md.agg((F.sum("degree_sum") / 2).cast("long").alias("__m"))
+    return (
+        md.crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "internal_edges",
+            "degree_sum",
+            (
+                4 * F.col("__m") * F.col("internal_edges")
+                - F.col("degree_sum") * F.col("degree_sum")
+            ).alias("q_num"),
+        )
     )
 
 
@@ -1041,10 +1066,26 @@ def q_clustering_coef_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row structural profile (V, E, loops, reciprocity, degree
     extremes) of the events graph. Oracle: the same aggregates in plain
-    SQL."""
+    SQL. The two ratio columns are re-derived as micro-scaled integers
+    (`x * 1e6 div y` over the exact integer counts) so the gate's value
+    hash is representation-stable across engines."""
     from pagerank_spark.operators.graphstats import graph_summary
 
-    return graph_summary(_graph_for(spark, sf_dir, "events"))
+    gs = graph_summary(_graph_for(spark, sf_dir, "events"))
+    return gs.select(
+        "n_vertices",
+        "n_edges",
+        "n_self_loops",
+        "n_undirected",
+        "n_reciprocal",
+        "max_out_deg",
+        "max_in_deg",
+        "n_out_vertices",
+        F.expr(
+            "(n_reciprocal * 1000000) div greatest(n_edges - n_self_loops, 1L)"
+        ).alias("reciprocity_micro"),
+        F.expr("(n_edges * 1000000) div n_out_vertices").alias("avg_out_deg_micro"),
+    )
 
 
 def _walks_sql(edges_cte: str, k: int) -> str:
@@ -2419,7 +2460,8 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.o_totalprice <> n.o_tota
 
     sqls["json_props_events"] = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(k) AS sum_k, ROUND(AVG(k), 6) AS avg_k, MIN(k) AS min_k, MAX(k) AS max_k
+       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+       (CAST(SUM(k) AS BIGINT) * 1000000) // COUNT(*) AS avg_k_micro
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
 GROUP BY 1"""
     sqls["linkpred_copurchase"] = f"""
@@ -2495,13 +2537,14 @@ ud AS (SELECT COUNT(*) AS n_undirected FROM
   (SELECT DISTINCT least(src, dst), greatest(src, dst) FROM de WHERE src <> dst)),
 rc AS (SELECT COUNT(*) AS n_reciprocal FROM de a
   WHERE a.src <> a.dst AND EXISTS (SELECT 1 FROM de b WHERE b.src = a.dst AND b.dst = a.src)),
-os AS (SELECT MAX(d) AS max_out_deg, AVG(d) AS avg_o FROM
+os AS (SELECT MAX(d) AS max_out_deg, COUNT(*) AS n_out_vertices FROM
   (SELECT COUNT(*) AS d FROM de GROUP BY src)),
 ins AS (SELECT MAX(d) AS max_in_deg FROM (SELECT COUNT(*) AS d FROM de GROUP BY dst))
-SELECT nv.n_vertices, base.n_edges, base.n_self_loops, ud.n_undirected, rc.n_reciprocal,
-       ROUND(rc.n_reciprocal / GREATEST(CAST(base.n_edges - base.n_self_loops AS DOUBLE), 1.0), 6)
-         AS reciprocity,
-       os.max_out_deg, ins.max_in_deg, ROUND(os.avg_o, 6) AS avg_out_deg
+SELECT nv.n_vertices, base.n_edges, CAST(base.n_self_loops AS BIGINT) AS n_self_loops,
+       ud.n_undirected, rc.n_reciprocal, os.max_out_deg, ins.max_in_deg, os.n_out_vertices,
+       (rc.n_reciprocal * 1000000)
+         // GREATEST(base.n_edges - CAST(base.n_self_loops AS BIGINT), 1) AS reciprocity_micro,
+       (base.n_edges * 1000000) // os.n_out_vertices AS avg_out_deg_micro
 FROM nv, base, ud, rc, os, ins"""
 
     sqls["cc_events"] = f"""
@@ -3090,13 +3133,16 @@ WHERE f.range % 2 = 0 AND f.range < 3 + m.range % 4"""
     # planted exact-copy pairs are the only ones >= 0.95 (max non-identical
     # cosine on this table ~0.51) and copies share every LSH bucket
     sqls["cosine_near_dup_planted"] = """
-SELECT vec_id AS a, vec_id + 10000 AS b, 1.0 AS sim
+SELECT vec_id AS a, vec_id + 10000 AS b, CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings WHERE vec_id < 25"""
 
+    # CAST the window SUM back to BIGINT: DuckDB's SUM(BIGINT) returns
+    # HUGEINT, which pandas-side fetches render as float — the driver then
+    # hashes "2.2e+11"-style strings against Spark's exact integer strings
     sqls["cumsum_orders"] = """
 SELECT o_orderkey,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-         OVER (ORDER BY o_orderdate, o_orderkey) AS cum_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS cum_cents
 FROM orders"""
 
     # time-respecting reachability, 4 unrolled rounds, 2h waiting limit

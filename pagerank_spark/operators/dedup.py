@@ -22,10 +22,101 @@ pairs; grouping iterates only over docs that appear in a passing pair.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text
+
+log = logging.getLogger(__name__)
+
+
+def _capped_bucket_pairs(
+    banded: DataFrame,
+    key_cols: list[str],
+    max_bucket_size: int | None,
+    hot_bucket_mode: str,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bucket self-join with a hot-bucket bound — the shared candidate
+    kernel of :func:`minhash_lsh_candidates` and :func:`simhash_near_dups`.
+
+    ``banded`` holds one row per (doc, bucket) with bucket key ``key_cols``
+    and a ``doc_id`` column (plus ``extra_cols`` carried through, e.g. the
+    simhash value). Returns raw candidate pairs (``a`` < ``b``) with the
+    left/right ``extra_cols`` suffixed ``_a``/``_b``; callers dedupe.
+
+    The quadratic hazard is a hot bucket: boilerplate/templated corpora
+    put thousands of near-identical docs into ONE (band, bucket) group, and
+    an uncapped self-join then emits g^2/2 pairs from it (same hazard as a
+    hub group in :func:`~.graphstats.bipartite_project`, same pre-join cap).
+    With ``max_bucket_size`` set, buckets above the cap are handled by mode:
+
+    - ``"star"`` (default): every member pairs with the bucket's min-id
+      representative — O(g) pairs that keep the bucket CONNECTED, so any
+      downstream connected-components grouping (``minhash_dedup``) forms
+      the same groups as all-pairs whenever the verify filter accepts the
+      star edges (true for the near-identical docs that create hot buckets
+      in the first place). Nothing is dropped.
+    - ``"drop"``: hot buckets are excluded entirely — exact pair semantics
+      for the survivors, and the dropped bucket/doc counts are computed
+      EAGERLY and logged (no silent truncation).
+
+    Both modes add one map-side-combined aggregate on the bucket key (the
+    same shuffle key the join already uses) and a co-partitioned join —
+    no new shuffle axis.
+    """
+    extra_cols = extra_cols or []
+    left_cols = [F.col("doc_id").alias("a"), *key_cols, *[F.col(c).alias(f"{c}_a") for c in extra_cols]]
+    right_cols = [F.col("doc_id").alias("b"), *key_cols, *[F.col(c).alias(f"{c}_b") for c in extra_cols]]
+
+    if max_bucket_size is None:
+        l, r = banded.select(*left_cols), banded.select(*right_cols)
+        return l.join(r, key_cols).filter(F.col("a") < F.col("b"))
+
+    if hot_bucket_mode not in ("star", "drop"):
+        raise ValueError(f"hot_bucket_mode must be 'star' or 'drop', got {hot_bucket_mode!r}")
+    sizes = banded.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("__n"), F.min("doc_id").alias("__rep")
+    )
+    small = sizes.filter(F.col("__n") <= max_bucket_size).select(*key_cols)
+    cold = banded.join(small, key_cols, "left_semi")
+    l, r = cold.select(*left_cols), cold.select(*right_cols)
+    pairs = l.join(r, key_cols).filter(F.col("a") < F.col("b"))
+
+    hot = sizes.filter(F.col("__n") > max_bucket_size)
+    if hot_bucket_mode == "drop":
+        # eager, driver-side: a dropped bucket must never be silent
+        stats = hot.agg(
+            F.count(F.lit(1)).alias("buckets"), F.sum("__n").alias("doc_slots")
+        ).first()
+        if stats["buckets"]:
+            log.warning(
+                "dropping %d hot LSH buckets (> %d members, %d doc-slots) from the candidate join",
+                stats["buckets"], max_bucket_size, stats["doc_slots"],
+            )
+        return pairs
+
+    star = (
+        banded.join(hot.select(*key_cols, "__rep"), key_cols)
+        .filter(F.col("doc_id") != F.col("__rep"))
+        .select(
+            F.col("__rep").alias("a"),  # rep = min id, so a < b always holds
+            F.col("doc_id").alias("b"),
+            *key_cols,
+            *[F.col(c).alias(f"{c}_b") for c in extra_cols],
+        )
+    )
+    if extra_cols:
+        # re-attach the representative's carried columns (one join keyed
+        # the same way; rep rows per hot bucket << corpus)
+        rep_vals = banded.select(
+            F.col("doc_id").alias("a"), *key_cols,
+            *[F.col(c).alias(f"{c}_a") for c in extra_cols],
+        )
+        star = star.join(rep_vals, ["a", *key_cols])
+    return pairs.unionByName(star.select(*pairs.columns))
 
 # -- exact ----------------------------------------------------------------
 
@@ -92,7 +183,13 @@ def minhash_signatures(
     return hs.select("doc_id", sig.alias("sig"))
 
 
-def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 16, n_hashes: int | None = None) -> DataFrame:
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    n_bands: int = 16,
+    n_hashes: int | None = None,
+    max_bucket_size: int | None = None,
+    hot_bucket_mode: str = "star",
+) -> DataFrame:
     """Candidate near-dup pairs ``(a, b)`` (a < b) sharing >= 1 LSH band.
 
     Banding is pure DataFrame: slice the signature into ``n_bands`` chunks,
@@ -102,6 +199,10 @@ def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 16, n_hashes: int | N
     (``minhash_dedup``) pass it through so no probe job runs. When omitted
     (standalone use on a foreign signature table), one ``.first()`` probe
     reads it from the data.
+
+    ``max_bucket_size`` bounds the per-bucket join width — the defence
+    against boilerplate mega-buckets going quadratic; see
+    :func:`_capped_bucket_pairs` for the ``"star"``/``"drop"`` semantics.
     """
     if n_hashes is None:
         n_hashes = len(sigs.select("sig").first()["sig"])
@@ -115,12 +216,9 @@ def minhash_lsh_candidates(sigs: DataFrame, n_bands: int = 16, n_hashes: int | N
             ])
         ).alias("band", "bucket"),
     )
-    l = banded.alias("l")
-    r = banded.alias("r")
     return (
-        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bucket") == F.col("r.bucket")))
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        _capped_bucket_pairs(banded, ["band", "bucket"], max_bucket_size, hot_bucket_mode)
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
 
@@ -137,15 +235,23 @@ def estimated_jaccard(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
 def minhash_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     threshold: float = 0.8, n_hashes: int = 64, n_bands: int = 16,
-    shingle_k: int = 3, seed: int = 11,
+    shingle_k: int = 3, seed: int = 11, max_bucket_size: int | None = None,
 ) -> DataFrame:
     """``(doc_id, canonical_id)`` near-dup groups at estimated Jaccard >=
     threshold. Groups are formed by treating passing pairs as edges and
-    taking min-id connected components (reusing the graph engine!)."""
+    taking min-id connected components (reusing the graph engine!).
+
+    ``max_bucket_size`` (recommended at corpus scale, e.g. 500) star-caps
+    hot LSH buckets: a boilerplate mega-bucket emits O(g) rep-to-member
+    candidates instead of O(g^2), and because grouping is connectivity-based
+    the near-identical docs that form hot buckets still land in one group.
+    """
     from ..algos.components import connected_components
 
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k, seed).persist()
-    pairs = minhash_lsh_candidates(sigs, n_bands, n_hashes=n_hashes)
+    pairs = minhash_lsh_candidates(
+        sigs, n_bands, n_hashes=n_hashes, max_bucket_size=max_bucket_size
+    )
     passing = estimated_jaccard(sigs, pairs).filter(F.col("est_jaccard") >= threshold)
     edges = passing.select(F.col("a").alias("src"), F.col("b").alias("dst")).persist()
     # CC runs ONLY over docs that appear in a passing pair — at corpus scale
@@ -208,6 +314,7 @@ def hamming64(a, b):
 
 def simhash_near_dups(
     docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    max_bucket_size: int | None = None, hot_bucket_mode: str = "star",
 ) -> DataFrame:
     """``(a, b, hamming)`` pairs with simhash Hamming distance <= ``max_hamming``.
 
@@ -218,6 +325,14 @@ def simhash_near_dups(
     only same-band buckets (the Hamming analogue of banded MinHash-LSH; at
     scale the band value is the shuffle key and no all-pairs join exists).
     The exact ``bit_count(xor)`` filter then runs on candidates only.
+
+    ``max_bucket_size`` bounds hot buckets (see :func:`_capped_bucket_pairs`).
+    Unlike the MinHash path, capping here is a PRECISION trade on the pair
+    LIST itself: in ``"star"`` mode a hot bucket only emits rep-to-member
+    pairs, so two non-rep members whose distance <= max_hamming surface
+    only if another (cold) band pairs them — fine when the pairs feed a
+    connected-components grouping, lossy for exact pair enumeration
+    (``"drop"`` mode is lossy but logged). Leave it ``None`` for exactness.
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
@@ -243,15 +358,12 @@ def simhash_near_dups(
             ])
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_idx", "band.band_bits")
-    left = bands.select(
-        F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"), "band_idx", "band_bits"
+    cand = _capped_bucket_pairs(
+        bands, ["band_idx", "band_bits"], max_bucket_size, hot_bucket_mode,
+        extra_cols=["simhash"],
     )
-    right = bands.select(
-        F.col("doc_id").alias("b"), F.col("simhash").alias("sh_b"), "band_idx", "band_bits"
-    )
-    cand = left.join(right, ["band_idx", "band_bits"]).filter(F.col("a") < F.col("b"))
     return (
-        cand.select("a", "b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        cand.select("a", "b", hamming64(F.col("simhash_a"), F.col("simhash_b")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a", "b"])
     )

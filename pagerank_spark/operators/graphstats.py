@@ -22,8 +22,8 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     included), ``n_self_loops``, ``n_undirected`` (simple-graph edges),
     ``n_reciprocal`` (distinct non-loop directed edges whose reverse also
     exists), ``reciprocity`` (n_reciprocal / non-loop directed edges),
-    ``max_out_deg``, ``max_in_deg``, ``avg_out_deg`` (over vertices with
-    out-degree >= 1, 6 dp).
+    ``max_out_deg``, ``max_in_deg``, ``n_out_vertices`` (vertices with
+    out-degree >= 1), ``avg_out_deg`` (over those vertices, 6 dp).
     """
     # the dedup leaf is referenced by every sub-aggregate below — one eager
     # materialization, then each branch reads the RDD leaf
@@ -50,7 +50,11 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     out_stats = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
-        .agg(F.max("d").alias("max_out_deg"), F.avg("d").alias("__avg_out"))
+        .agg(
+            F.max("d").alias("max_out_deg"),
+            F.avg("d").alias("__avg_out"),
+            F.count(F.lit(1)).alias("n_out_vertices"),
+        )
     )
     in_stats = (
         e.groupBy("dst").agg(F.count(F.lit(1)).alias("d")).agg(F.max("d").alias("max_in_deg"))
@@ -78,6 +82,7 @@ def graph_summary(edges: DataFrame) -> DataFrame:
             ).alias("reciprocity"),
             "max_out_deg",
             "max_in_deg",
+            "n_out_vertices",
             F.round(F.col("__avg_out"), 6).alias("avg_out_deg"),
         )
     )

@@ -235,3 +235,96 @@ def test_simhash_near_dups_max_hamming_zero(spark):
     got = {(r["a"], r["b"], r["hamming"]) for r in simhash_near_dups(docs, max_hamming=0).collect()}
     want = {(i - 1, i, 0) for i in range(1, 60) if i % 10 == 1}
     assert got == want
+
+
+# -- hot-bucket caps (boilerplate mega-bucket defence) ----------------------
+
+
+def _boilerplate_corpus(spark, n_copies=120):
+    """n_copies identical docs (one LSH mega-bucket) + the 6-doc base set
+    (ids shifted by 1000) with its known exact/near-dup structure."""
+    mega = [(i, "standard legal boilerplate footer text repeated verbatim on every single page of this site") for i in range(n_copies)]
+    extra = [(1000 + i, t) for i, (_, t) in enumerate([
+        (0, BASE),
+        (1, BASE),
+        (2, BASE.replace("quick", "rapid")),
+        (3, "completely different content about database engines and query optimizers running distributed joins"),
+        (4, "der hund und die katze ist im haus und der vogel ist der beste"),
+        (5, "short text"),
+    ])]
+    return spark.createDataFrame(mega + extra, "doc_id long, text string")
+
+
+def test_lsh_hot_bucket_star_bounds_candidates(spark):
+    """A 120-copy mega-bucket emits 119 star pairs instead of C(120,2)=7140,
+    and connectivity (hence dedup grouping) is preserved exactly."""
+    docs = _boilerplate_corpus(spark).persist()
+    sigs = minhash_signatures(docs).persist()
+
+    capped = minhash_lsh_candidates(sigs, n_hashes=64, max_bucket_size=10).collect()
+    mega_pairs = [(r["a"], r["b"]) for r in capped if r["b"] < 1000]
+    assert len(mega_pairs) == 119  # rep 0 -> each of 1..119, O(g) not O(g^2)
+    assert all(a == 0 for a, _ in mega_pairs)
+
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in minhash_dedup(docs, threshold=0.5, max_bucket_size=10).collect()
+    }
+    for i in range(120):
+        assert got[i] == 0  # whole mega-group still collapses to one canonical
+    assert got[1001] == 1000 and got[1002] == 1000  # base near-dups unchanged
+    assert got[1003] == 1003 and got[1004] == 1004
+    sigs.unpersist()
+    docs.unpersist()
+
+
+def test_lsh_hot_bucket_cap_is_noop_below_cap(spark):
+    """When no bucket exceeds the cap, capped == uncapped exactly."""
+    from pagerank_spark.sources.docs import synth_docs
+
+    docs = synth_docs(spark, 300, dup_every=50).persist()
+    base = {(r["doc_id"], r["canonical_id"]) for r in minhash_dedup(docs, threshold=0.9).collect()}
+    capped = {
+        (r["doc_id"], r["canonical_id"])
+        for r in minhash_dedup(docs, threshold=0.9, max_bucket_size=10).collect()
+    }
+    assert base == capped
+    docs.unpersist()
+
+
+def test_lsh_hot_bucket_drop_mode_logs(spark, caplog):
+    """Drop mode excludes the mega-bucket's pairs and says so out loud."""
+    import logging
+
+    docs = _boilerplate_corpus(spark)
+    sigs = minhash_signatures(docs).persist()
+    with caplog.at_level(logging.WARNING, logger="pagerank_spark.operators.dedup"):
+        pairs = minhash_lsh_candidates(
+            sigs, n_hashes=64, max_bucket_size=10, hot_bucket_mode="drop"
+        ).collect()
+    assert not [r for r in pairs if r["b"] < 1000]  # mega pairs gone
+    assert any("hot LSH buckets" in rec.message for rec in caplog.records)
+    sigs.unpersist()
+
+
+def test_simhash_hot_bucket_star(spark):
+    """Star-capped simhash still pairs every mega-bucket member with the
+    representative at hamming 0, and cold-bucket pairs are untouched."""
+    from pagerank_spark.operators.dedup import simhash_near_dups
+
+    docs = _boilerplate_corpus(spark, n_copies=40).persist()
+    capped = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_near_dups(docs, max_hamming=3, max_bucket_size=10).collect()
+    }
+    # every mega member reachable from rep 0 at distance 0
+    assert {(0, b, 0) for b in range(1, 40)} <= capped
+    # the base-set near-dup pair survives via its (cold) buckets
+    uncapped = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    assert {(a, b, h) for a, b, h in uncapped if a >= 1000} == {
+        (a, b, h) for a, b, h in capped if a >= 1000
+    }
+    docs.unpersist()
