@@ -101,22 +101,48 @@ def quantile_bins(
     value_col: str,
     n_bins: int,
     id_col: str = "doc_id",
+    mode: str = "exact",
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """Equal-frequency (quantile) binning: append ``bin`` in [1, n_bins]
-    by rank of ``value_col`` (ties broken by ``id_col`` so the binning is
-    a total order — deterministic under repartitioning, unlike raw NTILE
-    over a non-unique key). The feature-engineering discretization step;
-    also the bucket-encoding front end for layout keys
-    (functions/layout.py:zorder_key wants rank buckets, not raw skewed
-    values).
+    """Equal-frequency (quantile) binning: append ``bin`` in [1, n_bins].
 
-    Plan note: NTILE needs a global order — one range-partitioned sort.
-    For 100-TB columns swap in percentile_approx cutpoints (the t-digest
-    scale path documented with the exact quantile gate) and bin by
-    comparison instead; this operator is the exact small/medium-table form.
+    ``mode="exact"``: bin by rank of ``value_col`` (ties broken by
+    ``id_col`` so the binning is a total order — deterministic under
+    repartitioning, unlike raw NTILE over a non-unique key). NTILE needs a
+    global order — one range-partitioned sort feeding a SINGLE-partition
+    window, so this is the small/medium-table form only.
+
+    ``mode="approx"``: the 100-TB path. One map-side-combined
+    ``percentile_approx`` aggregate (Greenwald-Khanna sketch, error <=
+    1/``accuracy`` in rank) produces the n_bins-1 cutpoints as a one-row
+    broadcast, and every row bins by comparison against that array —
+    no global sort, no window, no driver collect; the scan stays fully
+    parallel. Bin populations deviate from N/n_bins by at most the sketch's
+    rank error; a value equal to a cutpoint goes to the lower bin.
+
+    Used as the feature-engineering discretization step and the
+    bucket-encoding front end for layout keys (functions/layout.py:
+    zorder_key wants rank buckets, not raw skewed values).
     """
-    w = Window.orderBy(F.col(value_col), F.col(id_col))
-    return df.select(id_col, value_col, F.ntile(n_bins).over(w).alias("bin"))
+    if mode == "exact":
+        w = Window.orderBy(F.col(value_col), F.col(id_col))
+        return df.select(id_col, value_col, F.ntile(n_bins).over(w).alias("bin"))
+    if mode != "approx":
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.agg(
+        F.percentile_approx(value_col, F.array(*[F.lit(p) for p in probs]), accuracy).alias(
+            "__cuts"
+        )
+    )
+    return df.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        value_col,
+        (
+            F.lit(1)
+            + F.size(F.filter("__cuts", lambda c: c < F.col(value_col)))
+        ).alias("bin"),
+    )
 
 
 def stratified_sample(

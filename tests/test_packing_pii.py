@@ -132,3 +132,43 @@ def test_stratified_sample_default_drops_unlisted_groups(spark):
     df = spark.createDataFrame([(1, "en"), (2, "fr")], "doc_id long, lang string")
     kept = stratified_sample(df, "lang", {"en": 100}).collect()  # default_pct=0
     assert {r.lang for r in kept} == {"en"}
+
+
+def test_quantile_bins_approx_no_window_and_error_bound(spark):
+    """Approx mode: no Window node anywhere in the physical plan (the exact
+    mode's single-partition NTILE sort is the known 100-TB cliff), and at
+    full sketch accuracy the comparison binning reproduces NTILE's bin for
+    every row that is not tied with a cutpoint value."""
+    from pagerank_spark.operators.packing import quantile_bins
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "v"])
+
+    approx = quantile_bins(df, "v", 8, mode="approx")
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    got_a = {r["doc_id"]: r["bin"] for r in approx.collect()}
+    got_e = {r["doc_id"]: r["bin"] for r in quantile_bins(df, "v", 8).collect()}
+    # error contract: bins agree except where the exact NTILE splits a tie
+    # group across bins (comparison binning puts the whole tie group on one
+    # side of the cut); with 2000 distinct-ish values and accuracy 10k the
+    # disagreement set is confined to cutpoint-tied rows
+    diffs = [i for i in got_a if got_a[i] != got_e[i]]
+    assert len(diffs) <= 16  # <= n_bins-1 cut ties x tie-group width (2)
+    from collections import Counter
+
+    sizes = Counter(got_a.values())
+    assert set(sizes) == set(range(1, 9))
+    assert all(abs(c - 250) <= 5 for c in sizes.values())
+
+
+def test_quantile_bins_bad_mode(spark):
+    import pytest as _pytest
+
+    from pagerank_spark.operators.packing import quantile_bins
+
+    df = spark.createDataFrame([(1, 1.0)], ["doc_id", "v"])
+    with _pytest.raises(ValueError):
+        quantile_bins(df, "v", 4, mode="median-of-medians")
