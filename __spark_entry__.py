@@ -2219,6 +2219,24 @@ def q_bpe_merges_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(docs, k=8)
 
 
+def q_bpe_byte_merges_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte/char-level BPE trainer (operators/bpe.py::learn_bpe_merges_byte
+    — merges within whitespace words over the char alphabet + </w> marker,
+    rounds over the weighted distinct-word vocabulary) on a planted corpus
+    whose merge sequence is closed-form: 100x 'aaab ab' + 50x 'cd cd cd'
+    collapse in exactly 6 merges with freqs 200/200/200/150/150/100,
+    including a 3-way count tie at round 1 and 2-way ties at rounds 2 and 4
+    broken by the (left, right) ascending rule. Verified by pure-Python
+    replay in tests/test_bpe.py."""
+    from pagerank_spark.operators.bpe import learn_bpe_merges_byte
+
+    docs = spark.range(150).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, F.lit("aaab ab")).otherwise(F.lit("cd cd cd")).alias("text"),
+    )
+    return learn_bpe_merges_byte(docs, k=8)
+
+
 def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (top word/bigram fraction,
     duplicate-word fraction) — zero-shuffle sorted-run-length plan."""
@@ -2285,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_synth": q_scc_synth,
         "repetition_docs": q_repetition_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
+        "bpe_byte_merges_synth": q_bpe_byte_merges_synth,
         "neg_samples_events": q_neg_samples_events,
         "triangles_estimate_copurchase": q_triangles_estimate_copurchase,
         "temporal_reach_events": q_temporal_reach_events,
@@ -3209,6 +3228,18 @@ SELECT * FROM (VALUES
   (4, 'p' || chr(31) || 'q', 'p' || chr(31) || 'q', 400),
   (5, 'p' || chr(31) || 'q' || chr(31) || 'p' || chr(31) || 'q', 'p' || chr(31) || 'q', 200),
   (6, 'x' || chr(31) || 'y' || chr(31) || 'x' || chr(31) || 'y', 'x' || chr(31) || 'y' || chr(31) || 'x' || chr(31) || 'y', 200)
+) AS t("round", "left", "right", freq)"""
+
+    # closed-form byte-level merge sequence (hand-computed, replay-verified
+    # in tests/test_bpe.py::test_bpe_byte_planted_closed_form)
+    sqls["bpe_byte_merges_synth"] = """
+SELECT * FROM (VALUES
+  (1, 'a', 'a', 200),
+  (2, 'a', 'b', 200),
+  (3, 'ab', '</w>', 200),
+  (4, 'c', 'd', 150),
+  (5, 'cd', '</w>', 150),
+  (6, 'aa', 'ab</w>', 100)
 ) AS t("round", "left", "right", freq)"""
 
     sqls["repetition_docs"] = """

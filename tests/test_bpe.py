@@ -86,3 +86,91 @@ def test_bpe_apply_long_rule_chain_checkpoint_path(spark):
         cur = [cur[0] + SEP + cur[1]] + cur[2:]
     out = {r.doc_id: (list(r.tokens), r.n_tokens) for r in apply_bpe_merges(docs, rules).collect()}
     assert out[0] == (cur, 2) and out[1] == (cur, 2)
+
+
+# -- byte/char-level mode ----------------------------------------------------
+
+
+def _py_bpe_byte(texts, k):
+    """Canonical Sennrich byte-level BPE over a weighted word vocabulary."""
+    wc = collections.Counter(w for t in texts for w in t.split() if w)
+    vocab = {w: tuple(list(w) + ["</w>"]) for w in wc}
+    rules = []
+    for rnd in range(1, k + 1):
+        cnt = collections.Counter()
+        for w, syms in vocab.items():
+            for p in zip(syms, syms[1:]):
+                cnt[p] += wc[w]
+        if not cnt:
+            break
+        (l, r), freq = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < 2:
+            break
+        rules.append((rnd, l, r, freq))
+        m = l + r
+        nxt = {}
+        for w, syms in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = m
+                else:
+                    out.append(x)
+            nxt[w] = tuple(out)
+        vocab = nxt
+    return rules, vocab
+
+
+def test_bpe_byte_learn_and_apply_match_python_replay(spark):
+    from pagerank_spark.operators.bpe import apply_bpe_merges_byte, learn_bpe_merges_byte
+
+    rng = random.Random(7)
+    words = ["low", "lower", "lowest", "newer", "newest", "wider", "widest", "new"]
+    texts = [" ".join(rng.choice(words) for _ in range(rng.randrange(2, 12))) for _ in range(60)]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    exp_rules, exp_vocab = _py_bpe_byte(texts, 10)
+    got = [
+        (r["round"], r["left"], r["right"], r["freq"])
+        for r in learn_bpe_merges_byte(docs, k=10).collect()
+    ]
+    assert got == exp_rules
+
+    applied = {
+        r.doc_id: list(r.tokens)
+        for r in apply_bpe_merges_byte(docs, [(l, r) for _, l, r, _ in exp_rules]).collect()
+    }
+    want = {i: [s for w in t.split() if w for s in exp_vocab[w]] for i, t in enumerate(texts)}
+    assert applied == want
+
+
+def test_bpe_byte_merges_stay_within_words(spark):
+    """No merge rule may span a word boundary: every learned symbol must be
+    a substring of some word + optional </w> suffix."""
+    from pagerank_spark.operators.bpe import learn_bpe_merges_byte
+
+    docs = spark.createDataFrame(
+        [(i, "ab cd ab cd ab") for i in range(20)], "doc_id long, text string"
+    )
+    rules = learn_bpe_merges_byte(docs, k=6).collect()
+    for r in rules:
+        stripped = (r["left"] + r["right"]).replace("</w>", "")
+        assert stripped in ("ab", "cd", "a", "b", "c", "d")
+
+
+def test_bpe_byte_planted_closed_form(spark):
+    """The gate corpus: 100x 'aaab ab' + 50x 'cd cd cd' collapses in exactly
+    6 hand-computed merges, exercising 3-way and 2-way count ties."""
+    from pagerank_spark.operators.bpe import learn_bpe_merges_byte
+
+    rows = [(i, "aaab ab") for i in range(100)] + [(100 + i, "cd cd cd") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["round"], r["left"], r["right"], r["freq"]) for r in learn_bpe_merges_byte(docs, k=8).collect()]
+    assert got == [
+        (1, "a", "a", 200),
+        (2, "a", "b", 200),
+        (3, "ab", "</w>", 200),
+        (4, "c", "d", 150),
+        (5, "cd", "</w>", 150),
+        (6, "aa", "ab</w>", 100),
+    ]
