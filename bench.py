@@ -161,6 +161,24 @@ def run_bench(spark, sf_dir: str) -> dict:
     prs = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     timed("neg_samples_k3", lambda: negative_samples(prs, k=3, table_size=1024).count())
 
+    # round-4 addition (appended after the shared sequence): the wide-D
+    # Arrow gather path — 1024-dim features through one mapInArrow hop
+    # (the exploded path cannot build its hash relation at this width)
+    verts2 = (
+        edges.select(F.col("src").alias("id")).union(edges.select("dst")).dropDuplicates()
+    )
+    feats1k = verts2.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(1023)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 1000.0),
+        ).alias("embedding"),
+    ).persist()
+    feats1k.count()
+    timed("gnn_1hop_1024d_arrow", lambda: neighborhood_mean(
+        edges, feats1k, hops=1, mode="arrow").count())
+    feats1k.unpersist()
+
     edges.unpersist()
     return {"timings": timings, "samples": samples, "extras": extras, "n_edges": n_edges}
 

@@ -13,19 +13,89 @@ superstep (algos/pagerank.py), with the per-dimension rows playing the
 role of rank mass — then re-assembled into arrays once at the end.
 Per-hop cost is E x D rows through one shuffle; all JVM, zero UDFs.
 
-100-TB note: for wide embeddings (D in the thousands) the E x D row blowup
-favors an Arrow-batched gather (join neighbor ARRAYS, mean them in NumPy
-via applyInPandas) — same bytes moved, D-fold fewer rows; this module keeps
-the pure-Catalyst form because it is codegen'd end-to-end and
-oracle-replayable, and D <= a few hundred covers the common case.
+Two physical modes share the same semantics:
+
+- ``exploded`` (default): pure-Catalyst, codegen'd end-to-end and
+  oracle-replayable — but each hop moves E x D ROWS, so at D in the
+  hundreds-plus the per-row overhead (hash, sort, row headers) dominates.
+- ``arrow``: the wide-D path — embeddings stay ARRAYS through the gather
+  join (E rows per hop, D-fold fewer), then one ``mapInArrow`` over
+  dst-partitioned batches does the per-partition NumPy matrix mean. The
+  list column's Arrow values buffer reshapes ZERO-COPY into the (n, D)
+  matrix, ids factorize vectorized, and ``np.add.at`` scatter-adds — no
+  pandas objects, no per-row Python in either direction. (A
+  ``mapInPandas`` variant was measured 6-15x slower: nested arrays
+  materialize one ndarray object per row, and flattening to D double
+  columns doubles the JVM-side Arrow writer cost.)
+
+``mode="auto"`` probes the feature dimension once and picks ``arrow`` at
+D >= 384: measured on local[32] at 1M edges, exploded wins at D<=256
+(2.1s vs 2.7s per hop) but fails to build its shuffle-hash relation at
+D=1024 where arrow completes (23.6s) — see BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .pagerank import _num_partitions
+
+ARROW_MODE_MIN_DIM = 384
+
+
+def _make_mean_by_id_arrow(d: int):
+    """Per-partition grouped matrix mean over Arrow RecordBatches of
+    ``(dst int64, embedding list<double>)``.
+
+    Per batch: the list column's contiguous values buffer reshapes
+    zero-copy into the (n, d) matrix, ids factorize (vectorized
+    dictionary), and ``np.add.at`` scatter-adds rows into a partial-sum
+    matrix; partials across batches combine the same way, so memory is
+    O(unique ids x d) regardless of batch count. One partition's dst rows
+    arrive complete (upstream repartition on dst), so the yielded means
+    are final. Output is rebuilt as one flat values buffer + offsets —
+    no per-row Python anywhere."""
+
+    def mean_by_id(batches: "Iterator") -> "Iterator":
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        parts = []
+        for b in batches:
+            n = b.num_rows
+            if not n:
+                continue
+            ids = b.column(0).to_numpy()
+            m = b.column(1).flatten().to_numpy(zero_copy_only=False).reshape(n, d)
+            codes, uniq = pd.factorize(ids)
+            s = np.zeros((len(uniq), d))
+            np.add.at(s, codes, m)
+            c = np.bincount(codes, minlength=len(uniq)).astype(np.float64)
+            parts.append((uniq, s, c))
+        if not parts:
+            return
+        ids = np.concatenate([u for u, _, _ in parts])
+        s = np.vstack([x for _, x, _ in parts])
+        c = np.concatenate([x for _, _, x in parts])
+        codes, uniq = pd.factorize(ids)
+        s2 = np.zeros((len(uniq), d))
+        np.add.at(s2, codes, s)
+        c2 = np.zeros(len(uniq))
+        np.add.at(c2, codes, c)
+        flat = (s2 / c2[:, None]).ravel()
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (len(uniq) + 1) * d, d, dtype=np.int32)),
+            pa.array(flat, type=pa.float64()),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(uniq, type=pa.int64()), lst], ["id", "embedding"]
+        )
+
+    return mean_by_id
 
 
 def neighborhood_mean(
@@ -35,6 +105,7 @@ def neighborhood_mean(
     id_col: str = "id",
     vec_col: str = "embedding",
     num_partitions: int | None = None,
+    mode: str = "exploded",
 ) -> DataFrame:
     """Propagate features ``hops`` steps; returns ``(id, embedding)`` with
     the aggregated vector (double array, same dimension as the input).
@@ -43,9 +114,22 @@ def neighborhood_mean(
     direction (src -> dst) and always includes the vertex itself (an
     implicit self-loop). Vertices absent from ``features`` contribute and
     receive nothing (inner gather join) — align the tables beforehand.
+
+    ``mode``: ``"exploded"`` (pure Catalyst, (id,pos,val) rows),
+    ``"arrow"`` (array-valued gather + per-partition NumPy matrix mean;
+    the wide-D path), or ``"auto"`` (one schema probe, arrow at D >=
+    ``ARROW_MODE_MIN_DIM``). The two modes differ only in float summation
+    order (1-ulp; parity-tested in tests/test_gnn.py). Arrow mode requires
+    fixed-width, non-null vectors (the zero-copy reshape is what makes it
+    fast); exploded mode tolerates ragged input.
     """
     if hops < 1:
         raise ValueError("hops must be >= 1")
+    if mode not in ("exploded", "arrow", "auto"):
+        raise ValueError(f"mode must be 'exploded', 'arrow' or 'auto', got {mode!r}")
+    if mode == "auto":
+        probe = features.select(F.size(F.col(vec_col)).alias("d")).first()
+        mode = "arrow" if probe and (probe["d"] or 0) >= ARROW_MODE_MIN_DIM else "exploded"
     p = num_partitions or max(4, _num_partitions(edges))
 
     e = (
@@ -59,6 +143,27 @@ def neighborhood_mean(
         .repartition(p, "src")
         .localCheckpoint()
     )
+
+    if mode == "arrow":
+        probe = features.select(F.size(F.col(vec_col)).alias("d")).first()
+        d = int(probe["d"]) if probe else 0
+        if d <= 0:
+            raise ValueError("arrow mode needs non-empty feature vectors")
+        fn = _make_mean_by_id_arrow(d)
+        state = features.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("embedding")
+        ).repartition(p, "id")
+        for _ in range(hops):
+            gathered = (
+                e.join(state.hint("shuffle_hash"), e.src == state.id, "inner")
+                .select("dst", "embedding")
+                .repartition(p, "dst")
+            )
+            # a Python node per hop: truncate lineage
+            state = gathered.mapInArrow(
+                fn, schema="id long, embedding array<double>"
+            ).localCheckpoint()
+        return state.select("id", F.col("embedding").alias(vec_col))
 
     state = features.select(
         F.col(id_col).alias("id"),

@@ -52,3 +52,52 @@ def test_neighborhood_mean_chain_two_hops(spark):
     got = {r["id"]: r["embedding"][0] for r in neighborhood_mean(edges, fdf, hops=2, num_partitions=4).collect()}
     # h1: 0 -> 8, 1 -> 4, 2 -> 0 ; h2: 2 -> mean(h1[1], h1[2]) = 2
     assert got[0] == 8.0 and got[1] == 6.0 and got[2] == 2.0
+
+
+def test_arrow_mode_parity_with_exploded(spark):
+    """The wide-D Arrow path computes the same propagation as the exploded
+    Catalyst path (summation-order 1-ulp tolerance), across hops."""
+    rng = np.random.RandomState(9)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 30, size=(120, 2)) if a != b]
+    feats = [(i, rng.rand(8).tolist()) for i in range(30)]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    fdf = spark.createDataFrame(feats, ["id", "embedding"])
+    for hops in (1, 2):
+        exploded = {
+            r["id"]: r["embedding"]
+            for r in neighborhood_mean(edges, fdf, hops=hops, num_partitions=4).collect()
+        }
+        arrow = {
+            r["id"]: r["embedding"]
+            for r in neighborhood_mean(
+                edges, fdf, hops=hops, num_partitions=4, mode="arrow"
+            ).collect()
+        }
+        assert set(exploded) == set(arrow)
+        for v in exploded:
+            np.testing.assert_allclose(arrow[v], exploded[v], rtol=1e-12, atol=1e-12)
+
+
+def test_arrow_mode_matches_numpy_wide(spark):
+    rng = np.random.RandomState(4)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 10, size=(30, 2)) if a != b]
+    feats = {i: rng.rand(64).tolist() for i in range(10)}
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    fdf = spark.createDataFrame([(i, v) for i, v in feats.items()], ["id", "embedding"])
+    got = {
+        r["id"]: r["embedding"]
+        for r in neighborhood_mean(edges, fdf, hops=2, num_partitions=4, mode="auto").collect()
+    }
+    exp = _numpy_prop(pairs, feats, 2)
+    assert set(got) == set(exp)
+    for v in exp:
+        np.testing.assert_allclose(got[v], exp[v], atol=1e-10)
+
+
+def test_mode_validation(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    fdf = spark.createDataFrame([(0, [1.0])], ["id", "embedding"])
+    with _pytest.raises(ValueError):
+        neighborhood_mean(edges, fdf, mode="columnar")
