@@ -822,7 +822,8 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring — the memory-compression scale path next to the inverted-list
     one (ann_ivf_topk). Rows-only: the quantizer is engine-side (NumPy
     kernels); encode/ADC exactness is pinned by tests/test_pq.py against a
-    NumPy replay of the trained codebooks."""
+    NumPy replay of the trained codebooks, and the full train/encode/ADC
+    pipeline is VALUE-gated by the planted sibling ann_pq_planted."""
     from pagerank_spark.operators.similarity import pq_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
@@ -830,6 +831,29 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pq_topk(emb, query_id=0, k=10, n_sub=4, n_codes=16)
     return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def q_ann_pq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ value gate on a planted fixed-point corpus: 32 vectors (D=8,
+    small-integer components v[i][j] = (7i+13j) % 50 - 10, per-subspace
+    distinct) with n_codes == corpus size, so the hash-ordered seed sample
+    is the WHOLE corpus, every vector is its own nearest codeword, the
+    Lloyd step is the identity (mean of one), and the ADC score is the
+    EXACT inner product <q, v> — closed-form for the oracle, order-stable
+    floats because every product/sum is integer-valued. Value-checks
+    codebook training, encoding, the LUT build, and ADC scoring end-to-end
+    (the PQ analogue of ann_ivf_exhaustive's nprobe==n_centroids gate)."""
+    from pagerank_spark.operators.similarity import pq_topk
+
+    emb = spark.range(32).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: ((F.col("id") * 7 + j * 13) % 50 - 10).cast("double"),
+        ).alias("embedding"),
+    )
+    out = pq_topk(emb, query_id=0, k=10, n_sub=4, n_codes=32)
+    return out.select("vec_id", F.col("score").cast("double").alias("score"))
 
 
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2323,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_events": q_rolling_events,
         "zorder_events": q_zorder_events,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_pq_planted": q_ann_pq_planted,
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "transitions_events": q_transitions_events,
         "json_props_events": q_json_props_events,
@@ -3148,6 +3173,17 @@ WHERE f.range % 2 = 0 AND f.range < 3 + m.range % 4"""
     # nprobe == n_centroids degenerates IVF to exact search -> same oracle
     # as the brute-force cosine top-k
     sqls["ann_ivf_exhaustive"] = sqls["ann_topk_cosine"]
+
+    # PQ fixed-point corpus (see q_ann_pq_planted): ADC score == exact
+    # inner product against vec 0; integer-valued doubles, order-stable
+    sqls["ann_pq_planted"] = """
+WITH v AS (SELECT i AS vec_id, j, CAST((i * 7 + j * 13) % 50 - 10 AS DOUBLE) AS x
+           FROM range(32) t(i), range(8) u(j)),
+q AS (SELECT j, x FROM v WHERE vec_id = 0),
+s AS (SELECT v.vec_id, SUM(v.x * q.x) AS score
+      FROM v JOIN q USING (j) WHERE v.vec_id <> 0 GROUP BY 1)
+SELECT vec_id, CAST(score AS DOUBLE) AS score FROM s
+ORDER BY score DESC, vec_id LIMIT 10"""
 
     # planted exact-copy pairs are the only ones >= 0.95 (max non-identical
     # cosine on this table ~0.51) and copies share every LSH bucket
