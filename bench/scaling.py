@@ -106,7 +106,16 @@ def main() -> None:
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve the hand-written adjudication sections below the measured
+    # table: everything from the first "## " heading onward survives a rerun
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            tail = old[idx:]
+    with open(path, "w") as f:
         f.write(
             "# BENCH/BASELINE — measured engine numbers\n\n"
             "Protocol (BASELINE.md): identical PageRank workload, identical deterministic input\n"
@@ -126,6 +135,7 @@ def main() -> None:
             "per-core efficiency under 32-way load — see SCALING_NOTES.md in this directory\n"
             "for the control data, the stage-level profile, and every tuning variant measured.\n\n"
             f"All total-wall runs: local8={results[8]['runs']}, local32={results[32]['runs']}\n"
+            + tail
         )
     print(json.dumps(summary))
 

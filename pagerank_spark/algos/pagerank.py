@@ -42,6 +42,7 @@ Shuffle discipline (the 100-TB story):
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -120,7 +121,7 @@ def prepare_edges(
 def _superstep(
     edges_p: DataFrame, state: DataFrame, mode: str, p: int,
     damping: float, base: float, n: int, has_dangling: bool,
-    personalized: bool = False,
+    personalized: bool = False, float32_shuffle: bool = False,
 ):
     """One lazy superstep: state k -> state k+1 (no action triggered).
 
@@ -141,10 +142,20 @@ def _superstep(
     if mode == "csr":
         contribs = csr_contributions(edges_p, state, p)
     else:
+        # float32_shuffle: per-edge products and the map-side partial sums
+        # are FloatType, halving the contribution shuffle's value bytes —
+        # the only per-superstep shuffle whose width the engine controls.
+        # The reduce-side result is widened back to double. Costs ~1e-7
+        # relative noise per superstep (see pagerank() docstring).
+        term = F.col("rank") * F.col("coef")
+        if float32_shuffle:
+            agg = F.sum(term.cast("float")).cast("double").alias("contrib")
+        else:
+            agg = F.sum(term).alias("contrib")
         contribs = (
             edges_p.join(state.hint("shuffle_hash"), edges_p.src == state.id, "inner")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("coef")).alias("contrib"))
+            .agg(agg)
         )
     if personalized:
         # teleport lands on the seed distribution: (1-d)*t[v] + d*dm*t[v]
@@ -191,6 +202,8 @@ def pagerank(
     weight_col: str | None = None,
     teleport: DataFrame | None = None,
     init_ranks: DataFrame | None = None,
+    float32_shuffle: bool = False,
+    async_commit: bool = False,
 ) -> PageRankResult:
     """Damped PageRank with dangling-mass redistribution, L1 stopping rule.
 
@@ -235,6 +248,20 @@ def pagerank(
     ``checkpointer`` (plans.checkpoint.Checkpointer) makes the run resumable:
     each materialized superstep's rank vector + metrics are committed; on
     restart the loop continues from the last committed superstep.
+
+    ``float32_shuffle``: shuffle the contribution partial sums as FloatType
+    (half the value bytes in the one per-superstep shuffle). Adds ~1e-7
+    relative noise per superstep, so the L1 plateaus around 1e-7-1e-8:
+    ONLY for throughput runs with tol >= 1e-6 (the default tol=1e-9 run
+    would spin to max_iters). Default off; every correctness gate runs
+    double.
+
+    ``async_commit``: run each Checkpointer commit in a background thread,
+    overlapped with the NEXT block's plan-build/stage execution (commits
+    stay ordered: each joins its predecessor; the loop joins the last one
+    before returning). The write-audit-publish discipline is unchanged —
+    a crash can at worst lose the in-flight commit, exactly like a crash
+    just before a synchronous commit. Resume-identity is pytest-pinned.
     """
     # the LOGICAL plan tree still triplicates per chained superstep (caching
     # dedupes execution, not the tree): analysis/cache-lookup cost is
@@ -383,13 +410,18 @@ def pagerank(
     # wall between stage execution at plan-resolution time and the final
     # materializing action (BENCH/SCALING_NOTES.md §9).
     it = start_iter
+    pending_commit = None
+    commit_err: list = []
     while it < max_iters:
         block = min(check_every, max_iters - it)
         new_state = state
         intermediates = []
         t0 = time.monotonic()
         for i in range(block):
-            new_state = _superstep(edges_p, new_state, mode, p, damping, base, n, has_dangling, personalized)
+            new_state = _superstep(
+                edges_p, new_state, mode, p, damping, base, n, has_dangling,
+                personalized, float32_shuffle,
+            )
             if i < block - 1:
                 # lazy persist: each intra-block state is consumed by up to 2
                 # downstream operators; without the cache the block's single
@@ -422,11 +454,35 @@ def pagerank(
         result.iterations = it
 
         if checkpointer is not None:
-            checkpointer.commit(it, state.select(*state_cols), {"l1": l1})
+            if async_commit:
+                # overlap the commit (parquet write + audit: driver-blocking
+                # but not superstep-critical) with the next block's build.
+                # Ordered: join the previous commit first, so at most one
+                # commit is in flight and supersteps publish in order.
+                if pending_commit is not None:
+                    pending_commit.join()
+                    if commit_err:
+                        raise commit_err[0]
+                snap_it, snap_state = it, state.select(*state_cols)
+
+                def _bg(k=snap_it, s=snap_state, x=l1):
+                    try:
+                        checkpointer.commit(k, s, {"l1": x})
+                    except Exception as exc:  # noqa: BLE001 — re-raised on join
+                        commit_err.append(exc)
+
+                pending_commit = threading.Thread(target=_bg, daemon=True)
+                pending_commit.start()
+            else:
+                checkpointer.commit(it, state.select(*state_cols), {"l1": l1})
         if l1 < tol:
             result.converged = True
             break
 
+    if pending_commit is not None:
+        pending_commit.join()
+        if commit_err:
+            raise commit_err[0]
     result.iter_seconds = time.monotonic() - t_loop
     result.ranks = state.select("id", "rank")
     deg.unpersist()

@@ -136,3 +136,49 @@ def test_multimodal_wav_real_decode(spark):
     f = got[0]["feature"]
     # first half quiet, second half loud: band RMS ratio ~ 8x
     assert f[0] < 0.12 and f[7] > 0.4
+
+
+def test_async_commit_matches_sync_and_resumes(spark, tmp_path):
+    """async_commit overlaps commits with the next block but publishes the
+    identical sequence of committed supersteps, and a run resumed from an
+    async-committed checkpoint matches the uninterrupted run exactly."""
+    arr = er_edges_numpy(80, 300, seed=6)
+    edges = _edges_df(spark, arr)
+
+    full = pagerank(edges, max_iters=12, tol=0.0)
+    ranks_full = {r["id"]: r["rank"] for r in full.ranks.collect()}
+
+    ck_s = Checkpointer(spark, str(tmp_path / "sync"))
+    pagerank(edges, max_iters=6, tol=0.0, checkpointer=ck_s)
+    ck_a = Checkpointer(spark, str(tmp_path / "async"))
+    pagerank(edges, max_iters=6, tol=0.0, checkpointer=ck_a, async_commit=True)
+    assert ck_a.committed_supersteps() == ck_s.committed_supersteps() == list(range(1, 7))
+    ks, dfs, _ = ck_s.latest()
+    ka, dfa, _ = ck_a.latest()
+    assert ks == ka
+    rs = {r["id"]: r["rank"] for r in dfs.collect()}
+    ra = {r["id"]: r["rank"] for r in dfa.collect()}
+    assert rs.keys() == ra.keys()
+    for k in rs:
+        assert abs(rs[k] - ra[k]) < 1e-15
+
+    resumed = pagerank(edges, max_iters=12, tol=0.0, checkpointer=ck_a, async_commit=True)
+    ranks_resumed = {r["id"]: r["rank"] for r in resumed.ranks.collect()}
+    for k in ranks_full:
+        assert abs(ranks_full[k] - ranks_resumed[k]) < 1e-12
+    assert [m["superstep"] for m in ck_a.metrics()] == list(range(1, 13))
+
+
+def test_float32_shuffle_close_to_double(spark):
+    """The float32 contribution shuffle tracks the double run to float
+    precision (~1e-7 relative) — a throughput trade, not a correctness one."""
+    arr = er_edges_numpy(200, 900, seed=4)
+    edges = _edges_df(spark, arr)
+    d = {r["id"]: r["rank"] for r in pagerank(edges, max_iters=8, tol=0.0).ranks.collect()}
+    f = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, max_iters=8, tol=0.0, float32_shuffle=True).ranks.collect()
+    }
+    assert d.keys() == f.keys()
+    for k in d:
+        assert abs(d[k] - f[k]) <= 1e-6 * max(abs(d[k]), 1e-3)
