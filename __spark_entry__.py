@@ -856,6 +856,35 @@ def q_ann_pq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("score").cast("double").alias("score"))
 
 
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grid-snapped Lloyd k-means over the real embeddings
+    (operators/clustering.py:kmeans_assign): k=4, 2 update rounds, explicit
+    init ids [0..3], scale-1024 integer grid. Distances, argmin ties, and
+    the round-half-up centroid snap are all exact integer/deterministic
+    arithmetic, so the oracle unrolls the ENTIRE fixpoint in SQL — a
+    value-checked distributed k-means, not a planted toy."""
+    from pagerank_spark.operators.clustering import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out, _ = kmeans_assign(emb, k=4, iters=2, scale=1024)
+    return out.select("vec_id", "cluster")
+
+
+def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-first embedding pruning (operators/clustering.py:
+    semdedup) with the label column as the cluster assignment (clustering
+    itself is value-gated by kmeans_embeddings): drop any vector whose
+    quantized cosine to a lower-id same-cluster member is >= 7/20. The
+    cosine test is pure int64 cross-multiplication — no sqrt, no floats —
+    so the oracle replays it exactly."""
+    from pagerank_spark.operators.clustering import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "cluster", F.col("label")
+    )
+    return semdedup(emb, threshold_num=7, threshold_den=20, scale=128).orderBy("vec_id")
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout keys over (user bucket, time bucket)
     (functions/layout.py:zorder_key) — the multi-dimensional clustering
@@ -2348,6 +2377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_pq_planted": q_ann_pq_planted,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "semdedup_embeddings": q_semdedup_embeddings,
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "transitions_events": q_transitions_events,
         "json_props_events": q_json_props_events,
@@ -3184,6 +3215,82 @@ s AS (SELECT v.vec_id, SUM(v.x * q.x) AS score
       FROM v JOIN q USING (j) WHERE v.vec_id <> 0 GROUP BY 1)
 SELECT vec_id, CAST(score AS DOUBLE) AS score FROM s
 ORDER BY score DESC, vec_id LIMIT 10"""
+
+    # grid-snapped Lloyd k-means, 2 update rounds unrolled exactly as the
+    # engine runs them (operators/clustering.py): integer distances, ties
+    # to the lowest cluster, round-half-up centroid snap, empty-cluster
+    # fallback via COALESCE. Sums stay far below 2^53 so the single DOUBLE
+    # division per centroid component is bit-identical to the driver's.
+    _km_rounds = []
+    _km_prev = "c0"
+    for _k in range(1, 3):
+        _km_rounds.append(f"""
+d{_k} AS MATERIALIZED (
+  SELECT e.vec_id, c.cluster, SUM((e.val - c.val) * (e.val - c.val)) AS dist
+  FROM qe e JOIN {_km_prev} c ON c.pos = e.pos GROUP BY 1, 2),
+a{_k} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d{_k}) WHERE rn = 1),
+u{_k} AS (
+  SELECT a.cluster, e.pos,
+         CAST(floor(CAST(SUM(e.val) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS val
+  FROM a{_k} a JOIN qe e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+c{_k} AS MATERIALIZED (
+  SELECT p.cluster, p.pos, COALESCE(u.val, p.val) AS val
+  FROM {_km_prev} p LEFT JOIN u{_k} u ON u.cluster = p.cluster AND u.pos = p.pos)""")
+        _km_prev = f"c{_k}"
+    sqls["kmeans_embeddings"] = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1024.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+qe AS MATERIALIZED (
+  SELECT vec_id, unnest(qv) AS val, generate_subscripts(qv, 1) AS pos FROM q),
+c0 AS MATERIALIZED (
+  SELECT vec_id AS cluster, pos, val FROM qe WHERE vec_id IN (0, 1, 2, 3)),
+{','.join(_km_rounds)},
+df AS (
+  SELECT e.vec_id, c.cluster, SUM((e.val - c.val) * (e.val - c.val)) AS dist
+  FROM qe e JOIN {_km_prev} c ON c.pos = e.pos GROUP BY 1, 2)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+  FROM df) WHERE rn = 1"""
+
+    # SemDeDup keep-first on the scale-128 grid: cos >= 7/20 decided by
+    # integer cross-multiplication (400*dot^2 >= 49*|a|^2*|b|^2, dot > 0)
+    sqls["semdedup_embeddings"] = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label AS cluster,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 128.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+n AS MATERIALIZED (
+  SELECT vec_id, cluster, qv,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(qv, x -> x * x)),
+                     (a, b) -> a + b) AS nrm
+  FROM q),
+qe AS MATERIALIZED (
+  SELECT vec_id, unnest(qv) AS val, generate_subscripts(qv, 1) AS pos FROM q),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.nrm AS a_n, b.nrm AS b_n
+  FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+dots AS (
+  SELECT p.a_id, p.b_id, p.a_n, p.b_n, SUM(ea.val * eb.val) AS dot
+  FROM pairs p
+  JOIN qe ea ON ea.vec_id = p.a_id
+  JOIN qe eb ON eb.vec_id = p.b_id AND eb.pos = ea.pos
+  GROUP BY 1, 2, 3, 4),
+dropped AS (
+  SELECT DISTINCT b_id FROM dots
+  WHERE dot > 0 AND 400 * dot * dot >= 49 * a_n * b_n)
+SELECT n.vec_id, n.cluster, CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM n LEFT JOIN dropped d ON n.vec_id = d.b_id
+ORDER BY n.vec_id"""
 
     # planted exact-copy pairs are the only ones >= 0.95 (max non-identical
     # cosine on this table ~0.51) and copies share every LSH bucket
