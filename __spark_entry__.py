@@ -885,6 +885,27 @@ def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, threshold_num=7, threshold_den=20, scale=128).orderBy("vec_id")
 
 
+def q_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-unigram importance weights
+    (operators/trainprep.py:importance_weights): target = sources
+    src1-src3, B=16 buckets, add-one smoothing, select at >= 201/200.
+    The linear (first-moment) weight is exact-rational BIGINT end-to-end —
+    numerator, denominator, and the selected flag all replay exactly in
+    SQL (the polynomial char hash is engine-neutral by construction).
+    The log-likelihood-ratio variant (importance_logratio) shares these
+    features and is NumPy-replay-tested instead (float logs)."""
+    from pagerank_spark.operators.trainprep import importance_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return importance_weights(
+        docs,
+        F.col("source").isin("src1", "src2", "src3"),
+        n_buckets=16,
+        threshold_num=201,
+        threshold_den=200,
+    ).orderBy("doc_id")
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout keys over (user bucket, time bucket)
     (functions/layout.py:zorder_key) — the multi-dimensional clustering
@@ -2379,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_planted": q_ann_pq_planted,
         "kmeans_embeddings": q_kmeans_embeddings,
         "semdedup_embeddings": q_semdedup_embeddings,
+        "importance_docs": q_importance_docs,
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "transitions_events": q_transitions_events,
         "json_props_events": q_json_props_events,
@@ -3291,6 +3313,46 @@ dropped AS (
 SELECT n.vec_id, n.cluster, CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS kept
 FROM n LEFT JOIN dropped d ON n.vec_id = d.b_id
 ORDER BY n.vec_id"""
+
+    # DSIR linear importance: exact integer replay of the polynomial char
+    # hash, bucket counts, smoothed vocabularies, and the rational
+    # selection inequality (200*num >= 201*den)
+    sqls["importance_docs"] = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> len(t) > 0) AS tk,
+         CASE WHEN source IN ('src1', 'src2', 'src3') THEN 1 ELSE 0 END AS is_t
+  FROM documents),
+tokb AS MATERIALIZED (
+  SELECT t.doc_id, t.is_t,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(string_to_array(u.tok, ''),
+                                                 c -> CAST(unicode(c) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 2147483648) % 16 AS b
+  FROM toks t, UNNEST(t.tk) AS u(tok)),
+vocab AS MATERIALIZED (
+  SELECT g.range AS b,
+         COALESCE(v.r, 0) AS r, COALESCE(v.t, 0) AS t
+  FROM range(16) g LEFT JOIN (
+    SELECT b, COUNT(*) AS r, SUM(is_t) AS t FROM tokb GROUP BY 1) v
+  ON v.b = g.range),
+tot AS (SELECT CAST((SELECT COUNT(*) FROM tokb) + 16 AS BIGINT) AS rt,
+               CAST((SELECT COUNT(*) FROM tokb WHERE is_t = 1) + 16 AS BIGINT) AS tt),
+cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM tokb GROUP BY 1, 2),
+w AS (
+  SELECT c.doc_id,
+         SUM(c.c * (v.t + 1)) AS a_t,
+         SUM(c.c * (v.r + 1)) AS a_r
+  FROM cnt c JOIN vocab v ON v.b = c.b GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(w.a_t, 0) * tot.rt AS BIGINT) AS imp_num,
+       CAST(COALESCE(w.a_r, 0) * tot.tt AS BIGINT) AS imp_den,
+       CASE WHEN COALESCE(w.a_r, 0) > 0
+             AND 200 * COALESCE(w.a_t, 0) * tot.rt >= 201 * COALESCE(w.a_r, 0) * tot.tt
+            THEN 1 ELSE 0 END AS selected
+FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id CROSS JOIN tot
+ORDER BY d.doc_id"""
 
     # planted exact-copy pairs are the only ones >= 0.95 (max non-identical
     # cosine on this table ~0.51) and copies share every LSH bucket

@@ -263,3 +263,173 @@ def dedup_paragraphs(
         F.size(kept).alias("n_kept"),
         F.array_join(kept, sep).alias("text_dedup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
+# arXiv:2302.03169): score raw-corpus documents by how target-like their
+# hashed token-bucket profile is, to reweight/select pretraining data.
+# ---------------------------------------------------------------------------
+
+_POLY_MOD = 2**31
+
+
+def _token_bucket_counts(text_col: str, n_buckets: int):
+    """Per-row length-``n_buckets`` BIGINT count array of hashed unigrams.
+
+    The hash is an engine-neutral polynomial char code
+    (``h = (h*31 + codepoint) mod 2^31``, then ``mod n_buckets``) instead of
+    xxhash64 so the DuckDB oracle replays it bit-for-bit (same reason
+    packing.KNUTH exists). Pure per-row array expressions — computing the
+    feature vector costs ZERO shuffles regardless of corpus size.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+    )
+    code = lambda t: F.pmod(  # noqa: E731
+        F.aggregate(
+            F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, c: F.pmod(a * 31 + c, F.lit(_POLY_MOD)),
+        ),
+        F.lit(n_buckets),
+    )
+    buckets = F.transform(toks, code)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda b: F.size(F.filter(buckets, lambda x: x == b)).cast("long"),
+    )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = 16,
+    threshold_num: int = 21,
+    threshold_den: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-selection importance weights from hashed unigram buckets.
+
+    DSIR's framework: estimate a target and a raw bucket distribution
+    (add-one smoothed), weight each document by how much more target-mass
+    than raw-mass its feature profile carries, select documents above a
+    threshold. This implementation uses the FIRST-MOMENT (linear) weight
+
+        importance(x) = [sum_b c_b(x) * p_target(b)] / [sum_b c_b(x) * p_raw(b)]
+
+    which is exact-rational in integer arithmetic end-to-end — the gate
+    hashes stringified values, so the emitted columns are the exact BIGINT
+    numerator/denominator (totals-normalized) and an integer selected flag,
+    reproducible on any engine. DSIR's log-likelihood-ratio weight (the
+    product form) is :func:`importance_logratio` below — same features,
+    float log-space, NumPy-replay-tested instead of oracle-gated.
+
+    Returns ``(doc_id, imp_num, imp_den, selected)`` where
+    ``imp_num = (sum_b c_b*(T_b+1)) * (R+B)``,
+    ``imp_den = (sum_b c_b*(R_b+1)) * (T+B)``, and ``selected = 1`` iff
+    ``threshold_den * imp_num >= threshold_num * imp_den`` (empty documents
+    are never selected). ``importance = imp_num/imp_den``.
+
+    Scale shape: the per-doc feature array is zero-shuffle; the two global
+    bucket tables are B-row map-side-combined aggregates; their values ride
+    back into ONE final projection as literals (broadcast by value). An
+    int64 bound is asserted from the measured totals — at trillion-token
+    scale emit the two factors of each side separately instead (noted in
+    the error).
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _token_bucket_counts(text_col, n_buckets).alias("__c"),
+        F.when(target_pred, F.lit(1)).otherwise(F.lit(0)).alias("__is_target"),
+    )
+    d = d.persist()
+    # two B-row vocabularies in one pass: bucket totals overall + target-only
+    totals = (
+        d.select(F.col("__is_target"), F.posexplode("__c").alias("b", "c"))
+        .groupBy("b")
+        .agg(
+            F.sum("c").alias("r"),
+            F.sum(F.col("c") * F.col("__is_target")).alias("t"),
+        )
+        .collect()
+    )
+    R = {int(row["b"]): int(row["r"]) for row in totals}
+    T = {int(row["b"]): int(row["t"]) for row in totals}
+    r_total = sum(R.values()) + n_buckets
+    t_total = sum(T.values()) + n_buckets
+    max_tokens = int(
+        d.agg(F.max(F.aggregate("__c", F.lit(0).cast("long"), lambda a, x: a + x))).first()[0]
+        or 0
+    )
+    worst_side = max_tokens * (max(max(R.values(), default=0), max(T.values(), default=0)) + 1)
+    if worst_side * max(r_total, t_total) * max(threshold_num, threshold_den) >= 2**63:
+        raise ValueError(
+            "int64 overflow risk at these corpus totals: emit the factor "
+            "columns (sum_b c_b*(T_b+1)) and (sum_b c_b*(R_b+1)) separately "
+            "and compare as DECIMAL(38,0) instead"
+        )
+    t_lit = F.array(*[F.lit(T.get(b, 0) + 1).cast("long") for b in range(n_buckets)])
+    r_lit = F.array(*[F.lit(R.get(b, 0) + 1).cast("long") for b in range(n_buckets)])
+    dot = lambda lit: F.aggregate(  # noqa: E731
+        F.zip_with("__c", lit, lambda c, w: c * w), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    num = (dot(t_lit) * F.lit(r_total)).alias("imp_num")
+    den = (dot(r_lit) * F.lit(t_total)).alias("imp_den")
+    out = d.select("doc_id", num, den).withColumn(
+        "selected",
+        F.when(
+            (F.col("imp_den") > 0)
+            & (F.lit(threshold_den) * F.col("imp_num") >= F.lit(threshold_num) * F.col("imp_den")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return out
+
+
+def importance_logratio(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR's actual log-likelihood-ratio importance weight:
+    ``log w(x) = sum_b c_b(x) * [ln p_target(b) - ln p_raw(b)]`` with
+    add-one smoothing — the product-form weight the paper resamples by.
+
+    Same zero-shuffle features and B-row vocabularies as
+    :func:`importance_weights`; the per-bucket log ratios fold into the
+    final projection as a double literal array. Float output (libm logs),
+    so this variant is NumPy-replay-tested rather than oracle-gated.
+    Returns ``(doc_id, log_weight)``.
+    """
+    import math as _math
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _token_bucket_counts(text_col, n_buckets).alias("__c"),
+        F.when(target_pred, F.lit(1)).otherwise(F.lit(0)).alias("__is_target"),
+    ).persist()
+    totals = (
+        d.select(F.col("__is_target"), F.posexplode("__c").alias("b", "c"))
+        .groupBy("b")
+        .agg(F.sum("c").alias("r"), F.sum(F.col("c") * F.col("__is_target")).alias("t"))
+        .collect()
+    )
+    R = {int(row["b"]): int(row["r"]) for row in totals}
+    T = {int(row["b"]): int(row["t"]) for row in totals}
+    r_total = sum(R.values()) + n_buckets
+    t_total = sum(T.values()) + n_buckets
+    ratios = [
+        _math.log((T.get(b, 0) + 1) / t_total) - _math.log((R.get(b, 0) + 1) / r_total)
+        for b in range(n_buckets)
+    ]
+    lit = F.array(*[F.lit(float(x)) for x in ratios])
+    lw = F.aggregate(
+        F.zip_with("__c", lit, lambda c, w: c.cast("double") * w),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return d.select("doc_id", lw.alias("log_weight"))

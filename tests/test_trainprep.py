@@ -169,3 +169,114 @@ def test_prepare_corpus_job_partitioned_write(spark, tmp_path):
     assert back.count() == summary["kept_docs"]
     # placement columns survive the partitioned layout
     assert {"doc_id", "n_tokens", "start_offset", "first_chunk", "last_chunk", "n_chunks", "split"} <= set(back.columns)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting
+# ---------------------------------------------------------------------------
+
+def _poly_bucket(tok: str, n_buckets: int = 16) -> int:
+    h = 0
+    for ch in tok:
+        h = (h * 31 + ord(ch)) % (2**31)
+    return h % n_buckets
+
+
+def _np_importance(rows, target_ids, n_buckets=16):
+    """Pure-Python replay of importance_weights' exact-integer contract."""
+    feats, is_t = {}, {}
+    for doc_id, text in rows:
+        toks = [t for t in text.strip().lower().split() if t]
+        c = [0] * n_buckets
+        for t in toks:
+            c[_poly_bucket(t, n_buckets)] += 1
+        feats[doc_id] = c
+        is_t[doc_id] = doc_id in target_ids
+    R = [sum(feats[d][b] for d in feats) for b in range(n_buckets)]
+    T = [sum(feats[d][b] for d in feats if is_t[d]) for b in range(n_buckets)]
+    rt, tt = sum(R) + n_buckets, sum(T) + n_buckets
+    out = {}
+    for d, c in feats.items():
+        num = sum(cb * (T[b] + 1) for b, cb in enumerate(c)) * rt
+        den = sum(cb * (R[b] + 1) for b, cb in enumerate(c)) * tt
+        out[d] = (num, den)
+    return out
+
+
+def test_importance_weights_exact_replay(spark):
+    from pagerank_spark.operators.trainprep import importance_weights
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "quantum flux capacitor array"),
+        (2, "the dog sat on the log"),
+        (3, "   "),  # empty after trim: never selected
+        (4, "quantum entanglement"),
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        r["doc_id"]: (r["imp_num"], r["imp_den"], r["selected"])
+        for r in importance_weights(
+            docs, F.col("doc_id").isin(1, 4), threshold_num=1, threshold_den=1
+        ).collect()
+    }
+    exp = _np_importance(rows, {1, 4})
+    for d, (num, den) in exp.items():
+        sel = 1 if den > 0 and num >= den else 0
+        assert got[d] == (num, den, sel), d
+    # doc 1 (pure target vocabulary) self-selects at threshold 1.0; the
+    # non-target docs rank below it (doc 4 may dip under 1.0 when its
+    # buckets collide with common raw words — that's the hashing trade)
+    assert got[1][2] == 1
+    ratio = lambda d: got[d][0] / got[d][1]  # noqa: E731
+    assert ratio(1) > ratio(0) and ratio(1) > ratio(2)
+    assert got[3] == (0, 0, 0)  # empty doc: zero weight, never selected
+
+
+def test_importance_logratio_matches_numpy(spark):
+    import numpy as np
+    from pagerank_spark.operators.trainprep import importance_logratio
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "quantum flux capacitor array"),
+        (2, "the dog sat on the log"),
+        (4, "quantum entanglement"),
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in importance_logratio(docs, F.col("doc_id").isin(1, 4)).collect()
+    }
+    exp_int = _np_importance(rows, {1, 4})
+    # recompute the true log-LR from the same feature counts
+    n_buckets = 16
+    feats = {}
+    for doc_id, text in rows:
+        c = [0] * n_buckets
+        for t in [t for t in text.strip().lower().split() if t]:
+            c[_poly_bucket(t)] += 1
+        feats[doc_id] = c
+    R = [sum(feats[d][b] for d in feats) for b in range(n_buckets)]
+    T = [sum(feats[d][b] for d in feats if d in (1, 4)) for b in range(n_buckets)]
+    rt, tt = sum(R) + n_buckets, sum(T) + n_buckets
+    for d, c in feats.items():
+        lw = sum(
+            cb * (math.log((T[b] + 1) / tt) - math.log((R[b] + 1) / rt))
+            for b, cb in enumerate(c)
+        )
+        assert abs(got[d] - lw) < 1e-9, d
+    # orderings agree with the exact-integer variant on this fixture
+    by_log = sorted(got, key=got.get)
+    by_lin = sorted(exp_int, key=lambda d: exp_int[d][0] / max(exp_int[d][1], 1))
+    assert by_log[-1] == by_lin[-1]
+
+
+def test_importance_repartition_stable(spark):
+    from pagerank_spark.operators.trainprep import importance_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = F.col("source").isin("src1", "src2")
+    a = sorted(importance_weights(docs, pred).collect())
+    b = sorted(importance_weights(docs.repartition(13), pred).collect())
+    assert a == b
