@@ -1622,6 +1622,123 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 flavor (the synthetic lineitem has no commit/receipt dates,
+    so 'late' = shipped >60 days after the order date): priority counts of
+    orders with at least one late line. The EXISTS compiles to a LEFT SEMI
+    join — the probe side carries only (l_orderkey, l_shipdate), and the
+    date-window filter prunes the orders scan before the join."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 flavor (no l_shipmode column; l_returnflag plays the mode
+    dimension, 'late' = shipped >30 days after order date): per-flag
+    high/low-priority line counts — the CASE-sum pivot over one
+    fact-to-fact join, both sides date-pruned at the scan."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds 300, joined back to customer. The HAVING subquery is a
+    map-side-combined agg over (l_orderkey) only; the join back to the
+    qualifying keys is a semi-join of the fact against a tiny key set.
+    Quantities are integral doubles — emitted as exact BIGINT."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey", F.col("q").cast("long").alias("total_qty"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice_r"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice_r"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 flavor (no p_container; brand/size/quantity bands):
+    OR-of-ANDs discounted revenue. The disjunction over part attributes
+    pushes into the broadcast-joined dim filter; per-branch quantity bands
+    stay on the fact side."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_brand", "p_size")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11)
+    b2 = (F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 20)
+    b3 = (F.col("p_brand") == "Brand#33") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 30)
+    return j.filter(b1 | b2 | b3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 flavor (dormant high-balance customers): customers above
+    the positive-balance average with NO orders since 2000-01-01 — the
+    LEFT ANTI join shape. The average threshold is compared as an exact
+    integer cross-multiplication (cents * n > sum_cents), so membership
+    can't flip on a 1-ulp AVG difference; balances are emitted as exact
+    cents."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    row = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    ).first()
+    s, n = int(row["s"]), int(row["n"])
+    recent = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    return (
+        cust.filter(F.col("cents") * n > s)
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("cents").alias("totacctbal_cents"),
+        )
+    )
+
+
 def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -2433,6 +2550,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "tpch_q6": q_tpch_q6,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "window_top_orders": q_window_top_orders,
         "topk_pagerank_events": q_topk_pagerank_events,
         "sessionize_events": q_sessionize_events,
@@ -2858,6 +2980,56 @@ SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+    sqls["tpch_q4"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority"""
+
+    sqls["tpch_q12"] = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag"""
+
+    sqls["tpch_q18"] = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300)
+SELECT c_custkey, c_name, o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice_r, total_qty
+FROM orders JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice_r DESC, o_orderkey LIMIT 100"""
+
+    sqls["tpch_q19"] = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)"""
+
+    sqls["tpch_q22"] = """
+WITH c AS (SELECT c_custkey, c_nationkey,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents, c_acctbal
+           FROM customer),
+pos AS (SELECT CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n FROM c WHERE c_acctbal > 0)
+SELECT c_nationkey AS nation, COUNT(*) AS numcust,
+       CAST(SUM(cents) AS BIGINT) AS totacctbal_cents
+FROM c, pos
+WHERE cents * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey"""
 
     sqls["window_top_orders"] = """
 SELECT o_custkey, o_orderkey, rn FROM (
