@@ -2460,6 +2460,60 @@ def q_scc_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(edges, num_partitions=8).labels
 
 
+def q_ball_sizes_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF exact mode: per-part 2-hop directed ball sizes on the co-purchase
+    graph (algos/neighborhood.py). Oracle: two unrolled distinct frontier
+    expansions. The hll mode (the 100-TB path) is pytest-gated against a
+    bit-identical pure-Python register replay (tests/test_neighborhood.py)."""
+    from pagerank_spark.algos.neighborhood import ball_sizes
+
+    # tiny gate graph: distinct-expansion supersteps at 32-way are pure
+    # per-stage fixed cost — run narrow for the duration (hits_events pattern)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # the co-purchase derivation (lineitem self-join) is referenced by
+        # every expansion — materialize it once
+        edges = _graph_for(spark, sf_dir, "copurchase").localCheckpoint()
+        out = ball_sizes(edges, 2).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
+def q_neighborhood_fn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF neighborhood function N(t), t=0..3, on the events graph — the
+    number of ordered vertex pairs within directed distance t."""
+    from pagerank_spark.algos.neighborhood import neighborhood_function
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = neighborhood_function(
+            _graph_for(spark, sf_dir, "events"), 3
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
+def _ball_ctes(edges_cte: str, k: int) -> str:
+    """Unrolled frontier-expansion CTE chain b0..bk over ``e``."""
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "bv AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        "b0 AS MATERIALIZED (SELECT id AS root, id AS reached FROM bv)",
+    ]
+    for t in range(1, k + 1):
+        ctes.append(
+            f"b{t} AS MATERIALIZED (SELECT DISTINCT root, reached FROM ("
+            f"SELECT root, reached FROM b{t - 1} UNION ALL "
+            f"SELECT p.root, e.dst AS reached FROM b{t - 1} p "
+            f"JOIN e ON e.src = p.reached))"
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2492,6 +2546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred_copurchase": q_linkpred_copurchase,
         "cc_events": q_cc_events,
         "scc_synth": q_scc_synth,
+        "ball_sizes_copurchase": q_ball_sizes_copurchase,
+        "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
         "bpe_byte_merges_synth": q_bpe_byte_merges_synth,
@@ -3679,6 +3735,19 @@ mutual AS (SELECT a.s AS u, a.d AS v FROM reach a JOIN reach b ON a.s = b.d AND 
 SELECT v.id AS id, GREATEST(v.id, COALESCE(MAX(m.v), v.id)) AS scc
 FROM verts v LEFT JOIN mutual m ON m.u = v.id
 GROUP BY v.id"""
+
+    sqls["ball_sizes_copurchase"] = (
+        _ball_ctes(COPURCHASE_EDGES_CTE, 2)
+        + "\nSELECT root AS id, COUNT(*) AS ball_size FROM b2 GROUP BY 1"
+    )
+
+    sqls["neighborhood_fn_events"] = (
+        _ball_ctes(EVENTS_EDGES_CTE, 3)
+        + "\n"
+        + " UNION ALL ".join(
+            f"SELECT {t} AS t, COUNT(*) AS nf FROM b{t}" for t in range(4)
+        )
+    )
 
     # minhash_dedup_docs, simhash_docs, simhash_near_dups_docs: engine-side
     # hashing (xxhash64/LSH) on the REAL corpus; ann_ivf_topk (pruned
