@@ -2497,6 +2497,16 @@ def q_neighborhood_fn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_neighbor_sample_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE fan-out sampling (algos/gnn.py:sample_neighbors): at most 2
+    out-neighbors per part on the co-purchase graph, chosen by a
+    deterministic integer hash priority — oracle replays the identical
+    arithmetic in SQL."""
+    from pagerank_spark.algos.gnn import sample_neighbors
+
+    return sample_neighbors(_graph_for(spark, sf_dir, "copurchase"), 2, seed=7)
+
+
 def _ball_ctes(edges_cte: str, k: int) -> str:
     """Unrolled frontier-expansion CTE chain b0..bk over ``e``."""
     ctes = [
@@ -2547,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_events": q_cc_events,
         "scc_synth": q_scc_synth,
         "ball_sizes_copurchase": q_ball_sizes_copurchase,
+        "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
         "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
@@ -3740,6 +3751,19 @@ GROUP BY v.id"""
         _ball_ctes(COPURCHASE_EDGES_CTE, 2)
         + "\nSELECT root AS id, COUNT(*) AS ball_size FROM b2 GROUP BY 1"
     )
+
+    sqls["neighbor_sample_copurchase"] = f"""
+WITH {_materialize(COPURCHASE_EDGES_CTE.strip())},
+pr AS (
+  SELECT src, dst,
+         (((src * 2654435761 + dst) % 2147483648 + 7) % 2147483648
+          * 2246822519 + 1) % 2147483648 AS prio
+  FROM e
+)
+SELECT src, dst FROM (
+  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY prio, dst) AS rn
+  FROM pr
+) WHERE rn <= 2"""
 
     sqls["neighborhood_fn_events"] = (
         _ball_ctes(EVENTS_EDGES_CTE, 3)

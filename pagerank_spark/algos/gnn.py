@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .pagerank import _num_partitions
@@ -182,4 +182,51 @@ def neighborhood_mean(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "val"))), lambda s: s["val"]
         ).alias(vec_col)
+    )
+
+
+KNUTH = 2654435761  # 2^32/phi (operators/packing.py)
+MIX = 2246822519  # xxhash PRIME32_2
+M31 = 1 << 31
+
+
+def sample_neighbors(
+    edges: DataFrame,
+    k: int,
+    seed: int = 0,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """GraphSAGE minibatch fan-out: at most ``k`` out-neighbors per vertex.
+
+    Selection is a deterministic hash priority over the EDGE (not RNG):
+    ``prio = ((src*KNUTH + dst) mod 2^31 + seed) mod 2^31 * MIX + 1 mod
+    2^31`` — the seed enters BEFORE a multiplicative round (an additive-only
+    seed would shift every priority equally and never change the ranking) —
+    pure BIGINT arithmetic, so the sample is identical across engines,
+    runs, and repartitionings (the property a resumable training pipeline
+    needs: re-running a failed epoch samples the SAME subgraph). Different
+    ``seed`` values give independent fan-outs per layer/epoch.
+
+    Physical plan: one window ranked per ``src`` partition — the state is
+    partitioned by the sampling key, so at 100x the window never
+    single-partitions; skewed hubs bound their own partition at deg(hub)
+    rows, which is exactly the row set the operator must rank. Ties on
+    priority break by ``dst`` ascending (total order, hash-stable).
+
+    Ids must be < 2^31 (packing.hash_split contract) so products fit int64
+    under ANSI.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    src, dst = F.col(src_col), F.col(dst_col)
+    h1 = F.pmod(src * F.lit(KNUTH) + dst, F.lit(M31))
+    prio = F.pmod(
+        F.pmod(h1 + F.lit(seed), F.lit(M31)) * F.lit(MIX) + F.lit(1), F.lit(M31)
+    )
+    w = Window.partitionBy(src_col).orderBy(prio.asc(), dst.asc())
+    return (
+        edges.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )

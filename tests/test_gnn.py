@@ -101,3 +101,64 @@ def test_mode_validation(spark):
     fdf = spark.createDataFrame([(0, [1.0])], ["id", "embedding"])
     with _pytest.raises(ValueError):
         neighborhood_mean(edges, fdf, mode="columnar")
+
+
+class TestSampleNeighbors:
+    def _graph(self, spark):
+        from pagerank_spark.sources.graphs import er_graph
+
+        edges = er_graph(spark, 120, 960, seed=23)
+        return edges, [(r["src"], r["dst"]) for r in edges.collect()]
+
+    @staticmethod
+    def _py_sample(el, k, seed):
+        KNUTH, MIX, M31 = 2654435761, 2246822519, 1 << 31
+        by_src = {}
+        for s, d in el:
+            h1 = (s * KNUTH + d) % M31
+            prio = (((h1 + seed) % M31) * MIX + 1) % M31
+            by_src.setdefault(s, []).append((prio, d))
+        out = set()
+        for s, lst in by_src.items():
+            for _, d in sorted(lst)[:k]:
+                out.add((s, d))
+        return out
+
+    def test_exact_membership_replay(self, spark):
+        from pagerank_spark.algos.gnn import sample_neighbors
+
+        edges, el = self._graph(spark)
+        for k, seed in [(1, 0), (3, 0), (3, 99), (1000, 0)]:
+            got = {(r["src"], r["dst"]) for r in sample_neighbors(edges, k, seed).collect()}
+            assert got == self._py_sample(el, k, seed)
+
+    def test_repartition_stable(self, spark):
+        from pagerank_spark.algos.gnn import sample_neighbors
+
+        edges, _ = self._graph(spark)
+        a = {(r["src"], r["dst"]) for r in sample_neighbors(edges, 2, 7).collect()}
+        b = {
+            (r["src"], r["dst"])
+            for r in sample_neighbors(edges.repartition(13), 2, 7).collect()
+        }
+        assert a == b
+
+    def test_fanout_bound_and_seed_variation(self, spark):
+        from pagerank_spark.algos.gnn import sample_neighbors
+        import pyspark.sql.functions as F
+
+        edges, el = self._graph(spark)
+        s = sample_neighbors(edges, 2, 0)
+        assert s.groupBy("src").count().agg(F.max("count")).collect()[0][0] <= 2
+        other = {(r["src"], r["dst"]) for r in sample_neighbors(edges, 2, 1).collect()}
+        mine = {(r["src"], r["dst"]) for r in s.collect()}
+        assert mine != other  # different seeds sample different subgraphs
+
+    def test_rejects_bad_k(self, spark):
+        from pagerank_spark.algos.gnn import sample_neighbors
+
+        edges, _ = self._graph(spark)
+        import pytest
+
+        with pytest.raises(ValueError):
+            sample_neighbors(edges, 0)
