@@ -2507,6 +2507,19 @@ def q_neighbor_sample_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_neighbors(_graph_for(spark, sf_dir, "copurchase"), 2, seed=7)
 
 
+def q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate removal
+    (textops.remove_frequent_segments): drop every segment occurring in
+    >= 390 distinct documents, reassemble survivors in order. The synthetic
+    docs are single-line, so the gate runs at word granularity (sep=' ');
+    line granularity (the production default) is pytest-gated with planted
+    multi-line corpora (tests/test_boilerplate.py)."""
+    from pagerank_spark.operators.textops import remove_frequent_segments
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_frequent_segments(docs, min_docs=390, sep=" ")
+
+
 def _ball_ctes(edges_cte: str, k: int) -> str:
     """Unrolled frontier-expansion CTE chain b0..bk over ``e``."""
     ctes = [
@@ -2558,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_synth": q_scc_synth,
         "ball_sizes_copurchase": q_ball_sizes_copurchase,
         "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
+        "boilerplate_docs": q_boilerplate_docs,
         "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
@@ -3764,6 +3778,24 @@ SELECT src, dst FROM (
   SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY prio, dst) AS rn
   FROM pr
 ) WHERE rn <= 2"""
+
+    sqls["boilerplate_docs"] = """
+WITH segs AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS seg,
+         unnest(range(len(string_split(text, ' ')))) AS ord
+  FROM documents
+),
+freq AS (
+  SELECT seg FROM (
+    SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM segs GROUP BY 1
+  ) WHERE ndocs >= 390
+)
+SELECT s.doc_id,
+       COALESCE(string_agg(CASE WHEN f.seg IS NULL THEN s.seg END, ' ' ORDER BY s.ord), '') AS text,
+       SUM(CASE WHEN f.seg IS NOT NULL THEN 1 ELSE 0 END) AS n_removed
+FROM segs s LEFT JOIN freq f ON f.seg = s.seg
+GROUP BY s.doc_id"""
 
     sqls["neighborhood_fn_events"] = (
         _ball_ctes(EVENTS_EDGES_CTE, 3)

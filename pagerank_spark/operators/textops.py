@@ -228,3 +228,58 @@ def top_ngrams(
         .orderBy(F.col("cnt").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def remove_frequent_segments(
+    docs: DataFrame,
+    min_docs: int,
+    sep: str = "\n",
+    min_chars: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style cross-document boilerplate removal: drop every segment
+    (line, with the default separator) that occurs verbatim in at least
+    ``min_docs`` DISTINCT documents; reassemble the survivors in original
+    order. Returns ``(doc_id, text, n_removed)`` — every input doc survives
+    (a fully-boilerplate doc comes back with text '').
+
+    Segments shorter than ``min_chars`` are exempt from removal (the C4
+    heuristic that spares short structural tokens).
+
+    Scale shape: one posexplode -> one (segment) groupBy with map-side
+    combine for the distinct-doc counts -> the frequent-segment set joined
+    back on the segment key (data-dependent but far smaller than the
+    corpus; AQE broadcasts it when it fits) -> one (doc) regroup that
+    rebuilds the text with an ordered array aggregation. No UDFs, no
+    driver-side collection of the segment dictionary.
+    """
+    import re
+
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would delete every segment)")
+    pattern = re.escape(sep)
+    segs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), pattern)).alias("ord", "seg"),
+    )
+    frequent = (
+        segs.filter(F.length("seg") >= min_chars)
+        .groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("seg", F.lit(True).alias("rm"))
+    )
+    flagged = segs.join(frequent, on="seg", how="left").withColumn(
+        "rm", F.coalesce(F.col("rm"), F.lit(False))
+    )
+    kept_struct = F.when(~F.col("rm"), F.struct("ord", "seg"))
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+            ),
+            sep,
+        ).alias("text"),
+        F.sum(F.col("rm").cast("long")).alias("n_removed"),
+    )
