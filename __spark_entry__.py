@@ -1739,6 +1739,137 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue flow between NATION_1 suppliers
+    and NATION_2 customers (both directions) by ship year. Two broadcast
+    dim-chains (supplier->nation, customer->nation via orders) meet at the
+    date-pruned lineitem fact. Revenue is summed as exact integer
+    cent-basis-10000 units (price cents x (100 - discount pct)) so the
+    output is hash-stable under any reduction order."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey", "n_name")
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).alias("revenue_c4"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join with
+    an ON-clause predicate (non-urgent orders only), so customers with zero
+    qualifying orders appear with c_count = 0 — the outer-join-then-
+    double-aggregate shape. COUNT of a nullable key, not COUNT(*)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lines of Brand#11 parts
+    with quantity below 20% of that part's average quantity. The correlated
+    scalar subquery becomes a per-part aggregate joined back to the fact;
+    the threshold is the exact integer cross-multiplication
+    ``5 * qty * cnt_part < sum_qty_part`` (quantities are integral), so
+    membership can't flip on a 1-ulp AVG. Output: total price in cents."""
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    stats = branded.groupBy(F.col("l_partkey").alias("sp")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        branded.join(F.broadcast(stats), branded.l_partkey == stats.sp)
+        .filter(F.lit(5) * F.col("l_quantity").cast("long") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("total_price_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 flavor (suppliers who kept orders waiting; no
+    commit/receipt dates in the synthetic lineitem, so 'late' = shipped
+    >60 days after the order date): for finished orders with lines from
+    more than one supplier where EXACTLY ONE supplier was late, count each
+    such order against that supplier. The EXISTS / NOT EXISTS pair becomes
+    one per-order aggregate (distinct suppliers, distinct late suppliers)
+    joined back — one pass over the fact instead of two correlated ones."""
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
+    )
+    per_order = j.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late"),
+    )
+    qual = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    waiting = (
+        j.filter(F.col("late") == 1)
+        .join(qual, F.col("l_orderkey") == qual.ok, "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates()
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey", "s_name")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
 def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -2632,6 +2763,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q6": q_tpch_q6,
         "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
         "tpch_q12": q_tpch_q12,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
@@ -3070,6 +3205,67 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04
               WHERE l_orderkey = o_orderkey
                 AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
 GROUP BY o_orderpriority"""
+
+    sqls["tpch_q7"] = """
+WITH sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1','NATION_2')),
+cn AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE n_name IN ('NATION_1','NATION_2'))
+SELECT supp_nation, cust_nation, year(l_shipdate) AS l_year,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS revenue_c4,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN sn ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN cn ON o_custkey = c_custkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+  AND supp_nation <> cust_nation
+GROUP BY 1, 2, 3"""
+
+    sqls["tpch_q13"] = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+) GROUP BY 1"""
+
+    sqls["tpch_q17"] = """
+WITH b AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#11'
+),
+st AS (SELECT l_partkey, SUM(q) AS sum_qty, COUNT(*) AS cnt FROM b GROUP BY 1)
+SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS total_price_cents,
+       COUNT(*) AS n_rows
+FROM b JOIN st USING (l_partkey)
+WHERE 5 * q * cnt < sum_qty"""
+
+    sqls["tpch_q21"] = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+po AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+  FROM j GROUP BY 1
+),
+w AS (
+  SELECT DISTINCT j.l_orderkey, j.l_suppkey
+  FROM j JOIN po USING (l_orderkey)
+  WHERE late = 1 AND n_supp > 1 AND n_late = 1
+)
+SELECT s_name, numwait FROM (
+  SELECT l_suppkey, COUNT(*) AS numwait FROM w GROUP BY 1
+) JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_name LIMIT 20"""
 
     sqls["tpch_q12"] = """
 SELECT l_returnflag,
