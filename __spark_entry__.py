@@ -2651,6 +2651,49 @@ def q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_frequent_segments(docs, min_docs=390, sep=" ")
 
 
+def q_matching_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel maximal matching (algos/matching.py) on the co-purchase
+    graph: deterministic hash-priority rounds, output (a, b, round).
+    Converges in 7 rounds on this graph; the oracle unrolls 9 (extra rounds
+    are no-ops at the fixpoint)."""
+    from pagerank_spark.algos.matching import maximal_matching
+
+    edges = _graph_for(spark, sf_dir, "copurchase").localCheckpoint()
+    return maximal_matching(edges, num_partitions=8).matching
+
+
+def _matching_sql(edges_cte: str, rounds: int) -> str:
+    """Unrolled hash-priority maximal matching (mirror of
+    algos/matching.py, same 31-bit integer arithmetic)."""
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "a0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes += [
+            f"pr{r} AS (SELECT a, b, (((a * 2654435761 + b) % 2147483648 "
+            f"+ {r * 1_000_003}) % 2147483648 * 2246822519 + 1) % 2147483648 AS h "
+            f"FROM a{r - 1})",
+            f"inc{r} AS (SELECT a AS v, h, a, b FROM pr{r} "
+            f"UNION ALL SELECT b, h, a, b FROM pr{r})",
+            f"vm{r} AS (SELECT v, a, b FROM (SELECT v, a, b, "
+            f"ROW_NUMBER() OVER (PARTITION BY v ORDER BY h, a, b) AS rn "
+            f"FROM inc{r}) WHERE rn = 1)",
+            f"w{r} AS MATERIALIZED (SELECT p.a, p.b FROM pr{r} p "
+            f"JOIN vm{r} x ON x.v = p.a AND x.a = p.a AND x.b = p.b "
+            f"JOIN vm{r} y ON y.v = p.b AND y.a = p.a AND y.b = p.b)",
+            f"mv{r} AS (SELECT a AS id FROM w{r} UNION SELECT b FROM w{r})",
+            f"a{r} AS MATERIALIZED (SELECT a, b FROM a{r - 1} "
+            f"WHERE a NOT IN (SELECT id FROM mv{r}) "
+            f"AND b NOT IN (SELECT id FROM mv{r}))",
+        ]
+    final = " UNION ALL ".join(
+        f"SELECT a, b, {r} AS round FROM w{r}" for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 def _ball_ctes(edges_cte: str, k: int) -> str:
     """Unrolled frontier-expansion CTE chain b0..bk over ``e``."""
     ctes = [
@@ -2703,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ball_sizes_copurchase": q_ball_sizes_copurchase,
         "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
         "boilerplate_docs": q_boilerplate_docs,
+        "matching_copurchase": q_matching_copurchase,
         "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
@@ -3974,6 +4018,8 @@ SELECT src, dst FROM (
   SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY prio, dst) AS rn
   FROM pr
 ) WHERE rn <= 2"""
+
+    sqls["matching_copurchase"] = _matching_sql(COPURCHASE_EDGES_CTE, 9)
 
     sqls["boilerplate_docs"] = """
 WITH segs AS (
