@@ -2694,6 +2694,15 @@ def _matching_sql(edges_cte: str, rounds: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
+def q_squares_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 4-cycle count (algos/triangles.py:square_count) on the
+    co-purchase graph: common-neighbor pair weights via the capped
+    bipartite projection, squares = sum C(w,2) / 2 as exact BIGINT."""
+    from pagerank_spark.algos.triangles import square_count
+
+    return square_count(_graph_for(spark, sf_dir, "copurchase"))
+
+
 def _ball_ctes(edges_cte: str, k: int) -> str:
     """Unrolled frontier-expansion CTE chain b0..bk over ``e``."""
     ctes = [
@@ -2747,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
         "boilerplate_docs": q_boilerplate_docs,
         "matching_copurchase": q_matching_copurchase,
+        "squares_copurchase": q_squares_copurchase,
         "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
@@ -4020,6 +4030,15 @@ SELECT src, dst FROM (
 ) WHERE rn <= 2"""
 
     sqls["matching_copurchase"] = _matching_sql(COPURCHASE_EDGES_CTE, 9)
+
+    sqls["squares_copurchase"] = f"""
+WITH {_materialize(COPURCHASE_EDGES_CTE.strip())},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+inc AS (SELECT a AS c, b AS n FROM und UNION ALL SELECT b, a FROM und),
+pairs AS (SELECT x.n AS pa, y.n AS pb, COUNT(*) AS w
+          FROM inc x JOIN inc y ON x.c = y.c AND x.n < y.n GROUP BY 1, 2)
+SELECT COUNT(*) AS n_pairs, SUM(w * (w - 1)) // 4 AS squares FROM pairs"""
 
     sqls["boilerplate_docs"] = """
 WITH segs AS (

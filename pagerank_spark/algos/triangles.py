@@ -199,3 +199,40 @@ def approx_triangle_count(edges: DataFrame, pct: int = 50, salt: int = 0) -> tup
 
     n = triangle_count(sample_subgraph(edges, pct, salt))
     return n, n * (100.0 / pct) ** 3
+
+
+def square_count(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+    """Global 4-cycle (square) count of the undirected simple graph.
+
+    Identity: every square has exactly two diagonals, and a vertex pair
+    {u, w} with c common neighbors closes C(c, 2) squares through its
+    diagonal — so ``squares = (1/2) * sum over pairs C(common, 2)``.
+    The common-neighbor pair table IS the one-mode projection of the
+    (center, neighbor) incidence, so this reuses
+    ``graphstats.bipartite_project`` — including its pre-join hub cap
+    (``max_degree`` here): a degree-d hub contributes d^2/2 wedge rows,
+    the one quadratic hazard at scale. With a cap the result is a
+    documented lower bound (capped vertices' wedges are dropped, count
+    what survives); ``None`` is exact.
+
+    Returns one row ``(n_pairs, squares)`` — connected-pair count and the
+    square total, both exact BIGINTs.
+    """
+    from ..operators.graphstats import bipartite_project
+
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    incidence = und.select(F.col("a").alias("c"), F.col("b").alias("n")).unionByName(
+        und.select(F.col("b").alias("c"), F.col("a").alias("n"))
+    )
+    pairs = bipartite_project(incidence, "c", "n", max_group_size=max_degree)
+    # sum(c*(c-1)) = 2 * sum C(c,2) and every square adds 2 to sum C(c,2),
+    # so the total is always divisible by 4; integer `div` keeps it exact
+    # where a double division would round above 2^53
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("sum(weight * (weight - 1)) div 4").alias("squares"),
+    )

@@ -192,3 +192,55 @@ def test_approx_triangle_count_unbiased_form(spark):
     # pct=100 degenerates to the exact count
     n_full, est_full = approx_triangle_count(edges, pct=100)
     assert n_full == est_full == triangle_count(edges)
+
+
+class TestSquareCount:
+    def test_closed_forms(self, spark):
+        from pagerank_spark.algos.triangles import square_count
+
+        k4 = spark.createDataFrame(
+            [(a, b) for a in range(4) for b in range(a + 1, 4)], "src long, dst long"
+        )
+        assert square_count(k4).collect()[0]["squares"] == 3
+        c4 = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long")
+        assert square_count(c4).collect()[0]["squares"] == 1
+        # complete bipartite K(2,3): C(2,2)*C(3,2) = 3 squares
+        kb = spark.createDataFrame(
+            [(a, b) for a in (0, 1) for b in (10, 11, 12)], "src long, dst long"
+        )
+        assert square_count(kb).collect()[0]["squares"] == 3
+        # triangle has no squares
+        t = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
+        assert square_count(t).collect()[0]["squares"] == 0
+
+    def test_matches_bruteforce_on_er(self, spark):
+        from itertools import combinations
+
+        from pagerank_spark.algos.triangles import square_count
+        from pagerank_spark.sources.graphs import er_graph
+
+        edges = er_graph(spark, 60, 240, seed=17)
+        el = {
+            tuple(sorted((r["src"], r["dst"])))
+            for r in edges.collect()
+            if r["src"] != r["dst"]
+        }
+        nbrs = {}
+        for a, b in el:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        want = 0
+        for u, w in combinations(sorted(nbrs), 2):
+            c = len(nbrs[u] & nbrs[w])
+            want += c * (c - 1) // 2
+        want //= 2
+        assert square_count(edges).collect()[0]["squares"] == want
+
+    def test_degree_cap_is_lower_bound(self, spark):
+        from pagerank_spark.algos.triangles import square_count
+        from pagerank_spark.sources.graphs import er_graph
+
+        edges = er_graph(spark, 60, 360, seed=9)
+        exact = square_count(edges).collect()[0]["squares"]
+        capped = square_count(edges, max_degree=8).collect()[0]["squares"]
+        assert capped <= exact
