@@ -1798,6 +1798,57 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 flavor (no partsupp table; supply cost = a supplier's
+    minimum observed line price for the part): minimum-cost European
+    supplier per LARGE mid-size part. Shape preserved: region-filtered
+    dim chain broadcast into the fact, a per-(part, supplier) aggregate
+    standing in for partsupp, and the correlated MIN re-expressed as a
+    per-part minimum joined back on exact cent equality (ties all kept,
+    as in the original). Costs/balances are exact cents (hash-stable)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    es = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = (
+        li.join(F.broadcast(es.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cost_cents"))
+    )
+    tgt = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter((F.col("p_type") == "LARGE") & F.col("p_size").between(10, 25))
+        .select("p_partkey")
+    )
+    ps_t = ps.join(F.broadcast(tgt), ps.l_partkey == tgt.p_partkey).drop("p_partkey")
+    mc = ps_t.groupBy(F.col("l_partkey").alias("mp")).agg(
+        F.min("cost_cents").alias("mincost")
+    )
+    return (
+        ps_t.join(
+            F.broadcast(mc),
+            (ps_t.l_partkey == mc.mp) & (ps_t.cost_cents == mc.mincost),
+        )
+        .join(F.broadcast(es), ps_t.l_suppkey == es.s_suppkey)
+        .select(
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("s_acctbal_cents"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("p_partkey"),
+            "cost_cents",
+        )
+    )
+
+
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue): lines of Brand#11 parts
     with quantity below 20% of that part's average quantity. The correlated
@@ -1825,6 +1876,207 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("total_price_cents"),
             F.count(F.lit(1)).alias("n_rows"),
         )
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_5's share of PROMO-part
+    revenue sold to ASIA customers, per order year. Three broadcast dim
+    chains (part type filter, customer->nation->region, supplier->nation)
+    meet at the fact; revenue is the exact cent-basis-10000 integer of Q7,
+    and the share is emitted as integer microunits (num * 1e6 div den) so
+    the division can't wobble. Numerator and denominator are also emitted
+    so the ratio is auditable."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(F.col("r_name") == "ASIA")
+    ac = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sn = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    vol = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(ac), F.col("o_custkey") == ac.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0))).alias("nation_c4"),
+            F.sum(vol).alias("total_c4"),
+        )
+        .select(
+            "o_year",
+            "nation_c4",
+            "total_c4",
+            F.expr("nation_c4 * 1000000 div total_c4").alias("mkt_share_micro"),
+        )
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 flavor (product-type profit; no partsupp, so profit =
+    discounted revenue without the supply-cost term): per supplier nation
+    and order year, for parts whose name contains 'gear'. The LIKE filter
+    prunes the part dim before its broadcast; the nation group key rides
+    the supplier dim chain. Profit in exact cent-basis-10000 integers."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sn = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").contains("gear"))
+        .select("p_partkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_orderdate")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    amount = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).alias("profit_c4"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 flavor (important stock; no partsupp, so a part's 'stock
+    value' = total line revenue shipped by NATION_3 suppliers): parts whose
+    value exceeds 4x the mean part value. The original's fixed fraction
+    doesn't survive scale changes, so the threshold is data-derived
+    (val * n_parts > 4 * total) and evaluated as an exact integer
+    cross-multiplication on cents — the scalar aggregate is collected once
+    (two BIGINTs to the driver) exactly like the original's subquery."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    sn = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    v = (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("value_cents"))
+    )
+    row = v.agg(F.sum("value_cents").alias("tot"), F.count(F.lit(1)).alias("np")).first()
+    tot, np_ = int(row["tot"]), int(row["np"])
+    return v.filter(F.col("value_cents") * np_ > 4 * tot).select("l_partkey", "value_cents")
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue over
+    1996Q1. The revenue view is one map-side-combined aggregate keyed by
+    supplier; the MAX scalar subquery is a one-row collect, and the
+    equality re-filter is safe because revenue is the exact
+    cent-basis-10000 integer (no float ties)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_revenue_c4"))
+    top = int(revenue.agg(F.max("total_revenue_c4")).first()[0])
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey", "s_name")
+    return (
+        revenue.filter(F.col("total_revenue_c4") == top)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(F.col("s_suppkey"), "s_name", "total_revenue_c4")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 flavor (parts/supplier relationship; the part-supplier
+    pairs come from lineitem instead of partsupp, and 'customer
+    complaints' = negative account balance): distinct supplier count per
+    (brand, type, size) over selected sizes, excluding Brand#11 / PROMO
+    parts and complained-about suppliers. The NOT IN compiles to a LEFT
+    ANTI against a broadcast key set; COUNT(DISTINCT) shuffles only the
+    surviving (attrs, suppkey) pairs."""
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(
+            (F.col("p_brand") != "Brand#11")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 flavor (suppliers with promotable surplus; no partsupp
+    availqty, so the inner threshold is a fixed shipped-quantity floor):
+    European suppliers who shipped more than 30 units of some 'red' part
+    during 1996. The nested IN subqueries stay nested semi-joins: part
+    keys broadcast into the date-pruned fact, the HAVING aggregate keyed
+    by (supplier, part), and the distinct supplier keys broadcast into the
+    region-filtered supplier dim. Quantities are integral, so the HAVING
+    compares exact BIGINTs."""
+    red = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    keys = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .filter(F.col("q") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(F.col("r_name") == "EUROPE")
+    return (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(keys), F.col("s_suppkey") == keys.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )
 
 
@@ -2825,6 +3077,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
         "window_top_orders": q_window_top_orders,
         "topk_pagerank_events": q_topk_pagerank_events,
         "sessionize_events": q_sessionize_events,
@@ -3361,6 +3620,102 @@ WHERE cents * pos.n > pos.s
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_nationkey"""
+
+    sqls["tpch_q2"] = """
+WITH es AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+ps AS (SELECT l_partkey, l_suppkey,
+              MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+       FROM lineitem JOIN es ON l_suppkey = s_suppkey GROUP BY 1, 2),
+tgt AS (SELECT p_partkey FROM part
+        WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 25),
+pst AS (SELECT ps.* FROM ps JOIN tgt ON l_partkey = p_partkey),
+mc AS (SELECT l_partkey AS mp, MIN(cost_cents) AS mincost FROM pst GROUP BY 1)
+SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents, s_name,
+       n_name AS nation, l_partkey AS p_partkey, cost_cents
+FROM pst JOIN mc ON l_partkey = mp AND cost_cents = mincost
+JOIN es ON l_suppkey = s_suppkey"""
+
+    sqls["tpch_q8"] = """
+WITH ac AS (SELECT c_custkey FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+       JOIN nation ON s_nationkey = n_nationkey),
+g AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                  THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                  ELSE 0 END) AS BIGINT) AS nation_c4,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_c4
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN ac ON o_custkey = c_custkey
+  JOIN sn ON l_suppkey = s_suppkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1)
+SELECT o_year, nation_c4, total_c4, nation_c4 * 1000000 // total_c4 AS mkt_share_micro
+FROM g"""
+
+    sqls["tpch_q9"] = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS profit_c4,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2"""
+
+    sqls["tpch_q11"] = """
+WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+  GROUP BY 1),
+t AS (SELECT SUM(value_cents) AS tot, COUNT(*) AS np FROM v)
+SELECT l_partkey, value_cents FROM v, t WHERE value_cents * np > 4 * tot"""
+
+    sqls["tpch_q15"] = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_revenue_c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue_c4
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_c4 = (SELECT MAX(total_revenue_c4) FROM revenue)"""
+
+    sqls["tpch_q16"] = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3"""
+
+    sqls["tpch_q20"] = """
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 30)"""
 
     sqls["window_top_orders"] = """
 SELECT o_custkey, o_orderkey, rn FROM (

@@ -160,3 +160,20 @@ def test_tpch_q5_q10_join_strategy(spark):
     p10 = _plan(entry.q_tpch_q10(spark, SF))
     assert "TakeOrderedAndProject" in p10
     assert p10.count("BroadcastHashJoin") >= 1
+
+
+def test_tpch_dim_chains_broadcast(spark):
+    """The round-4 TPC-H additions keep every dimension chain broadcast at
+    gate scale (no sort-merge joins), and the nested-subquery flavors
+    (Q16 NOT IN, Q20 double IN) compile to broadcast anti/semi joins
+    rather than shuffled ones."""
+    import __spark_entry__ as entry
+
+    for q in (entry.q_tpch_q8, entry.q_tpch_q9, entry.q_tpch_q16, entry.q_tpch_q20):
+        p = _plan(q(spark, SF))
+        assert "SortMergeJoin" not in p, q.__name__
+        assert p.count("BroadcastHashJoin") >= 2, q.__name__
+    p16 = _plan(entry.q_tpch_q16(spark, SF))
+    assert "LeftAnti" in p16
+    p20 = _plan(entry.q_tpch_q20(spark, SF))
+    assert "LeftSemi" in p20
