@@ -2820,6 +2820,18 @@ def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(docs)
 
 
+def q_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm.py): a bigram add-1 LM
+    trained on the English subset (the 'trusted reference corpus'), every
+    document scored by exact-integer micro-surprisal. Non-English docs
+    land in the high-perplexity tail — the CCNet filter signal."""
+    from pagerank_spark.operators.lm import lm_score, train_bigram_lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uni, bi, v = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    return lm_score(docs, uni, bi, v)
+
+
 def q_top_bigrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact top-20 bigrams with deterministic tiebreak
     (heavy-hitters baseline; partial-agg + TakeOrderedAndProject)."""
@@ -3011,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squares_copurchase": q_squares_copurchase,
         "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
+        "lm_score_docs": q_lm_score_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
         "bpe_byte_merges_synth": q_bpe_byte_merges_synth,
         "neg_samples_events": q_neg_samples_events,
@@ -4323,6 +4336,36 @@ SELECT w.doc_id AS doc_id, CAST(w.nw AS INT) AS n_words,
        COALESCE(ROUND(b.maxb * 1.0 / b.nb, 6), 0.0) AS top_bigram_frac,
        ROUND(1.0 - w.ndist * 1.0 / w.nw, 6) AS dup_word_frac
 FROM wc w LEFT JOIN bc b ON w.doc_id = b.doc_id"""
+
+    # per-bigram surprisal is rounded to integer microunits BEFORE the
+    # per-doc sum on BOTH sides, so the scores are exact BIGINTs and
+    # reduction-order independent (same discipline as the c4 revenues)
+    sqls["lm_score_docs"] = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+ref AS (SELECT toks FROM t WHERE lang = 'en'),
+uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(toks) AS w1 FROM ref) GROUP BY 1),
+v AS (SELECT COUNT(*) AS vs FROM uni),
+bref AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12
+         FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM ref)
+         GROUP BY 1),
+bdoc AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bigram
+         FROM t, unnest(range(1, len(toks))) AS r(i)),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND(-LN((COALESCE(c12, 0) + 1) * 1.0
+                        / (COALESCE(c1, 0) + 1 * vs)) * 1000000) AS BIGINT) AS sp
+  FROM bdoc LEFT JOIN bref USING (bigram) LEFT JOIN uni USING (w1), v),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(sp) AS BIGINT) AS surprisal_micro
+        FROM scored GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.surprisal_micro, 0) AS surprisal_micro,
+       CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
+            ELSE a.surprisal_micro // a.n_bigrams END AS avg_surprisal_micro
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
     # deterministic tiebreak (cnt desc, gram asc) on BOTH sides makes the
     # top-20 multiset unique, so the order-insensitive compare is exact
