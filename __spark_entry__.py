@@ -2832,6 +2832,17 @@ def q_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, uni, bi, v)
 
 
+def q_exactsubstr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr repeated-span removal (operators/trainprep.py): every
+    token inside a >=5-word span occurring >=2 times anywhere in the
+    corpus is excised; returns per-doc token counts and the cleaned
+    text, all exactly replayable in SQL."""
+    from pagerank_spark.operators.trainprep import remove_repeated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_repeated_spans(docs, k=5)
+
+
 def q_top_bigrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact top-20 bigrams with deterministic tiebreak
     (heavy-hitters baseline; partial-agg + TakeOrderedAndProject)."""
@@ -3024,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
         "lm_score_docs": q_lm_score_docs,
+        "exactsubstr_docs": q_exactsubstr_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
         "bpe_byte_merges_synth": q_bpe_byte_merges_synth,
         "neg_samples_events": q_neg_samples_events,
@@ -4366,6 +4378,24 @@ SELECT d.doc_id,
        CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
             ELSE a.surprisal_micro // a.n_bigrams END AS avg_surprisal_micro
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+    # duplicated-window membership and interval union are pure set algebra
+    # on integer positions — the cleaned text is string-exact both sides
+    sqls["exactsubstr_docs"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, i AS s, array_to_string(w[i:i+4], ' ') AS gram
+      FROM t, unnest(range(1, len(w) - 3)) AS r(i)),
+d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+m AS (SELECT doc_id, list(s) AS starts FROM g JOIN d USING (gram) GROUP BY 1),
+c AS (SELECT t.doc_id, w,
+             list_distinct(flatten(list_transform(
+                 COALESCE(starts, []), s -> range(s, s + 5)))) AS covered
+      FROM t LEFT JOIN m USING (doc_id))
+SELECT doc_id, len(w) AS n_tokens, len(covered) AS n_removed,
+       COALESCE(array_to_string(list_transform(
+           list_filter(range(1, len(w) + 1), i -> NOT list_contains(covered, i)),
+           i -> w[i]), ' '), '') AS text_clean
+FROM c"""
 
     # deterministic tiebreak (cnt desc, gram asc) on BOTH sides makes the
     # top-20 multiset unique, so the order-insensitive compare is exact

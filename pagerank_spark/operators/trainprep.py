@@ -433,3 +433,78 @@ def importance_logratio(
         lambda a, x: a + x,
     )
     return d.select("doc_id", lw.alias("log_weight"))
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring removal (ExactSubstr semantics): delete
+    every token that lies inside a word span of length >= ``k`` occurring
+    at least ``min_count`` times anywhere in the corpus (other documents
+    OR elsewhere in the same one).
+
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better" — public methodology) implement this with a corpus-wide suffix
+    array. Distributed, the same token set falls out of k-gram anchoring:
+    a duplicated span of length >= k is exactly a run of duplicated
+    k-token windows, so {tokens covered by a duplicated k-window} IS the
+    ExactSubstr removal set — no suffix array, no approximation.
+
+    Scale shape: one corpus scan explodes each token position's k-gram
+    (stream-sized, the same cost class as `decontaminate`'s 13-grams);
+    one map-side-combined count keyed by gram; one join of the gram stream
+    against the duplicated-gram keys (AQE broadcasts when the duplicate
+    dictionary is small — on clean corpora it is); the surviving (doc,
+    start) marks group back to documents (rows ∝ duplicated text only).
+    Interval merging + token excision happen per row in codegen'd array
+    expressions — no Python, no window functions, no second corpus scan.
+
+    Returns ``(id_col, n_tokens, n_removed, text_clean)``.
+    """
+    toks = f"split({text_col}, ' ')"
+    grams = F.expr(
+        f"IF(size({toks}) < {k}, array(),"
+        f" transform(sequence(1, size({toks}) - {k} + 1),"
+        f" i -> array_join(slice({toks}, i, {k}), ' ')))"
+    )
+    stream = docs.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram")).select(
+        id_col, (F.col("pos") + 1).alias("s"), "gram"
+    )
+    dup = (
+        stream.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gram")
+    )
+    marks = (
+        stream.join(dup, "gram")
+        .groupBy(id_col)
+        .agg(F.collect_list("s").alias("starts"))
+    )
+    return (
+        docs.join(marks, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.expr(f"size({toks})").alias("n_tokens"),
+            F.expr(
+                f"""array_distinct(flatten(transform(
+                      coalesce(starts, array()),
+                      s -> sequence(s, s + {k} - 1))))"""
+            ).alias("covered"),
+            F.expr(toks).alias("w"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.size("covered").alias("n_removed"),
+            F.expr(
+                """array_join(transform(
+                     filter(sequence(1, n_tokens), i -> NOT array_contains(covered, i)),
+                     i -> element_at(w, i)), ' ')"""
+            ).alias("text_clean"),
+        )
+    )
