@@ -179,6 +179,28 @@ def run_bench(spark, sf_dir: str) -> dict:
         edges, feats1k, hops=1, mode="arrow").count())
     feats1k.unpersist()
 
+    # round-4 corpus-quality additions (appended after everything above):
+    # ExactSubstr repeated-span removal at 100k-doc volume (gram stream ~
+    # the decontam cost class) and CCNet-style LM train+score on the sf
+    # documents table
+    from pagerank_spark.operators.lm import lm_score, train_bigram_lm
+    from pagerank_spark.operators.trainprep import remove_repeated_spans
+
+    big_docs = synth_docs(spark, 100_000, dup_every=100).persist()
+    big_docs.count()
+    timed("exactsubstr_100k", lambda: remove_repeated_spans(big_docs, k=5).count())
+    big_docs.unpersist()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs.count()
+
+    def _lm():
+        uni, bi, v = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+        return lm_score(docs, uni, bi, v).count()
+
+    timed("lm_train_score", _lm)
+    docs.unpersist()
+
     edges.unpersist()
     return {"timings": timings, "samples": samples, "extras": extras, "n_edges": n_edges}
 

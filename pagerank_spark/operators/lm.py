@@ -57,11 +57,16 @@ def train_bigram_lm(docs: DataFrame, text_col: str = "text") -> tuple[DataFrame,
     the vocabulary size (a single BIGINT to the driver).
     """
     words = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w1"))
-    unigrams = words.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # training IS materialization: localCheckpoint the count tables so the
+    # scoring join reads the trained LM instead of re-running both
+    # aggregates inside its own plan (they'd execute once per downstream
+    # action otherwise)
+    unigrams = words.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).localCheckpoint()
     bigrams = (
         docs.select(F.explode(F.expr(_bigrams_expr(text_col))).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()
     )
     vocab_size = unigrams.count()
     return unigrams, bigrams, vocab_size
