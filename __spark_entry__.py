@@ -2969,6 +2969,29 @@ def _matching_sql(edges_cte: str, rounds: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
+def q_simrank_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated SimRank (algos/simrank.py), 3 iterations, c=3/4 (exact
+    binary decay) on a planted 300-vertex double-ring digraph
+    (v -> 7v+1 mod N, v -> 3v+2 mod N) whose edges both engines generate
+    in closed-form arithmetic — the events graph is wedge-free (chains)
+    and the copurchase graph's pair state is quadratic, so the planted
+    sparse graph is the value-gate fixture (same pattern as scc_synth)."""
+    from pagerank_spark.algos.simrank import simrank
+
+    n = 300
+    base = spark.range(n).select(F.col("id").cast("long").alias("v"))
+    edges = (
+        base.select(F.col("v").alias("src"), ((F.col("v") * 7 + 1) % n).alias("dst"))
+        .unionByName(
+            base.select(F.col("v").alias("src"), ((F.col("v") * 3 + 2) % n).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return simrank(edges, iters=3, c=0.75).select(
+        "a", "b", F.round("s", 6).alias("s")
+    )
+
+
 def q_squares_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global 4-cycle count (algos/triangles.py:square_count) on the
     co-purchase graph: common-neighbor pair weights via the capped
@@ -3032,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_docs": q_boilerplate_docs,
         "matching_copurchase": q_matching_copurchase,
         "squares_copurchase": q_squares_copurchase,
+        "simrank_synth": q_simrank_synth,
         "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
         "lm_score_docs": q_lm_score_docs,
@@ -4458,6 +4482,34 @@ SELECT src, dst FROM (
 ) WHERE rn <= 2"""
 
     sqls["matching_copurchase"] = _matching_sql(COPURCHASE_EDGES_CTE, 9)
+
+    sqls["simrank_synth"] = """
+WITH n AS (SELECT unnest(range(0, 300)) AS v),
+e AS (
+  SELECT v AS src, (v * 7 + 1) % 300 AS dst FROM n WHERE v <> (v * 7 + 1) % 300
+  UNION
+  SELECT v, (v * 3 + 2) % 300 FROM n WHERE v <> (v * 3 + 2) % 300
+),
+ind AS (SELECT dst AS v, COUNT(*) AS ind FROM e GROUP BY 1),
+d0 AS (SELECT DISTINCT src AS i FROM e),
+s1 AS MATERIALIZED (
+  SELECT e1.dst AS i, e2.dst AS j, 0.75 * COUNT(*) / (MIN(ia.ind) * MIN(ib.ind)) AS s
+  FROM d0 JOIN e e1 ON d0.i = e1.src JOIN e e2 ON d0.i = e2.src
+  JOIN ind ia ON e1.dst = ia.v JOIN ind ib ON e2.dst = ib.v
+  WHERE e1.dst <> e2.dst GROUP BY 1, 2),
+sup1 AS (SELECT i, j, s FROM s1 UNION ALL SELECT i, i, 1.0 FROM d0),
+s2 AS MATERIALIZED (
+  SELECT e1.dst AS i, e2.dst AS j, 0.75 * SUM(s) / (MIN(ia.ind) * MIN(ib.ind)) AS s
+  FROM sup1 JOIN e e1 ON sup1.i = e1.src JOIN e e2 ON sup1.j = e2.src
+  JOIN ind ia ON e1.dst = ia.v JOIN ind ib ON e2.dst = ib.v
+  WHERE e1.dst <> e2.dst GROUP BY 1, 2),
+sup2 AS (SELECT i, j, s FROM s2 UNION ALL SELECT i, i, 1.0 FROM d0),
+s3 AS MATERIALIZED (
+  SELECT e1.dst AS i, e2.dst AS j, 0.75 * SUM(s) / (MIN(ia.ind) * MIN(ib.ind)) AS s
+  FROM sup2 JOIN e e1 ON sup2.i = e1.src JOIN e e2 ON sup2.j = e2.src
+  JOIN ind ia ON e1.dst = ia.v JOIN ind ib ON e2.dst = ib.v
+  WHERE e1.dst <> e2.dst GROUP BY 1, 2)
+SELECT i AS a, j AS b, ROUND(s, 6) AS s FROM s3 WHERE i < j"""
 
     sqls["squares_copurchase"] = f"""
 WITH {_materialize(COPURCHASE_EDGES_CTE.strip())},
