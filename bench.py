@@ -186,9 +186,12 @@ def run_bench(spark, sf_dir: str) -> dict:
     from pagerank_spark.operators.lm import lm_score, train_bigram_lm
     from pagerank_spark.operators.trainprep import remove_repeated_spans
 
+    # action = SUM over computed columns: a bare count() lets Catalyst
+    # eliminate the unique-key left joins and skip the actual work
     big_docs = synth_docs(spark, 100_000, dup_every=100).persist()
     big_docs.count()
-    timed("exactsubstr_100k", lambda: remove_repeated_spans(big_docs, k=5).count())
+    timed("exactsubstr_100k", lambda: remove_repeated_spans(big_docs, k=5)
+          .agg(F.sum("n_removed")).collect())
     big_docs.unpersist()
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
@@ -196,7 +199,7 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     def _lm():
         uni, bi, v = train_bigram_lm(docs.filter(F.col("lang") == "en"))
-        return lm_score(docs, uni, bi, v).count()
+        return lm_score(docs, uni, bi, v).agg(F.sum("surprisal_micro")).collect()
 
     timed("lm_train_score", _lm)
     docs.unpersist()
