@@ -974,6 +974,17 @@ def q_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(ev)
 
 
+def q_context_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-style (context, target) example extraction
+    (operators/sequences.py:context_windows): previous-3-items context per
+    event in each user's total-ordered sequence — one window pass,
+    deterministic frame order."""
+    from pagerank_spark.operators.sequences import context_windows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return context_windows(ev, n=3)
+
+
 def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull props.k out of the JSON payload
     column (get_json_object — JVM JSON path, no UDF) and aggregate per
@@ -3056,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_copurchase": q_matching_copurchase,
         "squares_copurchase": q_squares_copurchase,
         "simrank_synth": q_simrank_synth,
+        "context_windows_events": q_context_windows_events,
         "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
         "lm_score_docs": q_lm_score_docs,
@@ -3213,6 +3225,17 @@ def oracle_sql() -> dict[str, str]:
         + "\nSELECT l4.id, l4.label, CASE WHEN sd.id IS NULL THEN 0 ELSE 1 END AS seed"
         + "\nFROM l4 LEFT JOIN sd ON sd.id = l4.id"
     )
+
+    sqls["context_windows_events"] = """
+WITH cw AS (
+  SELECT user_id, event_id,
+         list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx,
+         event_type AS target
+  FROM events)
+SELECT user_id, event_id, CAST(len(ctx) AS INT) AS n_context,
+       array_to_string(ctx, ' ') AS context, target
+FROM cw WHERE len(ctx) >= 1"""
 
     sqls["transitions_events"] = """
 WITH s AS (

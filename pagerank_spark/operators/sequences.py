@@ -41,3 +41,58 @@ def transition_matrix(
         "src", "dst", "n",
         F.round(F.col("n") / F.sum("n").over(total), 6).alias("prob"),
     )
+
+
+def context_windows(
+    events: DataFrame,
+    n: int = 3,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    min_context: int = 1,
+    sep: str = " ",
+) -> DataFrame:
+    """Supervised next-item example extraction: for every element of each
+    key's time-ordered sequence, emit the previous ``n`` items joined as
+    the context and the element itself as the target — the
+    (context, response) pair shape an SFT/next-event-prediction dataset is
+    built from. On transcripts, ``key_col='conv_id', state_col='text',
+    ts_col='turn_idx'`` turns each conversation into per-turn training
+    examples with bounded context.
+
+    Returns ``(key_col, tiebreak_col, n_context, context, target)``; rows
+    with fewer than ``min_context`` predecessors are dropped (the
+    conversation opener predicts from nothing).
+
+    Determinism + scale: ONE window pass, partitioned by the conversation
+    key with a total order (``ts, tiebreak``) — ``collect_list`` over an
+    ordered frame is processed in frame order, so the context string is
+    deterministic under any partitioning. Context width is capped at ``n``
+    items, so row size is bounded no matter how long a conversation runs;
+    the only shuffle is the per-key window sort.
+    """
+    if n < 1:
+        raise ValueError(f"context width n must be >= 1, got {n}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(-n, -1)
+    )
+    ctx = F.collect_list(F.col(state_col).cast("string")).over(w)
+    return (
+        events.select(
+            F.col(key_col),
+            F.col(tiebreak_col),
+            ctx.alias("_ctx"),
+            F.col(state_col).cast("string").alias("target"),
+        )
+        .filter(F.size("_ctx") >= min_context)
+        .select(
+            key_col,
+            tiebreak_col,
+            F.size("_ctx").alias("n_context"),
+            F.array_join("_ctx", sep).alias("context"),
+            "target",
+        )
+    )
