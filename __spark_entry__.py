@@ -985,6 +985,34 @@ def q_context_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return context_windows(ev, n=3)
 
 
+def q_interevent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival cadence features
+    (operators/temporal.py:interevent_stats): exact integer-second gap
+    count/sum/sum-of-squares/min/max — burstiness signals with
+    reduction-order-independent values."""
+    from pagerank_spark.operators.temporal import interevent_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return interevent_stats(ev)
+
+
+def q_dyad_census_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holland-Leinhardt dyad census (operators/graphstats.py:dyad_census)
+    on the planted double-ring digraph (v -> 7v+1, v -> 3v+2 mod 300) —
+    the 3v+2 rule closes mutual dyads, so all three classes are nonzero;
+    one unordered-pair shuffle, null dyads by arithmetic."""
+    from pagerank_spark.operators.graphstats import dyad_census
+
+    n = 300
+    base = spark.range(n).select(F.col("id").cast("long").alias("v"))
+    edges = base.select(
+        F.col("v").alias("src"), ((F.col("v") * 7 + 1) % n).alias("dst")
+    ).unionByName(
+        base.select(F.col("v").alias("src"), ((F.col("v") * 3 + 2) % n).alias("dst"))
+    )
+    return dyad_census(edges)
+
+
 def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull props.k out of the JSON payload
     column (get_json_object — JVM JSON path, no UDF) and aggregate per
@@ -3068,6 +3096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squares_copurchase": q_squares_copurchase,
         "simrank_synth": q_simrank_synth,
         "context_windows_events": q_context_windows_events,
+        "interevent_events": q_interevent_events,
+        "dyad_census_synth": q_dyad_census_synth,
         "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
         "lm_score_docs": q_lm_score_docs,
@@ -3236,6 +3266,38 @@ WITH cw AS (
 SELECT user_id, event_id, CAST(len(ctx) AS INT) AS n_context,
        array_to_string(ctx, ' ') AS context, target
 FROM cw WHERE len(ctx) >= 1"""
+
+    sqls["interevent_events"] = """
+WITH g AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events)
+SELECT user_id, COUNT(*) AS n_gaps,
+       CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+       CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_gap_sq,
+       MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL GROUP BY 1"""
+
+    sqls["dyad_census_synth"] = """
+WITH n AS (SELECT unnest(range(0, 300)) AS v),
+e0 AS (
+  SELECT v AS src, (v * 7 + 1) % 300 AS dst FROM n
+  UNION
+  SELECT v, (v * 3 + 2) % 300 FROM n
+),
+e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, COUNT(*) AS dirs
+        FROM e GROUP BY 1, 2),
+verts AS (SELECT COUNT(DISTINCT id) AS n_vertices FROM
+          (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+c AS (SELECT CAST(SUM(CASE WHEN dirs = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mutual,
+             CAST(SUM(CASE WHEN dirs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS asym
+      FROM und)
+SELECT n_vertices, mutual, asym,
+       n_vertices * (n_vertices - 1) // 2 - mutual - asym AS null_dyads
+FROM verts, c"""
 
     sqls["transitions_events"] = """
 WITH s AS (

@@ -180,6 +180,45 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     )
 
 
+def dyad_census(edges: DataFrame) -> DataFrame:
+    """Holland-Leinhardt dyad census (mutual / asymmetric / null) of the
+    directed simple graph — one row ``(n_vertices, mutual, asym,
+    null_dyads)``, all exact BIGINTs.
+
+    One grouped count over the undirected key (the direction multiplicity
+    per unordered pair is 1 or 2), no self-join: ``mutual`` = pairs seen in
+    both directions, ``asym`` = pairs seen in one, ``null`` =
+    ``C(n, 2) - mutual - asym`` by arithmetic. Scale: a single shuffle on
+    the unordered pair key plus a distinct-vertex count."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    und = e.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.count(F.lit(1)).alias("dirs"))
+    counts = und.agg(
+        F.sum(F.when(F.col("dirs") == 2, 1).otherwise(0)).alias("mutual"),
+        F.sum(F.when(F.col("dirs") == 1, 1).otherwise(0)).alias("asym"),
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .agg(F.countDistinct("id").alias("n_vertices"))
+    )
+    return verts.crossJoin(counts).select(
+        "n_vertices",
+        F.coalesce("mutual", F.lit(0)).alias("mutual"),
+        F.coalesce("asym", F.lit(0)).alias("asym"),
+        (
+            F.expr("n_vertices * (n_vertices - 1) div 2")
+            - F.coalesce("mutual", F.lit(0))
+            - F.coalesce("asym", F.lit(0))
+        ).cast("long").alias("null_dyads"),
+    )
+
+
 def hill_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
     """Hill (MLE) estimate of the degree-distribution power-law exponent:
 

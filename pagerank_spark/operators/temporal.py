@@ -177,3 +177,33 @@ def snapshot_diff(
         .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
     )
     return j.select(*key_cols, change.alias("change")).filter(F.col("change").isNotNull())
+
+
+def interevent_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key inter-arrival gap statistics in EXACT integer seconds —
+    the burstiness / cadence features of behavioral modeling
+    (``n_gaps, sum_gap_s, sum_gap_sq, min_gap_s, max_gap_s`` per key; keys
+    with a single event are dropped: no gaps exist).
+
+    Sums and sums-of-squares of integer seconds are exact BIGINTs, so the
+    output is reduction-order independent (mean/variance derive outside).
+    Scale: one total-ordered window pass (lag) + one map-side-combined
+    grouped aggregate, both shuffling on the same key — AQE coalesces the
+    pair into one exchange."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    sec = F.unix_timestamp(F.col(ts_col))
+    gaps = events.select(
+        F.col(key_col), (sec - F.lag(sec).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("sum_gap_s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("sum_gap_sq"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
