@@ -985,6 +985,15 @@ def q_context_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return context_windows(ev, n=3)
 
 
+def q_rich_club_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club curve (operators/graphstats.py:rich_club) at thresholds
+    k in {2,4,8,16,32,64} on the co-purchase graph — exact integer
+    micro-unit phi, all thresholds in one broadcast-joined pass."""
+    from pagerank_spark.operators.graphstats import rich_club
+
+    return rich_club(_graph_for(spark, sf_dir, "copurchase"), ks=[2, 4, 8, 16, 32, 64])
+
+
 def q_interevent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-arrival cadence features
     (operators/temporal.py:interevent_stats): exact integer-second gap
@@ -3097,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank_synth": q_simrank_synth,
         "context_windows_events": q_context_windows_events,
         "interevent_events": q_interevent_events,
+        "rich_club_copurchase": q_rich_club_copurchase,
         "dyad_census_synth": q_dyad_census_synth,
         "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
@@ -4595,6 +4605,22 @@ s3 AS MATERIALIZED (
   JOIN ind ia ON e1.dst = ia.v JOIN ind ib ON e2.dst = ib.v
   WHERE e1.dst <> e2.dst GROUP BY 1, 2)
 SELECT i AS a, j AS b, ROUND(s, 6) AS s FROM s3 WHERE i < j"""
+
+    sqls["rich_club_copurchase"] = f"""
+WITH {_materialize(COPURCHASE_EDGES_CTE.strip())},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS deg FROM
+        (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+ks AS (SELECT unnest([2, 4, 8, 16, 32, 64]) AS k),
+nk AS (SELECT k, COUNT(*) AS n_k FROM deg, ks WHERE deg > k GROUP BY 1),
+ek AS (SELECT k, COUNT(*) AS e_k
+       FROM und JOIN deg da ON und.a = da.id JOIN deg db ON und.b = db.id, ks
+       WHERE da.deg > k AND db.deg > k GROUP BY 1)
+SELECT k, n_k, COALESCE(e_k, 0) AS e_k,
+       CASE WHEN n_k < 2 THEN 0
+            ELSE 2 * COALESCE(e_k, 0) * 1000000 // (n_k * (n_k - 1)) END AS phi_micro
+FROM nk LEFT JOIN ek USING (k)"""
 
     sqls["squares_copurchase"] = f"""
 WITH {_materialize(COPURCHASE_EDGES_CTE.strip())},

@@ -219,6 +219,60 @@ def dyad_census(edges: DataFrame) -> DataFrame:
     )
 
 
+def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
+    """Rich-club curve of the undirected simple graph: for each degree
+    threshold ``k``, the subgraph induced on vertices of degree > k —
+    ``(k, n_k, e_k, phi_micro)`` with ``phi = 2 e_k / (n_k (n_k - 1))``
+    emitted as exact integer micro-units (``2 e_k * 1e6 div n_k (n_k-1)``).
+
+    Zhou & Mondragón 2004 (public methodology): a rising phi(k) means
+    hubs preferentially interconnect. All thresholds are evaluated in ONE
+    pass each over the degree and edge tables: the k list is exploded from
+    a literal array and broadcast-joined, so the plan is two grouped
+    aggregates regardless of how many thresholds are requested — no
+    per-k driver loop.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    kdf = und.sparkSession.createDataFrame([(int(k),) for k in ks], "k int")
+    nk = (
+        deg.crossJoin(F.broadcast(kdf))
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_k"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    ek = (
+        und.join(da, "a")
+        .join(db, "b")
+        .crossJoin(F.broadcast(kdf))
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            "k",
+            "n_k",
+            F.coalesce("e_k", F.lit(0)).alias("e_k"),
+            F.expr(
+                "IF(n_k < 2, 0L, 2 * coalesce(e_k, 0L) * 1000000 div (n_k * (n_k - 1)))"
+            ).alias("phi_micro"),
+        )
+    )
+
+
 def hill_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
     """Hill (MLE) estimate of the degree-distribution power-law exponent:
 

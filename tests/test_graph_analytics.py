@@ -244,3 +244,30 @@ class TestSquareCount:
         exact = square_count(edges).collect()[0]["squares"]
         capped = square_count(edges, max_degree=8).collect()[0]["squares"]
         assert capped <= exact
+
+
+class TestRichClub:
+    def test_closed_form_star_plus_clique(self, spark):
+        from pagerank_spark.operators.graphstats import rich_club
+
+        # K4 on {0,1,2,3} plus leaves 10..15 hanging off vertex 0
+        edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        edges += [(0, 10 + i) for i in range(6)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["k"]: r for r in rich_club(df, ks=[1, 3, 8]).collect()}
+        # k=3: vertices with deg>3 = {0 (deg 9)}; no pair -> phi 0
+        assert got[3]["n_k"] == 1 and got[3]["e_k"] == 0 and got[3]["phi_micro"] == 0
+        # k=1: {0,1,2,3} (deg 3+) induced K4 -> phi = 1
+        assert got[1]["n_k"] == 4 and got[1]["e_k"] == 6
+        assert got[1]["phi_micro"] == 1_000_000
+        # k=8: only vertex 0 qualifies -> n_k = 1
+        assert got[8]["n_k"] == 1
+
+    def test_monotone_thresholds_shrink(self, spark):
+        from pagerank_spark.operators.graphstats import rich_club
+        from pagerank_spark.sources.graphs import er_graph
+
+        df = er_graph(spark, 80, 400, seed=3)
+        rows = {r["k"]: r for r in rich_club(df, ks=[1, 2, 4]).collect()}
+        assert rows[1]["n_k"] >= rows[2]["n_k"] >= rows.get(4, rows[2])["n_k"]
+        assert rows[1]["e_k"] >= rows[2]["e_k"]
