@@ -994,6 +994,26 @@ def q_rich_club_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich_club(_graph_for(spark, sf_dir, "copurchase"), ks=[2, 4, 8, 16, 32, 64])
 
 
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase
+    (operators/sequences.py:funnel): one row_number pass + one same-key
+    MIN/join per step, total order via (ts, event_id)."""
+    from pagerank_spark.operators.sequences import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+def q_cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/sequences.py:cohort_retention):
+    keys bucketed by first-seen week, distinct-active counts per offset —
+    exact integers end to end."""
+    from pagerank_spark.operators.sequences import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev)
+
+
 def q_interevent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-arrival cadence features
     (operators/temporal.py:interevent_stats): exact integer-second gap
@@ -3107,6 +3127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_windows_events": q_context_windows_events,
         "interevent_events": q_interevent_events,
         "rich_club_copurchase": q_rich_club_copurchase,
+        "funnel_events": q_funnel_events,
+        "cohort_retention_events": q_cohort_retention_events,
         "dyad_census_synth": q_dyad_census_synth,
         "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
@@ -3276,6 +3298,28 @@ WITH cw AS (
 SELECT user_id, event_id, CAST(len(ctx) AS INT) AS n_context,
        array_to_string(ctx, ' ') AS context, target
 FROM cw WHERE len(ctx) >= 1"""
+
+    sqls["funnel_events"] = """
+WITH seq AS (
+  SELECT user_id AS k, event_type AS st,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events),
+r0 AS (SELECT k, MIN(pos) AS p FROM seq WHERE st = 'view' GROUP BY 1),
+r1 AS (SELECT seq.k, MIN(pos) AS p FROM seq JOIN r0 ON seq.k = r0.k
+       WHERE st = 'click' AND pos > r0.p GROUP BY 1),
+r2 AS (SELECT seq.k, MIN(pos) AS p FROM seq JOIN r1 ON seq.k = r1.k
+       WHERE st = 'purchase' AND pos > r1.p GROUP BY 1)
+SELECT 0 AS step_idx, 'view' AS step, COUNT(*) AS n_keys FROM r0
+UNION ALL SELECT 1, 'click', COUNT(*) FROM r1
+UNION ALL SELECT 2, 'purchase', COUNT(*) FROM r2"""
+
+    sqls["cohort_retention_events"] = """
+WITH ev AS (SELECT user_id AS k,
+                   CAST(FLOOR(FLOOR(epoch(ts)) / 604800) AS BIGINT) AS bucket
+            FROM events),
+first AS (SELECT k, MIN(bucket) AS cohort FROM ev GROUP BY 1)
+SELECT cohort, bucket - cohort AS offset, COUNT(DISTINCT ev.k) AS n_active
+FROM ev JOIN first ON ev.k = first.k GROUP BY 1, 2"""
 
     sqls["interevent_events"] = """
 WITH g AS (

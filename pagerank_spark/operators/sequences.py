@@ -96,3 +96,86 @@ def context_windows(
             "target",
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Ordered funnel analysis: how many keys performed ``steps[0]``, then
+    ``steps[1]`` strictly after it, then ``steps[2]`` after that, ... —
+    the product-analytics conversion query.
+
+    Returns ``(step_idx, step, n_keys)`` with ``n_keys`` monotonically
+    non-increasing. Order is made TOTAL by ``(ts, tiebreak)`` — each
+    event's position is its ``row_number`` in the key's sequence, so equal
+    timestamps can't flip a conversion under repartitioning, and all
+    comparisons are exact integers.
+
+    Scale shape: ONE window pass assigns positions, then one grouped MIN +
+    one same-key join per funnel step — every shuffle is on the key
+    column, so AQE collapses the chain onto a single exchange; per-step
+    state is one BIGINT per surviving key.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    seq = events.select(
+        F.col(key_col).alias("k"),
+        F.col(state_col).alias("st"),
+        F.row_number().over(w).alias("pos"),
+    ).localCheckpoint(eager=False)
+
+    reached = None  # (k, p): position at which the prefix completed
+    counts = []
+    for i, step in enumerate(steps):
+        cand = seq.filter(F.col("st") == step)
+        if reached is None:
+            cur = cand.groupBy("k").agg(F.min("pos").alias("p"))
+        else:
+            cur = (
+                cand.join(reached.withColumnRenamed("p", "prev"), "k")
+                .filter(F.col("pos") > F.col("prev"))
+                .groupBy("k")
+                .agg(F.min("pos").alias("p"))
+            )
+        reached = cur
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_keys")).select(
+                F.lit(i).alias("step_idx"), F.lit(step).alias("step"), "n_keys"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 604800,
+) -> DataFrame:
+    """Cohort retention table: keys grouped by the time bucket of their
+    FIRST event (the cohort), counted as active per bucket offset since —
+    ``(cohort, offset, n_active)``, all exact integers (buckets are
+    ``floor(epoch / bucket_seconds)``, default weekly).
+
+    Scale shape: one grouped MIN (first-seen bucket), one same-key join
+    back, one distinct count per (cohort, offset) — the first two shuffle
+    on the key, the last on the small (cohort, offset) pair; no windows,
+    no Python.
+    """
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).cast("long")
+    ev = events.select(F.col(key_col).alias("k"), b.alias("bucket"))
+    first = ev.groupBy("k").agg(F.min("bucket").alias("cohort"))
+    return (
+        ev.join(first, "k")
+        .groupBy("cohort", (F.col("bucket") - F.col("cohort")).alias("offset"))
+        .agg(F.countDistinct("k").alias("n_active"))
+    )
