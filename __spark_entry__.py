@@ -19,7 +19,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -992,6 +992,57 @@ def q_rich_club_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.operators.graphstats import rich_club
 
     return rich_club(_graph_for(spark, sf_dir, "copurchase"), ks=[2, 4, 8, 16, 32, 64])
+
+
+def q_wow_growth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week order volume: weekly counts + lag delta. The lag
+    window runs over the AGGREGATED week table (hundreds of rows), never
+    the fact — the growth-curve pattern that stays cheap at any fact
+    size. Exact integer counts and deltas."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    weekly = orders.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(604800)).cast("long").alias("week")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy("week")
+    return weekly.select(
+        "week",
+        "n_orders",
+        F.coalesce(F.lag("n_orders").over(w), F.lit(0)).alias("prev_orders"),
+        (F.col("n_orders") - F.coalesce(F.lag("n_orders").over(w), F.lit(0))).alias("delta"),
+    )
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity crosstab via groupBy().pivot() — one Expand-free
+    pivoted aggregate with an EXPLICIT value list (no extra distinct pass;
+    unknown types can't widen the schema at scale)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["view", "click", "purchase", "signup", "error"]
+    return (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("day")
+        )
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def q_cumulative_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per hour — the running-nunique query,
+    computed exactly WITHOUT a distinct-over-growing-window: a user's
+    first-seen hour is a grouped MIN, hourly new-user counts follow, and
+    the running sum windows over the tiny hour table only (documented
+    small-side window, same contract as the vocab cumsum in walks.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long")).alias("hour")
+    )
+    new_users = first.groupBy("hour").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return new_users.select(
+        "hour", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )
 
 
 def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3128,6 +3179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interevent_events": q_interevent_events,
         "rich_club_copurchase": q_rich_club_copurchase,
         "funnel_events": q_funnel_events,
+        "wow_growth_orders": q_wow_growth_orders,
+        "pivot_events": q_pivot_events,
+        "cumulative_users_events": q_cumulative_users_events,
         "cohort_retention_events": q_cohort_retention_events,
         "dyad_census_synth": q_dyad_census_synth,
         "neighborhood_fn_events": q_neighborhood_fn_events,
@@ -3298,6 +3352,37 @@ WITH cw AS (
 SELECT user_id, event_id, CAST(len(ctx) AS INT) AS n_context,
        array_to_string(ctx, ' ') AS context, target
 FROM cw WHERE len(ctx) >= 1"""
+
+    sqls["wow_growth_orders"] = """
+WITH weekly AS (
+  SELECT CAST(FLOOR(FLOOR(epoch(o_orderdate)) / 604800) AS BIGINT) AS week,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT week, n_orders,
+       COALESCE(LAG(n_orders) OVER (ORDER BY week), 0) AS prev_orders,
+       n_orders - COALESCE(LAG(n_orders) OVER (ORDER BY week), 0) AS delta
+FROM weekly"""
+
+    sqls["pivot_events"] = """
+SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 86400) AS BIGINT) AS day,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events GROUP BY 1"""
+
+    sqls["cumulative_users_events"] = """
+WITH first AS (
+  SELECT user_id,
+         MIN(CAST(FLOOR(FLOOR(epoch(ts)) / 3600) AS BIGINT)) AS hour
+  FROM events GROUP BY 1),
+new_users AS (SELECT hour, COUNT(*) AS new_users FROM first GROUP BY 1)
+SELECT hour, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM new_users"""
 
     sqls["funnel_events"] = """
 WITH seq AS (
