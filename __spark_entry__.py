@@ -1076,6 +1076,27 @@ def q_interevent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interevent_stats(ev)
 
 
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (streaming/joins.py:interval_join): each
+    purchase joined to the same user's views in the preceding hour. The
+    identical plan is the stream-stream watermarked join (state bounded by
+    rate x lookback); in batch the range predicate rides the user_id
+    equi-join shuffle — no cross product. Gap emitted as exact integer
+    seconds so the gate is hash-stable."""
+    from pagerank_spark.streaming.joins import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pur = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    vw = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    j = interval_join(pur, vw, lookback="1 hour")
+    return j.select(
+        "user_id",
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("view_id"),
+        (F.unix_timestamp("l_ts") - F.unix_timestamp("r_ts")).cast("long").alias("gap_s"),
+    )
+
+
 def q_dyad_census_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holland-Leinhardt dyad census (operators/graphstats.py:dyad_census)
     on the planted double-ring digraph (v -> 7v+1, v -> 3v+2 mod 300) —
@@ -3177,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank_synth": q_simrank_synth,
         "context_windows_events": q_context_windows_events,
         "interevent_events": q_interevent_events,
+        "interval_join_events": q_interval_join_events,
         "rich_club_copurchase": q_rich_club_copurchase,
         "funnel_events": q_funnel_events,
         "wow_growth_orders": q_wow_growth_orders,
@@ -3418,6 +3440,18 @@ SELECT user_id, COUNT(*) AS n_gaps,
        CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_gap_sq,
        MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s
 FROM g WHERE gap_s IS NOT NULL GROUP BY 1"""
+
+    sqls["interval_join_events"] = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       CAST(FLOOR(epoch(p.ts)) - FLOOR(epoch(v.ts)) AS BIGINT) AS gap_s
+FROM events p
+JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts <= p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'"""
 
     sqls["dyad_census_synth"] = """
 WITH n AS (SELECT unnest(range(0, 300)) AS v),
