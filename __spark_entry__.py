@@ -1097,6 +1097,18 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard >= 0.8
+    (operators/dedup.py:jaccard_similarity_join): AllPairs/PPJoin prefix
+    filtering — candidates share a rarest-token prefix entry, so no
+    all-pairs join exists; verification touches candidates only. Exact
+    integer outputs (inter, union, floor-micro Jaccard)."""
+    from pagerank_spark.operators.dedup import jaccard_similarity_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_similarity_join(docs, threshold_pct=80)
+
+
 def q_dyad_census_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holland-Leinhardt dyad census (operators/graphstats.py:dyad_census)
     on the planted double-ring digraph (v -> 7v+1, v -> 3v+2 mod 300) —
@@ -3199,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_windows_events": q_context_windows_events,
         "interevent_events": q_interevent_events,
         "interval_join_events": q_interval_join_events,
+        "jaccard_join_docs": q_jaccard_join_docs,
         "rich_club_copurchase": q_rich_club_copurchase,
         "funnel_events": q_funnel_events,
         "wow_growth_orders": q_wow_growth_orders,
@@ -3452,6 +3465,26 @@ JOIN events v
  AND v.ts >= p.ts - INTERVAL 1 HOUR
  AND v.ts <= p.ts
 WHERE p.event_type = 'purchase' AND v.event_type = 'view'"""
+
+    sqls["jaccard_join_docs"] = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT a, b, CAST(inter AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_size,
+       CAST((inter * 1000000) // (sa.sz + sb.sz - inter) AS BIGINT) AS jaccard_micro
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.a
+JOIN sizes sb ON sb.doc_id = inter.b
+WHERE inter * 100 >= 80 * (sa.sz + sb.sz - inter)"""
 
     sqls["dyad_census_synth"] = """
 WITH n AS (SELECT unnest(range(0, 300)) AS v),

@@ -369,6 +369,111 @@ def simhash_near_dups(
     )
 
 
+# -- exact set-similarity join (AllPairs/PPJoin prefix filtering) ----------
+
+
+def jaccard_similarity_join(
+    docs: DataFrame,
+    threshold_pct: int = 80,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_token_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT token-set Jaccard join: every pair ``(a, b)`` (a < b) with
+    ``|A ∩ B| / |A ∪ B| >= threshold_pct/100`` — without an all-pairs join.
+
+    AllPairs/PPJoin-family prefix filtering (Bayardo et al. WWW'07; Xiao et
+    al. WWW'08): under one global token order, ``J(A,B) >= t`` forces an
+    overlap of at least ``ceil(t*|A|)`` tokens, so A and B must share a token
+    inside each set's first ``|A| - ceil(t*|A|) + 1`` tokens. Ordering tokens
+    by ascending document frequency makes those prefixes the RAREST tokens,
+    so the candidate equi-join keys on tokens that appear in few documents —
+    frequent tokens (the quadratic hazard) are pushed out of every prefix.
+    This is the exact counterpart of the MinHash path above: same shuffle
+    shape (token-keyed self-join), no probability of a miss.
+
+    Plan: one token explode -> df aggregate (map-side combined) -> token-key
+    join back -> per-doc row_number window on (df, token) -> prefix filter ->
+    token-keyed self-join with the Jaccard LENGTH filter
+    (``100*min(|A|,|B|) >= pct*max(|A|,|B|)``) applied inside the join ->
+    verification on candidates only via sorted token arrays +
+    ``array_intersect``. Everything is codegen'd; no Python, no cartesian.
+
+    Values are exact integers end to end: ``inter``, ``union_size``, and
+    ``jaccard_micro = (inter * 1_000_000) DIV union`` (floor), so results are
+    hash-stable across engines. Threshold is an integer percent for the same
+    reason.
+
+    ``max_token_bucket``: optional guard for adversarial corpora (thousands
+    of IDENTICAL docs make even the rarest-token buckets quadratic). Prefix
+    entries whose token still exceeds the bound are dropped from candidate
+    generation with an eager warning — a documented PRECISION trade (pairs
+    whose every shared prefix token is hot are missed); leave ``None`` for
+    exactness, run :func:`exact_dedup` first to collapse identical docs.
+    """
+    if not 0 < threshold_pct <= 100:
+        raise ValueError(f"threshold_pct must be in (0, 100], got {threshold_pct}")
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .dropDuplicates(["doc_id", "tok"])
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sz = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok").asc())
+    )
+    ranked = toks.join(dfreq, "tok").select("doc_id", "tok", "df", sz.alias("sz"), rn.alias("rn"))
+    # prefix length |x| - ceil(pct*|x|/100) + 1, in pure integer arithmetic
+    prefix_len = F.col("sz") - ((F.lit(threshold_pct) * F.col("sz") + 99) / 100).cast("long") + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "tok", "sz")
+    if max_token_bucket is not None:
+        counts = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("__n"))
+        hot = counts.filter(F.col("__n") > max_token_bucket)
+        stats = hot.agg(F.count(F.lit(1)).alias("toks"), F.sum("__n").alias("slots")).first()
+        if stats["toks"]:
+            log.warning(
+                "dropping %d hot prefix tokens (> %d docs, %d prefix slots) from the "
+                "similarity-join candidate generation (precision trade)",
+                stats["toks"], max_token_bucket, stats["slots"],
+            )
+        prefix = prefix.join(hot.select("tok"), "tok", "left_anti")
+    la = prefix.select(F.col("doc_id").alias("a"), "tok", F.col("sz").alias("sz_a"))
+    lb = prefix.select(F.col("doc_id").alias("b"), "tok", F.col("sz").alias("sz_b"))
+    cand = (
+        la.join(lb, "tok")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.lit(100) * F.least("sz_a", "sz_b") >= F.lit(threshold_pct) * F.greatest("sz_a", "sz_b"))
+        )
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    sets = toks.groupBy("doc_id").agg(F.sort_array(F.collect_set("tok")).alias("arr"))
+    ja = sets.select(F.col("doc_id").alias("a"), F.col("arr").alias("arr_a"))
+    jb = sets.select(F.col("doc_id").alias("b"), F.col("arr").alias("arr_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+    union = (F.size("arr_a") + F.size("arr_b")).cast("long") - inter
+    return (
+        cand.join(ja, "a")
+        .join(jb, "b")
+        .select("a", "b", inter.alias("inter"), union.alias("union_size"))
+        .filter(F.col("inter") * 100 >= F.lit(threshold_pct) * F.col("union_size"))
+        .select(
+            "a",
+            "b",
+            "inter",
+            "union_size",
+            F.expr("(inter * 1000000) DIV union_size").alias("jaccard_micro"),
+        )
+    )
+
+
 # -- exact n-gram jaccard -------------------------------------------------
 
 
