@@ -1109,6 +1109,18 @@ def q_jaccard_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_similarity_join(docs, threshold_pct=80)
 
 
+def q_random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection to 16 dims
+    (operators/projection.py:signed_random_projection): JL-family reduction
+    as one zero-shuffle codegen'd projection — grid-quantized components,
+    engine-neutral 31-bit hash signs, exact BIGINT sums (the DuckDB oracle
+    replays hash + quantization + sums verbatim)."""
+    from pagerank_spark.operators.projection import signed_random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return signed_random_projection(emb, k=16)
+
+
 def q_dyad_census_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holland-Leinhardt dyad census (operators/graphstats.py:dyad_census)
     on the planted double-ring digraph (v -> 7v+1, v -> 3v+2 mod 300) —
@@ -3212,6 +3224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interevent_events": q_interevent_events,
         "interval_join_events": q_interval_join_events,
         "jaccard_join_docs": q_jaccard_join_docs,
+        "random_projection_embeddings": q_random_projection_embeddings,
         "rich_club_copurchase": q_rich_club_copurchase,
         "funnel_events": q_funnel_events,
         "wow_growth_orders": q_wow_growth_orders,
@@ -3485,6 +3498,31 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = inter.a
 JOIN sizes sb ON sb.doc_id = inter.b
 WHERE inter * 100 >= 80 * (sa.sz + sb.sz - inter)"""
+
+    sqls["random_projection_embeddings"] = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1024.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+qe AS (SELECT vec_id, unnest(qv) AS val,
+              CAST(generate_subscripts(qv, 1) - 1 AS BIGINT) AS i FROM q),
+dims AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS dim),
+s AS (SELECT qe.vec_id, dims.dim, qe.val, qe.i * 16 + dims.dim AS idx
+      FROM qe CROSS JOIN dims),
+h1t AS (
+  SELECT vec_id, dim, val,
+         xor((idx * 2654435761 + 5) % 2147483648,
+             ((idx * 2654435761 + 5) % 2147483648) >> 15) AS h1
+  FROM s),
+h2t AS (
+  SELECT vec_id, dim, val,
+         xor((h1 * 2246822519 + 1) % 2147483648,
+             ((h1 * 2246822519 + 1) % 2147483648) >> 13) AS h2
+  FROM h1t)
+SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+       CAST(SUM(CASE WHEN h2 % 2 = 1 THEN val ELSE -val END) AS BIGINT) AS proj
+FROM h2t GROUP BY 1, 2"""
 
     sqls["dyad_census_synth"] = """
 WITH n AS (SELECT unnest(range(0, 300)) AS v),
