@@ -1121,6 +1121,18 @@ def q_random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return signed_random_projection(emb, k=16)
 
 
+def q_node2vec_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order biased walks (algos/walks.py:node2vec_walks) on the
+    co-purchase graph: return_cost=4 / explore_cost=2 (a DFS-leaning
+    node2vec analogue), 3 steps, every hop int64-exact and replayed by the
+    unrolled SQL oracle including the (prev, dst) membership probe."""
+    from pagerank_spark.algos.walks import node2vec_walks
+
+    return node2vec_walks(
+        _graph_for(spark, sf_dir, "copurchase"), walk_len=3, return_cost=4, explore_cost=2
+    )
+
+
 def q_dyad_census_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holland-Leinhardt dyad census (operators/graphstats.py:dyad_census)
     on the planted double-ring digraph (v -> 7v+1, v -> 3v+2 mod 300) —
@@ -1349,6 +1361,42 @@ def _walks_sql(edges_cte: str, k: int) -> str:
   ) WHERE rn = 1
 )""")
     union = "\nUNION ALL\n".join(f"SELECT walk_id, step, v FROM w{t}" for t in range(k + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+def _node2vec_sql(edges_cte: str, k: int, rc: int, ec: int) -> str:
+    """Unrolled k-step node2vec-style walk replay mirroring
+    algos/walks.py:node2vec_walks: step 1 is first-order; steps >= 2 scale
+    the mixer by the second-order cost (rc on return, 1 on prev's
+    out-neighbors, ec otherwise), ties to smaller dst."""
+    M = 1_000_003
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM e)",
+        "vv AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst AS id FROM de)",
+        "w0 AS MATERIALIZED (SELECT id AS walk_id, id AS prev, id AS v FROM vv)",
+    ]
+    for t in range(1, k + 1):
+        prev, cur = f"w{t - 1}", f"w{t}"
+        mix = f"((p.walk_id % {M}) * 1009 + {t} * 131 + (de.dst % {M}) * 7919) % {M}"
+        if t == 1:
+            pri, join_extra = mix, ""
+        else:
+            pri = (
+                f"({mix}) * (CASE WHEN de.dst = p.prev THEN {rc} "
+                f"WHEN pe.src IS NOT NULL THEN 1 ELSE {ec} END)"
+            )
+            join_extra = "\n    LEFT JOIN de pe ON pe.src = p.prev AND pe.dst = de.dst"
+        ctes.append(f"""{cur} AS MATERIALIZED (
+  SELECT walk_id, prev, v FROM (
+    SELECT p.walk_id, p.v AS prev, de.dst AS v,
+           row_number() OVER (PARTITION BY p.walk_id ORDER BY {pri}, de.dst) AS rn
+    FROM {prev} p JOIN de ON de.src = p.v{join_extra}
+  ) WHERE rn = 1
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {t} AS step, v FROM w{t}" for t in range(k + 1)
+    )
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
@@ -3225,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": q_interval_join_events,
         "jaccard_join_docs": q_jaccard_join_docs,
         "random_projection_embeddings": q_random_projection_embeddings,
+        "node2vec_copurchase": q_node2vec_copurchase,
         "rich_club_copurchase": q_rich_club_copurchase,
         "funnel_events": q_funnel_events,
         "wow_growth_orders": q_wow_growth_orders,
@@ -4226,6 +4275,7 @@ GROUP BY 1, 2"""
     sqls["sssp_events"] = _sssp_sql(EVENTS_EDGES_CTE, 6, 97, weighted=True)
     sqls["harmonic_closeness_events"] = _harmonic_sql(EVENTS_EDGES_CTE, 6, 97)
     sqls["walks_copurchase"] = _walks_sql(COPURCHASE_EDGES_CTE, 4)
+    sqls["node2vec_copurchase"] = _node2vec_sql(COPURCHASE_EDGES_CTE, 3, 4, 2)
     sqls["skipgram_copurchase"] = _skipgram_sql(COPURCHASE_EDGES_CTE, 4, 2)
     sqls["pmi_copurchase"] = _pmi_sql(COPURCHASE_EDGES_CTE, 4, 2, 2)
     sqls["betweenness_copurchase"] = _betweenness_sql(COPURCHASE_EDGES_CTE, 4, 50)

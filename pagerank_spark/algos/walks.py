@@ -90,6 +90,86 @@ def pseudorandom_walks(
     return out
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 6,
+    return_cost: int = 4,
+    explore_cost: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Second-order (node2vec-style) biased walks: ``(walk_id, step, v)``.
+
+    node2vec (Grover & Leskovec, KDD'16) biases the hop from ``prev -> cur``
+    to a candidate ``dst`` by 1/p when ``dst == prev`` (return), 1 when
+    ``dst`` is an out-neighbor of ``prev`` (BFS-like), 1/q otherwise
+    (DFS-like). The deterministic analogue keeps the exact-replay property
+    of :func:`pseudorandom_walks`: the chosen hop minimizes
+    ``mix(w, t, dst) * cost`` with integer ``cost`` = ``return_cost`` /
+    1 / ``explore_cost`` for the three classes (an exponential-race
+    weighting — scaling a candidate's uniform key by ``c`` cuts its win
+    probability ~1/c), ties to smaller ``dst``. ``return_cost = explore_cost
+    = 1`` degenerates bit-for-bit to the first-order walk. All arithmetic
+    stays int64-exact (mix < 1e6+3, costs small ints), so a SQL oracle
+    replays every hop.
+
+    Scale shape: per step the candidate set is the frontier's out-edge
+    fan-out (same gather join as PageRank, ONE-time edge layout) plus one
+    extra co-partitioned join probing ``(prev, dst)`` edge membership — the
+    inherent cost of second-order bias; state stays the narrow
+    ``(walk_id, prev, v)``. Step 1 has no ``prev`` and hops first-order,
+    matching the reference algorithm's uniform first move.
+    """
+    p = num_partitions or _num_partitions(edges)
+    e = edges.select("src", "dst").dropDuplicates().repartition(p, "src").localCheckpoint()
+    probe = e.select(
+        F.col("src").alias("__ps"), F.col("dst").alias("__pd"), F.lit(1).alias("__common")
+    )
+    starts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    out_rows = [
+        starts.select(F.col("id").alias("walk_id"), F.lit(0).alias("step"), F.col("id").alias("v"))
+    ]
+    # state: (walk_id, prev, v); step 1 is first-order so prev starts as v
+    cur = (
+        starts.select(F.col("id").alias("walk_id"), F.col("id").alias("prev"), F.col("id").alias("v"))
+        .repartition(p, "v")
+        .localCheckpoint()
+    )
+    for t in range(1, walk_len + 1):
+        cand = cur.join(e, cur.v == e.src, "inner")
+        if t == 1:
+            pri = _mix(F.col("walk_id"), t, F.col("dst"))
+        else:
+            cand = cand.join(
+                probe,
+                (F.col("prev") == F.col("__ps")) & (F.col("dst") == F.col("__pd")),
+                "left",
+            )
+            cost = (
+                F.when(F.col("dst") == F.col("prev"), F.lit(return_cost))
+                .when(F.col("__common").isNotNull(), F.lit(1))
+                .otherwise(F.lit(explore_cost))
+            ).cast("long")
+            pri = _mix(F.col("walk_id"), t, F.col("dst")) * cost
+        nxt = (
+            cand.groupBy("walk_id", "v")
+            .agg(F.min_by(F.col("dst"), F.struct(pri.alias("__p"), F.col("dst"))).alias("nv"))
+            .select("walk_id", F.col("v").alias("prev"), F.col("nv").alias("v"))
+            .repartition(p, "v")
+            .localCheckpoint()
+        )
+        out_rows.append(nxt.select("walk_id", F.lit(t).alias("step"), "v"))
+        cur = nxt
+
+    out = out_rows[0]
+    for s in out_rows[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """Aggregate (center, context) co-occurrence counts from a walk table
     ``(walk_id, step, v)`` — the skip-gram training pairs an embedding
