@@ -1133,6 +1133,28 @@ def q_node2vec_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (operators/temporal.py:merge_upsert): a stale
+    orders snapshot (keys % 5 != 0) merged with a CDC batch (keys % 3 == 0:
+    price bumped 7 cents, keys % 9 == 0 tombstoned). One key-anti-join +
+    union — the copy-on-write merge shape. Prices as exact integer cents."""
+    from pagerank_spark.operators.temporal import merge_upsert
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    target = o.filter(F.col("o_orderkey") % 5 != 0)
+    source = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("cents", F.col("cents") + 7)
+        .withColumn("__del", F.col("o_orderkey") % 9 == 0)
+    )
+    return merge_upsert(target, source, ["o_orderkey"], delete_col="__del")
+
+
 def q_dyad_census_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holland-Leinhardt dyad census (operators/graphstats.py:dyad_census)
     on the planted double-ring digraph (v -> 7v+1, v -> 3v+2 mod 300) —
@@ -3274,6 +3296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join_docs": q_jaccard_join_docs,
         "random_projection_embeddings": q_random_projection_embeddings,
         "node2vec_copurchase": q_node2vec_copurchase,
+        "merge_upsert_orders": q_merge_upsert_orders,
         "rich_club_copurchase": q_rich_club_copurchase,
         "funnel_events": q_funnel_events,
         "wow_growth_orders": q_wow_growth_orders,
@@ -3572,6 +3595,20 @@ h2t AS (
 SELECT vec_id, CAST(dim AS INTEGER) AS dim,
        CAST(SUM(CASE WHEN h2 % 2 = 1 THEN val ELSE -val END) AS BIGINT) AS proj
 FROM h2t GROUP BY 1, 2"""
+
+    sqls["merge_upsert_orders"] = """
+WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+t AS (SELECT * FROM o WHERE o_orderkey % 5 <> 0),
+s AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(cents + 7 AS BIGINT) AS cents,
+             (o_orderkey % 9 = 0) AS del
+      FROM o WHERE o_orderkey % 3 = 0)
+SELECT t.* FROM t
+WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, cents FROM s WHERE NOT del"""
 
     sqls["dyad_census_synth"] = """
 WITH n AS (SELECT unnest(range(0, 300)) AS v),
