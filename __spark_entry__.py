@@ -1155,6 +1155,48 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(target, source, ["o_orderkey"], delete_col="__del")
 
 
+def _doc_tokens(spark: SparkSession, sf_dir: str, lang: str | None = None) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if lang is not None:
+        docs = docs.filter(F.col("lang") == lang)
+    return docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: F.length(t) > 0
+            )
+        ).alias("tok")
+    )
+
+
+def q_cms_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketches.py): 3x16 cells over the corpus
+    token stream, then the CMS estimate for every distinct token next to its
+    exact count — the overestimate guarantee is visible in the data (width
+    16 < vocabulary, so some cells collide). The DuckDB oracle replays the
+    polynomial char hash, the mixer, every cell, and every min."""
+    from pagerank_spark.operators.sketches import cms_build, cms_estimate
+
+    toks = _doc_tokens(spark, sf_dir)
+    sk = cms_build(toks, "tok", depth=3, width=16, salt=17)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(sk, exact.select("tok"), "tok", depth=3, width=16, salt=17)
+    return est.join(exact, "tok").select("tok", "est", "exact")
+
+
+def q_bloom_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/sketches.py): a 64-bit / 3-hash
+    filter built over the ENGLISH docs' token set probes the full
+    vocabulary — members always read maybe=1 (no false negatives), and the
+    deliberately tiny filter makes some false positives appear in-data. The
+    oracle replays positions and membership bit-for-bit."""
+    from pagerank_spark.operators.sketches import bloom_build, bloom_probe
+
+    all_toks = _doc_tokens(spark, sf_dir).dropDuplicates()
+    en_toks = _doc_tokens(spark, sf_dir, lang="en").dropDuplicates()
+    bl = bloom_build(en_toks, "tok", m_bits=64, k_hashes=3, salt=29)
+    return bloom_probe(all_toks, bl, "tok", m_bits=64, k_hashes=3, salt=29)
+
+
 def q_dyad_census_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holland-Leinhardt dyad census (operators/graphstats.py:dyad_census)
     on the planted double-ring digraph (v -> 7v+1, v -> 3v+2 mod 300) —
@@ -1420,6 +1462,23 @@ def _node2vec_sql(edges_cte: str, k: int, rc: int, ec: int) -> str:
         f"SELECT walk_id, {t} AS step, v FROM w{t}" for t in range(k + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+def _mix31_sql(v: str, salt: int) -> str:
+    """DuckDB replay of sketches._mix31 / neighborhood._h31: two-round
+    multiplicative + xor-shift mixer mod 2^31."""
+    h1 = f"(({v}) * 2654435761 + {salt}) % 2147483648"
+    h1x = f"xor({h1}, ({h1}) >> 15)"
+    h2 = f"(({h1x}) * 2246822519 + 1) % 2147483648"
+    return f"xor({h2}, ({h2}) >> 13)"
+
+
+# DuckDB replay of sketches._poly31 over a column named tok
+_POLY31_TOK_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_to_array(tok, ''), c -> CAST(unicode(c) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 2147483648)"
+)
 
 
 def _skipgram_sql(edges_cte: str, k: int, window: int) -> str:
@@ -3297,6 +3356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection_embeddings": q_random_projection_embeddings,
         "node2vec_copurchase": q_node2vec_copurchase,
         "merge_upsert_orders": q_merge_upsert_orders,
+        "cms_tokens_docs": q_cms_tokens_docs,
+        "bloom_probe_docs": q_bloom_probe_docs,
         "rich_club_copurchase": q_rich_club_copurchase,
         "funnel_events": q_funnel_events,
         "wow_growth_orders": q_wow_growth_orders,
@@ -3609,6 +3670,57 @@ SELECT t.* FROM t
 WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
 UNION ALL
 SELECT o_orderkey, o_custkey, o_orderstatus, cents FROM s WHERE NOT del"""
+
+    _cms_cols = [f"({_mix31_sql('v', 17 + i)}) % 16" for i in range(3)]
+    _cms_cells = "\n  UNION ALL\n  ".join(
+        f"SELECT {i} AS row, ({c}) AS col FROM pv" for i, c in enumerate(_cms_cols)
+    )
+    _cms_probe = "\n  UNION ALL\n  ".join(
+        f"SELECT tok, exact, {i} AS row, ({c}) AS col FROM dt" for i, c in enumerate(_cms_cols)
+    )
+    sqls["cms_tokens_docs"] = f"""
+WITH tok AS MATERIALIZED (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            t -> len(t) > 0)) AS tok
+  FROM documents),
+pv AS MATERIALIZED (SELECT tok, {_POLY31_TOK_SQL} AS v FROM tok),
+cells AS (
+  {_cms_cells}),
+sk AS MATERIALIZED (
+  SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+dt AS MATERIALIZED (
+  SELECT tok, ANY_VALUE(v) AS v, CAST(COUNT(*) AS BIGINT) AS exact
+  FROM pv GROUP BY 1),
+probe AS (
+  {_cms_probe})
+SELECT p.tok, CAST(MIN(sk.cnt) AS BIGINT) AS est,
+       CAST(ANY_VALUE(p.exact) AS BIGINT) AS exact
+FROM probe p JOIN sk ON sk.row = p.row AND sk.col = p.col
+GROUP BY 1"""
+
+    _bloom_pos = [f"({_mix31_sql('v', 29 + j)}) % 64" for j in range(3)]
+    _bloom_mem = "\n  UNION ALL\n  ".join(f"SELECT ({p}) AS p FROM env" for p in _bloom_pos)
+    _bloom_pp = "\n  UNION ALL\n  ".join(f"SELECT tok, ({p}) AS p FROM pall" for p in _bloom_pos)
+    sqls["bloom_probe_docs"] = f"""
+WITH tokall AS MATERIALIZED (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            t -> len(t) > 0)) AS tok
+  FROM documents),
+env AS MATERIALIZED (
+  SELECT tok, {_POLY31_TOK_SQL} AS v
+  FROM (SELECT DISTINCT tok FROM tokall WHERE lang = 'en') t),
+mem AS MATERIALIZED (SELECT DISTINCT p FROM (
+  {_bloom_mem})),
+pall AS MATERIALIZED (
+  SELECT tok, {_POLY31_TOK_SQL} AS v
+  FROM (SELECT DISTINCT tok FROM tokall) t),
+pp AS (
+  {_bloom_pp})
+SELECT pp.tok,
+       CAST(MIN(CASE WHEN mem.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS maybe
+FROM pp LEFT JOIN mem ON mem.p = pp.p
+GROUP BY 1"""
 
     sqls["dyad_census_synth"] = """
 WITH n AS (SELECT unnest(range(0, 300)) AS v),
