@@ -1197,6 +1197,16 @@ def q_bloom_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_probe(all_toks, bl, "tok", m_bits=64, k_hashes=3, salt=29)
 
 
+def q_chunk_windows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking (operators/packing.py:sliding_windows):
+    8-token windows at stride 5 over every document — zero-shuffle
+    projection + posexplode, full token coverage, exact integer offsets."""
+    from pagerank_spark.operators.packing import sliding_windows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sliding_windows(docs, window=8, stride=5)
+
+
 def q_dyad_census_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holland-Leinhardt dyad census (operators/graphstats.py:dyad_census)
     on the planted double-ring digraph (v -> 7v+1, v -> 3v+2 mod 300) —
@@ -3358,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_orders": q_merge_upsert_orders,
         "cms_tokens_docs": q_cms_tokens_docs,
         "bloom_probe_docs": q_bloom_probe_docs,
+        "chunk_windows_docs": q_chunk_windows_docs,
         "rich_club_copurchase": q_rich_club_copurchase,
         "funnel_events": q_funnel_events,
         "wow_growth_orders": q_wow_growth_orders,
@@ -3721,6 +3732,22 @@ SELECT pp.tok,
        CAST(MIN(CASE WHEN mem.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS maybe
 FROM pp LEFT JOIN mem ON mem.p = pp.p
 GROUP BY 1"""
+
+    sqls["chunk_windows_docs"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> len(x) > 0) AS tk
+  FROM documents),
+d AS (SELECT doc_id, tk, len(tk) AS L FROM t WHERE len(tk) > 0),
+w AS (SELECT doc_id, tk, L,
+             unnest(range(0, 1 + (greatest(L - 8, 0) + 4) // 5)) AS c
+      FROM d)
+SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+       CAST(c * 5 AS BIGINT) AS start_tok,
+       CAST(least(L - c * 5, 8) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(tk, c * 5 + 1, c * 5 + 8), ' ') AS chunk
+FROM w"""
 
     sqls["dyad_census_synth"] = """
 WITH n AS (SELECT unnest(range(0, 300)) AS v),

@@ -69,6 +69,55 @@ def pack_chunks(
     )
 
 
+def sliding_windows(
+    docs: DataFrame,
+    window: int = 128,
+    stride: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token windows per document (RAG/retrieval chunking and
+    long-context SFT example slicing): ``(doc_id, chunk_idx, start_tok,
+    n_tokens, chunk)`` where chunk ``c`` holds tokens
+    ``[c*stride, c*stride + window)``.
+
+    Coverage rule: windows start at multiples of ``stride``; the last start
+    is the smallest multiple with ``start + window >= doc_len``, so every
+    token is inside at least one window and the final window may be short
+    (never empty). Empty documents emit no rows. The whole operator is one
+    codegen'd projection + posexplode — zero shuffles at any corpus size,
+    and exact integer offsets so the gate is hash-stable.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    if stride > window:
+        raise ValueError("stride > window would skip tokens")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    src = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+    n = F.size("__t")
+    # number of windows: 1 + ceil(max(L - window, 0) / stride)
+    n_win = F.lit(1) + F.ceil(
+        F.greatest(n - window, F.lit(0)).cast("double") / stride
+    ).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda c: F.struct(
+            c.cast("long").alias("chunk_idx"),
+            (c * stride).cast("long").alias("start_tok"),
+            F.least(n - c * stride, F.lit(window)).cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.slice("__t", c * stride + 1, window)).alias("chunk"),
+        ),
+    )
+    return (
+        src.filter(n > 0)
+        .select("doc_id", F.explode(chunks).alias("w"))
+        .select("doc_id", "w.chunk_idx", "w.start_tok", "w.n_tokens", "w.chunk")
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
