@@ -1207,6 +1207,31 @@ def q_chunk_windows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_windows(docs, window=8, stride=5)
 
 
+def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest (algos/msf.py) on a planted
+    200-vertex ring (weights 100+v) + chords (v, v+83 mod 200; weights
+    10000+v). Every chord outweighs every ring edge and the ring's unique
+    max is (199, 0), so the MSF is CLOSED-FORM: exactly the path edges
+    (v, v+1, 100+v), v = 0..198 — while the engine still runs the full
+    multi-round pick/contract fixpoint (chords force real cross-component
+    candidates every round)."""
+    from pagerank_spark.algos.msf import minimum_spanning_forest
+
+    n = 200
+    base = spark.range(n).select(F.col("id").cast("long").alias("v"))
+    ring = base.select(
+        F.col("v").alias("src"),
+        ((F.col("v") + 1) % n).alias("dst"),
+        (F.col("v") + 100).alias("weight"),
+    )
+    chords = base.select(
+        F.col("v").alias("src"),
+        ((F.col("v") + 83) % n).alias("dst"),
+        (F.col("v") + 10000).alias("weight"),
+    )
+    return minimum_spanning_forest(ring.unionByName(chords))
+
+
 def q_dyad_census_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holland-Leinhardt dyad census (operators/graphstats.py:dyad_census)
     on the planted double-ring digraph (v -> 7v+1, v -> 3v+2 mod 300) —
@@ -3369,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_tokens_docs": q_cms_tokens_docs,
         "bloom_probe_docs": q_bloom_probe_docs,
         "chunk_windows_docs": q_chunk_windows_docs,
+        "msf_synth": q_msf_synth,
         "rich_club_copurchase": q_rich_club_copurchase,
         "funnel_events": q_funnel_events,
         "wow_growth_orders": q_wow_growth_orders,
@@ -3748,6 +3774,12 @@ SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
        CAST(least(L - c * 5, 8) AS BIGINT) AS n_tokens,
        array_to_string(list_slice(tk, c * 5 + 1, c * 5 + 8), ' ') AS chunk
 FROM w"""
+
+    sqls["msf_synth"] = """
+SELECT CAST(v AS BIGINT) AS a,
+       CAST(v + 1 AS BIGINT) AS b,
+       CAST(v + 100 AS BIGINT) AS weight
+FROM (SELECT unnest(range(0, 199)) AS v)"""
 
     sqls["dyad_census_synth"] = """
 WITH n AS (SELECT unnest(range(0, 300)) AS v),
