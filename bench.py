@@ -204,6 +204,24 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("lm_train_score", _lm)
     docs.unpersist()
 
+    # round-4 session-3 additions (appended after everything above):
+    # exact set-similarity join at 50k-doc volume (prefix filtering keeps the
+    # candidate join rarest-token-bucketed; the planted dup groups make the
+    # output non-trivial) and second-order biased walks (the gather join +
+    # per-step (prev, dst) membership probe). Actions aggregate computed
+    # columns per the count()-elision audit (SCALING_NOTES §12).
+    from pagerank_spark.algos.walks import node2vec_walks
+    from pagerank_spark.operators.dedup import jaccard_similarity_join
+
+    big_docs = synth_docs(spark, 50_000, dup_every=100).persist()
+    big_docs.count()
+    timed("jaccard_join_50k", lambda: jaccard_similarity_join(big_docs, threshold_pct=90)
+          .agg(F.sum("jaccard_micro")).collect())
+    big_docs.unpersist()
+
+    timed("node2vec_len4", lambda: node2vec_walks(edges, walk_len=4)
+          .agg(F.sum("v")).collect())
+
     edges.unpersist()
     return {"timings": timings, "samples": samples, "extras": extras, "n_edges": n_edges}
 
