@@ -1232,6 +1232,17 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 run compaction (operators/temporal.py:scd2_history): per-user
+    event-type validity intervals — two windows + one aggregate on ONE
+    shuffle key, epoch-second bounds, -1 open sentinel, (ts, event_id)
+    total order."""
+    from pagerank_spark.operators.temporal import scd2_history
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return scd2_history(ev)
+
+
 def q_dyad_census_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holland-Leinhardt dyad census (operators/graphstats.py:dyad_census)
     on the planted double-ring digraph (v -> 7v+1, v -> 3v+2 mod 300) —
@@ -3395,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe_docs": q_bloom_probe_docs,
         "chunk_windows_docs": q_chunk_windows_docs,
         "msf_synth": q_msf_synth,
+        "scd2_events": q_scd2_events,
         "rich_club_copurchase": q_rich_club_copurchase,
         "funnel_events": q_funnel_events,
         "wow_growth_orders": q_wow_growth_orders,
@@ -3774,6 +3786,26 @@ SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
        CAST(least(L - c * 5, 8) AS BIGINT) AS n_tokens,
        array_to_string(list_slice(tk, c * 5 + 1, c * 5 + 8), ' ') AS chunk
 FROM w"""
+
+    sqls["scd2_events"] = """
+WITH l AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+r AS (
+  SELECT user_id AS key, event_type AS state,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+         SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS version
+  FROM l),
+p AS (SELECT key, version, ANY_VALUE(state) AS state, MIN(ep) AS valid_from_s
+      FROM r GROUP BY 1, 2)
+SELECT key, state, valid_from_s,
+       COALESCE(LEAD(valid_from_s) OVER (PARTITION BY key ORDER BY version),
+                -1) AS valid_to_s,
+       CAST(version AS BIGINT) AS version
+FROM p"""
 
     sqls["msf_synth"] = """
 SELECT CAST(v AS BIGINT) AS a,

@@ -217,6 +217,52 @@ def merge_upsert(
     return kept.unionByName(surviving)
 
 
+def scd2_history(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Compact an event stream into SCD2-style validity intervals: one row
+    per maximal run of identical consecutive state per key —
+    ``(key, state, valid_from_s, valid_to_s, version)`` with epoch-second
+    bounds (``valid_to_s = -1`` marks the open current row) and ``version``
+    numbering runs from 1.
+
+    The slowly-changing-dimension type-2 compaction a warehouse applies to
+    entity snapshots. Plan: two window passes and one aggregate, ALL
+    partitioned by the same key (one shuffle axis, no growing frames):
+    lag() flags state changes, a running sum of flags numbers the runs, the
+    per-run aggregate takes the min timestamp, and lead() over the tiny
+    per-run table closes each interval at the next run's start. Equal
+    timestamps are totally ordered by ``tiebreak_col``, so versions are
+    deterministic under any repartitioning.
+    """
+    ep = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    changed = (
+        F.lag(state_col).over(w).isNull() | (F.lag(state_col).over(w) != F.col(state_col))
+    ).cast("long")
+    runs = events.select(
+        F.col(key_col).alias("key"),
+        F.col(state_col).alias("state"),
+        ep.alias("__ep"),
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("version"),
+    )
+    per_run = runs.groupBy("key", "version").agg(
+        F.first("state").alias("state"), F.min("__ep").alias("valid_from_s")
+    )
+    wv = Window.partitionBy("key").orderBy("version")
+    return per_run.select(
+        "key",
+        "state",
+        "valid_from_s",
+        F.coalesce(F.lead("valid_from_s").over(wv), F.lit(-1)).alias("valid_to_s"),
+        "version",
+    )
+
+
 def interevent_stats(
     events: DataFrame,
     key_col: str = "user_id",
