@@ -3104,6 +3104,18 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement, per language
+    (operators/packing.py:priority_sample): Duffield-Lund-Thorup priority
+    sampling with an exact-integer priority key (weight<<31 DIV mix31(id)+1)
+    — no floats, so the selected set is bit-reproducible cross-engine."""
+    from pagerank_spark.operators.packing import priority_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = priority_sample(docs, k=20, weight_col="n_chars", group_col="lang")
+    return out.select("lang", "doc_id", F.col("pri").cast("long").alias("pri"))
+
+
 def q_neg_samples_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic word2vec/LINE-style negative sampling over the events
     link graph (algos/walks.py::negative_samples): quantized inverse-CDF
@@ -3425,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach_events": q_temporal_reach_events,
         "cumsum_orders": q_cumsum_orders,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "priority_sample_docs": q_priority_sample_docs,
         "top_bigrams_docs": q_top_bigrams_docs,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
@@ -4932,6 +4945,25 @@ JOIN s e3 ON e3.src = e1.dst AND e3.dst = e2.dst"""
 SELECT doc_id, lang FROM documents
 WHERE ((doc_id * 2654435761) % 4294967296) % 100
       < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END)"""
+
+    # priority_sample: two-round 31-bit mixer replayed exactly, integer DIV
+    sqls["priority_sample_docs"] = """
+WITH h1t AS (
+  SELECT lang, doc_id, n_chars,
+         ((doc_id * 2654435761 + 13) % 2147483648) AS h1
+  FROM documents),
+h2t AS (
+  SELECT lang, doc_id, n_chars,
+         ((xor(h1, h1 >> 15) * 2246822519 + 1) % 2147483648) AS h2
+  FROM h1t),
+p AS (
+  SELECT lang, doc_id,
+         (n_chars * 2147483648) // (xor(h2, h2 >> 13) + 1) AS pri
+  FROM h2t)
+SELECT lang, doc_id, CAST(pri AS BIGINT) AS pri FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY pri DESC, doc_id) AS rn FROM p)
+WHERE rn <= 20"""
 
     sqls["neg_samples_events"] = f"""
 WITH {EVENTS_EDGES_CTE.strip()},

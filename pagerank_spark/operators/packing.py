@@ -118,6 +118,61 @@ def sliding_windows(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    salt: int = 13,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling WITHOUT replacement:
+    keep the top-``k`` rows (per group) by the priority-sampling rule
+    (Duffield-Lund-Thorup, JACM'07): priority = weight / u with u a
+    pseudo-uniform in (0, 1] — heavier rows win proportionally more often,
+    and the top-k by priority is a without-replacement weighted sample with
+    published estimation guarantees.
+
+    Exactness discipline: u = mix31(id)+1 over 2^31, and the sort key is the
+    integer ``(weight * 2^31) DIV (mix31(id)+1)`` with an ``id`` tiebreak —
+    no floats anywhere, so the selected set is bit-reproducible across
+    engines, repartitionings, and reruns (the same reason hash_split /
+    stratified_sample avoid RNG). Requires integer weights in [0, 2^31)
+    (checked at plan level via the cast); zero-weight rows have priority 0
+    and are picked only to fill short groups.
+
+    Plan: grouped mode is one row_number window partitioned by the sampling
+    group (never a single-partition window); global mode is
+    orderBy + limit, which Spark plans as TakeOrderedAndProject (per-
+    partition top-k, k-row driver merge). Returns the input columns plus
+    the exact integer ``pri``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = _mix31(F.col(id_col).cast("long"), salt) + 1  # (0, 2^31]
+    # integer DIV, not fp division: weight * 2^31 exceeds a double's 2^53
+    # mantissa for weights > ~4M, and the sort key must stay exact
+    src = df.withColumn(
+        "__num", F.col(weight_col).cast("long") * F.lit(1 << 31).cast("long")
+    ).withColumn("__h", h)
+    src = src.withColumn("pri", F.expr("__num DIV __h")).drop("__num", "__h")
+    if group_col is None:
+        return src.orderBy(F.col("pri").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.partitionBy(group_col).orderBy(F.col("pri").desc(), F.col(id_col).asc())
+    return src.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def _mix31(col, salt: int):
+    """Engine-neutral two-round 31-bit mixer (same constants as
+    sketches/neighborhood/projection): multiplicative + xor-shift, mod 2^31."""
+    MIX = 2246822519
+    M31 = 1 << 31
+    h1 = F.pmod(col * F.lit(KNUTH) + F.lit(salt), F.lit(M31))
+    h1 = h1.bitwiseXOR(F.shiftright(h1, 15))
+    h2 = F.pmod(h1 * F.lit(MIX) + F.lit(1), F.lit(M31))
+    return h2.bitwiseXOR(F.shiftright(h2, 13))
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
