@@ -1378,6 +1378,32 @@ def q_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_graph_for(spark, sf_dir, "events"), max_iters=5)
 
 
+def q_louvain_cliques_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Louvain (algos/louvain.py) on the planted clique-ring
+    (sources/graphs.py:clique_ring): 8 six-cliques bridged in a ring, whose
+    modularity optimum is exactly the cliques — so the expected output is
+    the closed form ``community = 6*(id DIV 6)``, statable directly in the
+    oracle. Exercises both levels of the algorithm (local moves collapse
+    each clique; the contraction phase then finds no merge improves Q) with
+    exact-integer gain scores throughout."""
+    from pagerank_spark.algos.louvain import louvain
+    from pagerank_spark.sources.graphs import clique_ring
+
+    return louvain(clique_ring(spark, n_cliques=8, size=6))
+
+
+def q_louvain_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain on the real co-purchase graph (rows-only: the modularity
+    optimum has no closed form here — the planted sibling
+    ``louvain_cliques_synth`` is the value gate). Emits one (id, community)
+    row per vertex; community labels are minimum member ids."""
+    from pagerank_spark.algos.louvain import louvain
+
+    return louvain(
+        _graph_for(spark, sf_dir, "copurchase"), max_phases=2, max_rounds=5
+    )
+
+
 def q_modularity_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the labelprop-k=5 communities on the events
     graph: per-community (internal_edges, degree_sum, q_contrib) rows.
@@ -3460,6 +3486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions_events": q_transitions_events,
         "json_props_events": q_json_props_events,
         "labelprop_events": q_labelprop_events,
+        "louvain_cliques_synth": q_louvain_cliques_synth,
+        "louvain_copurchase": q_louvain_copurchase,
         "modularity_labelprop_events": q_modularity_labelprop_events,
         "clustering_coef_copurchase": q_clustering_coef_copurchase,
         "graph_summary_events": q_graph_summary_events,
@@ -3935,6 +3963,11 @@ FROM c JOIN dg du ON du.id = c.u JOIN dg dv ON dv.id = c.v"""
     sqls["ppr_events_k3"] = _ppr_sql(EVENTS_EDGES_CTE, 3)
     sqls["wppr_events_k3"] = _wppr_sql(EVENTS_EDGES_CTE, 3)
     sqls["labelprop_events"] = _labelprop_sql(EVENTS_EDGES_CTE, 5)
+    # louvain: planted clique-ring optimum is the cliques, labels = min member
+    sqls["louvain_cliques_synth"] = """
+SELECT CAST(r.range AS BIGINT) AS id,
+       CAST(6 * (r.range // 6) AS BIGINT) AS community
+FROM range(48) r"""
     sqls["modularity_labelprop_events"] = _modularity_sql(EVENTS_EDGES_CTE, 5)
     # copurchase e is already the canonical loop-free a<b DISTINCT edge set,
     # so the per-vertex triangle CTE mirrors the triangles_per_part oracle

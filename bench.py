@@ -222,6 +222,20 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("node2vec_len4", lambda: node2vec_walks(edges, walk_len=4)
           .agg(F.sum("v")).collect())
 
+    # round-4 session-4 addition (appended): Louvain on a planted community
+    # graph at volume — 10k 8-cliques ring-bridged (80k vertices, ~290k
+    # undirected edges); phase 1's parity-gated move rounds do the work,
+    # the contraction phase then certifies no merge improves Q. Action sums
+    # the community labels (computed column, not a count()).
+    from pagerank_spark.algos.louvain import louvain
+    from pagerank_spark.sources.graphs import clique_ring
+
+    cr = clique_ring(spark, n_cliques=10_000, size=8).persist()
+    cr.count()
+    timed("louvain_cliquering_80k", lambda: louvain(cr, max_phases=2, max_rounds=6)
+          .agg(F.sum("community")).collect())
+    cr.unpersist()
+
     edges.unpersist()
     return {"timings": timings, "samples": samples, "extras": extras, "n_edges": n_edges}
 

@@ -176,3 +176,34 @@ def synth_cyclic(spark: SparkSession, n: int = 300, block: int = 10) -> DataFram
         .unionByName(back)
         .dropDuplicates(["src", "dst"])
     )
+
+
+def clique_ring(spark: SparkSession, n_cliques: int = 8, size: int = 6) -> DataFrame:
+    """Planted community structure with a closed-form optimum: ``n_cliques``
+    complete cliques of ``size`` vertices (clique c owns ids
+    [c*size, (c+1)*size)) joined into a ring by single bridge edges (each
+    clique's last vertex -> the next clique's first, wrapping). For
+    size >= 4 the modularity-optimal partition is exactly the cliques
+    (Fortunato & Barthélemy's resolution limit kicks in only when the
+    clique count grows past ~m; at the gate scale the cliques win), so the
+    expected Louvain output is ``community = size * (id DIV size)`` — pure
+    integer arithmetic a DuckDB oracle can state directly. Columnar
+    generation: clique x offset x offset ranges (n_cliques * size^2 rows
+    enumerated, linear in the clique count), no driver loops."""
+    cliques = spark.range(n_cliques).select(F.col("id").alias("c"))
+    i = spark.range(size).select(F.col("id").alias("i"))
+    j = spark.range(size).select(F.col("id").alias("j"))
+    intra = (
+        cliques.crossJoin(i)
+        .crossJoin(j)
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            (F.col("c") * size + F.col("i")).alias("src"),
+            (F.col("c") * size + F.col("j")).alias("dst"),
+        )
+    )
+    bridges = spark.range(n_cliques).select(
+        (F.col("id") * size + (size - 1)).alias("src"),
+        (((F.col("id") + 1) % n_cliques) * size).alias("dst"),
+    )
+    return intra.unionByName(bridges)
