@@ -1168,6 +1168,28 @@ def _doc_tokens(spark: SparkSession, sf_dir: str, lang: str | None = None) -> Da
     )
 
 
+def q_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user counts per event type
+    (operators/sketches.py:hll_build/hll_estimate, p=5): the gate emits the
+    EXACT-INTEGER estimator core — untouched-register count and the scaled
+    harmonic denominator Σ 2^(32-rho) — next to the exact distinct count,
+    so the DuckDB oracle value-checks every register (hash, reg index,
+    rank, max-merge) without a float in sight."""
+    from pagerank_spark.operators.sketches import hll_build, hll_estimate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    cells = hll_build(ev, "uid", group_cols=["event_type"], p=5, salt=37)
+    est = hll_estimate(cells, p=5, group_cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("uid").cast("long").alias("exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "zeros", "denom_scaled", "exact"
+    )
+
+
 def q_cms_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (operators/sketches.py): 3x16 cells over the corpus
     token stream, then the CMS estimate for every distinct token next to its
@@ -3441,6 +3463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_copurchase": q_node2vec_copurchase,
         "merge_upsert_orders": q_merge_upsert_orders,
         "cms_tokens_docs": q_cms_tokens_docs,
+        "hll_distinct_events": q_hll_distinct_events,
         "bloom_probe_docs": q_bloom_probe_docs,
         "chunk_windows_docs": q_chunk_windows_docs,
         "msf_synth": q_msf_synth,
@@ -3787,6 +3810,30 @@ SELECT p.tok, CAST(MIN(sk.cnt) AS BIGINT) AS est,
        CAST(ANY_VALUE(p.exact) AS BIGINT) AS exact
 FROM probe p JOIN sk ON sk.row = p.row AND sk.col = p.col
 GROUP BY 1"""
+
+    # hll: p=5 (m=32), rho = 27 - bitlen(h >> 5), absent register => 2^32
+    _hll_h = _mix31_sql("v", 37)
+    sqls["hll_distinct_events"] = f"""
+WITH k AS MATERIALIZED (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS tok FROM events),
+pv AS MATERIALIZED (SELECT event_type, {_POLY31_TOK_SQL} AS v FROM k),
+hx AS MATERIALIZED (SELECT event_type, ({_hll_h}) AS h FROM pv),
+regs AS (
+  SELECT event_type, h % 32 AS reg,
+         MAX(27 - (CASE WHEN (h >> 5) = 0 THEN 0 ELSE length(bin(h >> 5)) END)) AS rho
+  FROM hx GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         CAST(32 - COUNT(*) AS BIGINT) AS zeros,
+         SUM(CAST(1 AS BIGINT) << CAST(32 - rho AS INT)) AS present
+  FROM regs GROUP BY 1),
+ex AS (SELECT event_type,
+              CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT) AS exact
+       FROM events GROUP BY 1)
+SELECT a.event_type, a.zeros,
+       CAST(a.present + a.zeros * 4294967296 AS BIGINT) AS denom_scaled,
+       ex.exact
+FROM agg a JOIN ex USING (event_type)"""
 
     _bloom_pos = [f"({_mix31_sql('v', 29 + j)}) % 64" for j in range(3)]
     _bloom_mem = "\n  UNION ALL\n  ".join(f"SELECT ({p}) AS p FROM env" for p in _bloom_pos)

@@ -1,4 +1,5 @@
-"""Mergeable frequency/membership sketches: count-min and Bloom filters.
+"""Mergeable frequency/membership/cardinality sketches: count-min, Bloom
+filters, and HyperLogLog distinct counting.
 
 The fixed-size-state primitives a 100-TB pipeline uses where exact
 aggregation would shuffle the world: a count-min sketch answers "roughly how
@@ -31,7 +32,15 @@ MIX = 2246822519  # xxhash PRIME32_2, independent odd multiplier
 M31 = 1 << 31
 _WORD = 32  # bloom word size: masks stay < 2^32, BIGINT-safe in any engine
 
-__all__ = ["cms_build", "cms_estimate", "bloom_build", "bloom_probe"]
+__all__ = [
+    "cms_build",
+    "cms_estimate",
+    "bloom_build",
+    "bloom_probe",
+    "hll_build",
+    "hll_merge",
+    "hll_estimate",
+]
 
 
 def _poly31(col):
@@ -169,3 +178,85 @@ def bloom_probe(
         .groupBy(key_col)
         .agg(F.min(hit).alias("maybe"))
     )
+
+
+def _hll_cells(v, p: int, salt: int):
+    """(reg, rho) from one hashed key: the low ``p`` mixer bits pick the
+    register; rho is the MSB-side position of the first set bit in the
+    remaining (31-p)-bit word, 1-based, with the all-zeros word mapping to
+    (31-p)+1 — the standard HLL rank, computed without floats via the
+    binary-string bit length (``bin``/DuckDB ``bin`` agree, so a DuckDB
+    oracle replays every register verbatim)."""
+    h = _mix31(v, salt)
+    reg = F.pmod(h, F.lit(1 << p))
+    w = F.shiftright(h, p)  # in [0, 2^(31-p))
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    rho = (F.lit(31 - p + 1) - bitlen).cast("int")
+    return reg.cast("int").alias("reg"), rho.alias("rho")
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    salt: int = 37,
+) -> DataFrame:
+    """HyperLogLog registers per group: ``(group..., reg, rho)`` with rho
+    max-aggregated — at most ``2^p`` rows per group whatever the input
+    cardinality. Registers no key ever touched are ABSENT (implicit rho=0),
+    which keeps the cell stream sparse and makes union-merge = groupBy max
+    (:func:`hll_merge`). One zero-shuffle projection + one map-side-combined
+    max agg: the distinct-count analogue of :func:`cms_build`, and the
+    100-TB shape for "distinct users per segment" — state is 2^p cells per
+    group, never a distinct shuffle of the raw keys."""
+    reg, rho = _hll_cells(_poly31(F.col(key_col)), p, salt)
+    gc = list(group_cols or [])
+    cells = df.select(*gc, reg, rho)
+    return cells.groupBy(*gc, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Union two register sets built with the same (p, salt): register-wise
+    max — the sketch of the concatenated streams, exactly."""
+    gc = list(group_cols or [])
+    return (
+        a.unionByName(b)
+        .groupBy(*gc, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    cells: DataFrame,
+    p: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """``(group..., zeros, denom_scaled, est)`` per group.
+
+    ``zeros`` (untouched registers) and ``denom_scaled`` = Σ_j 2^(32-rho_j)
+    over all m = 2^p registers (absent register ⇒ rho=0 ⇒ contributes 2^32)
+    are EXACT BIGINT columns — the gate-stable core of the estimator; the
+    float ``est`` applies the standard corrections on top (alpha_m * m^2 *
+    2^32 / denom, switched to linear counting m*ln(m/zeros) in the small
+    range) and is for human consumption. Sketch error is the usual
+    1.04/sqrt(m)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    gc = list(group_cols or [])
+    agg = cells.groupBy(*gc).agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("zeros"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - rho AS INT))"))
+        ).alias("__present"),
+    )
+    denom = (
+        F.col("__present")
+        + F.col("zeros") * F.lit(1 << 32).cast("long")
+    ).alias("denom_scaled")
+    raw = F.lit(alpha * m * m) * F.lit(float(1 << 32)) / F.col("denom_scaled")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double"))
+    est = F.when((raw <= 2.5 * m) & (F.col("zeros") > 0), lc).otherwise(raw)
+    return agg.select(*gc, "zeros", denom).withColumn("est", est)

@@ -111,3 +111,69 @@ def test_bloom_definite_absence_with_sparse_filter(spark):
         for r in bloom_probe(_df(spark, ["only", "other"]), bl, "tok", 4096, 4).collect()
     }
     assert got == {"only": 1, "other": 0}
+
+
+# ---- HyperLogLog ----
+
+from pagerank_spark.operators.sketches import hll_build, hll_estimate, hll_merge
+
+
+def _hll_replay(keys, p, salt):
+    regs = {}
+    for kx in keys:
+        h = _mix31(_poly31(kx), salt)
+        reg = h % (1 << p)
+        w = h >> p
+        rho = (31 - p + 1) - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def _words_df(spark):
+    return spark.createDataFrame([(w,) for w in WORDS], "word string")
+
+
+def test_hll_registers_match_replay(spark):
+    got = {
+        (r["reg"], r["rho"])
+        for r in hll_build(_words_df(spark), "word", p=4, salt=37).collect()
+    }
+    assert got == set(_hll_replay(WORDS, 4, 37).items())
+
+
+def test_hll_grouped_and_merge(spark):
+    df = spark.createDataFrame(
+        [(w, "a" if i % 2 == 0 else "b") for i, w in enumerate(WORDS)],
+        "word string, g string",
+    )
+    whole = hll_build(df, "word", p=5)
+    parts = hll_merge(
+        hll_build(df.filter(F.col("g") == "a"), "word", p=5),
+        hll_build(df.filter(F.col("g") == "b"), "word", p=5),
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, parts.collect()))
+
+
+def test_hll_estimate_accuracy(spark):
+    # 5000 distinct keys at p=8 (m=256): expected rel-error ~1.04/16 ≈ 6.5%;
+    # assert within 4 sigma
+    df = spark.range(5000).select(F.concat(F.lit("key"), F.col("id")).alias("word"))
+    est = hll_estimate(hll_build(df, "word", p=8), p=8).collect()[0]["est"]
+    assert abs(est - 5000) / 5000 < 0.26
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = spark.createDataFrame([(f"k{i}",) for i in range(10)], "word string")
+    row = hll_estimate(hll_build(df, "word", p=8), p=8).collect()[0]
+    # 10 distinct at m=256 -> linear-counting branch; very tight there
+    assert abs(row["est"] - 10) < 3
+    assert row["zeros"] >= 256 - 10
+
+
+def test_hll_denom_is_exact_integer(spark):
+    df = _words_df(spark)
+    row = hll_estimate(hll_build(df, "word", p=4, salt=37), p=4).collect()[0]
+    regs = _hll_replay(WORDS, 4, 37)
+    want = sum(1 << (32 - r) for r in regs.values()) + (16 - len(regs)) * (1 << 32)
+    assert row["denom_scaled"] == want
+    assert row["zeros"] == 16 - len(regs)
