@@ -3251,6 +3251,18 @@ def q_top_bigrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(docs, n=2, k=20)
 
 
+def q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed bag-of-words query over the documents corpus
+    (operators/retrieval.py): inverted-index postings, Lucene-positive IDF
+    rounded to integer micro-units per term, exact-integer rational tf
+    normalization via decimal `div` — the score is a reduction-order-free
+    BIGINT, replayed verbatim by the HUGEINT oracle."""
+    from pagerank_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, ["spark", "shuffle", "join", "query"], k=20)
+
+
 def q_scc_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components over the planted cyclic graph
     (sources/graphs.py::synth_cyclic — the gate tables are DAGs, so SCC
@@ -3478,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
         "lm_score_docs": q_lm_score_docs,
+        "bm25_docs": q_bm25_docs,
         "exactsubstr_docs": q_exactsubstr_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
         "bpe_byte_merges_synth": q_bpe_byte_merges_synth,
@@ -5133,6 +5146,36 @@ SELECT d.doc_id,
        CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
             ELSE a.surprisal_micro // a.n_bigrams END AS avg_surprisal_micro
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+    # idf is micro-rounded per term BEFORE any arithmetic; tf normalization
+    # is one exact integral division (Spark decimal `div` == DuckDB HUGEINT
+    # `//` on positives — the Lucene idf keeps every operand positive)
+    sqls["bm25_docs"] = """
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> len(x) > 0) AS toks
+           FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS total_len FROM dl),
+post AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+         WHERE token IN ('spark', 'shuffle', 'join', 'query')
+         GROUP BY 1, 2),
+idf AS (SELECT token,
+               CAST(ROUND(LN((2 * n_docs + 2) * 1.0 / (2 * df + 1)) * 1000000)
+                    AS BIGINT) AS idf_micro
+        FROM (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1), stats),
+c AS (SELECT p.doc_id,
+             (CAST(i.idf_micro AS HUGEINT) * 44 * s.total_len * p.tf)
+             // (CAST(20 AS HUGEINT) * s.total_len * p.tf
+                 + CAST(6 AS HUGEINT) * s.total_len
+                 + CAST(18 AS HUGEINT) * d.dl * s.n_docs) AS c
+      FROM post p JOIN idf i USING (token) JOIN dl d USING (doc_id), stats s)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+FROM c GROUP BY 1
+ORDER BY score_micro DESC, doc_id ASC
+LIMIT 20"""
 
     # duplicated-window membership and interval union are pure set algebra
     # on integer positions — the cleaned text is string-exact both sides
