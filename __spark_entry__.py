@@ -796,6 +796,75 @@ def q_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(_graph_for(spark, sf_dir, "events"))
 
 
+def q_pregel_pagerank_events_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic vertex-centric engine parity gate: damped PageRank expressed
+    as a Pregel vertex program (algos/pregel.py) instead of the hand-tuned
+    kernel — message = rank*coef along each edge, agg = sum, update = damped
+    combine with the dangling-mass GLOBAL aggregate riding in-plan. Shares
+    the exact oracle of pagerank_events_k3, so any drift between the generic
+    engine and the specialized kernel is a value mismatch here."""
+    from pagerank_spark.algos.pagerank import prepare_edges
+    from pagerank_spark.algos.pregel import edge, global_agg, msg, pregel, src
+    from pagerank_spark.operators.degrees import degree_table
+
+    edges = _graph_for(spark, sf_dir, "events")
+    deg = degree_table(edges).persist()
+    n = deg.count()
+    d = 0.85
+    ep = prepare_edges(edges, deg, 8, "join")
+    verts = deg.select("id", (F.col("out_degree") == 0).alias("dang"))
+    res = pregel(
+        verts,
+        ep,
+        init={"rank": F.lit(1.0 / n), "dang": F.col("dang")},
+        msg_to_dst=src("rank") * edge("coef"),
+        agg=F.sum(msg()),
+        update={
+            "rank": F.lit((1.0 - d) / n)
+            + F.lit(d) * F.coalesce(msg(), F.lit(0.0))
+            + F.lit(d) * global_agg("dm") / F.lit(float(n))
+        },
+        global_aggs={"dm": F.sum(F.when(F.col("dang"), F.col("rank")).otherwise(0.0))},
+        max_iters=3,
+        check_every=3,
+        num_partitions=8,
+    )
+    deg.unpersist()
+    return res.vertices.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_pregel_cc_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic Pregel parity gate #2: min-label connected components as a
+    vertex program over the symmetrized copurchase graph, run to the
+    all-unchanged fixpoint (measured 4 supersteps at sf0.01 — the dense
+    copurchase graph has tiny diameter, unlike the user-chain events graph
+    whose diameter makes naive min-label Pregel a bad fit; the pointer-
+    doubling kernel in algos/components.py is the right tool there). Oracle
+    unrolls 6 min-label rounds — extra rounds at the fixpoint are no-ops."""
+    from pagerank_spark.algos.pregel import msg, pregel, src
+
+    edges = _graph_for(spark, sf_dir, "copurchase")
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    verts = sym.select(F.col("src").alias("id")).dropDuplicates()
+    res = pregel(
+        verts,
+        sym,
+        init={"component": F.col("id")},
+        msg_to_dst=src("component"),
+        agg=F.min(msg()),
+        update={
+            "component": F.least(F.col("component"), F.coalesce(msg(), F.col("component")))
+        },
+        max_iters=12,
+        check_every=3,
+        until_converged=True,
+        num_partitions=8,
+    )
+    return res.vertices.select("id", "component")
+
+
 def q_k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=90 core after exactly 4 synchronized peels (SQL-unrollable form;
     k chosen above the graph's median degree so peeling actually removes
@@ -3460,6 +3529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_events_k4": q_eigenvector_events,
         "linkpred_copurchase": q_linkpred_copurchase,
         "cc_events": q_cc_events,
+        "pregel_pagerank_events_k3": q_pregel_pagerank_events_k3,
+        "pregel_cc_copurchase": q_pregel_cc_copurchase,
         "scc_synth": q_scc_synth,
         "ball_sizes_copurchase": q_ball_sizes_copurchase,
         "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
@@ -3616,6 +3687,8 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sqls["pagerank_events_k3"] = _pagerank_sql(EVENTS_EDGES_CTE, 3)
+    # generic Pregel engine parity: same recurrences, same oracles
+    sqls["pregel_pagerank_events_k3"] = _pagerank_sql(EVENTS_EDGES_CTE, 3)
     sqls["hits_events_k4"] = _hits_sql(EVENTS_EDGES_CTE, 4)
     sqls["katz_events_k4"] = _katz_sql(EVENTS_EDGES_CTE, 4, 0.05, 1.0)
     sqls["eigenvector_events_k4"] = _eigen_sql(EVENTS_EDGES_CTE, 4)
@@ -4073,6 +4146,25 @@ WITH {EVENTS_EDGES_CTE.strip()},
 v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)
 SELECT v.id, MIN(v.id) OVER (PARTITION BY ev.user_id) AS component
 FROM v JOIN events ev ON ev.event_id = v.id"""
+    # generic Pregel CC: unrolled min-label rounds (fixpoint measured at 4
+    # supersteps on sf0.01; 6 unrolled rounds leave a no-op margin)
+    cc_rounds = [
+        _materialize(COPURCHASE_EDGES_CTE.strip()),
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e))",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS component FROM sym)",
+    ]
+    for t in range(1, 7):
+        cc_rounds.append(
+            f"l{t} AS MATERIALIZED (SELECT l.id, "
+            f"LEAST(l.component, COALESCE(m.mc, l.component)) AS component "
+            f"FROM l{t - 1} l LEFT JOIN (SELECT s.dst AS id, MIN(lp.component) AS mc "
+            f"FROM sym s JOIN l{t - 1} lp ON lp.id = s.src GROUP BY s.dst) m "
+            f"ON m.id = l.id)"
+        )
+    sqls["pregel_cc_copurchase"] = (
+        "WITH " + ",\n".join(cc_rounds) + "\nSELECT id, component FROM l6"
+    )
 
     peel = [
         _materialize(COPURCHASE_EDGES_CTE.strip()),
