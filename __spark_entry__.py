@@ -865,6 +865,22 @@ def q_pregel_cc_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.vertices.select("id", "component")
 
 
+def q_itemsets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent itemsets (operators/mining.py): support>=2 pairs AND triples
+    over lineitem order baskets — the thresholded generalization of the
+    copurchase graph build. Apriori level-1/level-2 pruning + hot-basket cap
+    engine-side; the oracle counts naively (pruning is answer-preserving)."""
+    from pagerank_spark.operators.mining import frequent_itemsets
+
+    baskets = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("basket_id"), F.col("l_partkey").alias("item")
+    )
+    out = frequent_itemsets(baskets, minsup=2, max_size=3)
+    # c=0 sentinel for pairs: partkeys are >= 1, and a NULL BIGINT would be
+    # representation-fragile across engines (pandas floats it to NaN)
+    return out.withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+
+
 def q_k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=90 core after exactly 4 synchronized peels (SQL-unrollable form;
     k chosen above the graph's median degree so peeling actually removes
@@ -3531,6 +3547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_events": q_cc_events,
         "pregel_pagerank_events_k3": q_pregel_pagerank_events_k3,
         "pregel_cc_copurchase": q_pregel_cc_copurchase,
+        "itemsets_lineitem": q_itemsets_lineitem,
         "scc_synth": q_scc_synth,
         "ball_sizes_copurchase": q_ball_sizes_copurchase,
         "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
@@ -4165,6 +4182,24 @@ FROM v JOIN events ev ON ev.event_id = v.id"""
     sqls["pregel_cc_copurchase"] = (
         "WITH " + ",\n".join(cc_rounds) + "\nSELECT id, component FROM l6"
     )
+
+    sqls["itemsets_lineitem"] = """
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS support
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+t AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, c.l_partkey AS c, COUNT(*) AS support
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+)
+SELECT 2 AS size, a, b, CAST(0 AS BIGINT) AS c, CAST(support AS BIGINT) AS support FROM p
+UNION ALL
+SELECT 3 AS size, a, b, c, CAST(support AS BIGINT) AS support FROM t"""
 
     peel = [
         _materialize(COPURCHASE_EDGES_CTE.strip()),

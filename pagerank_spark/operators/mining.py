@@ -1,0 +1,142 @@
+"""Frequent itemset mining (market-basket Apriori, sizes 2-3).
+
+The copurchase graph this engine already builds (sources/graphs.py
+lineitem_copurchase_graph, the SURVEY §2 S1 family) is the support>=1,
+size=2 slice of this operator; frequent itemsets generalize it to
+support-thresholded pair AND triple co-occurrence — the classic
+market-basket / co-click mining workload a link-graph pipeline runs right
+next to PageRank (association candidates, related-items, query-rewrite
+pairs).
+
+Scale design (the 100-TB story):
+
+* **Apriori level-1 prune before any pair explode**: items below ``minsup``
+  cannot appear in a frequent pair/triple (support is anti-monotone), so
+  baskets are semi-joined down to frequent items first. On web corpora this
+  is the big win — the item-frequency histogram is heavy-tailed and most of
+  the long tail dies here, BEFORE the quadratic step.
+* **Per-basket self-join, co-partitioned**: pairs come from one shuffle of
+  the pruned basket table on ``basket_id``; both sides of the a<b self-join
+  land in the same partition, so the explode is map-side after one shuffle.
+  Triples extend per-basket pairs with a third co-partitioned probe — never
+  a global cross join.
+* **Apriori level-2 prune between pairs and triples**: candidate triples
+  must have ALL three sub-pairs frequent; the extension semi-joins against
+  the frequent-pair table on (a,c) and (b,c) before counting. The
+  frequent-pair table is minsup-thresholded output, orders of magnitude
+  smaller than raw pairs.
+* **Hot-basket cap**: a mega-basket (a crawler session with 10^5 items)
+  contributes g^2/2 pairs and g^3/6 triples. ``max_basket_size`` drops
+  baskets above the cap EAGERLY with a logged count (same no-silent-
+  truncation contract as dedup._capped_bucket_pairs / graphstats hub caps).
+  Dropping whole baskets keeps support counts exact over the surviving
+  baskets (a partial explode would undercount inconsistently).
+* Support counts are exact BIGINTs — hash-stable across engines.
+
+Reference parity: the reference's single hard-wired query family has no
+mining analogue; this extends the engine the same way the training-data
+operators do (task mandate). Oracle: naive pair/triple GROUP BY counts in
+DuckDB — Apriori pruning is a pure optimization, the thresholded output is
+identical.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+__all__ = ["frequent_itemsets"]
+
+
+def frequent_itemsets(
+    baskets: DataFrame,
+    minsup: int,
+    max_size: int = 3,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Return ``(size, a, b, c, support)`` for every itemset of 2..max_size
+    distinct items co-occurring in at least ``minsup`` baskets (``c`` NULL
+    for pairs; items ordered a < b < c, one canonical row per set).
+
+    ``baskets``: (basket_col, item_col) membership rows; duplicates are
+    collapsed (set semantics — support counts baskets, not occurrences).
+    """
+    if minsup < 1:
+        raise ValueError(f"minsup must be >= 1, got {minsup}")
+    if max_size not in (2, 3):
+        raise ValueError(f"max_size must be 2 or 3, got {max_size}")
+
+    b = baskets.select(
+        F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
+    ).dropDuplicates(["bid", "item"])
+
+    # Apriori level 1: only items frequent on their own can join a set
+    freq_items = (
+        b.groupBy("item").agg(F.count(F.lit(1)).alias("__s"))
+        .filter(F.col("__s") >= minsup)
+        .select("item")
+    )
+    b = b.join(freq_items, "item", "left_semi")
+
+    if max_basket_size is not None:
+        sizes = b.groupBy("bid").agg(F.count(F.lit(1)).alias("__n"))
+        hot = sizes.filter(F.col("__n") > max_basket_size)
+        stats = hot.agg(
+            F.count(F.lit(1)).alias("baskets"), F.sum("__n").alias("slots")
+        ).first()
+        if stats["baskets"]:
+            log.warning(
+                "dropping %d hot baskets (> %d surviving items, %d item-slots) "
+                "from itemset mining",
+                stats["baskets"], max_basket_size, stats["slots"],
+            )
+            b = b.join(hot.select("bid"), "bid", "left_anti")
+
+    # one shuffle on bid; the a<b self-join is co-partitioned after it
+    pair_occ = (
+        b.join(b.select("bid", F.col("item").alias("item2")), "bid")
+        .filter(F.col("item") < F.col("item2"))
+        .select("bid", F.col("item").alias("a"), F.col("item2").alias("b"))
+    )
+    f2 = (
+        pair_occ.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= minsup)
+    )
+    out = f2.select(
+        F.lit(2).alias("size"), "a", "b", F.lit(None).cast("long").alias("c"), "support"
+    )
+    if max_size == 2:
+        return out
+
+    # Apriori level 2: extend only frequent per-basket pairs with a third
+    # item, and keep candidates whose (a,c) and (b,c) sub-pairs are frequent
+    f2k = f2.select("a", "b")
+    pair_f = pair_occ.join(f2k, ["a", "b"], "left_semi")
+    cand = (
+        pair_f.join(b.select("bid", F.col("item").alias("c")), "bid")
+        .filter(F.col("c") > F.col("b"))
+        .join(
+            f2k.select(F.col("a").alias("__x"), F.col("b").alias("__y")),
+            (F.col("a") == F.col("__x")) & (F.col("c") == F.col("__y")),
+            "left_semi",
+        )
+        .join(
+            f2k.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            ["b", "c"],
+            "left_semi",
+        )
+    )
+    f3 = (
+        cand.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= minsup)
+        .select(F.lit(3).alias("size"), "a", "b", "c", "support")
+    )
+    return out.unionByName(f3)
