@@ -881,6 +881,23 @@ def q_itemsets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
 
 
+def q_radius_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join (operators/spatial.py): points derived
+    deterministically from customer keys (x = 7919k mod 1000,
+    y = 104729k mod 1000), all pairs within Euclidean distance 15. The
+    engine grids cells of side r and probes the 3x3 neighborhood (ONE
+    equi-shuffle); the oracle brute-forces the cross join — exact integer
+    squared distances both sides."""
+    from pagerank_spark.operators.spatial import radius_join
+
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") * 7919 % 1000).alias("x"),
+        (F.col("c_custkey") * 104729 % 1000).alias("y"),
+    )
+    return radius_join(pts, radius=15)
+
+
 def q_k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=90 core after exactly 4 synchronized peels (SQL-unrollable form;
     k chosen above the graph's median degree so peeling actually removes
@@ -3548,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pregel_pagerank_events_k3": q_pregel_pagerank_events_k3,
         "pregel_cc_copurchase": q_pregel_cc_copurchase,
         "itemsets_lineitem": q_itemsets_lineitem,
+        "radius_join_customers": q_radius_join_customers,
         "scc_synth": q_scc_synth,
         "ball_sizes_copurchase": q_ball_sizes_copurchase,
         "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
@@ -4200,6 +4218,16 @@ t AS MATERIALIZED (
 SELECT 2 AS size, a, b, CAST(0 AS BIGINT) AS c, CAST(support AS BIGINT) AS support FROM p
 UNION ALL
 SELECT 3 AS size, a, b, c, CAST(support AS BIGINT) AS support FROM t"""
+
+    sqls["radius_join_customers"] = """
+WITH pts AS MATERIALIZED (
+  SELECT c_custkey AS id, (c_custkey * 7919) % 1000 AS x, (c_custkey * 104729) % 1000 AS y
+  FROM customer
+)
+SELECT p.id AS a, q.id AS b,
+       (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS dist2
+FROM pts p JOIN pts q ON p.id < q.id
+WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= 225"""
 
     peel = [
         _materialize(COPURCHASE_EDGES_CTE.strip()),

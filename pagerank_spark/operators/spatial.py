@@ -1,0 +1,108 @@
+"""Spatial radius self-join via grid-cell bucketing.
+
+Finds all point pairs within Euclidean distance ``r`` — the spatial
+analogue of the LSH candidate joins in :mod:`.dedup`: bucket so that every
+qualifying pair shares a bucket probe, then verify exactly. A naive
+``a JOIN b ON dist(a,b) <= r`` plans as a broadcast-nested-loop cross
+product (the same trap :func:`~.temporal.range_join` sidesteps for 1-D
+intervals); gridding restores an equi-join shuffle key.
+
+Plan shape:
+
+* cell = ``(floor(x/r), floor(y/r))`` — any pair within ``r`` differs by at
+  most 1 in each cell coordinate, so probing the 3x3 neighborhood is a
+  complete candidate set (2-D pigeonhole, exact — no recall loss).
+* the LEFT side keeps its own cell; the RIGHT side replicates to its 9
+  neighbor cells (one ``explode`` over the (dx,dy) literal array — 9x row
+  amplification on one side only, the standard grid-join trade).
+* join on the cell key (ONE equi-shuffle), then the exact predicate
+  ``dist2 <= r*r`` in integer arithmetic. Each qualifying pair meets in
+  exactly one (cell, dx, dy) combination per orientation and ``a < b``
+  keeps one orientation, so no post-join dedup shuffle is needed.
+* hot cells (all points piled into one grid square) are the skew hazard at
+  scale; ``max_cell_size`` drops them EAGERLY with a logged count (the same
+  no-silent-truncation contract as dedup's hot-bucket cap). Without a cap,
+  AQE skew-join splitting handles moderate skew.
+
+Integer coordinates in, exact integer squared distances out — hash-stable
+across engines; the oracle is a brute-force cross-join filter at test scale.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+__all__ = ["radius_join"]
+
+
+def radius_join(
+    points: DataFrame,
+    radius: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """Return ``(a, b, dist2)`` for every pair of points at squared
+    Euclidean distance ``dist2 <= radius**2``, ``a < b`` canonical.
+
+    ``points``: (id_col, x_col, y_col) with integer coordinates (exact
+    arithmetic end-to-end). ``radius`` must be a positive integer.
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be a positive integer, got {radius}")
+    p = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py"),
+        F.floor(F.col(x_col) / F.lit(radius)).alias("cx"),
+        F.floor(F.col(y_col) / F.lit(radius)).alias("cy"),
+    )
+
+    if max_cell_size is not None:
+        sizes = p.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("__n"))
+        hot = sizes.filter(F.col("__n") > max_cell_size)
+        stats = hot.agg(
+            F.count(F.lit(1)).alias("cells"), F.sum("__n").alias("pts")
+        ).first()
+        if stats["cells"]:
+            log.warning(
+                "dropping %d hot grid cells (> %d points, %d point-slots) "
+                "from the radius join",
+                stats["cells"], max_cell_size, stats["pts"],
+            )
+            p = p.join(hot.select("cx", "cy"), ["cx", "cy"], "left_anti")
+
+    left = p.select(
+        F.col("pid").alias("a"), F.col("px").alias("ax"), F.col("py").alias("ay"),
+        "cx", "cy",
+    )
+    # right side replicated to its 3x3 neighborhood; a qualifying pair's
+    # cells differ by <= 1 per axis, so the probe meets the left row's own
+    # cell exactly once per orientation
+    cells = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    offs = F.expr(f"explode(array({cells}))")
+    right = p.select(
+        F.col("pid").alias("b"), F.col("px").alias("bx"), F.col("py").alias("by"),
+        "cx", "cy", offs.alias("o"),
+    ).select(
+        "b", "bx", "by",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        left.join(right, ["cx", "cy"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", d2.alias("dist2"))
+        .filter(F.col("dist2") <= radius * radius)
+    )
