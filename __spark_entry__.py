@@ -881,6 +881,39 @@ def q_itemsets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
 
 
+def _brand_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).cast("long").alias("group"),
+    )
+
+
+def q_contract_brands_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph contraction (operators/graphstats.py:contract_graph): collapse
+    the part-level copurchase graph onto brands (partkey -> p_brand digits)
+    — the page-graph -> host-graph quotient rollup of web link analysis.
+    Output is the weighted supergraph (src, dst, w), exact BIGINT counts."""
+    from pagerank_spark.operators.graphstats import contract_graph
+
+    edges = _graph_for(spark, sf_dir, "copurchase")
+    return contract_graph(edges, _brand_mapping(spark, sf_dir))
+
+
+def q_brandrank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HostRank composition: weighted damped PageRank (k=3) over the
+    brand-contracted copurchase supergraph — contraction feeds the same
+    weighted kernel gated by pagerank_weighted_events_k3, demonstrating the
+    page->host->rank pipeline end-to-end on one plan."""
+    from pagerank_spark.algos.pagerank import pagerank
+    from pagerank_spark.operators.graphstats import contract_graph
+
+    he = contract_graph(
+        _graph_for(spark, sf_dir, "copurchase"), _brand_mapping(spark, sf_dir)
+    ).withColumn("w", F.col("w").cast("double"))
+    res = pagerank(he, max_iters=3, tol=0.0, weight_col="w")
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_radius_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial radius self-join (operators/spatial.py): points derived
     deterministically from customer keys (x = 7919k mod 1000,
@@ -3566,6 +3599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pregel_cc_copurchase": q_pregel_cc_copurchase,
         "itemsets_lineitem": q_itemsets_lineitem,
         "radius_join_customers": q_radius_join_customers,
+        "contract_brands_copurchase": q_contract_brands_copurchase,
+        "brandrank_copurchase": q_brandrank_copurchase,
         "scc_synth": q_scc_synth,
         "ball_sizes_copurchase": q_ball_sizes_copurchase,
         "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
@@ -4228,6 +4263,28 @@ SELECT p.id AS a, q.id AS b,
        (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS dist2
 FROM pts p JOIN pts q ON p.id < q.id
 WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= 225"""
+
+    BRAND_CONTRACT_CTES = """
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pe AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+bm AS (SELECT p_partkey AS id, CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS grp FROM part),
+he AS (
+  SELECT ms.grp AS src, md.grp AS dst, COUNT(*) AS w
+  FROM pe JOIN bm ms ON pe.src = ms.id JOIN bm md ON pe.dst = md.id
+  WHERE ms.grp <> md.grp GROUP BY 1, 2
+)"""
+    sqls["contract_brands_copurchase"] = (
+        "WITH " + _materialize(BRAND_CONTRACT_CTES.strip())
+        + "\nSELECT src, dst, CAST(w AS BIGINT) AS w FROM he"
+    )
+    sqls["brandrank_copurchase"] = _pagerank_weighted_sql(
+        BRAND_CONTRACT_CTES + ",\ne AS (SELECT src, dst FROM he)",
+        3,
+        ew_cte="ew AS MATERIALIZED (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM he)",
+    )
 
     peel = [
         _materialize(COPURCHASE_EDGES_CTE.strip()),

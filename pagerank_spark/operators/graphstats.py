@@ -273,6 +273,43 @@ def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
     )
 
 
+def contract_graph(
+    edges: DataFrame,
+    mapping: DataFrame,
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """Quotient (contracted) graph: collapse vertices into groups and return
+    the weighted supergraph ``(src, dst, w)`` where ``w`` counts the original
+    edges mapped onto each group pair — the page-graph → host-graph rollup
+    of web link analysis (WebGraph's host quotient; Louvain's contraction
+    phase is the community-keyed instance of the same operator, see
+    algos/louvain.py).
+
+    ``mapping``: ``(id, group)`` — must cover every endpoint (inner joins;
+    unmapped endpoints drop their edges, so callers own completeness).
+    ``drop_self_loops``: intra-group edges are usually noise for inter-host
+    analysis; keep them for volume accounting with ``False``.
+
+    Scale shape: two hash joins (one per endpoint — each shuffles the edge
+    table on a key it already needs) + ONE map-side-combined count. The
+    supergraph is |groups|-sized, typically orders of magnitude smaller, so
+    downstream iterative algorithms (hostrank) run on the contracted table.
+    The mapping side is groupBy-free and broadcastable when hosts << pages —
+    Catalyst/AQE picks that automatically from its size.
+    """
+    m_src = mapping.select(F.col("id").alias("src"), F.col("group").alias("__gs"))
+    m_dst = mapping.select(F.col("id").alias("dst"), F.col("group").alias("__gd"))
+    g = (
+        edges.select("src", "dst")
+        .join(m_src, "src")
+        .join(m_dst, "dst")
+        .select(F.col("__gs").alias("src"), F.col("__gd").alias("dst"))
+    )
+    if drop_self_loops:
+        g = g.filter(F.col("src") != F.col("dst"))
+    return g.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+
+
 def hill_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
     """Hill (MLE) estimate of the degree-distribution power-law exponent:
 
