@@ -914,6 +914,19 @@ def q_brandrank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_snm_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking (operators/blocking.py): candidate
+    pairs of documents within 3 positions in the (n_chars, doc_id) total
+    order, window=4 — the order-based blocker next to the LSH ones. Global
+    ranks come from the two-phase prefix sum (no single-partition window);
+    the window becomes a 1-D grid join. Oracle: row_number + rank-gap
+    self-join."""
+    from pagerank_spark.operators.blocking import sorted_neighborhood_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    return sorted_neighborhood_pairs(docs, ["n_chars"], window=4, id_col="doc_id")
+
+
 def q_radius_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial radius self-join (operators/spatial.py): points derived
     deterministically from customer keys (x = 7919k mod 1000,
@@ -3600,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "itemsets_lineitem": q_itemsets_lineitem,
         "radius_join_customers": q_radius_join_customers,
         "contract_brands_copurchase": q_contract_brands_copurchase,
+        "snm_pairs_docs": q_snm_pairs_docs,
         "brandrank_copurchase": q_brandrank_copurchase,
         "scc_synth": q_scc_synth,
         "ball_sizes_copurchase": q_ball_sizes_copurchase,
@@ -4263,6 +4277,14 @@ SELECT p.id AS a, q.id AS b,
        (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS dist2
 FROM pts p JOIN pts q ON p.id < q.id
 WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= 225"""
+
+    sqls["snm_pairs_docs"] = """
+WITH rk AS MATERIALIZED (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank
+  FROM documents
+)
+SELECT p.doc_id AS a, q.doc_id AS b, CAST(q.rank - p.rank AS BIGINT) AS gap
+FROM rk p JOIN rk q ON q.rank > p.rank AND q.rank - p.rank < 4"""
 
     BRAND_CONTRACT_CTES = """
 li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
