@@ -236,6 +236,26 @@ def run_bench(spark, sf_dir: str) -> dict:
           .agg(F.sum("community")).collect())
     cr.unpersist()
 
+    # round-4 session-5 additions (appended): market-basket mining over the
+    # full sf lineitem (pair+triple supports), and the grid radius join over
+    # customer-derived points. Actions sum computed columns (§12 audit).
+    from pagerank_spark.operators.mining import frequent_itemsets
+    from pagerank_spark.operators.spatial import radius_join
+
+    baskets = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("basket_id"), F.col("l_partkey").alias("item")
+    )
+    timed("itemsets_lineitem_sf", lambda: frequent_itemsets(baskets, minsup=2)
+          .agg(F.sum("support")).collect())
+
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") * 7919 % 10_000).alias("x"),
+        (F.col("c_custkey") * 104729 % 10_000).alias("y"),
+    )
+    timed("radius_join_customers_sf", lambda: radius_join(pts, radius=60)
+          .agg(F.sum("dist2")).collect())
+
     edges.unpersist()
     return {"timings": timings, "samples": samples, "extras": extras, "n_edges": n_edges}
 
