@@ -914,6 +914,28 @@ def q_brandrank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_ivm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): the per-customer
+    order aggregate maintained as mergeable cells — state built from orders
+    before 1998-01-01, the later batch folded in as a delta; the merged
+    view must equal the full recompute (the oracle does exactly that, one
+    GROUP BY over all orders). Values are exact cents, merge-order-proof."""
+    from pagerank_spark.operators.ivm import aggregate_cells, merge_aggregates
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cut = "1998-01-01"
+    state = aggregate_cells(
+        orders.filter(F.col("o_orderdate") < cut), ["o_custkey"], "cents"
+    )
+    delta = aggregate_cells(
+        orders.filter(F.col("o_orderdate") >= cut), ["o_custkey"], "cents"
+    )
+    return merge_aggregates(state, delta, keys=["o_custkey"])
+
+
 def q_snm_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood ER blocking (operators/blocking.py): candidate
     pairs of documents within 3 positions in the (n_chars, doc_id) total
@@ -3614,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join_customers": q_radius_join_customers,
         "contract_brands_copurchase": q_contract_brands_copurchase,
         "snm_pairs_docs": q_snm_pairs_docs,
+        "ivm_orders": q_ivm_orders,
         "brandrank_copurchase": q_brandrank_copurchase,
         "scc_synth": q_scc_synth,
         "ball_sizes_copurchase": q_ball_sizes_copurchase,
@@ -4277,6 +4300,14 @@ SELECT p.id AS a, q.id AS b,
        (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS dist2
 FROM pts p JOIN pts q ON p.id < q.id
 WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= 225"""
+
+    sqls["ivm_orders"] = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_v,
+       CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_v,
+       CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_v
+FROM orders GROUP BY o_custkey"""
 
     sqls["snm_pairs_docs"] = """
 WITH rk AS MATERIALIZED (
