@@ -975,6 +975,38 @@ def q_k_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(_graph_for(spark, sf_dir, "copurchase"), k=90, rounds=4)
 
 
+def q_coreness_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full coreness decomposition (algos/coreness.py) by the iterative
+    H-index fixpoint (Lu et al. 2016), histogram-based so no per-neighbor
+    window exists anywhere in the plan. 24 fixed synchronized rounds — the
+    measured sf0.01 fixpoint is 19, and extra rounds at the fixpoint are
+    no-ops, so the fixed-round run equals the converged decomposition and
+    the oracle unrolls the same 24 rounds."""
+    from pagerank_spark.algos.coreness import coreness
+
+    res = coreness(_graph_for(spark, sf_dir, "copurchase"), rounds=24)
+    return res.vertices
+
+
+def q_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normal-equations OLS moment matrix (operators/regress.py): exact
+    BIGINT second moments of z = [1, qty, disc_pct, tax_pct, price_usd]
+    over lineitem — n, X^T X, X^T y, y^T y in ONE map-side-combined
+    aggregation (one row per partition reaches the shuffle regardless of
+    table size). The driver-side exact-rational solve is pinned by
+    tests/test_regress.py; this gate value-checks the distributed pass.
+    Bound: |y| <= 1.1e5 so s_yy <= N * 1.2e10 — under 2^63 up to ~7e8 rows."""
+    from pagerank_spark.operators.regress import moment_matrix
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_pct"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax_pct"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("price_usd"),
+    )
+    return moment_matrix(li, ["qty", "disc_pct", "tax_pct"], "price_usd")
+
+
 def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-truss of the copurchase graph, peeled to fixpoint (measured 4
     rounds at sf0.01; the oracle unrolls 5 — no-op rounds at the fixpoint
@@ -3681,6 +3713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams_docs": q_top_bigrams_docs,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
+        "coreness_copurchase": q_coreness_copurchase,
+        "ols_lineitem": q_ols_lineitem,
         "k_truss_copurchase": q_k_truss_copurchase,
         "gnn_agg_events": q_gnn_agg_events,
         "mis_events": q_mis_events,
@@ -4353,6 +4387,53 @@ he AS (
             f"JOIN a{t} x ON s.src = x.id JOIN a{t} y ON s.dst = y.id)"
         )
     sqls["k_core_copurchase"] = "WITH " + ",\n".join(peel) + "\nSELECT id FROM a4"
+
+    # coreness: 24 unrolled H-operator rounds (histogram H-index per round);
+    # h0 = degree on the symmetrized support graph. Mirrors
+    # algos/coreness.py round-for-round.
+    hidx = [
+        _materialize(COPURCHASE_EDGES_CTE.strip()),
+        "sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e)",
+        "h0 AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS h FROM sym GROUP BY 1)",
+    ]
+    for t in range(1, 25):
+        hidx.append(
+            f"""h{t} AS MATERIALIZED (
+  SELECT id, MAX(LEAST(hv, cge)) AS h FROM (
+    SELECT id, hv, SUM(cnt) OVER (PARTITION BY id ORDER BY hv DESC) AS cge FROM (
+      SELECT s.src AS id, hn.h AS hv, COUNT(*) AS cnt
+      FROM sym s JOIN h{t - 1} hn ON s.dst = hn.id
+      GROUP BY 1, 2
+    )
+  ) GROUP BY id
+)"""
+        )
+    sqls["coreness_copurchase"] = (
+        "WITH " + ",\n".join(hidx) + "\nSELECT id, CAST(h AS BIGINT) AS coreness FROM h24"
+    )
+
+    # OLS moments: plain SUM-of-products, one unpivoted row per (i, j) pair
+    # of z = [1, qty, disc_pct, tax_pct, price_usd]. CAST AS BIGINT because
+    # DuckDB SUM(BIGINT) is HUGEINT (the checked fetchdf rule).
+    _zsql = [
+        "CAST(1 AS BIGINT)",
+        "CAST(l_quantity AS BIGINT)",
+        "CAST(ROUND(l_discount * 100, 0) AS BIGINT)",
+        "CAST(ROUND(l_tax * 100, 0) AS BIGINT)",
+        "CAST(FLOOR(l_extendedprice) AS BIGINT)",
+    ]
+    _mom = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS i, CAST({j} AS INTEGER) AS j, "
+        f"CAST(SUM(z{i} * z{j}) AS BIGINT) AS s FROM z"
+        for i in range(5)
+        for j in range(i, 5)
+    )
+    sqls["ols_lineitem"] = (
+        "WITH z AS MATERIALIZED (SELECT "
+        + ", ".join(f"{expr} AS z{i}" for i, expr in enumerate(_zsql))
+        + " FROM lineitem)\n"
+        + _mom
+    )
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)

@@ -1,0 +1,114 @@
+"""Distributed linear regression by exact-integer normal equations.
+
+The scale operator is :func:`moment_matrix`: for integer-valued columns
+``x_1..x_D`` and target ``y`` it computes every second moment of the
+augmented vector ``z = [1, x_1, .., x_D, y]`` — that is ``n``, the Gram
+matrix ``X^T X`` (with intercept), ``X^T y`` and ``y^T y`` — in ONE
+map-side-combined aggregation producing a single driver row of
+``(D+2)(D+3)/2`` BIGINT sums. No matter how many rows the table has, the
+shuffle is one partial-aggregate row per partition: this is the textbook
+100-TB shape for OLS/ridge (and for covariance/correlation matrices, which
+are rational functions of the same moments). All sums are exact int64
+arithmetic — order-independent, repartition-stable, engine-reproducible —
+so the ``ols_lineitem`` gate hash-matches a plain SUM-of-products DuckDB
+oracle with no float normalization at all.
+
+Solving the (D+2)x(D+2) system is a driver-side micro-task (D is the
+feature count, not the row count): :func:`solve_normal_equations` runs exact
+Gauss-Jordan elimination over ``fractions.Fraction``, so the coefficient
+vector is the mathematically exact rational OLS solution of the quantized
+problem — deterministic to the last bit, no LAPACK nondeterminism —
+verified against ``numpy.linalg.lstsq`` in tests/test_regress.py. Ridge
+regularization is the same system with ``lam`` added to the diagonal
+(intercept excluded, standard convention).
+
+Overflow contract: with ``|x_i| <= m_i`` bounded and N rows, each moment is
+bounded by ``N * m_i * m_j``; callers quantize (see
+operators/clustering.quantize_vectors for the grid rationale) so the worst
+product stays under 2^63. :func:`moment_matrix` cannot check value bounds
+cheaply, so the bound is the caller's contract, documented per call site.
+
+Reference parity: no regression exists in the reference (single-query
+PageRank accelerator); this is LLM-pipeline mandate breadth — quality-score
+calibration and heuristic-filter fitting are regressions over corpus
+statistics.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def moment_matrix(df: DataFrame, x_cols: list[str], y_col: str) -> DataFrame:
+    """Upper-triangle second moments of ``z = [1, *x_cols, y_col]``.
+
+    Returns ``(i, j, s)`` rows, ``0 <= i <= j <= D+1``, where ``s =
+    sum(z_i * z_j)`` as exact BIGINT: ``s[0][0]`` is the row count, row 0 vs
+    feature i the feature sums, the top-left block ``X^T X``, the last
+    column ``X^T y`` / ``y^T y``. Inputs must be integer-valued (cast
+    happens here; quantize floats upstream).
+    """
+    zcols = [F.lit(1).cast("long")] + [F.col(c).cast("long") for c in [*x_cols, y_col]]
+    d = len(zcols)
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(zcols[i] * zcols[j]).alias(f"s_{i}_{j}"))
+    one = df.groupBy().agg(*aggs)
+    pairs = [(i, j) for i in range(d) for j in range(i, d)]
+    stack = ", ".join(f"{i}, {j}, s_{i}_{j}" for i, j in pairs)
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (i, j, s)"
+    ).select(F.col("i").cast("int"), F.col("j").cast("int"), F.col("s").cast("long"))
+
+
+def solve_normal_equations(
+    moments: list[tuple[int, int, int]], d_features: int, lam: Fraction | int = 0
+) -> list[Fraction]:
+    """Exact rational OLS/ridge coefficients ``[b0 (intercept), b1..bD]``.
+
+    ``moments`` are the (i, j, s) rows of :func:`moment_matrix` (upper
+    triangle over z = [1, x.., y] with y at index D+1); ``lam`` is added to
+    the diagonal of the non-intercept block (ridge). Gauss-Jordan over
+    Fraction — exact, deterministic, and singularity is a real error (a
+    collinear feature set raises instead of returning a LAPACK-dependent
+    pseudo-inverse pick).
+    """
+    dz = d_features + 2
+    s: dict[tuple[int, int], int] = {}
+    for i, j, v in moments:
+        s[(i, j)] = int(v)
+        s[(j, i)] = int(v)
+    n_unk = d_features + 1  # intercept + features
+    a = [
+        [Fraction(s[(i, j)]) for j in range(n_unk)] + [Fraction(s[(i, dz - 1)])]
+        for i in range(n_unk)
+    ]
+    for i in range(1, n_unk):
+        a[i][i] += Fraction(lam)
+    for col in range(n_unk):
+        piv = next((r for r in range(col, n_unk) if a[r][col] != 0), None)
+        if piv is None:
+            raise ValueError(f"singular normal equations at column {col} (collinear features?)")
+        a[col], a[piv] = a[piv], a[col]
+        inv = 1 / a[col][col]
+        a[col] = [v * inv for v in a[col]]
+        for r in range(n_unk):
+            if r != col and a[r][col] != 0:
+                f = a[r][col]
+                a[r] = [rv - f * cv for rv, cv in zip(a[r], a[col])]
+    return [a[r][n_unk] for r in range(n_unk)]
+
+
+def linear_fit(
+    df: DataFrame, x_cols: list[str], y_col: str, lam: int = 0
+) -> tuple[list[Fraction], DataFrame]:
+    """Fit ``y ~ 1 + x_cols`` end-to-end: one aggregation pass, exact
+    driver-side solve. Returns ``(coefficients, moments_df)`` so callers can
+    reuse/emit the moments (the gate surface) alongside the fit."""
+    m = moment_matrix(df, x_cols, y_col)
+    rows = [(r["i"], r["j"], r["s"]) for r in m.collect()]
+    return solve_normal_equations(rows, len(x_cols), lam), m
