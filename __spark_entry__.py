@@ -988,6 +988,20 @@ def q_coreness_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.vertices
 
 
+def q_triad_census_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 16-type Holland-Leinhardt triad census
+    (operators/graphstats.py::triad_census) on the formula-planted digraph
+    (sources/graphs.py::triad_synth_graph — every class nonzero by
+    construction). Wedge-bounded enumeration for >=2-dyad triads,
+    closed-form tail for single-dyad and empty triads; verified equal to an
+    all-triples brute force in tests/test_triads.py. Oracle restates the
+    same decomposition over the identical range()-generated edge table."""
+    from pagerank_spark.operators.graphstats import triad_census
+    from pagerank_spark.sources.graphs import triad_synth_graph
+
+    return triad_census(triad_synth_graph(spark))
+
+
 def q_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normal-equations OLS moment matrix (operators/regress.py): exact
     BIGINT second moments of z = [1, qty, disc_pct, tax_pct, price_usd]
@@ -3715,6 +3729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
         "ols_lineitem": q_ols_lineitem,
+        "triad_census_synth": q_triad_census_synth,
         "k_truss_copurchase": q_k_truss_copurchase,
         "gnn_agg_events": q_gnn_agg_events,
         "mis_events": q_mis_events,
@@ -4411,6 +4426,65 @@ he AS (
     sqls["coreness_copurchase"] = (
         "WITH " + ",\n".join(hidx) + "\nSELECT id, CAST(h AS BIGINT) AS coreness FROM h24"
     )
+
+    # Triad census: same wedge-bounded decomposition over the identical
+    # formula-generated edge table; the 64-code -> class CASE comes from the
+    # same precomputed classifier the engine uses.
+    from pagerank_spark.operators.graphstats import TRIAD_CODE_NAMES, TRIAD_TYPES
+    from pagerank_spark.sources.graphs import triad_synth_sql_cte
+
+    _case64 = "CASE code64 " + " ".join(
+        f"WHEN {c} THEN '{t}'" for c, t in sorted(TRIAD_CODE_NAMES.items())
+    ) + " END"
+    _names_list = ", ".join(f"'{t}'" for t in TRIAD_TYPES)
+    sqls["triad_census_synth"] = f"""
+WITH {triad_synth_sql_cte()},
+dy AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         MAX(CASE WHEN src < dst THEN 1 ELSE 0 END)
+         + 2 * MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS code
+  FROM e GROUP BY 1, 2
+),
+adj AS MATERIALIZED (SELECT a AS u, b AS w FROM dy UNION ALL SELECT b AS u, a AS w FROM dy),
+nn AS MATERIALIZED (SELECT COUNT(DISTINCT u) AS n FROM adj),
+wedges AS MATERIALIZED (
+  SELECT x.w AS p, y.w AS q, x.u AS c FROM adj x JOIN adj y ON x.u = y.u AND x.w < y.w
+),
+tri AS MATERIALIZED (
+  SELECT DISTINCT LEAST(p, q, c) AS t1,
+         p + q + c - LEAST(p, q, c) - GREATEST(p, q, c) AS t2,
+         GREATEST(p, q, c) AS t3
+  FROM wedges
+),
+coded AS MATERIALIZED (
+  SELECT COALESCE(d12.code, 0) * 16 + COALESCE(d13.code, 0) * 4 + COALESCE(d23.code, 0) AS code64
+  FROM tri LEFT JOIN dy d12 ON d12.a = t1 AND d12.b = t2
+           LEFT JOIN dy d13 ON d13.a = t1 AND d13.b = t3
+           LEFT JOIN dy d23 ON d23.a = t2 AND d23.b = t3
+),
+conn AS MATERIALIZED (SELECT {_case64} AS triad, CAST(COUNT(*) AS BIGINT) AS cnt FROM coded GROUP BY 1),
+ud AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM adj GROUP BY 1),
+cnw AS MATERIALIZED (SELECT p AS a, q AS b, COUNT(*) AS c FROM wedges GROUP BY 1, 2),
+singles AS MATERIALIZED (
+  SELECT CASE WHEN dy.code = 3 THEN '102' ELSE '012' END AS triad,
+         CAST(SUM((SELECT n FROM nn) - ua.c - ub.c + COALESCE(cnw.c, 0)) AS BIGINT) AS cnt
+  FROM dy JOIN ud ua ON ua.u = dy.a JOIN ud ub ON ub.u = dy.b
+          LEFT JOIN cnw ON cnw.a = dy.a AND cnw.b = dy.b
+  GROUP BY 1
+),
+counted AS MATERIALIZED (
+  SELECT triad, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM (SELECT * FROM conn UNION ALL SELECT * FROM singles) GROUP BY 1
+),
+tot AS MATERIALIZED (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS s FROM counted),
+names AS (SELECT unnest([{_names_list}]) AS triad)
+SELECT names.triad,
+       CAST(COALESCE(counted.cnt,
+            CASE WHEN names.triad = '003'
+                 THEN (SELECT n * (n - 1) * (n - 2) // 6 FROM nn) - (SELECT s FROM tot)
+                 ELSE 0 END) AS BIGINT) AS cnt
+FROM names LEFT JOIN counted ON counted.triad = names.triad
+"""
 
     # OLS moments: plain SUM-of-products, one unpivoted row per (i, j) pair
     # of z = [1, qty, disc_pct, tax_pct, price_usd]. CAST AS BIGINT because

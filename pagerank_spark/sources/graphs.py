@@ -207,3 +207,77 @@ def clique_ring(spark: SparkSession, n_cliques: int = 8, size: int = 6) -> DataF
         (((F.col("id") + 1) % n_cliques) * size).alias("dst"),
     )
     return intra.unionByName(bridges)
+
+
+# (k_start, k_end, arcs) — triple k occupies ids (3k, 3k+1, 3k+2); arcs are
+# (src_offset, dst_offset) within the triple. Each block plants one triad
+# class so every Holland–Leinhardt type is guaranteed nonzero in
+# triad_synth_graph; the background layers then overlay extra arcs, which
+# only moves a handful of planted triples to richer classes.
+TRIAD_SPEC: list[tuple[int, int, list[tuple[int, int]]]] = [
+    (0, 20, [(0, 1), (1, 2), (0, 2)]),                                  # 030T
+    (20, 40, [(0, 1), (1, 2), (2, 0)]),                                 # 030C
+    (40, 60, [(0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)]),         # 300
+    (60, 80, [(0, 1), (1, 0), (1, 2), (2, 1)]),                         # 201
+    (80, 100, [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2)]),                # 210
+    (100, 106, [(0, 2), (2, 0), (1, 0), (1, 2)]),                       # 120D
+    (106, 112, [(0, 2), (2, 0), (0, 1), (2, 1)]),                       # 120U
+    (112, 118, [(0, 2), (2, 0), (0, 1), (1, 2)]),                       # 120C
+    (118, 124, [(0, 1), (1, 0), (2, 0)]),                               # 111D
+    (124, 130, [(0, 1), (1, 0), (1, 2)]),                               # 111U
+    (130, 133, [(1, 0), (1, 2)]),                                       # 021D
+    (133, 136, [(0, 1), (2, 1)]),                                       # 021U
+    (136, 139, [(0, 1), (1, 2)]),                                       # 021C
+]
+
+TRIAD_SYNTH_N = 500
+
+
+def triad_synth_graph(spark: SparkSession) -> DataFrame:
+    """Deterministic digraph covering all 16 triad classes (gate graph for
+    ``triad_census_synth``).
+
+    Planted triples per :data:`TRIAD_SPEC` plus two background permutation
+    layers ``i -> (7i+1) mod n`` and ``i -> (3i+2) mod n`` (self-loops
+    filtered) that supply the sparse 012/021/paths mass and cross-block
+    arcs. Everything is closed-form integer arithmetic over ``range(n)`` —
+    columnar in Spark, restatable verbatim in DuckDB. Deduplicated simple
+    digraph.
+    """
+    n = TRIAD_SYNTH_N
+    r = spark.range(n)
+    parts = [
+        r.select(F.col("id").alias("src"), ((F.col("id") * 7 + 1) % n).alias("dst")),
+        r.select(F.col("id").alias("src"), ((F.col("id") * 3 + 2) % n).alias("dst")),
+    ]
+    for k0, k1, arcs in TRIAD_SPEC:
+        blk = spark.range(k0, k1).select((F.col("id") * 3).alias("base"))
+        for so, do in arcs:
+            parts.append(
+                blk.select((F.col("base") + so).alias("src"), (F.col("base") + do).alias("dst"))
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+
+
+def triad_synth_sql_cte() -> str:
+    """The identical edge table as a DuckDB CTE fragment (defines ``e``)."""
+    n = TRIAD_SYNTH_N
+    selects = [
+        f"SELECT i AS src, (i * 7 + 1) % {n} AS dst FROM ids",
+        f"SELECT i AS src, (i * 3 + 2) % {n} AS dst FROM ids",
+    ]
+    for k0, k1, arcs in TRIAD_SPEC:
+        for so, do in arcs:
+            selects.append(
+                f"SELECT k * 3 + {so} AS src, k * 3 + {do} AS dst FROM ks "
+                f"WHERE k >= {k0} AND k < {k1}"
+            )
+    union = " UNION ALL ".join(selects)
+    return (
+        f"ids AS (SELECT CAST(range AS BIGINT) AS i FROM range({n})),\n"
+        f"ks AS (SELECT CAST(range AS BIGINT) AS k FROM range({max(k1 for _, k1, _ in TRIAD_SPEC)})),\n"
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({union}) WHERE src <> dst)"
+    )
