@@ -1016,6 +1016,34 @@ def q_editdist_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(parts, k=1, q=3)
 
 
+def q_target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (operators/encoding.py): per-order
+    priority category, mean FLOOR'd total price of the OTHER orders in the
+    category, exact integer micro-units; singleton categories fall back to
+    the global mean. One category aggregation + broadcast join back."""
+    from pagerank_spark.operators.encoding import target_encode_loo
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor("o_totalprice").cast("long").alias("price_usd"),
+    )
+    return target_encode_loo(
+        orders, "o_orderpriority", "price_usd", "o_orderkey"
+    )
+
+
+def q_feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick token counts (operators/encoding.py): whitespace
+    tokens -> engine-neutral poly31 hash mod 64 -> per-doc sparse
+    (bucket, cnt). No vocabulary pass — the scale property vs
+    CountVectorizer. Same char hash the sketches restate in SQL."""
+    from pagerank_spark.operators.encoding import feature_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return feature_hash(docs, "text", "doc_id", n_buckets=64)
+
+
 def q_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normal-equations OLS moment matrix (operators/regress.py): exact
     BIGINT second moments of z = [1, qty, disc_pct, tax_pct, price_usd]
@@ -3745,6 +3773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_lineitem": q_ols_lineitem,
         "triad_census_synth": q_triad_census_synth,
         "editdist_join_parts": q_editdist_join_parts,
+        "target_encode_orders": q_target_encode_orders,
+        "feature_hash_docs": q_feature_hash_docs,
         "k_truss_copurchase": q_k_truss_copurchase,
         "gnn_agg_events": q_gnn_agg_events,
         "mis_events": q_mis_events,
@@ -4508,6 +4538,36 @@ WITH s AS MATERIALIZED (SELECT p_partkey AS id, p_name AS s FROM part)
 SELECT a.id AS a_id, b.id AS b_id, CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
 FROM s a JOIN s b ON a.id < b.id AND ABS(LENGTH(a.s) - LENGTH(b.s)) <= 1
 WHERE levenshtein(a.s, b.s) <= 1
+"""
+
+    # LOO target encoding: category sums + global fallback, non-negative
+    # integer division (Spark DIV == DuckDB // on non-negatives).
+    sqls["target_encode_orders"] = """
+WITH base AS MATERIALIZED (
+  SELECT o_orderkey, o_orderpriority AS cat,
+         CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+  FROM orders),
+st AS MATERIALIZED (
+  SELECT cat, CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM base GROUP BY 1),
+g AS MATERIALIZED (
+  SELECT CAST(SUM(y) AS BIGINT) AS gs, CAST(COUNT(*) AS BIGINT) AS gc FROM base)
+SELECT b.o_orderkey, b.cat AS o_orderpriority,
+       CAST(CASE WHEN st.c > 1 THEN (st.s - b.y) * 1000000 // (st.c - 1)
+                 ELSE (SELECT gs * 1000000 // gc FROM g) END AS BIGINT) AS te_micro
+FROM base b JOIN st ON st.cat = b.cat
+"""
+
+    # feature hashing: poly31 token hash mod 64, sparse per-doc counts
+    sqls["feature_hash_docs"] = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            t -> len(t) > 0)) AS tok
+  FROM documents)
+SELECT doc_id, CAST({_POLY31_TOK_SQL} % 64 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tok GROUP BY 1, 2
 """
 
     # OLS moments: plain SUM-of-products, one unpivoted row per (i, j) pair
