@@ -1016,6 +1016,37 @@ def q_editdist_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(parts, k=1, q=3)
 
 
+def q_matmul_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed matrix multiply, dense-tile path
+    (operators/linalg.py::block_matmul): formula COO matrices A(60x40) @
+    B(40x50), 16x16 NumPy int64 tiles joined on the inner block index —
+    exact integers end to end, so the gate hash-matches the relational
+    join+sum oracle (which is also the engine's spmm_cells plan shape)."""
+    from pagerank_spark.operators.linalg import block_matmul
+
+    A = (
+        spark.range(60)
+        .crossJoin(spark.range(40).withColumnRenamed("id", "k"))
+        .filter("(id*40+k) % 3 != 0")
+        .select(
+            F.col("id").alias("i"),
+            "k",
+            (((F.col("id") * 7 + F.col("k") * 11) % 13) - 6).alias("v"),
+        )
+    )
+    B = (
+        spark.range(40)
+        .crossJoin(spark.range(50).withColumnRenamed("id", "j"))
+        .filter("(id*50+j) % 4 != 0")
+        .select(
+            F.col("id").alias("k"),
+            "j",
+            (((F.col("id") * 5 + F.col("j") * 3) % 11) - 5).alias("v"),
+        )
+    )
+    return block_matmul(A, B, block=16)
+
+
 def q_er_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed entity resolution: typo-tolerant match pairs
     (edit_distance_join k=1 on part names) -> connected components over the
@@ -3797,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "editdist_join_parts": q_editdist_join_parts,
         "target_encode_orders": q_target_encode_orders,
         "er_parts": q_er_parts,
+        "matmul_synth": q_matmul_synth,
         "feature_hash_docs": q_feature_hash_docs,
         "k_truss_copurchase": q_k_truss_copurchase,
         "gnn_agg_events": q_gnn_agg_events,
@@ -4561,6 +4593,21 @@ WITH s AS MATERIALIZED (SELECT p_partkey AS id, p_name AS s FROM part)
 SELECT a.id AS a_id, b.id AS b_id, CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
 FROM s a JOIN s b ON a.id < b.id AND ABS(LENGTH(a.s) - LENGTH(b.s)) <= 1
 WHERE levenshtein(a.s, b.s) <= 1
+"""
+
+    # matmul: relational join+sum over the identical formula matrices
+    sqls["matmul_synth"] = """
+WITH am AS MATERIALIZED (
+  SELECT i.range AS i, k.range AS k,
+         CAST((i.range * 7 + k.range * 11) % 13 - 6 AS BIGINT) AS v
+  FROM range(60) i, range(40) k WHERE (i.range * 40 + k.range) % 3 <> 0),
+bm AS MATERIALIZED (
+  SELECT k.range AS k, j.range AS j,
+         CAST((k.range * 5 + j.range * 3) % 11 - 5 AS BIGINT) AS v
+  FROM range(40) k, range(50) j WHERE (k.range * 50 + j.range) % 4 <> 0)
+SELECT am.i, bm.j, CAST(SUM(am.v * bm.v) AS BIGINT) AS v
+FROM am JOIN bm ON am.k = bm.k
+GROUP BY 1, 2 HAVING SUM(am.v * bm.v) <> 0
 """
 
     # composed ER: brute-force match pairs + unrolled min-label components

@@ -1,0 +1,62 @@
+"""Distributed matmul (operators/linalg.py): cell path == block path == NumPy."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.linalg import block_matmul, spmm_cells
+
+
+def _formula_matrices(spark):
+    A = (
+        spark.range(60)
+        .crossJoin(spark.range(40).withColumnRenamed("id", "k"))
+        .filter("(id*40+k) % 3 != 0")
+        .select(
+            F.col("id").alias("i"), "k",
+            (((F.col("id") * 7 + F.col("k") * 11) % 13) - 6).alias("v"),
+        )
+    )
+    B = (
+        spark.range(40)
+        .crossJoin(spark.range(50).withColumnRenamed("id", "j"))
+        .filter("(id*50+j) % 4 != 0")
+        .select(
+            F.col("id").alias("k"), "j",
+            (((F.col("id") * 5 + F.col("j") * 3) % 11) - 5).alias("v"),
+        )
+    )
+    return A, B
+
+
+def _dense(rows, shape, ij):
+    m = np.zeros(shape, dtype=np.int64)
+    for r in rows:
+        m[r[ij[0]], r[ij[1]]] = r["v"]
+    return m
+
+
+def test_cell_and_block_paths_match_numpy(spark):
+    A, B = _formula_matrices(spark)
+    am = _dense([r.asDict() for r in A.collect()], (60, 40), ("i", "k"))
+    bm = _dense([r.asDict() for r in B.collect()], (40, 50), ("k", "j"))
+    cm = am @ bm
+    exp = {(i, j): int(cm[i, j]) for i, j in zip(*np.nonzero(cm))}
+    got_cells = {(r.i, r.j): r.v for r in spmm_cells(A, B).collect()}
+    got_block = {(r.i, r.j): r.v for r in block_matmul(A, B, block=16).collect()}
+    assert got_cells == exp
+    assert got_block == exp
+
+
+def test_block_size_does_not_change_result(spark):
+    A, B = _formula_matrices(spark)
+    a = {(r.i, r.j): r.v for r in block_matmul(A, B, block=7).collect()}
+    b = {(r.i, r.j): r.v for r in block_matmul(A, B, block=64).collect()}
+    assert a == b
+
+
+def test_duplicate_cells_accumulate(spark):
+    # COO tables with repeated coordinates must sum before multiplying
+    A = spark.createDataFrame([(0, 0, 2), (0, 0, 3), (0, 1, 1)], "i long, k long, v long")
+    B = spark.createDataFrame([(0, 0, 4), (1, 0, 10)], "k long, j long, v long")
+    assert {(r.i, r.j): r.v for r in spmm_cells(A, B).collect()} == {(0, 0): 30}
+    assert {(r.i, r.j): r.v for r in block_matmul(A, B, block=4).collect()} == {(0, 0): 30}
