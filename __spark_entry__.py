@@ -1016,6 +1016,19 @@ def q_editdist_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(parts, k=1, q=3)
 
 
+def q_seqpats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSP-style sequential patterns (operators/mining.py::
+    frequent_sequences): subsequence supports for lengths 2-3 over per-user
+    event timelines via existence algebra (first/last positions + first-b-
+    after-first-a), never a 3-way occurrence explosion. Exact counts."""
+    from pagerank_spark.operators.mining import frequent_sequences
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return frequent_sequences(
+        ev, "user_id", "event_type", ["ts", "event_id"], minsup=2
+    )
+
+
 def q_matmul_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed matrix multiply, dense-tile path
     (operators/linalg.py::block_matmul): formula COO matrices A(60x40) @
@@ -3829,6 +3842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_orders": q_target_encode_orders,
         "er_parts": q_er_parts,
         "matmul_synth": q_matmul_synth,
+        "seqpats_events": q_seqpats_events,
         "feature_hash_docs": q_feature_hash_docs,
         "k_truss_copurchase": q_k_truss_copurchase,
         "gnn_agg_events": q_gnn_agg_events,
@@ -4593,6 +4607,30 @@ WITH s AS MATERIALIZED (SELECT p_partkey AS id, p_name AS s FROM part)
 SELECT a.id AS a_id, b.id AS b_id, CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
 FROM s a JOIN s b ON a.id < b.id AND ABS(LENGTH(a.s) - LENGTH(b.s)) <= 1
 WHERE levenshtein(a.s, b.s) <= 1
+"""
+
+    # sequential patterns: same existence algebra, levels 2 and 3
+    sqls["seqpats_events"] = """
+WITH ev AS MATERIALIZED (
+  SELECT user_id AS u, event_type AS it,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events),
+tp AS MATERIALIZED (SELECT u, it, MIN(pos) AS mn, MAX(pos) AS mx FROM ev GROUP BY 1, 2),
+p2 AS (
+  SELECT CAST(2 AS INTEGER) AS size, a.it AS a, b.it AS b, '' AS c,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM tp a JOIN tp b ON a.u = b.u AND a.mn < b.mx
+  GROUP BY 2, 3 HAVING COUNT(*) >= 2),
+fab AS MATERIALIZED (
+  SELECT a.u, a.it AS a, e.it AS b, MIN(e.pos) AS fb
+  FROM tp a JOIN ev e ON e.u = a.u AND e.pos > a.mn
+  GROUP BY 1, 2, 3),
+p3 AS (
+  SELECT CAST(3 AS INTEGER) AS size, fab.a, fab.b, c.it AS c,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM fab JOIN tp c ON c.u = fab.u AND fab.fb < c.mx
+  GROUP BY 2, 3, 4 HAVING COUNT(*) >= 2)
+SELECT * FROM p2 UNION ALL SELECT * FROM p3
 """
 
     # matmul: relational join+sum over the identical formula matrices

@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
@@ -135,6 +135,76 @@ def frequent_itemsets(
     )
     f3 = (
         cand.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= minsup)
+        .select(F.lit(3).alias("size"), "a", "b", "c", "support")
+    )
+    return out.unionByName(f3)
+
+
+def frequent_sequences(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    order_cols: list[str],
+    minsup: int = 2,
+) -> DataFrame:
+    """GSP-style sequential pattern supports for lengths 2 and 3.
+
+    A user supports pattern ``<a, b>`` iff some a-event strictly precedes
+    some b-event in that user's timeline (the classic SUBSEQUENCE
+    semantics, not adjacency — adjacency is ``sequences.transition_matrix``).
+    Output ``(size, a, b, c, support)`` with ``c = ''`` for pairs, support =
+    number of distinct supporting users, filtered to ``support >= minsup``.
+
+    Existence algebra instead of occurrence enumeration — the trick that
+    keeps this scale-safe:
+
+    - ``<a, b>`` is supported iff ``first(a) < last(b)`` per user, so pair
+      support needs only the per-(user, item) first/last positions: one
+      window pass for positions, one groupBy, one per-user item self-join
+      bounded by the ITEM VOCABULARY squared (never the timeline length).
+    - ``<a, b, c>`` is supported iff ``first_b_after_first_a < last(c)``;
+      the middle term joins first-positions against raw b-occurrences
+      (bounded by timeline x vocabulary) and takes a min — no 3-way
+      occurrence explosion.
+
+    Exact integer counts; the ``seqpats_events`` gate replays both levels
+    verbatim in DuckDB. Deterministic: positions come from a
+    ``row_number`` ordered by the caller's explicit ``order_cols``
+    (timestamp + id tiebreak).
+    """
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(item_col).alias("it"),
+        F.row_number().over(w).alias("pos"),
+    ).localCheckpoint()  # referenced by three legs below
+    tp = ev.groupBy("u", "it").agg(F.min("pos").alias("mn"), F.max("pos").alias("mx"))
+
+    ta = tp.select("u", F.col("it").alias("a"), F.col("mn").alias("amn"))
+    tb = tp.select("u", F.col("it").alias("b"), F.col("mx").alias("bmx"))
+    out = (
+        ta.join(tb, "u")
+        .filter(F.col("amn") < F.col("bmx"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= minsup)
+        .select(F.lit(2).alias("size"), "a", "b", F.lit("").alias("c"), "support")
+    )
+
+    # first b strictly after the first a, per (user, a, b)
+    fab = (
+        ta.join(ev.select("u", F.col("it").alias("b"), "pos"), "u")
+        .filter(F.col("pos") > F.col("amn"))
+        .groupBy("u", "a", "b")
+        .agg(F.min("pos").alias("fb"))
+    )
+    tc = tp.select("u", F.col("it").alias("c"), F.col("mx").alias("cmx"))
+    f3 = (
+        fab.join(tc, "u")
+        .filter(F.col("fb") < F.col("cmx"))
+        .groupBy("a", "b", "c")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= minsup)
         .select(F.lit(3).alias("size"), "a", "b", "c", "support")

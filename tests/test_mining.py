@@ -86,3 +86,69 @@ def test_level1_prune_does_not_change_answer(spark):
     baskets = {0: {1, 2, 99}, 1: {1, 2}, 2: {1, 2}}
     got = _collect(frequent_itemsets(_df(spark, baskets), minsup=3))
     assert got == {(1, 2): 3}
+
+
+# -- sequential patterns (frequent_sequences) -------------------------------
+
+
+def _brute_seq_support(rows, pat):
+    """rows: (user, [items in order]); support of subsequence pat."""
+    n = 0
+    for _, seq in rows:
+        it = iter(enumerate(seq))
+        ok = True
+        last = -1
+        for p in pat:
+            found = False
+            for i in range(last + 1, len(seq)):
+                if seq[i] == p:
+                    last = i
+                    found = True
+                    break
+            if not found:
+                ok = False
+                break
+        if ok:
+            n += 1
+    return n
+
+
+def test_frequent_sequences_matches_greedy_brute_force(spark):
+    from pagerank_spark.operators.mining import frequent_sequences
+
+    users = {
+        1: list("abcab"),
+        2: list("bac"),
+        3: list("aabb"),
+        4: list("cba"),
+        5: list("abacus".replace("u", "a").replace("s", "b")),  # abacab
+    }
+    rows = [
+        (u, i, ch) for u, seq in users.items() for i, ch in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "u long, pos long, it string")
+    got = {
+        (r.size, r.a, r.b, r.c): r.support
+        for r in frequent_sequences(df, "u", "it", ["pos"], minsup=1).collect()
+    }
+    items = sorted({ch for seq in users.values() for ch in seq})
+    urows = list(users.items())
+    for a in items:
+        for b in items:
+            s2 = _brute_seq_support(urows, [a, b])
+            assert got.get((2, a, b, "")) == (s2 if s2 >= 1 else None), (a, b)
+            for c in items:
+                s3 = _brute_seq_support(urows, [a, b, c])
+                assert got.get((3, a, b, c)) == (s3 if s3 >= 1 else None), (a, b, c)
+
+
+def test_frequent_sequences_minsup_filters(spark):
+    from pagerank_spark.operators.mining import frequent_sequences
+
+    rows = [(1, 0, "x"), (1, 1, "y"), (2, 0, "x"), (2, 1, "y"), (3, 0, "y"), (3, 1, "x")]
+    df = spark.createDataFrame(rows, "u long, pos long, it string")
+    got = {
+        (r.size, r.a, r.b, r.c): r.support
+        for r in frequent_sequences(df, "u", "it", ["pos"], minsup=2).collect()
+    }
+    assert got == {(2, "x", "y", ""): 2}
