@@ -256,6 +256,18 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("radius_join_customers_sf", lambda: radius_join(pts, radius=60)
           .agg(F.sum("dist2")).collect())
 
+    # ed-join over a deterministic quarter of the sf part names (TPC-H
+    # names are pathologically self-similar: the FULL sf0.1 table yields
+    # 3.9M ed<=1 pairs / 61s — real corpora are far sparser, so the bench
+    # point uses partkey % 4 == 0 to keep the suite's wall bounded)
+    from pagerank_spark.operators.stringjoin import edit_distance_join
+
+    part_names = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        "p_partkey % 4 = 0"
+    ).select(F.col("p_partkey").alias("id"), F.col("p_name").alias("s"))
+    timed("editdist_join_parts4_sf", lambda: edit_distance_join(part_names, k=1, q=3)
+          .agg(F.sum("dist")).collect())
+
     edges.unpersist()
     return {"timings": timings, "samples": samples, "extras": extras, "n_edges": n_edges}
 
