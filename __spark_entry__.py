@@ -1016,6 +1016,21 @@ def q_editdist_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(parts, k=1, q=3)
 
 
+def q_gram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact X^T X over the scale-128 quantized embedding grid
+    (operators/linalg.py::gram_matrix): per-partition NumPy int64 partial
+    Grams via mapInPandas — only p * D(D+1)/2 cells reach the shuffle, row
+    count never does. Feeds driver-side PCA (power_iteration, pytest-pinned
+    vs eigh). Oracle: per-row pair explode + SUM over identical quantized
+    values."""
+    from pagerank_spark.operators.clustering import quantize_vectors
+    from pagerank_spark.operators.linalg import gram_matrix
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_vectors(emb, scale=128)
+    return gram_matrix(q, "qvec")
+
+
 def q_seqpats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GSP-style sequential patterns (operators/mining.py::
     frequent_sequences): subsequence supports for lengths 2-3 over per-user
@@ -3843,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_parts": q_er_parts,
         "matmul_synth": q_matmul_synth,
         "seqpats_events": q_seqpats_events,
+        "gram_embeddings": q_gram_embeddings,
         "feature_hash_docs": q_feature_hash_docs,
         "k_truss_copurchase": q_k_truss_copurchase,
         "gnn_agg_events": q_gnn_agg_events,
@@ -4607,6 +4623,19 @@ WITH s AS MATERIALIZED (SELECT p_partkey AS id, p_name AS s FROM part)
 SELECT a.id AS a_id, b.id AS b_id, CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
 FROM s a JOIN s b ON a.id < b.id AND ABS(LENGTH(a.s) - LENGTH(b.s)) <= 1
 WHERE levenshtein(a.s, b.s) <= 1
+"""
+
+    # Gram matrix: per-row (i <= j) pair explode + SUM on the same grid
+    sqls["gram_embeddings"] = """
+WITH q AS MATERIALIZED (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 128.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+cells AS (
+  SELECT CAST(i.range AS INTEGER) AS i, CAST(j.range AS INTEGER) AS j,
+         qv[CAST(i.range AS INTEGER) + 1] * qv[CAST(j.range AS INTEGER) + 1] AS p
+  FROM q, range(64) i, range(64) j WHERE i.range <= j.range)
+SELECT i, j, CAST(SUM(p) AS BIGINT) AS s FROM cells GROUP BY 1, 2
 """
 
     # sequential patterns: same existence algebra, levels 2 and 3

@@ -124,3 +124,61 @@ def block_matmul(a: DataFrame, b: DataFrame, block: int = 32) -> DataFrame:
     return (
         partial.groupBy("i", "j").agg(F.sum("v").alias("v")).filter(F.col("v") != 0)
     )
+
+
+def gram_matrix(emb: DataFrame, vec_col: str = "qvec") -> DataFrame:
+    """Exact ``X^T X`` of an integer-vector column: upper-triangle cells
+    ``(i, j, s)`` with ``s = sum over rows of v[i] * v[j]`` (BIGINT).
+
+    The 100-TB shape for covariance/PCA/OLS-over-embeddings: each partition
+    accumulates its LOCAL dense ``X^T X`` with one NumPy ``X.T @ X`` per
+    Arrow batch (int64, exact), and only ``p * D*(D+1)/2`` partial cells
+    ever reach the shuffle — driver and network traffic are independent of
+    the row count. Quantize float embeddings first
+    (operators/clustering.quantize_vectors) so the sums are
+    order-independent integers; overflow bound: ``N * q_max^2 < 2^63``.
+    Centering for covariance is a rank-1 correction from the (also exact)
+    column sums — apply it driver-side from moment rows if needed.
+    """
+    d = int(emb.select(F.size(vec_col)).first()[0])
+
+    def part(it):
+        import numpy as np
+
+        acc = np.zeros((d, d), dtype="int64")
+        seen = False
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype("int64")
+            acc += x.T @ x
+            seen = True
+        if seen:
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame({"i": iu, "j": ju, "s": acc[iu, ju]})
+
+    partials = emb.select(vec_col).mapInPandas(part, "i int, j int, s long")
+    return partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+
+
+def power_iteration(cells: list[tuple[int, int, int]], d: int, iters: int = 50):
+    """Top eigenvector/eigenvalue of the symmetric matrix given as
+    upper-triangle ``(i, j, s)`` cells — a driver-side micro-task (D x D),
+    deterministic start (all-ones). Returns ``(eigenvalue, vector)``;
+    verified against ``numpy.linalg.eigh`` in tests/test_linalg.py."""
+    import numpy as np
+
+    m = np.zeros((d, d), dtype="float64")
+    for i, j, s in cells:
+        m[i, j] = s
+        m[j, i] = s
+    v = np.ones(d) / (d ** 0.5)
+    lam = 0.0
+    for _ in range(iters):
+        w = m @ v
+        nrm = float(np.linalg.norm(w))
+        if nrm == 0.0:
+            return 0.0, v
+        v = w / nrm
+        lam = float(v @ m @ v)
+    return lam, v

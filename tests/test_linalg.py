@@ -60,3 +60,35 @@ def test_duplicate_cells_accumulate(spark):
     B = spark.createDataFrame([(0, 0, 4), (1, 0, 10)], "k long, j long, v long")
     assert {(r.i, r.j): r.v for r in spmm_cells(A, B).collect()} == {(0, 0): 30}
     assert {(r.i, r.j): r.v for r in block_matmul(A, B, block=4).collect()} == {(0, 0): 30}
+
+
+# -- Gram matrix + PCA ------------------------------------------------------
+
+
+def test_gram_matrix_matches_numpy(spark):
+    rows = [(i, [((i * 3 + j * 5) % 9) - 4 for j in range(6)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, qvec array<long>")
+    x = np.array([r[1] for r in rows], dtype=np.int64)
+    exp = x.T @ x
+    from pagerank_spark.operators.linalg import gram_matrix
+
+    got = {(r.i, r.j): r.s for r in gram_matrix(df, "qvec").collect()}
+    for i in range(6):
+        for j in range(i, 6):
+            assert got[(i, j)] == int(exp[i, j])
+    assert len(got) == 6 * 7 // 2
+
+
+def test_power_iteration_matches_eigh(spark):
+    rows = [(i, [((i * 7 + j * 11) % 13) - 6 for j in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, qvec array<long>")
+    from pagerank_spark.operators.linalg import gram_matrix, power_iteration
+
+    cells = [(r.i, r.j, r.s) for r in gram_matrix(df, "qvec").collect()]
+    lam, v = power_iteration(cells, 8, iters=200)
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    w, vecs = np.linalg.eigh(x.T @ x)
+    assert abs(lam - w[-1]) / w[-1] < 1e-9
+    top = vecs[:, -1]
+    # direction match up to sign
+    assert min(np.linalg.norm(v - top), np.linalg.norm(v + top)) < 1e-6
