@@ -68,12 +68,24 @@ def _capped_bucket_pairs(
     no new shuffle axis.
     """
     extra_cols = extra_cols or []
-    left_cols = [F.col("doc_id").alias("a"), *key_cols, *[F.col(c).alias(f"{c}_a") for c in extra_cols]]
-    right_cols = [F.col("doc_id").alias("b"), *key_cols, *[F.col(c).alias(f"{c}_b") for c in extra_cols]]
+
+    def chunked_pairs(src: DataFrame) -> DataFrame:
+        # bounded-chunk enumeration (skew.chunked_self_pairs) instead of a
+        # bare bucket self-join — same broadcast-explode hazard and fix as
+        # jaccard_similarity_join / edit_distance_join (BENCH/BASELINE.md)
+        from .skew import chunked_self_pairs
+
+        out = chunked_self_pairs(src, key_cols, "doc_id", tuple(extra_cols))
+        return out.select(
+            *key_cols,
+            F.col("a_id").alias("a"),
+            *[F.col(f"a_{c}").alias(f"{c}_a") for c in extra_cols],
+            F.col("b_id").alias("b"),
+            *[F.col(f"b_{c}").alias(f"{c}_b") for c in extra_cols],
+        )
 
     if max_bucket_size is None:
-        l, r = banded.select(*left_cols), banded.select(*right_cols)
-        return l.join(r, key_cols).filter(F.col("a") < F.col("b"))
+        return chunked_pairs(banded)
 
     if hot_bucket_mode not in ("star", "drop"):
         raise ValueError(f"hot_bucket_mode must be 'star' or 'drop', got {hot_bucket_mode!r}")
@@ -82,8 +94,7 @@ def _capped_bucket_pairs(
     )
     small = sizes.filter(F.col("__n") <= max_bucket_size).select(*key_cols)
     cold = banded.join(small, key_cols, "left_semi")
-    l, r = cold.select(*left_cols), cold.select(*right_cols)
-    pairs = l.join(r, key_cols).filter(F.col("a") < F.col("b"))
+    pairs = chunked_pairs(cold)
 
     hot = sizes.filter(F.col("__n") > max_bucket_size)
     if hot_bucket_mode == "drop":
@@ -443,15 +454,20 @@ def jaccard_similarity_join(
                 stats["toks"], max_token_bucket, stats["slots"],
             )
         prefix = prefix.join(hot.select("tok"), "tok", "left_anti")
-    la = prefix.select(F.col("doc_id").alias("a"), "tok", F.col("sz").alias("sz_a"))
-    lb = prefix.select(F.col("doc_id").alias("b"), "tok", F.col("sz").alias("sz_b"))
+    # bounded-chunk enumeration (operators/skew.py::chunked_self_pairs):
+    # the bare token-keyed self-join broadcast the prefix table and ran the
+    # candidate enumeration nearly serial (sf0.1 documents: wall flat 46s
+    # from local[8] to local[32]; chunked: 17.0s / 12.8s — same fix as the
+    # ed-join, measured in BENCH/BASELINE.md)
+    from .skew import chunked_self_pairs
+
     cand = (
-        la.join(lb, "tok")
+        chunked_self_pairs(prefix, "tok", "doc_id", extra_cols=("sz",))
         .filter(
-            (F.col("a") < F.col("b"))
-            & (F.lit(100) * F.least("sz_a", "sz_b") >= F.lit(threshold_pct) * F.greatest("sz_a", "sz_b"))
+            F.lit(100) * F.least("a_sz", "b_sz")
+            >= F.lit(threshold_pct) * F.greatest("a_sz", "b_sz")
         )
-        .select("a", "b")
+        .select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
     sets = toks.groupBy("doc_id").agg(F.sort_array(F.collect_set("tok")).alias("arr"))

@@ -64,3 +64,67 @@ def partition_histogram(df: DataFrame) -> list[int]:
         .collect()
     )
     return [r["c"] for r in rows]
+
+
+def chunked_self_pairs(
+    df: DataFrame,
+    key_col: str | list[str],
+    id_col: str,
+    extra_cols: tuple[str, ...] = (),
+    chunk_size: int = 256,
+) -> DataFrame:
+    """All ordered pairs ``(a, b)`` with ``a < b`` sharing ``key_col`` —
+    enumerated through bounded join keys instead of a bare bucket self-join.
+
+    The hazard this exists for: a bucket self-join's INPUT is small (the
+    bucket table), so Catalyst broadcasts it and AQE coalesces the stream
+    side to a handful of partitions — but the join's OUTPUT is
+    sum-of-bucket-size-squared rows, so the enumeration runs nearly serial
+    (measured: flat ~50s wall from local[8] to local[32] on a 130M-pair
+    candidate load). Splitting every bucket into hash chunks of at most
+    ``chunk_size`` entries makes the join key ``(key, chunk_i, chunk_j)``
+    with at most ``chunk_size^2`` output rows per key, and the explicit
+    repartition on that key distributes the enumeration. EXACT: each
+    unordered pair meets at exactly one ordered chunk key (a's own chunk,
+    b's own chunk), and the ``a < b`` filter keeps one orientation.
+
+    Returns ``key_col, a_id, b_id`` plus ``a_<c>``/``b_<c>`` for each extra
+    column. Replication cost: each entry is shuffled ``ceil(bucket/chunk)``
+    times per side — always dominated by the pair output it parallelizes.
+    """
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bc"))
+    p = (
+        df.join(sizes, keys)
+        .withColumn(
+            "__nc",
+            F.greatest(F.lit(1), F.ceil(F.col("__bc") / chunk_size)).cast("int"),
+        )
+        .withColumn(
+            "__cown", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nc")).cast("int")
+        )
+    )
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = (
+        p.withColumn("__cj", F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)))
+        .select(
+            *keys,
+            F.col(id_col).alias("a_id"),
+            *[F.col(c).alias(f"a_{c}") for c in extra_cols],
+            F.col("__cown").alias("__ci"),
+            "__cj",
+        )
+        .repartition(sp, *keys, "__ci", "__cj")
+    )
+    b = p.withColumn("__ci", F.explode(F.sequence(F.lit(0), F.col("__nc") - 1))).select(
+        *keys,
+        F.col(id_col).alias("b_id"),
+        *[F.col(c).alias(f"b_{c}") for c in extra_cols],
+        "__ci",
+        F.col("__cown").alias("__cj"),
+    )
+    return (
+        a.join(b, [*keys, "__ci", "__cj"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .drop("__ci", "__cj")
+    )

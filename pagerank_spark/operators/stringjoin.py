@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .skew import chunked_self_pairs
+
 
 def edit_distance_join(
     df: DataFrame,
@@ -104,53 +106,15 @@ def edit_distance_join(
             )
         prefix = prefix.join(hot.select("g"), "g", "left_anti")
 
-    # Chunked self-join: a gram shared by B strings enumerates B^2 candidate
-    # rows, and Catalyst happily broadcasts the (tiny) prefix table — which
-    # makes the enumeration run at the STREAM side's parallelism, i.e. the
-    # few AQE-coalesced partitions of an 80k-row input, even when the join
-    # OUTPUT is 10^8 rows (measured: sf0.1 part names, 130M enumerations,
-    # wall flat at ~50s from local[8] to local[32]). Splitting each bucket
-    # into hash chunks of <= chunk_size entries turns the self-join key into
-    # (g, chunk_i, chunk_j) with <= chunk_size^2 output per key — exact
-    # (every unordered pair meets at exactly one ordered chunk key, the
-    # a_id < b_id filter keeps one orientation) and embarrassingly parallel
-    # after an explicit repartition on the chunked key (measured on sf0.1
-    # part names: 50.7s -> 15.2s at local[32], 50.7s -> 25.2s at local[8];
-    # two-parallelism efficiency 0.25 -> 0.41, BENCH/BASELINE.md).
-    chunk_size = 256
-    sizes = prefix.groupBy("g").agg(F.count(F.lit(1)).alias("bc"))
-    p = (
-        prefix.join(sizes, "g")
-        .withColumn(
-            "nc", F.greatest(F.lit(1), F.ceil(F.col("bc") / chunk_size)).cast("int")
-        )
-        .withColumn("cown", F.pmod(F.xxhash64(F.col("id")), F.col("nc")).cast("int"))
-    )
-    sp = int(p.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    a = (
-        p.withColumn("cj", F.explode(F.sequence(F.lit(0), F.col("nc") - 1)))
-        .select(
-            F.col("id").alias("a_id"),
-            F.col("len").alias("a_len"),
-            "g",
-            F.col("cown").alias("ci"),
-            "cj",
-        )
-        .repartition(sp, "g", "ci", "cj")
-    )
-    b = p.withColumn("ci", F.explode(F.sequence(F.lit(0), F.col("nc") - 1))).select(
-        F.col("id").alias("b_id"),
-        F.col("len").alias("b_len"),
-        "g",
-        "ci",
-        F.col("cown").alias("cj"),
-    )
+    # Bounded-chunk candidate enumeration (operators/skew.py::
+    # chunked_self_pairs): a bare gram-keyed self-join broadcast the tiny
+    # prefix table, so the 130M-row candidate enumeration ran at the stream
+    # side's AQE-coalesced parallelism — wall flat ~50s from local[8] to
+    # local[32] on sf0.1 part names. Chunked: 50.7s -> 25.2s / 15.2s,
+    # two-parallelism efficiency 0.25 -> 0.41 (BENCH/BASELINE.md).
     cand_long = (
-        a.join(b, ["g", "ci", "cj"])
-        .filter(
-            (F.col("a_id") < F.col("b_id"))
-            & (F.abs(F.col("a_len") - F.col("b_len")) <= k)
-        )
+        chunked_self_pairs(prefix, "g", "id", extra_cols=("len",))
+        .filter(F.abs(F.col("a_len") - F.col("b_len")) <= k)
         .select("a_id", "b_id")
     )
 
