@@ -182,3 +182,52 @@ def test_float32_shuffle_close_to_double(spark):
     assert d.keys() == f.keys()
     for k in d:
         assert abs(d[k] - f[k]) <= 1e-6 * max(abs(d[k]), 1e-3)
+
+
+# -- chunked_self_pairs -----------------------------------------------------
+
+
+def test_chunked_self_pairs_equals_bare_join(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.skew import chunked_self_pairs
+
+    # one hot bucket (600 entries, forces multiple chunks at chunk_size=64)
+    # plus several cold buckets
+    rows = [(i, "hot") for i in range(600)] + [
+        (1000 + i, f"cold{i % 7}") for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string")
+    got = {
+        (r.a_id, r.b_id)
+        for r in chunked_self_pairs(df, "g", "id", chunk_size=64).collect()
+    }
+    a = df.select(F.col("id").alias("x"), "g")
+    b = df.select(F.col("id").alias("y"), "g")
+    exp = {
+        (r.x, r.y)
+        for r in a.join(b, "g").filter(F.col("x") < F.col("y")).collect()
+    }
+    assert got == exp
+
+
+def test_chunked_self_pairs_multicol_key_and_extras(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.skew import chunked_self_pairs
+
+    rows = [(i, i % 3, i % 2, i * 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, k1 long, k2 long, sz long")
+    got = {
+        (r.a_id, r.b_id, r.a_sz, r.b_sz)
+        for r in chunked_self_pairs(
+            df, ["k1", "k2"], "id", extra_cols=("sz",), chunk_size=4
+        ).collect()
+    }
+    a = df.select(F.col("id").alias("x"), "k1", "k2", F.col("sz").alias("sx"))
+    b = df.select(F.col("id").alias("y"), "k1", "k2", F.col("sz").alias("sy"))
+    exp = {
+        (r.x, r.y, r.sx, r.sy)
+        for r in a.join(b, ["k1", "k2"]).filter(F.col("x") < F.col("y")).collect()
+    }
+    assert got == exp
