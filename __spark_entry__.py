@@ -3570,6 +3570,20 @@ def q_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, uni, bi, v)
 
 
+def q_nbayes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes corpus routing (operators/classify.py):
+    trained on the documents table's lang labels, every document re-scored
+    by exact integer micro-cost (add-1 token likelihoods + class prior,
+    each micro-rounded BEFORE summation), argmin class with lexicographic
+    tiebreak. Emits (doc_id, pred_cls, cost_micro) — the winning class and
+    its exact score."""
+    from pagerank_spark.operators.classify import nb_predict, train_naive_bayes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc, cs, v, n = train_naive_bayes(docs, class_col="lang")
+    return nb_predict(docs, tc, cs, v, n)
+
+
 def q_exactsubstr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr repeated-span removal (operators/trainprep.py): every
     token inside a >=5-word span occurring >=2 times anywhere in the
@@ -3837,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
         "lm_score_docs": q_lm_score_docs,
+        "nbayes_docs": q_nbayes_docs,
         "bm25_docs": q_bm25_docs,
         "exactsubstr_docs": q_exactsubstr_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
@@ -5784,6 +5799,50 @@ FROM wc w LEFT JOIN bc b ON w.doc_id = b.doc_id"""
     # per-bigram surprisal is rounded to integer microunits BEFORE the
     # per-doc sum on BOTH sides, so the scores are exact BIGINTs and
     # reduction-order independent (same discipline as the c4 revenues)
+    # Naive Bayes: per-token add-1 cost and the class prior are each
+    # micro-rounded BEFORE summation on BOTH sides (the lm.py discipline),
+    # so scores are exact BIGINTs and the argmin is deterministic
+    sqls["nbayes_docs"] = """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                            t -> len(t) > 0)) AS tok
+  FROM documents),
+tc AS MATERIALIZED (
+  SELECT lang AS cls, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+cs AS MATERIALIZED (
+  SELECT d.cls, d.n_docs_c, COALESCE(t.n_tokens, 0) AS n_tokens
+  FROM (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs_c
+        FROM documents GROUP BY 1) d
+  LEFT JOIN (SELECT cls, CAST(SUM(c) AS BIGINT) AS n_tokens
+             FROM tc GROUP BY 1) t USING (cls)),
+v AS (SELECT COUNT(DISTINCT tok) AS vs FROM tc),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+pri AS MATERIALIZED (
+  SELECT cls, CAST(ROUND(-LN(n_docs_c * 1.0 / nd.n) * 1000000) AS BIGINT)
+           AS prior_micro, n_tokens
+  FROM cs, nd),
+dt AS MATERIALIZED (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+tm AS (
+  SELECT dt.doc_id, p.cls,
+         CAST(SUM(dt.cnt * CAST(ROUND(-LN((COALESCE(tc.c, 0) + 1) * 1.0
+                 / (p.n_tokens + 1 * v.vs)) * 1000000) AS BIGINT)) AS BIGINT)
+           AS tok_micro
+  FROM dt CROSS JOIN pri p
+  LEFT JOIN tc ON tc.cls = p.cls AND tc.tok = dt.tok, v
+  GROUP BY 1, 2),
+sc AS (
+  SELECT d.doc_id, p.cls,
+         p.prior_micro + COALESCE(tm.tok_micro, 0) AS cost_micro
+  FROM documents d CROSS JOIN pri p
+  LEFT JOIN tm ON tm.doc_id = d.doc_id AND tm.cls = p.cls)
+SELECT doc_id, cls AS pred_cls, CAST(cost_micro AS BIGINT) AS cost_micro
+FROM (SELECT doc_id, cls, cost_micro,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cost_micro ASC, cls ASC) AS rn
+      FROM sc) WHERE rn = 1"""
+
     sqls["lm_score_docs"] = """
 WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
 ref AS (SELECT toks FROM t WHERE lang = 'en'),

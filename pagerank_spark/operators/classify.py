@@ -1,0 +1,158 @@
+"""Multinomial Naive Bayes text classification — train and predict as pure
+Catalyst plans.
+
+The classic counting classifier (McCallum & Nigam 1998, "A Comparison of
+Event Models for Naive Bayes Text Classification" — public methodology):
+train = one token-count aggregation per class, predict = per-document sum of
+per-token log-likelihoods plus a class prior. It is the canonical first
+labeler in corpus pipelines (language/domain/quality routing) because both
+phases are relational:
+
+* **Training** is two map-side-combined aggregates over the exploded token
+  stream — per-(class, token) counts and per-class totals — exactly the
+  word-count plan. The model tables are vocabulary x classes sized (small),
+  ``localCheckpoint``'d so scoring reads the trained model instead of
+  re-running the aggregates per action (the lm.py discipline).
+* **Prediction** explodes each document's tokens once, joins the (class,
+  token) cost table, and aggregates per (doc, class). The corpus is scanned
+  once; the model side is broadcast-sized. No Python anywhere — tokenize,
+  smooth, log, and argmin are all codegen'd expressions.
+
+Hash-stable outputs: per-token add-k cost ``-LN((c+k)/(N_c+k*V))`` is
+rounded to integer MICROUNITS before any summation (the repo-wide
+discipline for float-derived gate outputs — see operators/lm.py), so
+document scores are exact BIGINTs, reduction-order independent, and the
+argmin is deterministic with a lexicographic class tiebreak. Costs are
+strictly positive (p < 1 always under add-k with V > 1), keeping integer
+division and rounding away from engine-divergent negative semantics.
+
+Reference parity: none (the reference is a single-query link-graph engine);
+LLM-training-pipeline mandate breadth — corpus routing/labeling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["train_naive_bayes", "nb_predict"]
+
+_SCALE = 1_000_000
+
+
+def _tokens(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
+    """(id_cols..., tok) — lowercased whitespace tokens, empties dropped
+    (same convention as operators/encoding.py::feature_hash)."""
+    return df.select(
+        *id_cols,
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
+def train_naive_bayes(
+    docs: DataFrame, class_col: str = "lang", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Count-based multinomial NB model.
+
+    Returns ``(token_counts, class_stats, vocab_size, n_docs)`` where
+    ``token_counts`` is ``(cls, tok, c)``, ``class_stats`` is
+    ``(cls, n_tokens, n_docs_c)``, ``vocab_size`` the corpus-wide distinct
+    token count and ``n_docs`` the training row count. Two shuffles, both
+    map-side combined; two scalar actions (vocab size, doc count).
+    """
+    toks = _tokens(docs, [class_col], text_col).withColumnRenamed(class_col, "cls")
+    token_counts = (
+        toks.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
+    class_stats = (
+        docs.select(F.col(class_col).alias("cls"))
+        .groupBy("cls")
+        .agg(F.count(F.lit(1)).alias("n_docs_c"))
+        .join(
+            token_counts.groupBy("cls").agg(F.sum("c").alias("n_tokens")),
+            "cls",
+            "left",
+        )
+        .fillna(0, ["n_tokens"])
+        .localCheckpoint()
+    )
+    vocab_size = token_counts.select("tok").distinct().count()
+    n_docs = docs.count()
+    return token_counts, class_stats, vocab_size, n_docs
+
+
+def nb_predict(
+    docs: DataFrame,
+    token_counts: DataFrame,
+    class_stats: DataFrame,
+    vocab_size: int,
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: int = 1,
+) -> DataFrame:
+    """``(id_col, pred_cls, cost_micro)`` — argmin total micro-cost class.
+
+    Per-token cost ``-LN((c + k) / (N_c + k*V))`` and per-class prior cost
+    ``-LN(n_docs_c / n_docs)`` are each micro-rounded BEFORE summation;
+    the winning class minimizes ``prior + sum(cnt * token_cost)`` with
+    ties broken by class name. Documents with no tokens score the prior
+    alone (the most frequent class wins).
+    """
+    # doc x class scaffold keeps empty-token documents (C is small — the
+    # explode below is the heavy side and runs once)
+    classes = class_stats.select(
+        "cls",
+        F.round(
+            -F.log(F.col("n_docs_c").cast("double") / F.lit(float(n_docs))) * _SCALE
+        )
+        .cast("long")
+        .alias("prior_micro"),
+        "n_tokens",
+    )
+    doc_tok = (
+        _tokens(docs, [id_col], text_col)
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tok_cost = (
+        doc_tok.crossJoin(F.broadcast(classes.select("cls", "n_tokens")))
+        .join(token_counts, ["cls", "tok"], "left")
+        .select(
+            id_col,
+            "cls",
+            (
+                F.col("cnt")
+                * F.round(
+                    -F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(add_k)).cast("double")
+                        / (F.col("n_tokens") + F.lit(add_k) * F.lit(vocab_size))
+                    )
+                    * _SCALE
+                ).cast("long")
+            ).alias("part"),
+        )
+        .groupBy(id_col, "cls")
+        .agg(F.sum("part").alias("tok_micro"))
+    )
+    scored = (
+        docs.select(id_col)
+        .crossJoin(F.broadcast(classes.select("cls", "prior_micro")))
+        .join(tok_cost, [id_col, "cls"], "left")
+        .select(
+            id_col,
+            "cls",
+            (F.col("prior_micro") + F.coalesce(F.col("tok_micro"), F.lit(0))).alias(
+                "cost_micro"
+            ),
+        )
+    )
+    best = F.expr(
+        f"min_by(struct(cost_micro, cls), struct(cost_micro, cls))"
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(best.alias("b"))
+        .select(id_col, F.col("b.cls").alias("pred_cls"), F.col("b.cost_micro").alias("cost_micro"))
+    )
