@@ -3584,6 +3584,28 @@ def q_nbayes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_predict(docs, tc, cs, v, n)
 
 
+def q_cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle (operators/cohorts.py): entities
+    bucketed by first-active week, distinct-active counts per (cohort,
+    offset) cell, exact integer micro-ratio. Two entity-keyed aggregations,
+    no windows."""
+    from pagerank_spark.operators.cohorts import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev, "user_id", "ts", 604_800)
+
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel view -> click -> purchase (operators/cohorts.py):
+    first-occurrence semantics over a total (ts, event_id) order, per-step
+    entity counts + exact integer conversion ratios. k steps = k
+    pre-filtered join+min passes; driver traffic is k scalars."""
+    from pagerank_spark.operators.cohorts import funnel_steps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
 def q_exactsubstr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr repeated-span removal (operators/trainprep.py): every
     token inside a >=5-word span occurring >=2 times anywhere in the
@@ -3852,6 +3874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "lm_score_docs": q_lm_score_docs,
         "nbayes_docs": q_nbayes_docs,
+        "cohort_retention_events": q_cohort_retention_events,
+        "funnel_events": q_funnel_events,
         "bm25_docs": q_bm25_docs,
         "exactsubstr_docs": q_exactsubstr_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
@@ -5799,6 +5823,72 @@ FROM wc w LEFT JOIN bc b ON w.doc_id = b.doc_id"""
     # per-bigram surprisal is rounded to integer microunits BEFORE the
     # per-doc sum on BOTH sides, so the scores are exact BIGINTs and
     # reduction-order independent (same discipline as the c4 revenues)
+    # cohort retention: DISTINCT (entity, week) activity, first week per
+    # entity, exact integer micro-ratio per triangle cell
+    sqls["cohort_retention_events"] = """
+WITH act AS MATERIALIZED (
+  SELECT DISTINCT user_id AS ent,
+         CAST(FLOOR(FLOOR(epoch(ts)) / 604800) AS BIGINT) AS period
+  FROM events),
+frst AS MATERIALIZED (
+  SELECT ent, MIN(period) AS cohort_period FROM act GROUP BY 1),
+cells AS (
+  SELECT f.cohort_period, a.period - f.cohort_period AS period_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM act a JOIN frst f USING (ent) GROUP BY 1, 2),
+sizes AS (
+  SELECT cohort_period, CAST(COUNT(*) AS BIGINT) AS n_cohort
+  FROM frst GROUP BY 1)
+SELECT c.cohort_period, c.period_offset, c.n_active, s.n_cohort,
+       CAST(c.n_active * 1000000 // s.n_cohort AS BIGINT) AS retention_micro
+FROM cells c JOIN sizes s USING (cohort_period)"""
+
+    # funnel: first-occurrence per step in strict (ts, event_id) order;
+    # per-step counts and exact integer conversion ratios
+    sqls["funnel_events"] = """
+WITH ev AS MATERIALIZED (
+  SELECT user_id AS ent, event_type AS typ,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, CAST(event_id AS BIGINT) AS tb
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+r1 AS MATERIALIZED (
+  SELECT ent, s, tb FROM (
+    SELECT ent, s, tb,
+           ROW_NUMBER() OVER (PARTITION BY ent ORDER BY s, tb) AS rn
+    FROM ev WHERE typ = 'view') WHERE rn = 1),
+r2 AS MATERIALIZED (
+  SELECT ent, s, tb FROM (
+    SELECT e.ent, e.s, e.tb,
+           ROW_NUMBER() OVER (PARTITION BY e.ent ORDER BY e.s, e.tb) AS rn
+    FROM ev e JOIN r1 p USING (ent)
+    WHERE e.typ = 'click' AND (e.s > p.s OR (e.s = p.s AND e.tb > p.tb)))
+  WHERE rn = 1),
+r3 AS MATERIALIZED (
+  SELECT ent, s, tb FROM (
+    SELECT e.ent, e.s, e.tb,
+           ROW_NUMBER() OVER (PARTITION BY e.ent ORDER BY e.s, e.tb) AS rn
+    FROM ev e JOIN r2 p USING (ent)
+    WHERE e.typ = 'purchase' AND (e.s > p.s OR (e.s = p.s AND e.tb > p.tb)))
+  WHERE rn = 1),
+n AS (SELECT (SELECT COUNT(*) FROM r1) AS n1,
+             (SELECT COUNT(*) FROM r2) AS n2,
+             (SELECT COUNT(*) FROM r3) AS n3)
+SELECT 1 AS step_idx, 'view' AS step, CAST(n1 AS BIGINT) AS n_entities,
+       CAST(CASE WHEN n1 > 0 THEN n1 * 1000000 // n1 ELSE 0 END AS BIGINT)
+         AS conv_from_first_micro,
+       CAST(CASE WHEN n1 > 0 THEN n1 * 1000000 // n1 ELSE 0 END AS BIGINT)
+         AS conv_from_prev_micro
+FROM n
+UNION ALL
+SELECT 2, 'click', CAST(n2 AS BIGINT),
+       CAST(CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END AS BIGINT),
+       CAST(CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END AS BIGINT)
+FROM n
+UNION ALL
+SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+       CAST(CASE WHEN n1 > 0 THEN n3 * 1000000 // n1 ELSE 0 END AS BIGINT),
+       CAST(CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 ELSE 0 END AS BIGINT)
+FROM n"""
+
     # Naive Bayes: per-token add-1 cost and the class prior are each
     # micro-rounded BEFORE summation on BOTH sides (the lm.py discipline),
     # so scores are exact BIGINTs and the argmin is deterministic
