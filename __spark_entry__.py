@@ -3584,26 +3584,19 @@ def q_nbayes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_predict(docs, tc, cs, v, n)
 
 
-def q_cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort-retention triangle (operators/cohorts.py): entities
-    bucketed by first-active week, distinct-active counts per (cohort,
-    offset) cell, exact integer micro-ratio. Two entity-keyed aggregations,
-    no windows."""
-    from pagerank_spark.operators.cohorts import cohort_retention
+def q_mad_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel median/MAD outliers (operators/outliers.py) on order totals
+    (exact cents) per priority class, k=2 (178 flagged rows at sf0.01). All-integer test
+    ``2*|2x - med2| > k * mad4`` — no float reaches the output; exact
+    ``percentile`` gated, percentile_approx is the documented 100-TB swap."""
+    from pagerank_spark.operators.outliers import mad_outliers
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return cohort_retention(ev, "user_id", "ts", 604_800)
-
-
-def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strict-order funnel view -> click -> purchase (operators/cohorts.py):
-    first-occurrence semantics over a total (ts, event_id) order, per-step
-    entity counts + exact integer conversion ratios. k steps = k
-    pre-filtered join+min passes; driver traffic is k scalars."""
-    from pagerank_spark.operators.cohorts import funnel_steps
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return funnel_steps(ev, ["view", "click", "purchase"])
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return mad_outliers(orders, "o_orderpriority", "cents", "o_orderkey", k=2)
 
 
 def q_exactsubstr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3874,8 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "lm_score_docs": q_lm_score_docs,
         "nbayes_docs": q_nbayes_docs,
-        "cohort_retention_events": q_cohort_retention_events,
-        "funnel_events": q_funnel_events,
+        "mad_outliers_orders": q_mad_outliers_orders,
         "bm25_docs": q_bm25_docs,
         "exactsubstr_docs": q_exactsubstr_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
@@ -5823,71 +5815,25 @@ FROM wc w LEFT JOIN bc b ON w.doc_id = b.doc_id"""
     # per-bigram surprisal is rounded to integer microunits BEFORE the
     # per-doc sum on BOTH sides, so the scores are exact BIGINTs and
     # reduction-order independent (same discipline as the c4 revenues)
-    # cohort retention: DISTINCT (entity, week) activity, first week per
-    # entity, exact integer micro-ratio per triangle cell
-    sqls["cohort_retention_events"] = """
-WITH act AS MATERIALIZED (
-  SELECT DISTINCT user_id AS ent,
-         CAST(FLOOR(FLOOR(epoch(ts)) / 604800) AS BIGINT) AS period
-  FROM events),
-frst AS MATERIALIZED (
-  SELECT ent, MIN(period) AS cohort_period FROM act GROUP BY 1),
-cells AS (
-  SELECT f.cohort_period, a.period - f.cohort_period AS period_offset,
-         CAST(COUNT(*) AS BIGINT) AS n_active
-  FROM act a JOIN frst f USING (ent) GROUP BY 1, 2),
-sizes AS (
-  SELECT cohort_period, CAST(COUNT(*) AS BIGINT) AS n_cohort
-  FROM frst GROUP BY 1)
-SELECT c.cohort_period, c.period_offset, c.n_active, s.n_cohort,
-       CAST(c.n_active * 1000000 // s.n_cohort AS BIGINT) AS retention_micro
-FROM cells c JOIN sizes s USING (cohort_period)"""
-
-    # funnel: first-occurrence per step in strict (ts, event_id) order;
-    # per-step counts and exact integer conversion ratios
-    sqls["funnel_events"] = """
-WITH ev AS MATERIALIZED (
-  SELECT user_id AS ent, event_type AS typ,
-         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, CAST(event_id AS BIGINT) AS tb
-  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
-r1 AS MATERIALIZED (
-  SELECT ent, s, tb FROM (
-    SELECT ent, s, tb,
-           ROW_NUMBER() OVER (PARTITION BY ent ORDER BY s, tb) AS rn
-    FROM ev WHERE typ = 'view') WHERE rn = 1),
-r2 AS MATERIALIZED (
-  SELECT ent, s, tb FROM (
-    SELECT e.ent, e.s, e.tb,
-           ROW_NUMBER() OVER (PARTITION BY e.ent ORDER BY e.s, e.tb) AS rn
-    FROM ev e JOIN r1 p USING (ent)
-    WHERE e.typ = 'click' AND (e.s > p.s OR (e.s = p.s AND e.tb > p.tb)))
-  WHERE rn = 1),
-r3 AS MATERIALIZED (
-  SELECT ent, s, tb FROM (
-    SELECT e.ent, e.s, e.tb,
-           ROW_NUMBER() OVER (PARTITION BY e.ent ORDER BY e.s, e.tb) AS rn
-    FROM ev e JOIN r2 p USING (ent)
-    WHERE e.typ = 'purchase' AND (e.s > p.s OR (e.s = p.s AND e.tb > p.tb)))
-  WHERE rn = 1),
-n AS (SELECT (SELECT COUNT(*) FROM r1) AS n1,
-             (SELECT COUNT(*) FROM r2) AS n2,
-             (SELECT COUNT(*) FROM r3) AS n3)
-SELECT 1 AS step_idx, 'view' AS step, CAST(n1 AS BIGINT) AS n_entities,
-       CAST(CASE WHEN n1 > 0 THEN n1 * 1000000 // n1 ELSE 0 END AS BIGINT)
-         AS conv_from_first_micro,
-       CAST(CASE WHEN n1 > 0 THEN n1 * 1000000 // n1 ELSE 0 END AS BIGINT)
-         AS conv_from_prev_micro
-FROM n
-UNION ALL
-SELECT 2, 'click', CAST(n2 AS BIGINT),
-       CAST(CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END AS BIGINT),
-       CAST(CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END AS BIGINT)
-FROM n
-UNION ALL
-SELECT 3, 'purchase', CAST(n3 AS BIGINT),
-       CAST(CASE WHEN n1 > 0 THEN n3 * 1000000 // n1 ELSE 0 END AS BIGINT),
-       CAST(CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 ELSE 0 END AS BIGINT)
-FROM n"""
+    # Hampel MAD outliers: exact medians (quantile_cont == Spark
+    # percentile), doubled-units integers, pure-integer threshold test
+    sqls["mad_outliers_orders"] = """
+WITH base AS MATERIALIZED (
+  SELECT o_orderkey, o_orderpriority AS g,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders),
+med AS MATERIALIZED (
+  SELECT g, CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+  FROM base GROUP BY 1),
+dev AS MATERIALIZED (
+  SELECT b.o_orderkey, b.g, b.cents, ABS(2 * b.cents - m.med2) AS dev2, m.med2
+  FROM base b JOIN med m USING (g)),
+mad AS (
+  SELECT g, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+  FROM dev GROUP BY 1)
+SELECT d.o_orderkey, d.g AS o_orderpriority, d.cents, d.dev2, d.med2, a.mad4
+FROM dev d JOIN mad a USING (g)
+WHERE 2 * d.dev2 > 2 * a.mad4"""
 
     # Naive Bayes: per-token add-1 cost and the class prior are each
     # micro-rounded BEFORE summation on BOTH sides (the lm.py discipline),

@@ -1,0 +1,78 @@
+"""Robust per-group outlier detection via median / MAD (Hampel filter).
+
+The standard robust alternative to z-scores (Hampel 1974; Leys et al. 2013
+— public methodology): a row is an outlier in its group when
+``|x - median| > k * MAD`` with ``MAD = median(|x - median|)``. Unlike
+mean/stddev, both statistics have a 50% breakdown point, so the outliers
+themselves can't mask the threshold — the estimator of choice for
+data-quality sweeps over corpus/metric columns.
+
+Exact-integer formulation (the repo's hash-stable discipline): for an
+INTEGER value column, the group median is ``x`` or ``x + 0.5``, so
+``med2 = 2 * median`` is an exact BIGINT; per-row doubled deviation
+``dev2 = |2x - med2|`` is a BIGINT; ``mad4 = 2 * median(dev2) = 4 * MAD``
+is a BIGINT; and the Hampel test ``|x - med| > k * MAD`` becomes the pure
+integer comparison ``2 * dev2 > k * mad4``. No float ever reaches the
+output.
+
+Plan shape: two group aggregations (the two medians) + one join back —
+the value table is scanned twice, grouped on the same key both times (one
+shuffle partitioning reused). Exact ``percentile`` is the gated mode; at
+100 TB swap ``percentile_approx`` (t-digest) exactly as
+operators/packing.py::quantile_bins documents for its approx mode —
+thresholding tolerates approximate medians.
+
+Degenerate groups (over half the values identical ⇒ MAD = 0) flag every
+deviating row — the textbook Hampel behavior, kept as-is.
+
+Reference parity: none (single-query reference); data-quality mandate
+breadth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["mad_outliers"]
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """``(id_col, group_col, value, dev2, med2, mad4)`` — flagged rows only.
+
+    ``value_col`` must be integer-valued (cast upstream — cents/micro
+    units); ``k`` is the integer Hampel multiplier (3 ≈ 2σ for normal
+    data). ``dev2 = |2*value - med2|``; a row is returned iff
+    ``2 * dev2 > k * mad4``.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    med = base.groupBy("g").agg(
+        (F.expr("percentile(v, 0.5D)") * 2).cast("long").alias("med2")
+    )
+    dev = base.join(med, "g").withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("v") - F.col("med2"))
+    )
+    mad = dev.groupBy("g").agg(
+        (F.expr("percentile(dev2, 0.5D)") * 2).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(mad, "g")
+        .filter(F.lit(2) * F.col("dev2") > F.lit(int(k)) * F.col("mad4"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("g").alias(group_col),
+            F.col("v").alias(value_col),
+            "dev2",
+            "med2",
+            "mad4",
+        )
+    )
