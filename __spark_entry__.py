@@ -3599,6 +3599,20 @@ def q_mad_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(orders, "o_orderpriority", "cents", "o_orderkey", k=2)
 
 
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic one-pass table profiler (operators/profile.py): per-column
+    n_rows/n_null/n_distinct (+ min/max for integer columns) over events,
+    unpivoted via stack — the ANALYZE-TABLE sweep that precedes every
+    ingest. Exact distincts gated; approx_count_distinct is the documented
+    one-pass 100-TB swap."""
+    from pagerank_spark.operators.profile import profile_table
+
+    out = profile_table(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # 0-sentinels instead of NULL min/max: DuckDB NULL BIGINT -> NaN in
+    # fetchdf (the repo-wide never-NULL-columns gate rule)
+    return out.na.fill(0, ["min_long", "max_long"])
+
+
 def q_exactsubstr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr repeated-span removal (operators/trainprep.py): every
     token inside a >=5-word span occurring >=2 times anywhere in the
@@ -3868,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": q_lm_score_docs,
         "nbayes_docs": q_nbayes_docs,
         "mad_outliers_orders": q_mad_outliers_orders,
+        "profile_events": q_profile_events,
         "bm25_docs": q_bm25_docs,
         "exactsubstr_docs": q_exactsubstr_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
@@ -5815,6 +5830,29 @@ FROM wc w LEFT JOIN bc b ON w.doc_id = b.doc_id"""
     # per-bigram surprisal is rounded to integer microunits BEFORE the
     # per-doc sum on BOTH sides, so the scores are exact BIGINTs and
     # reduction-order independent (same discipline as the c4 revenues)
+    # table profiler: per-column stats via one UNION ALL branch per column
+    # (the relational restatement of the engine's single stack'd aggregate)
+    _prof_cols = [
+        ("event_id", "bigint", True),
+        ("ts", "timestamp_ntz", False),
+        ("user_id", "bigint", True),
+        ("event_type", "string", False),
+        ("value", "double", False),
+        ("props", "string", False),
+    ]
+    _prof_branches = []
+    for _pc, _pt, _pint in _prof_cols:
+        _mn = f"CAST(MIN({_pc}) AS BIGINT)" if _pint else "CAST(0 AS BIGINT)"
+        _mx = f"CAST(MAX({_pc}) AS BIGINT)" if _pint else "CAST(0 AS BIGINT)"
+        _prof_branches.append(
+            f"SELECT '{_pc}' AS \"column\", '{_pt}' AS dtype,\n"
+            f"  CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+            f"  CAST(SUM(CASE WHEN {_pc} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,\n"
+            f"  CAST(COUNT(DISTINCT {_pc}) AS BIGINT) AS n_distinct,\n"
+            f"  {_mn} AS min_long, {_mx} AS max_long FROM events"
+        )
+    sqls["profile_events"] = "\nUNION ALL\n".join(_prof_branches)
+
     # Hampel MAD outliers: exact medians (quantile_cont == Spark
     # percentile), doubled-units integers, pure-integer threshold test
     sqls["mad_outliers_orders"] = """
