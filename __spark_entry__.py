@@ -3613,6 +3613,18 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.na.fill(0, ["min_long", "max_long"])
 
 
+def q_itemsim_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering (operators/recsys.py): basket
+    co-occurrence cosine over (order, part) memberships, per-item top-3 by
+    the exact integer key cos2_micro = n_ab^2 * 1e6 div (n_a * n_b); pair
+    enumeration via the bounded chunked self-join."""
+    from pagerank_spark.operators.recsys import item_cooccurrence, item_topk_similar
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cooc = item_cooccurrence(li, "l_orderkey", "l_partkey")
+    return item_topk_similar(cooc, k=3)
+
+
 def q_exactsubstr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr repeated-span removal (operators/trainprep.py): every
     token inside a >=5-word span occurring >=2 times anywhere in the
@@ -3883,6 +3895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nbayes_docs": q_nbayes_docs,
         "mad_outliers_orders": q_mad_outliers_orders,
         "profile_events": q_profile_events,
+        "itemsim_lineitem": q_itemsim_lineitem,
         "bm25_docs": q_bm25_docs,
         "exactsubstr_docs": q_exactsubstr_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
@@ -5830,6 +5843,30 @@ FROM wc w LEFT JOIN bc b ON w.doc_id = b.doc_id"""
     # per-bigram surprisal is rounded to integer microunits BEFORE the
     # per-doc sum on BOTH sides, so the scores are exact BIGINTs and
     # reduction-order independent (same discipline as the c4 revenues)
+    # item-item CF: set-semantics memberships, a<b pair counts, exact
+    # integer cosine^2 order key, per-item top-3 window
+    sqls["itemsim_lineitem"] = """
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+n AS MATERIALIZED (
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1),
+p AS MATERIALIZED (
+  SELECT a.i AS item_a, bb.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM m a JOIN m bb ON a.b = bb.b AND a.i < bb.i GROUP BY 1, 2),
+c AS MATERIALIZED (
+  SELECT p.item_a, p.item_b, p.n_ab, na.n AS n_a, nb.n AS n_b,
+         CAST(p.n_ab * p.n_ab * 1000000 // (na.n * nb.n) AS BIGINT) AS cos2_micro
+  FROM p JOIN n na ON na.i = p.item_a JOIN n nb ON nb.i = p.item_b),
+sym AS (
+  SELECT item_a AS item, item_b AS rec, n_ab, cos2_micro FROM c
+  UNION ALL
+  SELECT item_b AS item, item_a AS rec, n_ab, cos2_micro FROM c)
+SELECT item, rec, n_ab, cos2_micro, rk FROM (
+  SELECT item, rec, n_ab, cos2_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY item
+              ORDER BY cos2_micro DESC, rec ASC) AS INT) AS rk
+  FROM sym) WHERE rk <= 3"""
+
     # table profiler: per-column stats via one UNION ALL branch per column
     # (the relational restatement of the engine's single stack'd aggregate)
     _prof_cols = [

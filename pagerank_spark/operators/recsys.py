@@ -1,0 +1,111 @@
+"""Item-item collaborative filtering over baskets — co-occurrence cosine
+similarity and per-item top-k recommendations.
+
+The classic "customers who bought X also bought Y" recommender (Linden et
+al. 2003, "Amazon.com Recommendations: Item-to-Item Collaborative
+Filtering" — public methodology): similarity between items i, j is the
+cosine of their basket-membership vectors,
+``n_ij / sqrt(n_i * n_j)`` with ``n_i`` = baskets containing i and
+``n_ij`` = baskets containing both. Per-item top-k by similarity is the
+recommendation list.
+
+Hash-stable scoring: cosine² is emitted as the exact integer
+``cos2_micro = n_ij² * 10^6 div (n_i * n_j)`` — monotone in cosine, so the
+top-k ORDER is the cosine order, and every output value is a BIGINT (the
+repo-wide no-floats-in-gates discipline). Ties break on the neighbor id.
+
+Scale shape (the 100-TB lens):
+
+* Pair enumeration goes through :func:`~pagerank_spark.operators.skew.
+  chunked_self_pairs` on the basket key — bounded join keys, distributed
+  enumeration (the measured fix for near-serial bucket self-joins), never
+  an all-pairs product. Hot baskets can additionally be capped upstream
+  (drop baskets above a size bound) exactly as dedup's LSH kernel does —
+  a mega-basket contributes quadratic pairs and no signal.
+* Item counts are one map-side-combined aggregate, broadcast back onto
+  the pair counts (items ≪ baskets).
+* Top-k is a per-item window over the SIMILARITY table (items × avg
+  co-neighbors rows, far smaller than the basket table), partitioned on
+  the item key — no global sort, no single-partition window.
+
+Reference parity: none (single-query reference); recommendation /
+similarity mandate breadth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .skew import chunked_self_pairs
+
+__all__ = ["item_cooccurrence", "item_topk_similar"]
+
+_SCALE = 1_000_000
+
+
+def item_cooccurrence(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """``(item_a, item_b, n_ab, n_a, n_b, cos2_micro)`` for every item pair
+    sharing >= 1 basket (``item_a < item_b``, each unordered pair once).
+
+    ``baskets`` rows are (basket, item) memberships; duplicates are
+    de-duplicated first so counts are set semantics. ``max_basket_size``
+    drops larger baskets BEFORE pair enumeration (logged count), bounding
+    the quadratic term exactly like the LSH hot-bucket cap.
+    """
+    m = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    if max_basket_size is not None:
+        sizes = m.groupBy("b").agg(F.count(F.lit(1)).alias("__sz"))
+        m = (
+            m.join(sizes.filter(F.col("__sz") <= max_basket_size), "b")
+            .drop("__sz")
+        )
+    item_n = m.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        chunked_self_pairs(m, "b", "i")
+        .groupBy(F.col("a_id").alias("item_a"), F.col("b_id").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(item_n.select(F.col("i").alias("item_a"), F.col("n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_n.select(F.col("i").alias("item_b"), F.col("n").alias("n_b"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(f"n_ab * n_ab * {_SCALE} DIV (n_a * n_b)").alias("cos2_micro"),
+        )
+    )
+
+
+def item_topk_similar(cooc: DataFrame, k: int = 3) -> DataFrame:
+    """``(item, rec, n_ab, cos2_micro, rk)`` — each item's top-k neighbors
+    by cosine (exact integer order key), both orientations of the
+    symmetric pair table, ties on (cos2 desc, rec asc)."""
+    sym = cooc.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("rec"), "n_ab", "cos2_micro"
+    ).unionByName(
+        cooc.select(
+            F.col("item_b").alias("item"), F.col("item_a").alias("rec"), "n_ab", "cos2_micro"
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cos2_micro").desc(), F.col("rec").asc())
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("item", "rec", "n_ab", "cos2_micro", "rk")
+    )
