@@ -268,6 +268,17 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("editdist_join_parts4_sf", lambda: edit_distance_join(part_names, k=1, q=3)
           .agg(F.sum("dist")).collect())
 
+    # round-4 session-6 addition (appended): item-item CF over the full sf
+    # lineitem baskets — chunked pair enumeration + cosine top-3 (the
+    # recommender counterpart of the itemsets entry). Action sums the
+    # integer order key (§12 audit).
+    from pagerank_spark.operators.recsys import item_cooccurrence, item_topk_similar
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    timed("itemsim_lineitem_sf", lambda: item_topk_similar(
+        item_cooccurrence(li, "l_orderkey", "l_partkey"), k=3)
+        .agg(F.sum("cos2_micro")).collect())
+
     edges.unpersist()
     return {"timings": timings, "samples": samples, "extras": extras, "n_edges": n_edges}
 
