@@ -3613,6 +3613,17 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.na.fill(0, ["min_long", "max_long"])
 
 
+def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dyadic EWMA (operators/smoothing.py): alpha = 1/2 fold over
+    the totally (ts, event_id)-ordered value sequence — identical IEEE op
+    sequence on both engines, ONE final micro-rounding, exact BIGINT
+    output. The sequential-state class a window aggregate can't express."""
+    from pagerank_spark.operators.smoothing import ewma
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ewma(ev, "user_id", "value", "ts", "event_id", halvings=1)
+
+
 def q_itemsim_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-to-item collaborative filtering (operators/recsys.py): basket
     co-occurrence cosine over (order, part) memberships, per-item top-3 by
@@ -3896,6 +3907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_orders": q_mad_outliers_orders,
         "profile_events": q_profile_events,
         "itemsim_lineitem": q_itemsim_lineitem,
+        "ewma_events": q_ewma_events,
         "bm25_docs": q_bm25_docs,
         "exactsubstr_docs": q_exactsubstr_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
@@ -5843,6 +5855,23 @@ FROM wc w LEFT JOIN bc b ON w.doc_id = b.doc_id"""
     # per-bigram surprisal is rounded to integer microunits BEFORE the
     # per-doc sum on BOTH sides, so the scores are exact BIGINTs and
     # reduction-order independent (same discipline as the c4 revenues)
+    # EWMA: identical left-fold over the same ordered doubles on both
+    # engines -> bit-equal result, single final micro-rounding
+    sqls["ewma_events"] = """
+WITH seq AS MATERIALIZED (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE)
+              ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS vs,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS last_s
+  FROM events GROUP BY 1)
+SELECT user_id, n_events,
+       CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+                              (acc, x) -> (acc * 1.0 + x) / 2.0) * 1000000)
+            AS BIGINT) AS ewma_micro,
+       last_s
+FROM seq"""
+
     # item-item CF: set-semantics memberships, a<b pair counts, exact
     # integer cosine^2 order key, per-item top-3 window
     sqls["itemsim_lineitem"] = """

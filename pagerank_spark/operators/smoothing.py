@@ -1,0 +1,83 @@
+"""Per-key exponentially weighted moving average (EWMA) — sequential state
+as a codegen'd array fold, no Python, no iterative supersteps.
+
+EWMA is the canonical smoothing/anomaly baseline (Hunter 1986, "The
+Exponentially Weighted Moving Average" — public methodology):
+``acc_i = alpha * x_i + (1 - alpha) * acc_{i-1}``. It is inherently
+sequential per key, which rules out a plain window aggregate — but the
+per-key history is bounded (events per user/device/conv), so the scalable
+relational shape is: ONE grouped ``sort_array(collect_list(struct(...)))``
+(shuffle on the key, map-side combined) followed by a codegen'd
+``aggregate`` lambda fold. The sequential dependency never leaves the row.
+
+Determinism/hash-stability: the fold runs over a totally ordered
+``(ts, tiebreak)`` list, so both engines execute the IDENTICAL sequence of
+IEEE double operations — results are bit-equal, and the single final
+micro-rounding is therefore representation-stable (per-step values are
+never emitted). ``alpha`` is restricted to dyadic rationals (1/2, 1/4,
+...) so the per-step scaling is an exact binary shift — no decimal noise
+accumulates beyond the input's own representation.
+
+Scale notes (100-TB lens): one shuffle total; per-key state = that key's
+event list (same bound as any sessionization); a key with unbounded
+history belongs to the streaming variant
+(streaming/windows.py's stateful path), not a batch fold — documented,
+not silently truncated. Init is ``acc_0 = 0`` (prepended zero), the
+bias-toward-zero textbook variant, chosen because both engines can state
+it identically (DuckDB ``list_reduce`` seeds from the first element).
+
+Reference parity: none (single-query reference); time-series mandate
+breadth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["ewma"]
+
+_SCALE = 1_000_000
+
+
+def ewma(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    halvings: int = 1,
+) -> DataFrame:
+    """``(key_col, n_events, ewma_micro, last_s)`` — one row per key.
+
+    The recurrence is the dyadic ``acc = (acc * (2^h - 1) + x) / 2^h``
+    with ``h = halvings`` (``alpha = 1 / 2^h``) — every step an exact
+    power-of-two scale. ``ewma_micro`` is the final state micro-rounded
+    ONCE; ``last_s`` the key's last epoch second (exact BIGINT).
+    """
+    if halvings < 1:
+        raise ValueError("halvings must be >= 1")
+    denom = 1 << halvings
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    rows = events.select(
+        F.col(key_col).alias("k"),
+        F.struct(
+            sec.alias("s"),
+            F.col(tiebreak_col).cast("long").alias("tb"),
+            F.col(value_col).cast("double").alias("v"),
+        ).alias("o"),
+    )
+    per_key = rows.groupBy("k").agg(
+        F.sort_array(F.collect_list("o")).alias("arr"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("o.s").alias("last_s"),
+    )
+    fold = F.expr(
+        f"aggregate(arr, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> (acc * {denom - 1}.0 + x.v) / {denom}.0)"
+    )
+    return per_key.select(
+        F.col("k").alias(key_col),
+        "n_events",
+        F.round(fold * _SCALE).cast("long").alias("ewma_micro"),
+        "last_s",
+    )

@@ -1,0 +1,45 @@
+"""Dyadic EWMA: exact Python fold replay, ordering, alpha variants."""
+
+from datetime import datetime
+
+from pagerank_spark.operators.smoothing import ewma
+
+
+def _replay(values, halvings):
+    d = 1 << halvings
+    acc = 0.0
+    for v in values:
+        acc = (acc * (d - 1) + v) / d
+    return round(acc * 1_000_000)
+
+
+def test_ewma_matches_python_fold(spark):
+    # deliberately shuffled input; order restored via (ts, event_id)
+    rows = [
+        (3, datetime(2024, 1, 1, 0, 0, 30), 1, "view", 6.0, ""),
+        (1, datetime(2024, 1, 1, 0, 0, 10), 1, "view", 1.0, ""),
+        (2, datetime(2024, 1, 1, 0, 0, 20), 1, "view", 2.0, ""),
+        # user 2: equal timestamps -> event_id tiebreak orders 10.5 then 0.25
+        (5, datetime(2024, 1, 1, 0, 1, 0), 2, "view", 0.25, ""),
+        (4, datetime(2024, 1, 1, 0, 1, 0), 2, "view", 10.5, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    for h in (1, 2):
+        got = {r.user_id: (r.n_events, r.ewma_micro) for r in ewma(ev, halvings=h).collect()}
+        assert got[1] == (3, _replay([1.0, 2.0, 6.0], h))
+        assert got[2] == (2, _replay([10.5, 0.25], h))
+    # h=1 closed form for user 1: ((0+1)/2 + 2)/2 + 6)/2... = 3.625
+    assert ewma(ev, halvings=1).filter("user_id = 1").collect()[0].ewma_micro == 3_625_000
+
+
+def test_ewma_last_seen_and_single_event(spark):
+    rows = [(1, datetime(2024, 1, 2), 9, "view", 8.0, "")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = ewma(ev).collect()[0]
+    # one event, h=1: (0 + 8)/2 = 4
+    assert (r.user_id, r.n_events, r.ewma_micro) == (9, 1, 4_000_000)
+    assert r.last_s == 1_704_153_600  # 2024-01-02T00:00:00Z (session tz is UTC)
