@@ -32,3 +32,11 @@ def test_profile_approx_mode_runs(spark):
     assert out["id"].n_rows == 1000
     # HLL estimate is near-exact at this cardinality but not asserted equal
     assert 900 <= out["id"].n_distinct <= 1100
+
+
+def test_profile_single_scan_plan(spark):
+    # the whole profile is ONE aggregation tree over ONE scan: no joins,
+    # no shuffles beyond the distinct Expand branches' own exchanges
+    df = spark.range(100).withColumn("s", F.concat_ws("-", "id"))
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
