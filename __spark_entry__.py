@@ -5035,8 +5035,8 @@ cn AS (SELECT c_custkey, n_name AS cust_nation FROM customer
        JOIN nation ON c_nationkey = n_nationkey
        WHERE n_name IN ('NATION_1','NATION_2'))
 SELECT supp_nation, cust_nation, year(l_shipdate) AS l_year,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS revenue_c4,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4,
        COUNT(*) AS n_rows
 FROM lineitem
 JOIN sn ON l_suppkey = s_suppkey
@@ -5061,7 +5061,8 @@ WITH b AS (
   WHERE p_brand = 'Brand#11'
 ),
 st AS (SELECT l_partkey, SUM(q) AS sum_qty, COUNT(*) AS cnt FROM b GROUP BY 1)
-SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS total_price_cents,
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_price_cents,
        COUNT(*) AS n_rows
 FROM b JOIN st USING (l_partkey)
 WHERE 5 * q * cnt < sum_qty"""
@@ -6171,7 +6172,7 @@ und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
 inc AS (SELECT a AS c, b AS n FROM und UNION ALL SELECT b, a FROM und),
 pairs AS (SELECT x.n AS pa, y.n AS pb, COUNT(*) AS w
           FROM inc x JOIN inc y ON x.c = y.c AND x.n < y.n GROUP BY 1, 2)
-SELECT COUNT(*) AS n_pairs, SUM(w * (w - 1)) // 4 AS squares FROM pairs"""
+SELECT COUNT(*) AS n_pairs, CAST(SUM(w * (w - 1)) // 4 AS BIGINT) AS squares FROM pairs"""
 
     sqls["boilerplate_docs"] = """
 WITH segs AS (
@@ -6187,7 +6188,8 @@ freq AS (
 )
 SELECT s.doc_id,
        COALESCE(string_agg(CASE WHEN f.seg IS NULL THEN s.seg END, ' ' ORDER BY s.ord), '') AS text,
-       SUM(CASE WHEN f.seg IS NOT NULL THEN 1 ELSE 0 END) AS n_removed
+       CAST(SUM(CASE WHEN f.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
 FROM segs s LEFT JOIN freq f ON f.seg = s.seg
 GROUP BY s.doc_id"""
 
