@@ -37,8 +37,16 @@ def test_oracle_keys_subset_of_queries(spark):
 # tpch_q7: no NATION_1<->NATION_2 cross-trade lines exist in the 0.001 slice
 # (91 rows at the sf0.01 gate tier); tpch_q11: no part reaches 4x the mean
 # stock value in the 0.001 slice (4 at sf0.01, 21 at sf0.1 — the data-derived
-# threshold discriminates by design)
-EMPTY_OK_AT_SF0001 = {"k_core_copurchase", "tpch_q7", "tpch_q11"}
+# threshold discriminates by design;
+# radius_join_customers: the 150 multiplicative-hash lattice points in the
+# 0.001 slice deterministically have no pair within distance 15 in the
+# 1000x1000 grid — 2655 pairs at the sf0.01 gate tier)
+EMPTY_OK_AT_SF0001 = {
+    "k_core_copurchase",
+    "tpch_q7",
+    "tpch_q11",
+    "radius_join_customers",
+}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
