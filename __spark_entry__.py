@@ -3636,6 +3636,34 @@ def q_itemsim_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_topk_similar(cooc, k=3)
 
 
+def q_welch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch unequal-variance two-sample t (operators/hyptest.py): A/B =
+    even/odd user, metric = exact event-value cents. Six exact BIGINT
+    moments from one aggregation; t and Welch-Satterthwaite df derived
+    in-plan by correctly-rounded IEEE ops only, micro-rounded once."""
+    from pagerank_spark.operators.hyptest import welch_ttest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return welch_ttest(ev, "variant", "cents", "A", "B")
+
+
+def q_chi2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence of event_type x (user_id mod 7)
+    (operators/hyptest.py): observed-cells-only closed form
+    T*(sum o^2/(r*c) - 1); the single float reduction is nano-rounded per
+    cell first so the sum is an exact BIGINT (reduction-order
+    independent)."""
+    from pagerank_spark.operators.hyptest import chi_square
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", (F.col("user_id") % 7).alias("bucket")
+    )
+    return chi_square(ev, "event_type", "bucket")
+
+
 def q_exactsubstr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr repeated-span removal (operators/trainprep.py): every
     token inside a >=5-word span occurring >=2 times anywhere in the
@@ -3908,6 +3936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": q_profile_events,
         "itemsim_lineitem": q_itemsim_lineitem,
         "ewma_events": q_ewma_events,
+        "welch_events": q_welch_events,
+        "chi2_events": q_chi2_events,
         "bm25_docs": q_bm25_docs,
         "exactsubstr_docs": q_exactsubstr_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
@@ -5856,6 +5886,57 @@ FROM wc w LEFT JOIN bc b ON w.doc_id = b.doc_id"""
     # per-bigram surprisal is rounded to integer microunits BEFORE the
     # per-doc sum on BOTH sides, so the scores are exact BIGINTs and
     # reduction-order independent (same discipline as the c4 revenues)
+    # Welch t: six exact BIGINT moments; t/df re-derived by the identical
+    # division/multiplication/sqrt sequence (no POW — not correctly
+    # rounded), micro-rounded once
+    sqls["welch_events"] = """
+WITH base AS MATERIALIZED (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+  FROM events),
+m AS MATERIALIZED (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2
+  FROM base GROUP BY 1),
+a AS (SELECT n AS n_a, s1 AS sum_a, s2 AS sumsq_a FROM m WHERE g = 'A'),
+b AS (SELECT n AS n_b, s1 AS sum_b, s2 AS sumsq_b FROM m WHERE g = 'B'),
+j AS (
+  SELECT *,
+         ((sumsq_a - CAST(sum_a AS DOUBLE) * sum_a / n_a) / (n_a - 1)) / n_a AS va,
+         ((sumsq_b - CAST(sum_b AS DOUBLE) * sum_b / n_b) / (n_b - 1)) / n_b AS vb
+  FROM a, b)
+SELECT n_a, n_b, sum_a, sum_b, sumsq_a, sumsq_b,
+       CAST(ROUND((CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b)
+                  / SQRT(va + vb) * 1000000) AS BIGINT) AS t_micro,
+       CAST(ROUND((va + vb) * (va + vb)
+                  / (va * va / (n_a - 1) + vb * vb / (n_b - 1))
+                  * 1000000) AS BIGINT) AS df_micro
+FROM j"""
+
+    # chi-square: observed-cells closed form; per-cell fraction nano-rounded
+    # BEFORE the only float sum (reduction-order independence)
+    sqls["chi2_events"] = """
+WITH cells AS MATERIALIZED (
+  SELECT event_type AS r, user_id % 7 AS c, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2),
+rm AS MATERIALIZED (SELECT r, CAST(SUM(o) AS BIGINT) AS rn FROM cells GROUP BY 1),
+cm AS MATERIALIZED (SELECT c, CAST(SUM(o) AS BIGINT) AS cn FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM cells),
+term AS (
+  SELECT n_cells, t,
+         CAST(ROUND(CAST(o AS DOUBLE) * o / (CAST(rn AS DOUBLE) * cn)
+                    * 1000000000) AS BIGINT) AS frac_nano
+  FROM cells JOIN rm USING (r) JOIN cm USING (c), tot),
+s AS (SELECT n_cells, t, CAST(SUM(frac_nano) AS BIGINT) AS s_nano
+      FROM term GROUP BY 1, 2)
+SELECT n_cells,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM rm) AS n_rows_cat,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cm) AS n_cols_cat,
+       t AS total,
+       CAST(ROUND((t * (s_nano - 1000000000)) / 1000.0) AS BIGINT) AS chi2_micro
+FROM s"""
+
     # EWMA: identical left-fold over the same ordered doubles on both
     # engines -> bit-equal result, single final micro-rounding
     sqls["ewma_events"] = """

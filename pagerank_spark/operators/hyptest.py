@@ -1,0 +1,149 @@
+"""Hypothesis testing over grouped facts — Welch two-sample t and the
+chi-square independence test, the experimentation (A/B) analytics pair.
+
+Both tests reduce to EXACT INTEGER sufficient statistics computed in one
+map-side-combined aggregation — counts, sums, sums of squares, contingency
+cells — which is the whole 100-TB story: the fact table is scanned once,
+one tiny shuffle of partial aggregates, and the test statistic itself is
+driver-free in-plan arithmetic over a handful of BIGINTs.
+
+Determinism/hash-stability: every emitted statistic either IS one of the
+exact BIGINT moments, or is a double computed from those BIGINTs by a
+fixed sequence of IEEE-correctly-rounded ops (division, sqrt) — identical
+on any engine — and micro-rounded ONCE at the end (the repo-wide
+discipline; see operators/lm.py). Value columns must be pre-scaled to
+integer units (cents/micros) upstream.
+
+Public methodology: Welch 1947 (unequal-variance t), Pearson 1900
+(chi-square); Welch–Satterthwaite degrees of freedom.
+
+Reference parity: none (single-query reference); experimentation-analytics
+mandate breadth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["welch_ttest", "chi_square"]
+
+_SCALE = 1_000_000
+
+
+def welch_ttest(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    variant_a: str,
+    variant_b: str,
+) -> DataFrame:
+    """One row: ``(n_a, n_b, sum_a, sum_b, sumsq_a, sumsq_b, t_micro,
+    df_micro)`` — Welch's unequal-variance two-sample t.
+
+    ``value_col`` must be integer-valued. The six moments are exact
+    BIGINTs; ``t`` and the Welch–Satterthwaite degrees of freedom are
+    derived from them in-plan and micro-rounded once. Requires >= 2 rows
+    per variant (sample variance) — emits NULL statistics otherwise is
+    avoided by construction: callers gate on experiment arms with data.
+    """
+    base = df.select(
+        F.col(variant_col).alias("g"), F.col(value_col).cast("long").alias("v")
+    ).filter(F.col("g").isin([variant_a, variant_b]))
+    m = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    a = m.filter(F.col("g") == variant_a).select(
+        F.col("n").alias("n_a"), F.col("s1").alias("sum_a"), F.col("s2").alias("sumsq_a")
+    )
+    b = m.filter(F.col("g") == variant_b).select(
+        F.col("n").alias("n_b"), F.col("s1").alias("sum_b"), F.col("s2").alias("sumsq_b")
+    )
+    # doubles derived from exact ints by division/multiplication/sqrt only
+    # (all IEEE-correctly-rounded, unlike POW) — identical on any engine
+    j = (
+        a.crossJoin(b)
+        .withColumn(
+            "va",
+            F.expr("((sumsq_a - CAST(sum_a AS DOUBLE) * sum_a / n_a) / (n_a - 1)) / n_a"),
+        )
+        .withColumn(
+            "vb",
+            F.expr("((sumsq_b - CAST(sum_b AS DOUBLE) * sum_b / n_b) / (n_b - 1)) / n_b"),
+        )
+    )
+    t = F.expr("(CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b) / SQRT(va + vb)")
+    dfw = F.expr("(va + vb) * (va + vb) / (va * va / (n_a - 1) + vb * vb / (n_b - 1))")
+    return j.select(
+        "n_a",
+        "n_b",
+        "sum_a",
+        "sum_b",
+        "sumsq_a",
+        "sumsq_b",
+        F.round(t * _SCALE).cast("long").alias("t_micro"),
+        F.round(dfw * _SCALE).cast("long").alias("df_micro"),
+    )
+
+
+def chi_square(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """One row: ``(n_cells, n_rows_cat, n_cols_cat, total, chi2_micro)`` —
+    Pearson chi-square for independence of two categoricals.
+
+    Contingency cells, margins, and the total are exact BIGINTs from ONE
+    aggregation over the fact table (margins re-derived from the cell
+    table, which is categories-sized). Unobserved (r, c) pairs contribute
+    their expectation; the closed form ``chi2 = T * (sum o^2/(r*c) - 1)``
+    needs only OBSERVED cells — no dense category cross join.
+
+    Reduction-order independence: the only float reduction is the sum of
+    per-cell ``o^2/(r*c)`` fractions, so each fraction is rounded to
+    NANO-units first (a BIGINT), the sum is exact, and chi2 is derived
+    from that single integer: ``chi2_micro = ROUND(T * (S_nano - 1e9) /
+    1000)``. Bias <= 0.5e-9 per cell, identical on both engines. Bound:
+    ``T * S_nano`` must stay under 2^63 — fine through ~10^9 facts per
+    test; shard larger experiments by stratum.
+    """
+    cells = (
+        df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rm = cells.groupBy("r").agg(F.sum("o").alias("rn"))
+    cm = cells.groupBy("c").agg(F.sum("o").alias("cn"))
+    tot = cells.groupBy().agg(F.sum("o").alias("t"), F.count(F.lit(1)).alias("n_cells"))
+    term = (
+        cells.join(F.broadcast(rm), "r")
+        .join(F.broadcast(cm), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_cells",
+            "t",
+            F.round(
+                F.col("o").cast("double")
+                * F.col("o")
+                / (F.col("rn").cast("double") * F.col("cn"))
+                * F.lit(1_000_000_000)
+            )
+            .cast("long")
+            .alias("frac_nano"),
+        )
+    )
+    return (
+        term.groupBy("n_cells", "t")
+        .agg(F.sum("frac_nano").alias("s_nano"))
+        .crossJoin(F.broadcast(rm.groupBy().agg(F.count(F.lit(1)).alias("n_rows_cat"))))
+        .crossJoin(F.broadcast(cm.groupBy().agg(F.count(F.lit(1)).alias("n_cols_cat"))))
+        .select(
+            "n_cells",
+            "n_rows_cat",
+            "n_cols_cat",
+            F.col("t").alias("total"),
+            F.round(
+                (F.col("t") * (F.col("s_nano") - F.lit(1_000_000_000))) / F.lit(1000.0)
+            )
+            .cast("long")
+            .alias("chi2_micro"),
+        )
+    )
