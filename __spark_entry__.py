@@ -3664,6 +3664,40 @@ def q_chi2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square(ev, "event_type", "bucket")
 
 
+def q_dbscan_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (operators/spatial.py::dbscan) on a planted closed-form
+    layout: three complete 40-point blobs (all pairwise within eps=30 ->
+    every blob point core at min_pts=8, cluster = blob min id), one
+    6-neighbor appendix per blob (6+1 < 8 -> BORDER, adopts the blob
+    cluster), 20 isolated points (noise, -1). Exercises the full
+    core/border/noise trichotomy and the grid join + CC composition;
+    oracle brute-forces neighbors and unrolls 3 min-label rounds
+    (complete blobs converge in 1)."""
+    from pagerank_spark.operators.spatial import dbscan
+
+    k = spark.range(3).withColumnRenamed("id", "k")
+    blob = (
+        k.crossJoin(spark.range(40).withColumnRenamed("id", "i"))
+        .select(
+            (F.col("k") * 100 + F.col("i")).alias("id"),
+            (F.col("k") * 2000 + (F.col("i") % 7) * 3).alias("x"),
+            (F.col("k") * 2000 + F.floor(F.col("i") / 7) * 3).alias("y"),
+        )
+    )
+    app = k.select(
+        (F.col("k") * 100 + 90).alias("id"),
+        (F.col("k") * 2000 + 45).alias("x"),
+        (F.col("k") * 2000).alias("y"),
+    )
+    noise = spark.range(20).select(
+        (F.col("id") + 1000).alias("id"),
+        (F.col("id") * 500 + 10000).alias("x"),
+        F.lit(3).alias("y"),
+    )
+    pts = blob.unionByName(app).unionByName(noise)
+    return dbscan(pts, eps=30, min_pts=8)
+
+
 def q_exactsubstr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr repeated-span removal (operators/trainprep.py): every
     token inside a >=5-word span occurring >=2 times anywhere in the
@@ -3938,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_events": q_ewma_events,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
+        "dbscan_planted": q_dbscan_planted,
         "bm25_docs": q_bm25_docs,
         "exactsubstr_docs": q_exactsubstr_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
@@ -5886,6 +5921,58 @@ FROM wc w LEFT JOIN bc b ON w.doc_id = b.doc_id"""
     # per-bigram surprisal is rounded to integer microunits BEFORE the
     # per-doc sum on BOTH sides, so the scores are exact BIGINTs and
     # reduction-order independent (same discipline as the c4 revenues)
+    # DBSCAN: brute-force eps-neighborhood + 3 unrolled min-label rounds
+    # over core-core edges (complete blobs converge in 1; margin 2)
+    sqls["dbscan_planted"] = """
+WITH blob AS (
+  SELECT k * 100 + i AS id, 2000 * k + (i % 7) * 3 AS x,
+         2000 * k + (i // 7) * 3 AS y
+  FROM range(3) t1(k), range(40) t2(i)),
+app AS (SELECT k * 100 + 90 AS id, 2000 * k + 45 AS x, 2000 * k AS y
+        FROM range(3) t(k)),
+noise AS (SELECT 1000 + j AS id, 10000 + 500 * j AS x, 3 AS y
+          FROM range(20) t(j)),
+pts AS MATERIALIZED (
+  SELECT * FROM blob UNION ALL SELECT * FROM app UNION ALL SELECT * FROM noise),
+sym AS MATERIALIZED (
+  SELECT a.id AS p, b.id AS q FROM pts a JOIN pts b
+  ON a.id <> b.id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 900),
+nc AS MATERIALIZED (
+  SELECT p.id AS p, 1 + COUNT(s.q) AS n_eps
+  FROM pts p LEFT JOIN sym s ON s.p = p.id GROUP BY 1),
+core AS MATERIALIZED (SELECT p FROM nc WHERE n_eps >= 8),
+ce AS MATERIALIZED (
+  SELECT s.p, s.q FROM sym s
+  JOIN core c1 ON c1.p = s.p JOIN core c2 ON c2.p = s.q),
+l0 AS (SELECT p, p AS lbl FROM core),
+l1 AS MATERIALIZED (
+  SELECT l.p, LEAST(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+  FROM l0 l LEFT JOIN (SELECT ce.p, l0.lbl FROM ce JOIN l0 ON l0.p = ce.q) n
+    ON n.p = l.p GROUP BY l.p, l.lbl),
+l2 AS MATERIALIZED (
+  SELECT l.p, LEAST(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+  FROM l1 l LEFT JOIN (SELECT ce.p, l1.lbl FROM ce JOIN l1 ON l1.p = ce.q) n
+    ON n.p = l.p GROUP BY l.p, l.lbl),
+l3 AS MATERIALIZED (
+  SELECT l.p, LEAST(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+  FROM l2 l LEFT JOIN (SELECT ce.p, l2.lbl FROM ce JOIN l2 ON l2.p = ce.q) n
+    ON n.p = l.p GROUP BY l.p, l.lbl),
+core_out AS (SELECT p, lbl AS cluster, 1 AS is_core FROM l3),
+border AS (
+  SELECT s.p, MIN(co.cluster) AS cluster, 0 AS is_core
+  FROM sym s JOIN core_out co ON co.p = s.q
+  WHERE s.p NOT IN (SELECT p FROM core)
+  GROUP BY 1),
+assigned AS (
+  SELECT * FROM core_out UNION ALL SELECT * FROM border)
+SELECT CAST(p AS BIGINT) AS id, CAST(cluster AS BIGINT) AS cluster,
+       CAST(is_core AS INT) AS is_core
+FROM assigned
+UNION ALL
+SELECT CAST(id AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS INT)
+FROM pts WHERE id NOT IN (SELECT p FROM assigned)"""
+
     # Welch t: six exact BIGINT moments; t/df re-derived by the identical
     # division/multiplication/sqrt sequence (no POW — not correctly
     # rounded), micro-rounded once

@@ -106,3 +106,79 @@ def radius_join(
         .select("a", "b", d2.alias("dist2"))
         .filter(F.col("dist2") <= radius * radius)
     )
+
+
+def dbscan(
+    points: DataFrame,
+    eps: int,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996 — public
+    methodology) composed entirely from engine primitives:
+
+    1. eps-neighbor pairs via :func:`radius_join` (3x3 grid probe — ONE
+       equi-shuffle, never a cross product; ``max_cell_size`` passes
+       through as the hot-cell guard),
+    2. neighborhood sizes (the point itself counts, per the paper),
+    3. core points = ``|N_eps| >= min_pts``,
+    4. clusters = connected components over CORE-CORE eps-edges
+       (:func:`~pagerank_spark.algos.components.connected_components` —
+       the engine's min-label fixpoint; cluster id = min core id),
+    5. border points = non-core within eps of >= 1 core, assigned the
+       MINIMUM neighboring core's cluster (the deterministic tiebreak for
+       the paper's "first come" ambiguity),
+    6. everything else = noise, cluster -1.
+
+    Returns ``(id_col, cluster, is_core)`` with exact integer coordinates
+    end-to-end — every stage is oracle-replayable. Scale shape: the grid
+    join bounds candidate pairs; CC shuffles only core-core edges; border
+    assignment is one aggregation over the pair table.
+    """
+    from ..algos.components import connected_components
+
+    pairs = radius_join(
+        points, eps, id_col=id_col, x_col=x_col, y_col=y_col,
+        max_cell_size=max_cell_size,
+    ).localCheckpoint()
+    sym = pairs.selectExpr("a AS p", "b AS q").unionByName(
+        pairs.selectExpr("b AS p", "a AS q")
+    )
+    ncount = sym.groupBy("p").agg((F.count(F.lit(1)) + 1).alias("n_eps"))
+    ids = points.select(F.col(id_col).alias("p"))
+    core = (
+        ids.join(ncount, "p", "left")
+        .fillna(1, ["n_eps"])
+        .filter(F.col("n_eps") >= min_pts)
+        .select("p")
+        .localCheckpoint()
+    )
+    core_edges = (
+        sym.join(core.withColumnRenamed("p", "q"), "q")
+        .join(core, "p")
+        .selectExpr("p AS src", "q AS dst")
+    )
+    cc = connected_components(core_edges, vertices=core.selectExpr("p AS id"))
+    core_out = core.join(
+        cc.selectExpr("id AS p", "component AS cluster"), "p"
+    ).withColumn("is_core", F.lit(1))
+    border = (
+        sym.join(core_out.select("p", "cluster").withColumnRenamed("p", "q"), "q")
+        .join(core, "p", "left_anti")
+        .groupBy("p")
+        .agg(F.min("cluster").alias("cluster"))
+        .withColumn("is_core", F.lit(0))
+    )
+    assigned = core_out.select("p", "cluster", "is_core").unionByName(border)
+    noise = (
+        ids.join(assigned.select("p"), "p", "left_anti")
+        .select("p", F.lit(-1).alias("cluster"), F.lit(0).alias("is_core"))
+    )
+    return (
+        assigned.unionByName(noise)
+        .withColumnRenamed("p", id_col)
+        .select(id_col, "cluster", "is_core")
+    )
