@@ -3698,6 +3698,37 @@ def q_dbscan_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan(pts, eps=30, min_pts=8)
 
 
+def q_auc_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (operators/mleval.py) of the CCNet LM as an English
+    detector: score = -avg_surprisal_micro, label = (lang == 'en').
+    Mann-Whitney distinct-score form over distributed_cumsum — no global
+    sort, doubled-U integers, exact integer division."""
+    from pagerank_spark.operators.lm import lm_score, train_bigram_lm
+    from pagerank_spark.operators.mleval import auc_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uni, bi, v = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    scored = lm_score(docs, uni, bi, v).join(docs.select("doc_id", "lang"), "doc_id")
+    labeled = scored.select(
+        (-F.col("avg_surprisal_micro")).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return auc_exact(labeled, "score", "label")
+
+
+def q_nbayes_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix (operators/mleval.py) of the NB router vs true
+    langs — observed cells with row totals, exact counts (the eval loop
+    every routing model ships with)."""
+    from pagerank_spark.operators.classify import nb_predict, train_naive_bayes
+    from pagerank_spark.operators.mleval import confusion_matrix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc, cs, v, n = train_naive_bayes(docs, class_col="lang")
+    preds = nb_predict(docs, tc, cs, v, n).join(docs.select("doc_id", "lang"), "doc_id")
+    return confusion_matrix(preds, "lang", "pred_cls")
+
+
 def q_exactsubstr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr repeated-span removal (operators/trainprep.py): every
     token inside a >=5-word span occurring >=2 times anywhere in the
@@ -3973,6 +4004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
         "dbscan_planted": q_dbscan_planted,
+        "auc_lm_docs": q_auc_lm_docs,
+        "nbayes_confusion_docs": q_nbayes_confusion_docs,
         "bm25_docs": q_bm25_docs,
         "exactsubstr_docs": q_exactsubstr_docs,
         "bpe_merges_synth": q_bpe_merges_synth,
@@ -6178,6 +6211,41 @@ SELECT d.doc_id,
        CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
             ELSE a.surprisal_micro // a.n_bigrams END AS avg_surprisal_micro
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+    # exact AUC (Mann-Whitney): distinct-score negative-prefix form — the
+    # engine's distributed_cumsum restated as one ordered window over the
+    # (tiny) distinct-score table; ROC of "low surprisal => English"
+    sqls["auc_lm_docs"] = f"""
+WITH lmout AS ({sqls['lm_score_docs']}),
+base AS (
+  SELECT -l.avg_surprisal_micro AS s,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM lmout l JOIN documents d USING (doc_id)),
+g AS (
+  SELECT s, CAST(SUM(y) AS BIGINT) AS np_s, CAST(SUM(1 - y) AS BIGINT) AS nn_s
+  FROM base GROUP BY 1),
+c AS (
+  SELECT s, np_s, nn_s,
+         CAST(SUM(nn_s) OVER (ORDER BY s) AS BIGINT) AS cum
+  FROM g)
+SELECT CAST(SUM(np_s) AS BIGINT) AS n_pos,
+       CAST(SUM(nn_s) AS BIGINT) AS n_neg,
+       CAST(SUM(np_s * (2 * (cum - nn_s) + nn_s)) AS BIGINT) AS two_u,
+       CAST(SUM(np_s * (2 * (cum - nn_s) + nn_s)) * 1000000
+            // (2 * SUM(np_s) * SUM(nn_s)) AS BIGINT) AS auc_micro
+FROM c"""
+
+    # confusion matrix of the NB router vs the true labels — observed
+    # cells only, exact counts + row totals
+    sqls["nbayes_confusion_docs"] = f"""
+WITH nbout AS ({sqls['nbayes_docs']}),
+cells AS (
+  SELECT d.lang AS actual, n.pred_cls AS predicted,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM nbout n JOIN documents d USING (doc_id) GROUP BY 1, 2),
+rt AS (SELECT actual, CAST(SUM(n) AS BIGINT) AS row_total FROM cells GROUP BY 1)
+SELECT c.actual, c.predicted, c.n, r.row_total
+FROM cells c JOIN rt r USING (actual)"""
 
     # idf is micro-rounded per term BEFORE any arithmetic; tf normalization
     # is one exact integral division (Spark decimal `div` == DuckDB HUGEINT

@@ -1,0 +1,98 @@
+"""Model-evaluation primitives — exact ROC-AUC and confusion matrices.
+
+The two metrics every corpus-quality / routing model needs, computed as
+exact integer statistics (no float reaches the output):
+
+* :func:`auc_exact` — ROC-AUC via the Mann–Whitney U identity
+  ``AUC = U / (n_pos * n_neg)`` with the standard average-rank tie
+  handling. Computed WITHOUT a global sort or single-partition window:
+  scores are grouped to distinct values (one map-side-combined aggregate),
+  the negative-count prefix is a
+  :func:`~pagerank_spark.operators.cumsum.distributed_cumsum` over that
+  (distinct-score-sized) table, and
+  ``2U = sum_s n_pos(s) * (2 * negs_below(s) + negs_at(s))`` — doubled so
+  ties stay integral. ``auc_micro = 2U * 10^6 div (2 * n_pos * n_neg)``.
+* :func:`confusion_matrix` — ``(actual, predicted, n)`` cell counts plus
+  per-cell ``row_total`` so recall/precision are one division away;
+  a single group-count over the joined prediction/label tables.
+
+Scale shape: AUC's only per-row work is the score groupBy (the fact table
+is scanned once); everything after runs on the distinct-score table. The
+confusion matrix is one shuffle on (actual, predicted). Public
+methodology: Mann & Whitney 1947; Hanley & McNeil 1982 (AUC = U
+equivalence).
+
+Reference parity: none (single-query reference); ML-evaluation mandate
+breadth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .cumsum import distributed_cumsum
+
+__all__ = ["auc_exact", "confusion_matrix"]
+
+_SCALE = 1_000_000
+
+
+def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """One row: ``(n_pos, n_neg, two_u, auc_micro)``.
+
+    ``score_col`` must be integer-valued (micro-scale floats upstream);
+    ``label_col`` is 0/1 (1 = positive). Higher score should mean "more
+    positive"; ties contribute the standard 1/2.
+    """
+    g = (
+        df.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("y").alias("np_s"),
+            F.sum(F.lit(1) - F.col("y")).alias("nn_s"),
+        )
+    )
+    c = distributed_cumsum(g, ["s"], "nn_s")
+    terms = c.select(
+        "np_s",
+        "nn_s",
+        (F.col("np_s") * (2 * (F.col("cumsum") - F.col("nn_s")) + F.col("nn_s"))).alias(
+            "t2u"
+        ),
+    )
+    return (
+        terms.groupBy()
+        .agg(
+            F.sum("np_s").alias("n_pos"),
+            F.sum("nn_s").alias("n_neg"),
+            F.sum("t2u").alias("two_u"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            "two_u",
+            F.expr(f"two_u * {_SCALE} DIV (2 * n_pos * n_neg)").alias("auc_micro"),
+        )
+    )
+
+
+def confusion_matrix(
+    predictions: DataFrame,
+    actual_col: str,
+    predicted_col: str,
+) -> DataFrame:
+    """``(actual, predicted, n, row_total)`` — observed cells only."""
+    cells = (
+        predictions.select(
+            F.col(actual_col).alias("actual"), F.col(predicted_col).alias("predicted")
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = cells.groupBy("actual").agg(F.sum("n").alias("row_total"))
+    return cells.join(F.broadcast(rows), "actual").select(
+        "actual", "predicted", "n", "row_total"
+    )
