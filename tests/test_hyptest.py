@@ -42,3 +42,13 @@ def test_chi2_independent_and_dependent(spark):
     # closed form: T * (sum o^2/(r*c) - 1) = 30 * (15^2/225 + 15^2/225 - 1) = 30
     assert out.n_cells == 2 and out.total == 30
     assert out.chi2_micro == 30_000_000
+
+
+def test_plans_are_window_free(spark):
+    rows = [("A", v) for v in (1, 2, 3)] + [("B", v) for v in (4, 5, 6)]
+    df = spark.createDataFrame(rows, "variant string, v long")
+    plan = welch_ttest(df, "variant", "v", "A", "B")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # pure aggregation, no global-order operator
+    rows = [("r", "c")] * 4
+    plan = chi_square(spark.createDataFrame(rows, "r string, c string"), "r", "c")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

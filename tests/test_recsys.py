@@ -38,3 +38,10 @@ def test_topk_order_and_cap(spark):
     capped = {(r.item_a, r.item_b): r.n_ab
               for r in item_cooccurrence(df, "b", "i", max_basket_size=2).collect()}
     assert capped == {("A", "B"): 2, ("C", "D"): 1}
+
+
+def test_itemsim_plan_broadcasts_counts(spark):
+    df = spark.createDataFrame(ROWS, "b long, i string")
+    plan = item_cooccurrence(df, "b", "i")._jdf.queryExecution().executedPlan().toString()
+    # item-count joins must be broadcast (items << baskets), never shuffled
+    assert "BroadcastHashJoin" in plan

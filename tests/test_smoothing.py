@@ -43,3 +43,12 @@ def test_ewma_last_seen_and_single_event(spark):
     # one event, h=1: (0 + 8)/2 = 4
     assert (r.user_id, r.n_events, r.ewma_micro) == (9, 1, 4_000_000)
     assert r.last_s == 1_704_153_600  # 2024-01-02T00:00:00Z (session tz is UTC)
+
+
+def test_ewma_plan_single_aggregation_no_window(spark):
+    rows = [(1, datetime(2024, 1, 1), 1, "x", 1.0, "")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    plan = ewma(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # fold lives inside the grouped array
