@@ -3624,6 +3624,18 @@ def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma(ev, "user_id", "value", "ts", "event_id", halvings=1)
 
 
+def q_kaplan_meier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival + Nelson-Aalen hazard (operators/survival.py)
+    over per-user event-span durations (terminal event = 'purchase',
+    otherwise right-censored at last sighting). d/n_risk exact BIGINT;
+    surv/hazard are left-to-right IEEE folds over the duration-ordered
+    curve array — bit-equal across engines, micro-rounded once."""
+    from pagerank_spark.operators.survival import kaplan_meier, subjects_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kaplan_meier(subjects_from_events(ev))
+
+
 def q_itemsim_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-to-item collaborative filtering (operators/recsys.py): basket
     co-occurrence cosine over (order, part) memberships, per-item top-3 by
@@ -4001,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": q_profile_events,
         "itemsim_lineitem": q_itemsim_lineitem,
         "ewma_events": q_ewma_events,
+        "kaplan_meier_events": q_kaplan_meier_events,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
         "dbscan_planted": q_dbscan_planted,
@@ -6073,6 +6086,44 @@ SELECT user_id, n_events,
             AS BIGINT) AS ewma_micro,
        last_s
 FROM seq"""
+
+    # Kaplan-Meier/Nelson-Aalen: exact BIGINT (d, n_risk) per curve point;
+    # surv/hazard restate the engine's left-to-right slice-folds verbatim
+    # (same IEEE op sequence) -> bit-equal, one final micro-rounding
+    sqls["kaplan_meier_events"] = """
+WITH subj AS MATERIALIZED (
+  SELECT user_id,
+         MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+           - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS dur,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS evt
+  FROM events GROUP BY 1),
+per_t AS (
+  SELECT dur AS t, CAST(SUM(evt) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM subj GROUP BY 1),
+one AS (
+  SELECT list(struct_pack(t := t, d := d, c := c) ORDER BY t) AS arr,
+         CAST(SUM(c) AS BIGINT) AS total
+  FROM per_t),
+witharr AS (
+  SELECT list_transform(arr, (x, i) -> struct_pack(
+           t := x.t, d := x.d,
+           n := total - list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [y.c for y in list_slice(arr, 1, i - 1)]),
+                  (a, b) -> a + b))) AS a2
+  FROM one),
+ex AS (
+  SELECT unnest(a2) AS p, generate_subscripts(a2, 1) AS i, a2 FROM witharr)
+SELECT p.t AS t, p.d AS d, p.n AS n_risk,
+       CAST(ROUND(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+              [CAST(1.0 AS DOUBLE) - CAST(y.d AS DOUBLE) / CAST(y.n AS DOUBLE)
+               for y in list_slice(a2, 1, i)]),
+              (a, b) -> a * b) * 1000000) AS BIGINT) AS surv_micro,
+       CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [CAST(y.d AS DOUBLE) / CAST(y.n AS DOUBLE)
+               for y in list_slice(a2, 1, i)]),
+              (a, b) -> a + b) * 1000000) AS BIGINT) AS hazard_micro
+FROM ex WHERE p.d > 0"""
 
     # item-item CF: set-semantics memberships, a<b pair counts, exact
     # integer cosine^2 order key, per-item top-3 window
