@@ -3624,6 +3624,24 @@ def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma(ev, "user_id", "value", "ts", "event_id", halvings=1)
 
 
+def q_skyline_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (operators/skyline.py): lineitems not dominated on
+    (min price-cents, max quantity, max discount). Grid cell pruning is
+    exact, so the oracle is the textbook NOT EXISTS dominance predicate;
+    all-integer criteria make the gate hash-stable."""
+    from pagerank_spark.operators.skyline import skyline
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+    )
+    return skyline(t, [("cents", "min"), ("qty", "max"), ("disc", "max")])
+
+
 def q_kaplan_meier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival + Nelson-Aalen hazard (operators/survival.py)
     over per-user event-span durations (terminal event = 'purchase',
@@ -4014,6 +4032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "itemsim_lineitem": q_itemsim_lineitem,
         "ewma_events": q_ewma_events,
         "kaplan_meier_events": q_kaplan_meier_events,
+        "skyline_lineitem": q_skyline_lineitem,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
         "dbscan_planted": q_dbscan_planted,
@@ -6086,6 +6105,21 @@ SELECT user_id, n_events,
             AS BIGINT) AS ewma_micro,
        last_s
 FROM seq"""
+
+    # skyline: grid pruning is exact, so the oracle is the definitional
+    # NOT EXISTS dominance anti-join over the same integer criteria
+    sqls["skyline_lineitem"] = """
+WITH t AS MATERIALIZED (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc
+  FROM lineitem)
+SELECT * FROM t s
+WHERE NOT EXISTS (
+  SELECT 1 FROM t r
+  WHERE r.cents <= s.cents AND r.qty >= s.qty AND r.disc >= s.disc
+    AND (r.cents < s.cents OR r.qty > s.qty OR r.disc > s.disc))"""
 
     # Kaplan-Meier/Nelson-Aalen: exact BIGINT (d, n_risk) per curve point;
     # surv/hazard restate the engine's left-to-right slice-folds verbatim
