@@ -3624,6 +3624,17 @@ def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma(ev, "user_id", "value", "ts", "event_id", halvings=1)
 
 
+def q_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution divergence (operators/infotheory.py): add-1
+    smoothed unigram entropy/KL/JS between the en and de slices of the
+    documents table. One token shuffle; per-token terms nano-rounded
+    before the exact BIGINT sums (the lm.py/hyptest.py discipline)."""
+    from pagerank_spark.operators.infotheory import token_divergence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_divergence(docs, "lang", "en", "de")
+
+
 def q_skyline_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier (operators/skyline.py): lineitems not dominated on
     (min price-cents, max quantity, max discount). Grid cell pruning is
@@ -4033,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_events": q_ewma_events,
         "kaplan_meier_events": q_kaplan_meier_events,
         "skyline_lineitem": q_skyline_lineitem,
+        "divergence_docs": q_divergence_docs,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
         "dbscan_planted": q_dbscan_planted,
@@ -6105,6 +6117,54 @@ SELECT user_id, n_events,
             AS BIGINT) AS ewma_micro,
        last_s
 FROM seq"""
+
+    # divergence: same smoothed ratios, same LN terms, each nano-rounded
+    # before the exact BIGINT sums (reduction-order independent)
+    sqls["divergence_docs"] = """
+WITH tok AS MATERIALIZED (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                            t -> len(t) > 0)) AS tok
+  FROM documents WHERE lang IN ('en', 'de')),
+vocab AS MATERIALIZED (
+  SELECT tok,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM tok GROUP BY 1),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         CAST(SUM(c_a) AS BIGINT) AS tot_a,
+         CAST(SUM(c_b) AS BIGINT) AS tot_b
+  FROM vocab),
+terms AS (
+  SELECT n_vocab, tot_a, tot_b,
+    CAST(ROUND(-((c_a + 1.0) / (tot_a + 1.0 * n_vocab))
+               * LN((c_a + 1.0) / (tot_a + 1.0 * n_vocab)) * 1e9) AS BIGINT) AS ha,
+    CAST(ROUND(-((c_b + 1.0) / (tot_b + 1.0 * n_vocab))
+               * LN((c_b + 1.0) / (tot_b + 1.0 * n_vocab)) * 1e9) AS BIGINT) AS hb,
+    CAST(ROUND(((c_a + 1.0) / (tot_a + 1.0 * n_vocab))
+               * LN(((c_a + 1.0) / (tot_a + 1.0 * n_vocab))
+                    / ((c_b + 1.0) / (tot_b + 1.0 * n_vocab))) * 1e9) AS BIGINT) AS kab,
+    CAST(ROUND(((c_b + 1.0) / (tot_b + 1.0 * n_vocab))
+               * LN(((c_b + 1.0) / (tot_b + 1.0 * n_vocab))
+                    / ((c_a + 1.0) / (tot_a + 1.0 * n_vocab))) * 1e9) AS BIGINT) AS kba,
+    CAST(ROUND(0.5 * (((c_a + 1.0) / (tot_a + 1.0 * n_vocab))
+                      * LN(((c_a + 1.0) / (tot_a + 1.0 * n_vocab))
+                           / ((((c_a + 1.0) / (tot_a + 1.0 * n_vocab))
+                               + ((c_b + 1.0) / (tot_b + 1.0 * n_vocab))) / 2.0))
+                    + ((c_b + 1.0) / (tot_b + 1.0 * n_vocab))
+                      * LN(((c_b + 1.0) / (tot_b + 1.0 * n_vocab))
+                           / ((((c_a + 1.0) / (tot_a + 1.0 * n_vocab))
+                               + ((c_b + 1.0) / (tot_b + 1.0 * n_vocab))) / 2.0)))
+               * 1e9) AS BIGINT) AS js
+  FROM vocab, tot)
+SELECT n_vocab, tot_a, tot_b,
+       CAST(SUM(ha) AS BIGINT) AS entropy_a_nano,
+       CAST(SUM(hb) AS BIGINT) AS entropy_b_nano,
+       CAST(SUM(kab) AS BIGINT) AS kl_ab_nano,
+       CAST(SUM(kba) AS BIGINT) AS kl_ba_nano,
+       CAST(SUM(js) AS BIGINT) AS js_nano
+FROM terms GROUP BY 1, 2, 3"""
 
     # skyline: grid pruning is exact, so the oracle is the definitional
     # NOT EXISTS dominance anti-join over the same integer criteria

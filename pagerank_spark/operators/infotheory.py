@@ -1,0 +1,99 @@
+"""Token-distribution divergence between corpus slices — entropy, KL, JS.
+
+The data-mixture diagnostics an LLM-training pipeline runs before blending
+sources (Kullback & Leibler 1951; Lin 1991 for Jensen-Shannon — public
+methodology): given two corpus slices A and B, estimate their unigram
+distributions P and Q over the union vocabulary with add-k smoothing
+(``p = (c + k) / (T + k*V)`` — smoothing keeps every KL term finite) and
+report Shannon entropies H(P), H(Q), both directed divergences
+KL(P||Q) / KL(Q||P), and the symmetric bounded JS divergence.
+
+Distributed shape (100-TB lens): tokens are exploded ONCE over the two
+slices and reduced by a single map-side-combined ``groupBy(tok)`` into a
+vocabulary-sized table with both slice counts as conditional aggregates —
+the corpus is scanned once and shuffled once, by token. Totals and the
+vocabulary size ride back into the plan as a one-row cross join (no
+driver round-trip), and every per-token term is a codegen'd expression.
+Output is ONE row.
+
+Hash-stability (repo discipline, operators/lm.py:24 / hyptest.py): each
+per-token float term is rounded to integer NANO units BEFORE the final
+sum, so the BIGINT sums are reduction-order independent; the smoothed
+probabilities are exact-integer ratios evaluated with one correctly-
+rounded IEEE divide, and ``LN`` is the only transcendental (same exposure
+as the LM/NB/BM25 gates, guarded by the strict sweep).
+
+Reference parity: none (single-query reference); LLM-ops mandate breadth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["token_divergence"]
+
+_NANO = 1_000_000_000
+
+
+def _nano(col):
+    return F.round(col * _NANO).cast("long")
+
+
+def token_divergence(
+    docs: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    text_col: str = "text",
+    add_k: int = 1,
+) -> DataFrame:
+    """One row: exact counts + nano-unit entropy/KL/JS between two slices.
+
+    Columns: ``n_vocab, tot_a, tot_b`` (exact BIGINT over the union
+    vocabulary / slice token totals) and ``entropy_a_nano, entropy_b_nano,
+    kl_ab_nano, kl_ba_nano, js_nano`` (BIGINT sums of per-token
+    nano-rounded terms; natural log).
+    """
+    from pagerank_spark.operators.classify import _tokens
+
+    toks = _tokens(
+        docs.filter(F.col(group_col).isin([group_a, group_b])),
+        [group_col],
+        text_col,
+    )
+    # the vocab table feeds BOTH the totals aggregate and the terms
+    # projection — materialize it once (plan barrier, similarity.py:196
+    # precedent) so the corpus is tokenized/shuffled exactly once
+    vocab = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0)).alias("c_b"),
+    ).localCheckpoint()
+    totals = vocab.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("c_a").alias("tot_a"),
+        F.sum("c_b").alias("tot_b"),
+    )
+    k = F.lit(float(add_k))
+    p = (F.col("c_a") + k) / (F.col("tot_a") + k * F.col("n_vocab"))
+    q = (F.col("c_b") + k) / (F.col("tot_b") + k * F.col("n_vocab"))
+    terms = vocab.crossJoin(F.broadcast(totals)).select(
+        "n_vocab",
+        "tot_a",
+        "tot_b",
+        _nano(-p * F.log(p)).alias("ha"),
+        _nano(-q * F.log(q)).alias("hb"),
+        _nano(p * F.log(p / q)).alias("kab"),
+        _nano(q * F.log(q / p)).alias("kba"),
+        _nano(
+            F.lit(0.5)
+            * (p * F.log(p / ((p + q) / F.lit(2.0)))
+               + q * F.log(q / ((p + q) / F.lit(2.0))))
+        ).alias("js"),
+    )
+    return terms.groupBy("n_vocab", "tot_a", "tot_b").agg(
+        F.sum("ha").alias("entropy_a_nano"),
+        F.sum("hb").alias("entropy_b_nano"),
+        F.sum("kab").alias("kl_ab_nano"),
+        F.sum("kba").alias("kl_ba_nano"),
+        F.sum("js").alias("js_nano"),
+    )

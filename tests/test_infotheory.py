@@ -1,0 +1,61 @@
+"""Token divergence: pure-Python replay + identity/symmetry properties."""
+
+import math
+
+from pagerank_spark.operators.infotheory import token_divergence
+
+
+def _replay(docs_a, docs_b, k=1):
+    def counts(docs):
+        c = {}
+        for d in docs:
+            for t in d.lower().split():
+                c[t] = c.get(t, 0) + 1
+        return c
+
+    ca, cb = counts(docs_a), counts(docs_b)
+    vocab = sorted(set(ca) | set(cb))
+    ta, tb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    ha = hb = kab = kba = js = 0
+    for t in vocab:
+        p = (ca.get(t, 0) + float(k)) / (ta + float(k) * v)
+        q = (cb.get(t, 0) + float(k)) / (tb + float(k) * v)
+        m = (p + q) / 2.0
+        ha += round(-p * math.log(p) * 1e9)
+        hb += round(-q * math.log(q) * 1e9)
+        kab += round(p * math.log(p / q) * 1e9)
+        kba += round(q * math.log(q / p) * 1e9)
+        js += round(0.5 * (p * math.log(p / m) + q * math.log(q / m)) * 1e9)
+    return (v, ta, tb, ha, hb, kab, kba, js)
+
+
+DOCS_A = ["the cat sat", "the dog ran", "cat and dog"]
+DOCS_B = ["der Hund lief", "die Katze sass", "the dog"]
+
+
+def _run(spark, docs_a, docs_b):
+    rows = [("a", t) for t in docs_a] + [("b", t) for t in docs_b]
+    df = spark.createDataFrame(rows, "grp string, text string")
+    r = token_divergence(df, "grp", "a", "b").collect()[0]
+    return (
+        r.n_vocab, r.tot_a, r.tot_b,
+        r.entropy_a_nano, r.entropy_b_nano,
+        r.kl_ab_nano, r.kl_ba_nano, r.js_nano,
+    )
+
+
+def test_matches_python_replay(spark):
+    assert _run(spark, DOCS_A, DOCS_B) == _replay(DOCS_A, DOCS_B)
+
+
+def test_identical_slices_zero_divergence(spark):
+    got = _run(spark, DOCS_A, DOCS_A)
+    v, ta, tb, ha, hb, kab, kba, js = got
+    assert ta == tb and ha == hb
+    assert kab == 0 and kba == 0 and js == 0
+
+
+def test_js_bounded_by_ln2(spark):
+    # JS divergence <= ln 2 always (Lin 1991)
+    js = _run(spark, ["aaa aaa aaa"], ["zzz zzz zzz"])[-1]
+    assert 0 < js <= round(math.log(2) * 1e9)
