@@ -3770,6 +3770,19 @@ def q_nbayes_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confusion_matrix(preds, "lang", "pred_cls")
 
 
+def q_kappa_nbayes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/mleval.py) of the NB lang router vs true
+    labels — chance-corrected agreement. n/diag/chance exact BIGINT;
+    kappa_micro derived with one correctly-rounded double division."""
+    from pagerank_spark.operators.classify import nb_predict, train_naive_bayes
+    from pagerank_spark.operators.mleval import cohen_kappa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc, cs, v, n = train_naive_bayes(docs, class_col="lang")
+    preds = nb_predict(docs, tc, cs, v, n).join(docs.select("doc_id", "lang"), "doc_id")
+    return cohen_kappa(preds, "lang", "pred_cls")
+
+
 def q_exactsubstr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr repeated-span removal (operators/trainprep.py): every
     token inside a >=5-word span occurring >=2 times anywhere in the
@@ -4045,6 +4058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_events": q_kaplan_meier_events,
         "skyline_lineitem": q_skyline_lineitem,
         "divergence_docs": q_divergence_docs,
+        "kappa_nbayes_docs": q_kappa_nbayes_docs,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
         "dbscan_planted": q_dbscan_planted,
@@ -6391,6 +6405,27 @@ cells AS (
 rt AS (SELECT actual, CAST(SUM(n) AS BIGINT) AS row_total FROM cells GROUP BY 1)
 SELECT c.actual, c.predicted, c.n, r.row_total
 FROM cells c JOIN rt r USING (actual)"""
+
+    # kappa: exact BIGINT (n, diag, chance) from the same prediction CTE;
+    # one double division at the end (kappa can be negative — never an
+    # integer div, the Spark-truncate/DuckDB-floor sign mismatch)
+    sqls["kappa_nbayes_docs"] = f"""
+WITH nbout AS ({sqls['nbayes_docs']}),
+cells AS (
+  SELECT d.lang AS a, n.pred_cls AS p, CAST(COUNT(*) AS BIGINT) AS n
+  FROM nbout n JOIN documents d USING (doc_id) GROUP BY 1, 2),
+rt AS (SELECT a, CAST(SUM(n) AS BIGINT) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT p, CAST(SUM(n) AS BIGINT) AS ct FROM cells GROUP BY 1),
+s AS (SELECT CAST(COALESCE(SUM(r.rt * c.ct), 0) AS BIGINT) AS chance
+      FROM rt r JOIN ct c ON r.a = c.p),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN a = p THEN n ELSE 0 END) AS BIGINT) AS diag
+      FROM cells)
+SELECT total, diag, chance,
+       CAST(ROUND(CAST(diag * total - chance AS DOUBLE)
+                  / CAST(total * total - chance AS DOUBLE) * 1000000)
+            AS BIGINT) AS kappa_micro
+FROM t, s"""
 
     # idf is micro-rounded per term BEFORE any arithmetic; tf normalization
     # is one exact integral division (Spark decimal `div` == DuckDB HUGEINT

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .cumsum import distributed_cumsum
 
-__all__ = ["auc_exact", "confusion_matrix"]
+__all__ = ["auc_exact", "confusion_matrix", "cohen_kappa"]
 
 _SCALE = 1_000_000
 
@@ -95,4 +95,55 @@ def confusion_matrix(
     rows = cells.groupBy("actual").agg(F.sum("n").alias("row_total"))
     return cells.join(F.broadcast(rows), "actual").select(
         "actual", "predicted", "n", "row_total"
+    )
+
+
+def cohen_kappa(
+    predictions: DataFrame,
+    actual_col: str,
+    predicted_col: str,
+) -> DataFrame:
+    """One row: ``(total, diag, chance, kappa_micro)`` — inter-rater
+    agreement (Cohen 1960, public methodology).
+
+    With ``D`` = agreeing pairs, ``n`` = total, and ``S = sum_c row_c *
+    col_c`` the chance-agreement numerator,
+    ``kappa = (D/n - S/n^2) / (1 - S/n^2) = (D*n - S) / (n*n - S)`` —
+    the output keeps ``n``/``D``/``S`` as exact BIGINTs and derives
+    ``kappa_micro`` with ONE correctly-rounded double division, so the
+    result is hash-stable (and negative kappa never hits the Spark-vs-
+    DuckDB integer-division sign mismatch).
+
+    Scale shape: one shuffle to the class-pair cells; rows/cols/S are
+    class-count-sized aggregates of that tiny table.
+    """
+    cells = (
+        predictions.select(
+            F.col(actual_col).alias("a"), F.col(predicted_col).alias("p")
+        )
+        .groupBy("a", "p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # cells feed 4 aggregates below — one shuffle total
+    )
+    rows = cells.groupBy("a").agg(F.sum("n").alias("rt"))
+    cols = cells.groupBy("p").agg(F.sum("n").alias("ct"))
+    s = (
+        rows.join(cols, rows["a"] == cols["p"], "inner")
+        .agg(F.coalesce(F.sum(F.col("rt") * F.col("ct")), F.lit(0)).alias("chance"))
+    )
+    tot = cells.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.when(F.col("a") == F.col("p"), F.col("n")).otherwise(0)).alias("diag"),
+    )
+    return tot.crossJoin(s).select(
+        "total",
+        "diag",
+        "chance",
+        F.round(
+            (F.col("diag") * F.col("total") - F.col("chance")).cast("double")
+            / (F.col("total") * F.col("total") - F.col("chance")).cast("double")
+            * _SCALE
+        )
+        .cast("long")
+        .alias("kappa_micro"),
     )

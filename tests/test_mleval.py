@@ -45,3 +45,32 @@ def test_confusion_matrix_counts(spark):
         ("b", "b"): (5, 7),
         ("b", "c"): (2, 7),
     }
+
+
+def test_cohen_kappa_replay(spark):
+    from pagerank_spark.operators.mleval import cohen_kappa
+
+    # hand-planted 2-class confusion: a/a x20, a/b x5, b/a x10, b/b x15
+    rows = (
+        [("a", "a")] * 20 + [("a", "b")] * 5 + [("b", "a")] * 10 + [("b", "b")] * 15
+    )
+    df = spark.createDataFrame(rows, "actual string, pred string")
+    r = cohen_kappa(df, "actual", "pred").collect()[0]
+    n, d = 50, 35
+    s = 25 * 30 + 25 * 20  # row_a*col_a + row_b*col_b
+    assert (r.total, r.diag, r.chance) == (n, d, s)
+    assert r.kappa_micro == round((d * n - s) / (n * n - s) * 1e6)
+
+
+def test_cohen_kappa_perfect_and_negative(spark):
+    from pagerank_spark.operators.mleval import cohen_kappa
+
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 3 + [("y", "y")] * 3, "actual string, pred string"
+    )
+    assert cohen_kappa(perfect, "actual", "pred").collect()[0].kappa_micro == 1_000_000
+    # systematic disagreement -> kappa == -1
+    anti = spark.createDataFrame(
+        [("x", "y")] * 3 + [("y", "x")] * 3, "actual string, pred string"
+    )
+    assert cohen_kappa(anti, "actual", "pred").collect()[0].kappa_micro == -1_000_000
