@@ -3770,6 +3770,33 @@ def q_nbayes_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confusion_matrix(preds, "lang", "pred_cls")
 
 
+def q_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram (operators/compaction.py) of order
+    totals in cents, 16 bins — the bin mapping is pure integer
+    arithmetic ((v-lo)*bins div (hi-lo+1)), no float boundary to drift."""
+    from pagerank_spark.operators.compaction import value_histogram
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    return value_histogram(t, "cents", bins=16)
+
+
+def q_compaction_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (operators/compaction.py): orders stand
+    in for the file-stats table (partition = o_orderpriority, file id =
+    o_orderkey, size = price cents); greedy prefix-sum fill into 10M-cent
+    groups — exact BIGINT window cumsum, integer div group ids."""
+    from pagerank_spark.operators.compaction import compaction_plan
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    stats = o.select(
+        F.col("o_orderpriority").alias("part_key"),
+        F.col("o_orderkey").alias("file_id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("size_bytes"),
+    )
+    return compaction_plan(stats, 10_000_000, ["part_key"])
+
+
 def q_kappa_nbayes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa (operators/mleval.py) of the NB lang router vs true
     labels — chance-corrected agreement. n/diag/chance exact BIGINT;
@@ -4059,6 +4086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_lineitem": q_skyline_lineitem,
         "divergence_docs": q_divergence_docs,
         "kappa_nbayes_docs": q_kappa_nbayes_docs,
+        "histogram_orders": q_histogram_orders,
+        "compaction_orders": q_compaction_orders,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
         "dbscan_planted": q_dbscan_planted,
@@ -6405,6 +6434,27 @@ cells AS (
 rt AS (SELECT actual, CAST(SUM(n) AS BIGINT) AS row_total FROM cells GROUP BY 1)
 SELECT c.actual, c.predicted, c.n, r.row_total
 FROM cells c JOIN rt r USING (actual)"""
+
+    # histogram: same all-integer bin mapping (// floors == div truncates
+    # on non-negatives)
+    sqls["histogram_orders"] = """
+WITH t AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM t)
+SELECT ((v - lo) * 16) // (hi - lo + 1) AS bin, lo, hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t, b GROUP BY 1, 2, 3"""
+
+    # compaction plan: exact BIGINT per-partition prefix sums, integer div
+    sqls["compaction_orders"] = """
+WITH stats AS (
+  SELECT o_orderpriority AS part_key, o_orderkey AS file_id,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS size_bytes
+  FROM orders)
+SELECT part_key, file_id, size_bytes,
+       CAST((CAST(SUM(size_bytes) OVER (PARTITION BY part_key ORDER BY file_id) AS BIGINT)
+             - size_bytes) // 10000000 AS BIGINT) AS out_group
+FROM stats"""
 
     # kappa: exact BIGINT (n, diag, chance) from the same prediction CTE;
     # one double division at the end (kappa can be negative — never an
