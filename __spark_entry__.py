@@ -3770,6 +3770,18 @@ def q_nbayes_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confusion_matrix(preds, "lang", "pred_cls")
 
 
+def q_densest_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest subgraph 2(1+eps)-approximation (algos/densest.py) on the
+    planted K20+ring+spokes graph — Bahmani parallel peeling, all-integer
+    removal rule, exact in-plan rational argmax across rounds. With
+    eps=1/2 the peel isolates the clique in round 1 (density 9.5) and
+    empties in round 2; rounds=4 leaves two no-op rounds of margin."""
+    from pagerank_spark.algos.densest import densest_subgraph
+    from pagerank_spark.sources.graphs import densest_synth_graph
+
+    return densest_subgraph(densest_synth_graph(spark), rounds=4)
+
+
 def q_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact equi-width histogram (operators/compaction.py) of order
     totals in cents, 16 bins — the bin mapping is pure integer
@@ -4087,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "divergence_docs": q_divergence_docs,
         "kappa_nbayes_docs": q_kappa_nbayes_docs,
         "histogram_orders": q_histogram_orders,
+        "densest_synth": q_densest_synth,
         "compaction_orders": q_compaction_orders,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
@@ -6434,6 +6447,42 @@ cells AS (
 rt AS (SELECT actual, CAST(SUM(n) AS BIGINT) AS row_total FROM cells GROUP BY 1)
 SELECT c.actual, c.predicted, c.n, r.row_total
 FROM cells c JOIN rt r USING (actual)"""
+
+    # densest subgraph: the peel unrolled round by round (extra rounds on
+    # the empty graph are no-ops); all comparisons exact BIGINT products
+    from pagerank_spark.sources.graphs import densest_synth_sql_cte
+
+    _dense_rounds = 4
+    _dense_parts = [densest_synth_sql_cte(),
+                    "sym0 AS MATERIALIZED (SELECT src, dst FROM e"
+                    " UNION ALL SELECT dst AS src, src AS dst FROM e)"]
+    for _r in range(_dense_rounds):
+        _dense_parts.append(
+            f"d{_r} AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg"
+            f" FROM sym{_r} GROUP BY 1)")
+        _dense_parts.append(
+            f"s{_r} AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,"
+            f" CAST(COALESCE(SUM(deg), 0) // 2 AS BIGINT) AS e FROM d{_r})")
+        _dense_parts.append(
+            f"a{_r} AS (SELECT src FROM d{_r}, s{_r} WHERE 2 * deg * v > 6 * e)")
+        if _r + 1 < _dense_rounds:
+            _dense_parts.append(
+                f"sym{_r + 1} AS MATERIALIZED (SELECT t.src, t.dst FROM sym{_r} t"
+                f" WHERE t.src IN (SELECT src FROM a{_r})"
+                f" AND t.dst IN (SELECT src FROM a{_r}))")
+    _dense_snaps = " UNION ALL ".join(
+        f"SELECT {_r} AS round, src AS id, deg, v, e FROM d{_r}, s{_r}"
+        for _r in range(_dense_rounds))
+    sqls["densest_synth"] = f"""
+WITH {', '.join(_dense_parts)},
+snaps AS MATERIALIZED ({_dense_snaps}),
+stats AS (SELECT DISTINCT round, v, e FROM snaps WHERE v > 0),
+best AS (SELECT round FROM stats s WHERE NOT EXISTS (
+  SELECT 1 FROM stats t
+  WHERE t.e * s.v > s.e * t.v OR (t.e * s.v = s.e * t.v AND t.round < s.round)))
+SELECT id, v AS n_vertices, e AS n_edges,
+       CAST((e * 1000000) // v AS BIGINT) AS density_micro
+FROM snaps JOIN best USING (round)"""
 
     # histogram: same all-integer bin mapping (// floors == div truncates
     # on non-negatives)

@@ -281,3 +281,53 @@ def triad_synth_sql_cte() -> str:
         f"ks AS (SELECT CAST(range AS BIGINT) AS k FROM range({max(k1 for _, k1, _ in TRIAD_SPEC)})),\n"
         f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({union}) WHERE src <> dst)"
     )
+
+
+DENSEST_K = 20  # planted clique size
+DENSEST_RING = 200  # sparse periphery ring length
+
+
+def densest_synth_graph(spark: SparkSession) -> DataFrame:
+    """Planted densest-subgraph instance with a closed-form optimum: a
+    complete K_20 (ids 0..19, density 9.5), a 200-vertex ring (ids
+    20..219, density ~1), and 20 spokes (ring vertex 20+10t -> clique
+    vertex t) tying the periphery to the core so the graph is connected.
+    The densest subgraph is exactly the clique; with eps = 1/2 the peel
+    isolates it in round 1 and empties in round 2. Columnar generation
+    (range cross joins), no driver loops; edges canonical src < dst."""
+    k, rng = DENSEST_K, DENSEST_RING
+    i = spark.range(k).select(F.col("id").alias("i"))
+    j = spark.range(k).select(F.col("id").alias("j"))
+    clique = (
+        i.crossJoin(j)
+        .filter(F.col("i") < F.col("j"))
+        .select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    )
+    ring = spark.range(rng).select(
+        (F.col("id") + k).alias("src"),
+        (((F.col("id") + 1) % rng) + k).alias("dst"),
+    )
+    spokes = spark.range(k).select(
+        F.col("id").alias("dst"), (F.col("id") * 10 + k).alias("src")
+    ).select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+    # ring edges wrap (219 -> 20): canonicalize to src < dst
+    ring = ring.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    )
+    return clique.unionByName(ring).unionByName(spokes)
+
+
+def densest_synth_sql_cte() -> str:
+    """The identical edge table as a DuckDB CTE fragment (defines ``e``)."""
+    k, rng = DENSEST_K, DENSEST_RING
+    return (
+        f"ki AS (SELECT CAST(range AS BIGINT) AS i FROM range({k})),\n"
+        f"ri AS (SELECT CAST(range AS BIGINT) AS r FROM range({rng})),\n"
+        "e AS MATERIALIZED (\n"
+        "  SELECT a.i AS src, b.i AS dst FROM ki a JOIN ki b ON a.i < b.i\n"
+        "  UNION ALL\n"
+        f"  SELECT LEAST(r + {k}, ((r + 1) % {rng}) + {k}),\n"
+        f"         GREATEST(r + {k}, ((r + 1) % {rng}) + {k}) FROM ri\n"
+        "  UNION ALL\n"
+        f"  SELECT i, i * 10 + {k} FROM ki)"
+    )
