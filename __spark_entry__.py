@@ -3770,6 +3770,29 @@ def q_nbayes_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confusion_matrix(preds, "lang", "pred_cls")
 
 
+def q_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint audit (operators/constraints.py): all
+    row-level checks in ONE conditional-aggregation scan, uniqueness as a
+    keyed groupBy, referential integrity as an anti-join against customer.
+    Exact BIGINT violation counts (in_set/range planted to be nonzero)."""
+    from pagerank_spark.operators.constraints import audit
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return audit(
+        o,
+        [
+            ("not_null", "o_custkey"),
+            ("range", "cents", 0, 20_000_000),
+            ("in_set", "o_orderstatus", ["F", "O"]),
+            ("unique", ["o_orderkey"]),
+            ("fk", "o_custkey", cust, "c_custkey"),
+        ],
+    )
+
+
 def q_densest_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Densest subgraph 2(1+eps)-approximation (algos/densest.py) on the
     planted K20+ring+spokes graph — Bahmani parallel peeling, all-integer
@@ -4100,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa_nbayes_docs": q_kappa_nbayes_docs,
         "histogram_orders": q_histogram_orders,
         "densest_synth": q_densest_synth,
+        "audit_orders": q_audit_orders,
         "compaction_orders": q_compaction_orders,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
@@ -6447,6 +6471,36 @@ cells AS (
 rt AS (SELECT actual, CAST(SUM(n) AS BIGINT) AS row_total FROM cells GROUP BY 1)
 SELECT c.actual, c.predicted, c.n, r.row_total
 FROM cells c JOIN rt r USING (actual)"""
+
+    # constraint audit: the same five checks as plain count unions
+    sqls["audit_orders"] = """
+WITH o AS MATERIALIZED (
+  SELECT *, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM o)
+SELECT 'not_null(o_custkey)' AS check, n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM o WHERE o_custkey IS NULL) AS n_violations
+FROM t
+UNION ALL
+SELECT 'range(cents,0,20000000)', n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM o
+        WHERE cents IS NOT NULL AND (cents < 0 OR cents > 20000000))
+FROM t
+UNION ALL
+SELECT 'in_set(o_orderstatus)', n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM o
+        WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O'))
+FROM t
+UNION ALL
+SELECT 'unique(o_orderkey)', n_rows,
+       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT)
+        FROM (SELECT COUNT(*) AS c FROM o GROUP BY o_orderkey HAVING COUNT(*) > 1))
+FROM t
+UNION ALL
+SELECT 'fk(o_custkey->c_custkey)', n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM o
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+FROM t"""
 
     # densest subgraph: the peel unrolled round by round (extra rounds on
     # the empty graph are no-ops); all comparisons exact BIGINT products
