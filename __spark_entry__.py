@@ -3770,6 +3770,17 @@ def q_nbayes_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confusion_matrix(preds, "lang", "pred_cls")
 
 
+def q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM drift statistic (operators/smoothing.py)
+    over (ts, event_id)-ordered values, k=0.75: closed-form
+    prefix-minus-running-min — exact-selection min/max keeps both engines
+    bit-equal, one final micro-rounding."""
+    from pagerank_spark.operators.smoothing import cusum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cusum(ev, "user_id", "value", "ts", "event_id", k=0.75)
+
+
 def q_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint audit (operators/constraints.py): all
     row-level checks in ONE conditional-aggregation scan, uniqueness as a
@@ -4124,6 +4135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_orders": q_histogram_orders,
         "densest_synth": q_densest_synth,
         "audit_orders": q_audit_orders,
+        "cusum_events": q_cusum_events,
         "compaction_orders": q_compaction_orders,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
@@ -6471,6 +6483,32 @@ cells AS (
 rt AS (SELECT actual, CAST(SUM(n) AS BIGINT) AS row_total FROM cells GROUP BY 1)
 SELECT c.actual, c.predicted, c.n, r.row_total
 FROM cells c JOIN rt r USING (actual)"""
+
+    # CUSUM: same ordered list, same per-i slice-folds; min/max are exact
+    # selections so the running minimum is order-independent
+    sqls["cusum_events"] = """
+WITH seq AS MATERIALIZED (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE)
+              ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS vs,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+pre AS (
+  SELECT user_id, n_events,
+         list_transform(vs, (x, i) ->
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             [y - CAST(0.75 AS DOUBLE) for y in list_slice(vs, 1, i)]),
+             (a, b) -> a + b)) AS P
+  FROM seq),
+st AS (
+  SELECT user_id, n_events,
+         list_transform(P, (p, i) ->
+           p - least(CAST(0.0 AS DOUBLE), list_min(list_slice(P, 1, i)))) AS S
+  FROM pre)
+SELECT user_id, n_events,
+       CAST(ROUND(S[len(S)] * 1000000) AS BIGINT) AS cusum_micro,
+       CAST(ROUND(list_max(S) * 1000000) AS BIGINT) AS cusum_max_micro
+FROM st"""
 
     # constraint audit: the same five checks as plain count unions
     sqls["audit_orders"] = """

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["ewma"]
+__all__ = ["ewma", "cusum"]
 
 _SCALE = 1_000_000
 
@@ -80,4 +80,66 @@ def ewma(
         "n_events",
         F.round(fold * _SCALE).cast("long").alias("ewma_micro"),
         "last_s",
+    )
+
+
+def cusum(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    k: float = 0.75,
+) -> DataFrame:
+    """One-sided upper CUSUM (Page 1954, public methodology) per key:
+    ``s_i = max(0, s_{i-1} + x_i - k)`` over the (ts, tiebreak)-ordered
+    values. Returns ``(key_col, n_events, cusum_micro, cusum_max_micro)``
+    — the final statistic and its running maximum (the drift detector),
+    each micro-rounded ONCE.
+
+    Determinism: computed via the closed form
+    ``s_i = P_i - min(0, min_{j<=i} P_j)`` with ``P`` the prefix sums of
+    ``x - k``. Every ``P_i`` is an independent left-to-right slice-fold
+    (identical IEEE sequence both engines), and min/max of doubles are
+    EXACT selections (no rounding), so the running minimum and the final
+    max are order-independent — no struct accumulator is needed (DuckDB's
+    struct-field lambdas evaluate fields sequentially against a mutated
+    accumulator, so a (s, max) pair fold is NOT cross-engine safe).
+
+    Cost: O(n_k^2) slice additions per key — the batch form for
+    bounded per-key histories (same contract as :func:`ewma`); unbounded
+    keys belong to the streaming variant.
+    """
+    rows = events.select(
+        F.col(key_col).alias("k"),
+        F.struct(
+            F.unix_timestamp(F.col(ts_col)).cast("long").alias("s"),
+            F.col(tiebreak_col).cast("long").alias("tb"),
+            F.col(value_col).cast("double").alias("v"),
+        ).alias("o"),
+    )
+    per_key = rows.groupBy("k").agg(
+        F.sort_array(F.collect_list("o")).alias("arr"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    kf = float(k)
+    prefixes = F.expr(
+        f"transform(arr, (x, i) -> aggregate(slice(arr, 1, i + 1),"
+        f" CAST(0.0 AS DOUBLE), (a, y) -> a + (y.v - CAST({kf!r} AS DOUBLE))))"
+    )
+    # NB: lambda vars resolve case-insensitively against columns — the
+    # accumulator column is "pfx" so the lambda var can't shadow it
+    stats = F.expr(
+        "transform(pfx, (e, i) -> e - least(CAST(0.0 AS DOUBLE),"
+        " array_min(slice(pfx, 1, i + 1))))"
+    )
+    return (
+        per_key.select("k", "n_events", prefixes.alias("pfx"))
+        .select("k", "n_events", stats.alias("st"))
+        .select(
+            F.col("k").alias(key_col),
+            "n_events",
+            F.round(F.element_at("st", -1) * _SCALE).cast("long").alias("cusum_micro"),
+            F.round(F.array_max("st") * _SCALE).cast("long").alias("cusum_max_micro"),
+        )
     )

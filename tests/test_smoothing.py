@@ -1,8 +1,8 @@
-"""Dyadic EWMA: exact Python fold replay, ordering, alpha variants."""
+"""Dyadic EWMA + CUSUM: exact Python fold replay, ordering, alpha variants."""
 
 from datetime import datetime
 
-from pagerank_spark.operators.smoothing import ewma
+from pagerank_spark.operators.smoothing import cusum, ewma
 
 
 def _replay(values, halvings):
@@ -43,6 +43,49 @@ def test_ewma_last_seen_and_single_event(spark):
     # one event, h=1: (0 + 8)/2 = 4
     assert (r.user_id, r.n_events, r.ewma_micro) == (9, 1, 4_000_000)
     assert r.last_s == 1_704_153_600  # 2024-01-02T00:00:00Z (session tz is UTC)
+
+
+def _cusum_replay(values, k):
+    # the textbook recurrence, which the closed form must reproduce exactly
+    s, smax = 0.0, 0.0
+    for v in values:
+        s = max(0.0, s + v - k)
+        smax = max(smax, s)
+    return round(s * 1_000_000), round(smax * 1_000_000)
+
+
+def test_cusum_matches_recurrence_replay(spark):
+    rows = [
+        # user 1: drift up then recover — exercises the max(0, .) clamp
+        (1, datetime(2024, 1, 1, 0, 0, 10), 1, "view", 2.0, ""),
+        (2, datetime(2024, 1, 1, 0, 0, 20), 1, "view", 3.0, ""),
+        (3, datetime(2024, 1, 1, 0, 0, 30), 1, "view", -5.0, ""),
+        (4, datetime(2024, 1, 1, 0, 0, 40), 1, "view", 1.0, ""),
+        # user 2: equal timestamps -> event_id tiebreak
+        (6, datetime(2024, 1, 1, 0, 1, 0), 2, "view", 0.5, ""),
+        (5, datetime(2024, 1, 1, 0, 1, 0), 2, "view", 4.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        r.user_id: (r.n_events, r.cusum_micro, r.cusum_max_micro)
+        for r in cusum(ev, k=0.75).collect()
+    }
+    assert got[1] == (4, *_cusum_replay([2.0, 3.0, -5.0, 1.0], 0.75))
+    assert got[2] == (2, *_cusum_replay([4.0, 0.5], 0.75))
+    # clamp actually engaged for user 1: running stat hit 0 mid-stream
+    assert got[1][1] == 250_000  # final: max(0, ...)=0 after -5, then 1-0.75
+    assert got[1][2] == 3_500_000  # peak: 1.25 + 2.25
+
+
+def test_cusum_plan_no_window(spark):
+    rows = [(1, datetime(2024, 1, 1), 1, "x", 1.0, "")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    plan = cusum(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
 
 
 def test_ewma_plan_single_aggregation_no_window(spark):
