@@ -3781,6 +3781,25 @@ def q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum(ev, "user_id", "value", "ts", "event_id", k=0.75)
 
 
+def q_stump_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram decision-stump split scan (operators/trees.py): label =
+    purchase events, features hour(ts) / month(ts) / floor(value/32); one
+    map-side-combined histogram aggregation, every bin boundary scored by
+    micro-rounded Gini children purity (each term rounded before the sum)."""
+    from pagerank_spark.operators.trees import stump_candidates
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stump_candidates(
+        ev,
+        "event_type = 'purchase'",
+        {
+            "hour": "hour(ts)",
+            "month": "month(ts)",
+            "vbin": "CAST(FLOOR(value / 32.0) AS BIGINT)",
+        },
+    )
+
+
 def q_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint audit (operators/constraints.py): all
     row-level checks in ONE conditional-aggregation scan, uniqueness as a
@@ -4136,6 +4155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_synth": q_densest_synth,
         "audit_orders": q_audit_orders,
         "cusum_events": q_cusum_events,
+        "stump_events": q_stump_events,
         "compaction_orders": q_compaction_orders,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
@@ -6509,6 +6529,43 @@ SELECT user_id, n_events,
        CAST(ROUND(S[len(S)] * 1000000) AS BIGINT) AS cusum_micro,
        CAST(ROUND(list_max(S) * 1000000) AS BIGINT) AS cusum_max_micro
 FROM st"""
+
+    # decision stump: same histogram, same term-wise micro-rounded Gini
+    # purity (round each child's term BEFORE the sum — hyptest discipline)
+    _pur = (
+        "CAST(ROUND((CAST({p} AS DOUBLE) * CAST({p} AS DOUBLE)"
+        " + CAST({t} - {p} AS DOUBLE) * CAST({t} - {p} AS DOUBLE))"
+        " / CAST({t} AS DOUBLE) * 1000000) AS BIGINT)"
+    )
+    sqls["stump_events"] = f"""
+WITH hist AS MATERIALIZED (
+  SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM (
+    SELECT 'hour' AS feature, CAST(hour(ts) AS BIGINT) AS bin, event_type FROM events
+    UNION ALL
+    SELECT 'month', CAST(month(ts) AS BIGINT), event_type FROM events
+    UNION ALL
+    SELECT 'vbin', CAST(FLOOR(value / 32.0) AS BIGINT), event_type FROM events
+  ) WHERE bin IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT feature, bin AS thr,
+         CAST(SUM(t) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS t_left,
+         CAST(SUM(p) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS p_left,
+         CAST(SUM(t) OVER (PARTITION BY feature) AS BIGINT) AS t_all,
+         CAST(SUM(p) OVER (PARTITION BY feature) AS BIGINT) AS p_all,
+         MAX(bin) OVER (PARTITION BY feature) AS max_bin
+  FROM hist),
+sc AS (
+  SELECT feature, thr, t_left, p_left,
+         t_all - t_left AS t_right, p_all - p_left AS p_right,
+         {_pur.format(p='p_left', t='t_left')}
+           + {_pur.format(p='(p_all - p_left)', t='(t_all - t_left)')} AS purity_micro,
+         {_pur.format(p='p_all', t='t_all')} AS parent_micro
+  FROM cum WHERE thr < max_bin)
+SELECT feature, thr, t_left, p_left, t_right, p_right, purity_micro,
+       purity_micro - parent_micro AS gain_micro
+FROM sc"""
 
     # constraint audit: the same five checks as plain count unions
     sqls["audit_orders"] = """

@@ -1,0 +1,135 @@
+"""Histogram-based decision-stump split finding — the gradient-boosting
+histogram pattern as one Catalyst aggregation.
+
+The split-finding kernel of every histogram GBDT (Chen & Guestrin 2016,
+"XGBoost"; Ke et al. 2017, "LightGBM" — public methodology): bin each
+feature to a small integer grid, build per-(feature, bin) class histograms,
+and score every bin boundary as a candidate split by the impurity decrease.
+This is THE relational formulation of tree training:
+
+* **Histogram build is the only scale-bearing stage** — one corpus scan,
+  per-feature bin expressions in a single codegen'd projection, one explode
+  to ``(feature, bin, label)``, one map-side-combined count aggregation.
+  Output is ``n_features x n_bins`` rows regardless of corpus size (the
+  reduction every GBDT library performs on its workers before the
+  driver-side split scan).
+* **Split scoring runs on that tiny table** — the per-feature cumulative
+  window partitions into ``n_features`` groups of ``n_bins`` rows, so the
+  WindowExec here is histogram-sized, never corpus-sized (contrast the
+  banned global-order windows: this one's input is already a reduction).
+
+Split semantics: candidate ``(feature, thr)`` sends ``bin <= thr`` left;
+every boundary except the last bin of each feature is scored (both children
+non-empty by construction since histogram rows have count >= 1).
+
+Hash-stable scoring: all counts are exact BIGINTs. The Gini purity of a
+child with ``p`` positives out of ``t`` is scored as
+``(p^2 + (t-p)^2) / t`` (monotone in the impurity decrease for fixed
+parent), each term computed in double with one correctly-rounded division
+and micro-rounded to an integer BEFORE the left+right sum (the
+operators/hyptest.py discipline) — reduction-order independent and
+representation-stable across engines. Squares are exact in double for
+counts below 2^26; above that the sequence is still deterministic (same
+IEEE ops both engines), just correctly rounded rather than exact.
+
+Reference parity: none (the reference is a single-query link-graph
+accelerator); LLM-training-pipeline mandate breadth — quality-classifier /
+router training over corpus-derived features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["stump_candidates", "best_stump"]
+
+_SCALE = 1_000_000
+
+
+def _purity_micro(p, t):
+    """round(1e6 * (p^2 + (t-p)^2) / t) as BIGINT — exact counts in, one
+    correctly-rounded division, one rounding. Larger = purer children."""
+    pd = p.cast("double")
+    nd = (t - p).cast("double")
+    return F.round((pd * pd + nd * nd) / t.cast("double") * _SCALE).cast("long")
+
+
+def stump_candidates(
+    df: DataFrame,
+    label_expr: str,
+    features: dict[str, str],
+) -> DataFrame:
+    """Score every (feature, bin-boundary) split of ``df``.
+
+    ``label_expr`` is a boolean SQL expression (the positive class);
+    ``features`` maps feature name -> integer-valued SQL bin expression
+    (caller owns the binning so the grid is explicit and engine-portable).
+    Rows where a feature expression is NULL are excluded from that
+    feature's histogram only (per-feature totals keep each feature's
+    parent purity honest).
+
+    Returns one row per candidate: ``(feature, thr, t_left, p_left,
+    t_right, p_right, purity_micro, gain_micro)`` where ``purity_micro``
+    is the micro-rounded left+right children purity and ``gain_micro``
+    subtracts the feature's parent purity (>= 0 up to rounding).
+    """
+    if not features:
+        raise ValueError("stump_candidates: need at least one feature")
+    pairs = ", ".join(
+        f"named_struct('f', '{name}', 'b', CAST(({expr}) AS BIGINT))"
+        for name, expr in sorted(features.items())
+    )
+    hist = (
+        df.select(
+            F.expr(f"array({pairs})").alias("fb"),
+            F.expr(label_expr).cast("boolean").alias("y"),
+        )
+        .select(F.explode("fb").alias("fb"), "y")
+        .select(F.col("fb.f").alias("feature"), F.col("fb.b").alias("bin"), "y")
+        .filter(F.col("bin").isNotNull())
+        .groupBy("feature", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum(F.col("y").cast("long")).alias("p"),
+        )
+    )
+    # everything below runs on the n_features x n_bins reduction
+    w = Window.partitionBy("feature").orderBy("bin")
+    wall = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        F.col("bin").alias("thr"),
+        F.sum("t").over(w).alias("t_left"),
+        F.sum("p").over(w).alias("p_left"),
+        F.sum("t").over(wall).alias("t_all"),
+        F.sum("p").over(wall).alias("p_all"),
+        F.max("bin").over(wall).alias("max_bin"),
+    ).filter(F.col("thr") < F.col("max_bin"))
+    t_r = F.col("t_all") - F.col("t_left")
+    p_r = F.col("p_all") - F.col("p_left")
+    purity = _purity_micro(F.col("p_left"), F.col("t_left")) + _purity_micro(
+        p_r, t_r
+    )
+    parent = _purity_micro(F.col("p_all"), F.col("t_all"))
+    return cum.select(
+        "feature",
+        "thr",
+        "t_left",
+        "p_left",
+        t_r.alias("t_right"),
+        p_r.alias("p_right"),
+        purity.alias("purity_micro"),
+        (purity - parent).alias("gain_micro"),
+    )
+
+
+def best_stump(
+    df: DataFrame, label_expr: str, features: dict[str, str]
+) -> DataFrame:
+    """The argmax candidate — highest ``gain_micro``, ties broken by
+    lexicographically smallest feature then smallest threshold (the
+    one-row orderBy runs on the histogram-sized candidate table)."""
+    cand = stump_candidates(df, label_expr, features)
+    return cand.orderBy(
+        F.col("gain_micro").desc(), F.col("feature").asc(), F.col("thr").asc()
+    ).limit(1)
