@@ -3800,6 +3800,31 @@ def q_stump_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_critpath_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted critical path (algos/dag.py) on a planted 12-layer x 250
+    DAG whose edges both engines generate in closed-form arithmetic
+    (layer hop v -> (l+1)*250 + 7v mod 250, skip hop v -> (l+2)*250 +
+    3v mod 250, weight (v%5)+1): monotone max-propagation on the Pregel
+    engine, exact BIGINT path weights, fixpoint in depth supersteps."""
+    from pagerank_spark.algos.dag import critical_path
+
+    W, L = 250, 12
+    v = spark.range(W * L).select(F.col("id").cast("long").alias("v"))
+    mk = (
+        "v AS src, ((v DIV {W}) + {s}) * {W} + (v * {m}) % {W} AS dst,"
+        " (v % 5) + 1 AS w"
+    )
+    e1 = v.filter(f"(v DIV {W}) + 1 < {L}").selectExpr(
+        *mk.format(W=W, s=1, m=7).split(", ")
+    )
+    e2 = v.filter(f"(v DIV {W}) + 2 < {L}").selectExpr(
+        *mk.format(W=W, s=2, m=3).split(", ")
+    )
+    return critical_path(
+        e1.unionByName(e2), weight_col="w", max_iters=20, check_every=4
+    )
+
+
 def q_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint audit (operators/constraints.py): all
     row-level checks in ONE conditional-aggregation scan, uniqueness as a
@@ -4156,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_orders": q_audit_orders,
         "cusum_events": q_cusum_events,
         "stump_events": q_stump_events,
+        "critpath_synth": q_critpath_synth,
         "compaction_orders": q_compaction_orders,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
@@ -6566,6 +6592,25 @@ sc AS (
 SELECT feature, thr, t_left, p_left, t_right, p_right, purity_micro,
        purity_micro - parent_micro AS gain_micro
 FROM sc"""
+
+    # critical path: enumerate every path suffix (seed = every vertex, the
+    # monotone-from-zero semantics), longest weighted path into each vertex
+    sqls["critpath_synth"] = """
+WITH RECURSIVE
+nv AS (SELECT unnest(range(0, 3000)) AS v),
+e AS (
+  SELECT v AS src, ((v // 250) + 1) * 250 + (v * 7) % 250 AS dst, (v % 5) + 1 AS w
+  FROM nv WHERE (v // 250) + 1 < 12
+  UNION ALL
+  SELECT v, ((v // 250) + 2) * 250 + (v * 3) % 250, (v % 5) + 1
+  FROM nv WHERE (v // 250) + 2 < 12
+),
+p AS (
+  SELECT v, CAST(0 AS BIGINT) AS d FROM nv
+  UNION ALL
+  SELECT e.dst, p.d + e.w FROM p JOIN e ON p.v = e.src
+)
+SELECT v AS id, CAST(MAX(d) AS BIGINT) AS cp FROM p GROUP BY 1"""
 
     # constraint audit: the same five checks as plain count unions
     sqls["audit_orders"] = """
