@@ -3825,6 +3825,17 @@ def q_critpath_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (operators/sequences.py): purchase
+    conversions credited to preceding view/click touches within 7 days —
+    last-touch counts + linear credit in exact integer micro-units
+    (1000000 DIV n, pure integer division; no float anywhere)."""
+    from pagerank_spark.operators.sequences import attribution
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return attribution(ev, "purchase", ("view", "click"), 604800)
+
+
 def q_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint audit (operators/constraints.py): all
     row-level checks in ONE conditional-aggregation scan, uniqueness as a
@@ -4182,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": q_cusum_events,
         "stump_events": q_stump_events,
         "critpath_synth": q_critpath_synth,
+        "attribution_events": q_attribution_events,
         "compaction_orders": q_compaction_orders,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
@@ -6611,6 +6623,29 @@ p AS (
   SELECT e.dst, p.d + e.w FROM p JOIN e ON p.v = e.src
 )
 SELECT v AS id, CAST(MAX(d) AS BIGINT) AS cp FROM p GROUP BY 1"""
+
+    # attribution: same left band-join, same per-conversion windows, pure
+    # integer linear credit (1000000 // n)
+    sqls["attribution_events"] = """
+WITH conv AS (SELECT user_id AS k, event_id AS conv_id, ts AS cts
+              FROM events WHERE event_type = 'purchase'),
+tch AS (SELECT user_id AS k, event_id AS tid, ts AS tts, event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')),
+pairs AS (
+  SELECT c.conv_id, t.tid, t.tts, t.channel
+  FROM conv c LEFT JOIN tch t
+    ON c.k = t.k AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 604800 SECOND),
+sc AS (
+  SELECT COALESCE(channel, '(direct)') AS channel,
+         tid IS NOT NULL AS touched,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY tts DESC, tid DESC) = 1 AS is_last,
+         COUNT(tid) OVER (PARTITION BY conv_id) AS n
+  FROM pairs)
+SELECT channel,
+       CAST(SUM(CASE WHEN is_last THEN 1 ELSE 0 END) AS BIGINT) AS conversions_last,
+       CAST(SUM(CASE WHEN touched THEN 1000000 // n ELSE 1000000 END) AS BIGINT) AS linear_micro,
+       CAST(SUM(CASE WHEN touched THEN 1 ELSE 0 END) AS BIGINT) AS n_touchpoints
+FROM sc GROUP BY 1"""
 
     # constraint audit: the same five checks as plain count unions
     sqls["audit_orders"] = """

@@ -179,3 +179,69 @@ def cohort_retention(
         .groupBy("cohort", (F.col("bucket") - F.col("cohort")).alias("offset"))
         .agg(F.countDistinct("k").alias("n_active"))
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_seconds: int = 604800,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch conversion attribution: for every conversion event,
+    credit the touch events of the same key that strictly precede it
+    within the lookback window. Returns one row per channel (touch type,
+    plus ``(direct)`` for conversions with no preceding touch):
+    ``(channel, conversions_last, linear_micro, n_touchpoints)`` —
+    last-touch conversion counts (latest ``(ts, tiebreak)`` touch wins),
+    linear credit in exact integer micro-units (``1000000 DIV n`` per
+    touch — pure integer division, no float anywhere), and raw touchpoint
+    counts. ``sum(conversions_last)`` equals the total conversion count.
+
+    Scale shape: one equi-join on the key with a band predicate (the
+    planner prunes by key, the band filters in the join), then windows
+    partitioned BY CONVERSION — width bounded by touches-per-lookback,
+    never corpus-sized — then a channel-sized aggregate. No Python.
+    """
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(key_col).alias("k"),
+        F.col(tiebreak_col).alias("conv_id"),
+        F.col(ts_col).alias("cts"),
+    )
+    touch = events.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(key_col).alias("k"),
+        F.col(tiebreak_col).alias("tid"),
+        F.col(ts_col).alias("tts"),
+        F.col(type_col).alias("channel"),
+    )
+    pairs = conv.join(
+        touch,
+        [
+            conv["k"] == touch["k"],
+            touch["tts"] < conv["cts"],
+            touch["tts"] >= conv["cts"] - F.expr(f"INTERVAL {int(lookback_seconds)} SECOND"),
+        ],
+        "left",
+    ).select("conv_id", "tid", "tts", "channel")
+    wc = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy(
+        F.col("tts").desc(), F.col("tid").desc()
+    )
+    scored = pairs.select(
+        F.coalesce(F.col("channel"), F.lit("(direct)")).alias("channel"),
+        F.col("tid").isNotNull().alias("touched"),
+        (F.row_number().over(wr) == 1).alias("is_last"),
+        F.count("tid").over(wc).alias("n"),
+    )
+    return scored.groupBy("channel").agg(
+        F.sum(F.when(F.col("is_last"), 1).otherwise(0)).alias("conversions_last"),
+        F.sum(
+            F.when(F.col("touched"), F.expr("1000000 DIV n")).otherwise(
+                F.lit(1000000)
+            )
+        ).alias("linear_micro"),
+        F.sum(F.col("touched").cast("long")).alias("n_touchpoints"),
+    )
