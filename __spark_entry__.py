@@ -3836,6 +3836,27 @@ def q_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution(ev, "purchase", ("view", "click"), 604800)
 
 
+def q_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (operators/retrieval.py):
+    the BM25 top-20 (lexical) fused with the brute-force cosine top-10
+    (dense) — integer 1e9 DIV (60+rank) contributions, ranks over the two
+    top-k reductions with ascending-id tiebreak."""
+    from pagerank_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from pagerank_spark.operators.similarity import cosine_topk_bruteforce
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bm = bm25_topk(docs, ["spark", "shuffle", "join", "query"], k=20).select(
+        "doc_id", F.col("score_micro").cast("double").alias("score")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    dense = cosine_topk_bruteforce(emb, query_id=0, k=10).select(
+        F.col("vec_id").alias("doc_id"), F.round("sim", 6).alias("score")
+    )
+    return rrf_fuse({"bm25": bm, "dense": dense}, k=60)
+
+
 def q_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint audit (operators/constraints.py): all
     row-level checks in ONE conditional-aggregation scan, uniqueness as a
@@ -4194,6 +4215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_events": q_stump_events,
         "critpath_synth": q_critpath_synth,
         "attribution_events": q_attribution_events,
+        "rrf_docs": q_rrf_docs,
         "compaction_orders": q_compaction_orders,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
@@ -6953,4 +6975,17 @@ GROUP BY s.doc_id"""
     # solid-gray planted-payload variant) or a NumPy-replay test
     # (tests/test_pq.py pins PQ encode/ADC exactly), except simhash_docs
     # raw values.
+    # RRF: compose the two ranking oracles as CTEs, integer contributions
+    sqls["rrf_docs"] = f"""
+WITH bm AS MATERIALIZED ({sqls['bm25_docs']}),
+dn AS MATERIALIZED ({sqls['ann_topk_cosine']}),
+br AS (SELECT doc_id AS id,
+              ROW_NUMBER() OVER (ORDER BY CAST(score_micro AS DOUBLE) DESC, doc_id ASC) AS r FROM bm),
+dr AS (SELECT vec_id AS id,
+              ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS r FROM dn),
+u AS (SELECT id, r FROM br UNION ALL SELECT id, r FROM dr)
+SELECT id AS doc_id, CAST(SUM(1000000000 // (60 + r)) AS BIGINT) AS rrf_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n_rankers
+FROM u GROUP BY 1"""
+
     return sqls

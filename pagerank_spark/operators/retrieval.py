@@ -45,10 +45,10 @@ LLM-pipeline mandate breadth (SURVEY §2c).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["build_postings", "bm25_topk"]
+__all__ = ["build_postings", "bm25_topk", "rrf_fuse"]
 
 MICRO = 1_000_000
 
@@ -140,4 +140,45 @@ def bm25_topk(
         .agg(F.sum("c").alias("score_micro"))
         .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009, public
+    methodology) of named candidate rankings — the standard hybrid
+    lexical+dense combiner: each ranking contributes ``1/(k + rank)`` per
+    document, summed across rankers.
+
+    Every input frame is ``(id_col, score_col)`` with higher = better;
+    ranks are dense row numbers with ascending-id tiebreak. Contributions
+    are exact integers (``1000000000 DIV (k + rank)`` — no float), so the
+    fused ``rrf_scaled`` is a reduction-order-free BIGINT.
+
+    Scale shape: inputs are top-k REDUCTIONS (TakeOrderedAndProject
+    outputs, k rows each), so the global rank window here runs over k-row
+    frames — never the corpus; the fuse itself is a union + one grouped
+    sum over at most ``len(rankings) * k`` rows. Never feed a corpus-sized
+    frame: rank it to top-k first (that is where the distributed work
+    belongs).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    legs = [
+        df.select(
+            F.col(id_col).alias("id"), F.row_number().over(w).alias("r")
+        )
+        for df in rankings.values()
+    ]
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    return u.groupBy(F.col("id").alias(id_col)).agg(
+        F.sum(F.expr(f"1000000000 DIV ({int(k)} + r)")).alias("rrf_scaled"),
+        F.count(F.lit(1)).alias("n_rankers"),
     )

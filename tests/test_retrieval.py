@@ -75,3 +75,20 @@ def test_bm25_postings_plan_is_partial_agg(spark):
     # indexing = explode + hash-agg; no window, no cartesian
     plan = build_postings(_docs(spark))._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Cartesian" not in plan
+
+
+def test_rrf_fuse_hand_replay(spark):
+    from pagerank_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double")
+    b = spark.createDataFrame([(2, 7.0), (4, 7.0), (1, 2.0)], "doc_id long, score double")
+    got = {
+        r.doc_id: (r.rrf_scaled, r.n_rankers)
+        for r in rrf_fuse({"a": a, "b": b}, k=60).collect()
+    }
+    c = lambda r: 1_000_000_000 // (60 + r)
+    # b ranks: score tie 7.0 between 2 and 4 -> id-asc puts 2 first
+    assert got[1] == (c(1) + c(3), 2)
+    assert got[2] == (c(2) + c(1), 2)
+    assert got[3] == (c(3), 1)
+    assert got[4] == (c(2), 1)
