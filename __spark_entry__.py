@@ -3857,6 +3857,24 @@ def q_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse({"bm25": bm, "dense": dense}, k=60)
 
 
+def q_bipartite_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartiteness / 2-coloring (algos/bipartite.py) on a planted
+    4-component graph both engines generate in closed form (12-ring even,
+    13-ring odd, 20-leaf star, triangle): parity-carrying min-label
+    propagation on the Pregel engine + one monochromatic-edge scan;
+    oracle = recursive parity reachability with min-parity sides."""
+    from pagerank_spark.algos.bipartite import bipartite_check
+
+    r16 = spark.range(12).selectExpr("id AS src", "(id + 1) % 12 AS dst")
+    r17 = spark.range(13).selectExpr("100 + id AS src", "100 + (id + 1) % 13 AS dst")
+    star = spark.range(1, 21).selectExpr("CAST(200 AS BIGINT) AS src", "200 + id AS dst")
+    tri = spark.createDataFrame(
+        [(300, 301), (301, 302), (302, 300)], "src long, dst long"
+    )
+    edges = r16.unionByName(r17).unionByName(star).unionByName(tri)
+    return bipartite_check(edges, max_iters=32, check_every=4)
+
+
 def q_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint audit (operators/constraints.py): all
     row-level checks in ONE conditional-aggregation scan, uniqueness as a
@@ -4216,6 +4234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "critpath_synth": q_critpath_synth,
         "attribution_events": q_attribution_events,
         "rrf_docs": q_rrf_docs,
+        "bipartite_synth": q_bipartite_synth,
         "compaction_orders": q_compaction_orders,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
@@ -6975,6 +6994,46 @@ GROUP BY s.doc_id"""
     # solid-gray planted-payload variant) or a NumPy-replay test
     # (tests/test_pq.py pins PQ encode/ADC exactly), except simhash_docs
     # raw values.
+    # bipartiteness: unrolled synchronous replay of the engine's monotone
+    # descent (the truss/MIS unroll trick) with state encoded as one
+    # integer code = lbl*2 + par — lexicographic struct-min == numeric min
+    # and the neighbor message (lbl, 1-par) is just a low-bit flip
+    _bip_rounds = [
+        """e0 AS (
+  SELECT v AS src, (v + 1) % 12 AS dst FROM (SELECT unnest(range(0, 12)) AS v)
+  UNION ALL
+  SELECT 100 + v, 100 + (v + 1) % 13 FROM (SELECT unnest(range(0, 13)) AS v)
+  UNION ALL
+  SELECT 200, 200 + v FROM (SELECT unnest(range(1, 21)) AS v)
+  UNION ALL SELECT 300, 301 UNION ALL SELECT 301, 302 UNION ALL SELECT 302, 300
+)""",
+        "sym AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+        "s0 AS (SELECT DISTINCT src AS id, src * 2 AS code FROM sym)",
+    ]
+    for _i in range(24):
+        _bip_rounds.append(
+            f"""s{_i + 1} AS MATERIALIZED (
+  SELECT s.id, LEAST(s.code, COALESCE(m.mc, s.code)) AS code
+  FROM s{_i} s LEFT JOIN (
+    SELECT e.dst AS id,
+           MIN(CASE WHEN t.code % 2 = 0 THEN t.code + 1 ELSE t.code - 1 END) AS mc
+    FROM sym e JOIN s{_i} t ON e.src = t.id GROUP BY 1
+  ) m ON s.id = m.id
+)"""
+        )
+    _bip_rounds += [
+        "par AS (SELECT id, code // 2 AS comp, code % 2 AS side FROM s24)",
+        """mono AS (
+  SELECT p1.comp, MAX(CASE WHEN p1.side = p2.side THEN 1 ELSE 0 END) AS has_mono
+  FROM sym e JOIN par p1 ON e.src = p1.id JOIN par p2 ON e.dst = p2.id
+  GROUP BY 1)""",
+    ]
+    sqls["bipartite_synth"] = (
+        "WITH " + ",\n".join(_bip_rounds)
+        + "\nSELECT p.id, p.comp, p.side, 1 - m.has_mono AS is_bipartite"
+        + "\nFROM par p JOIN mono m USING (comp)"
+    )
+
     # RRF: compose the two ranking oracles as CTEs, integer contributions
     sqls["rrf_docs"] = f"""
 WITH bm AS MATERIALIZED ({sqls['bm25_docs']}),
