@@ -3875,6 +3875,24 @@ def q_bipartite_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bipartite_check(edges, max_iters=32, check_every=4)
 
 
+def q_mi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking (operators/infotheory.py) over
+    the stump gate's feature grid vs the purchase label: exact BIGINT cell
+    histograms, per-cell nano-rounded (n_xy/T)*ln(n_xy*T/(n_x*n_y))."""
+    from pagerank_spark.operators.infotheory import mutual_information
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mutual_information(
+        ev,
+        "event_type = 'purchase'",
+        {
+            "hour": "hour(ts)",
+            "month": "month(ts)",
+            "vbin": "CAST(FLOOR(value / 32.0) AS BIGINT)",
+        },
+    )
+
+
 def q_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint audit (operators/constraints.py): all
     row-level checks in ONE conditional-aggregation scan, uniqueness as a
@@ -4235,6 +4253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_events": q_attribution_events,
         "rrf_docs": q_rrf_docs,
         "bipartite_synth": q_bipartite_synth,
+        "mi_events": q_mi_events,
         "compaction_orders": q_compaction_orders,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
@@ -7046,5 +7065,30 @@ u AS (SELECT id, r FROM br UNION ALL SELECT id, r FROM dr)
 SELECT id AS doc_id, CAST(SUM(1000000000 // (60 + r)) AS BIGINT) AS rrf_scaled,
        CAST(COUNT(*) AS BIGINT) AS n_rankers
 FROM u GROUP BY 1"""
+
+    # mutual information: same cells, same fixed IEEE term sequence
+    sqls["mi_events"] = """
+WITH cells AS MATERIALIZED (
+  SELECT feature, bin, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM (
+    SELECT 'hour' AS feature, CAST(hour(ts) AS BIGINT) AS bin,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events
+    UNION ALL
+    SELECT 'month', CAST(month(ts) AS BIGINT),
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END FROM events
+    UNION ALL
+    SELECT 'vbin', CAST(FLOOR(value / 32.0) AS BIGINT),
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END FROM events
+  ) WHERE bin IS NOT NULL GROUP BY 1, 2, 3),
+m AS (
+  SELECT feature,
+         CAST(n_xy AS DOUBLE) AS nxy,
+         CAST(SUM(n_xy) OVER (PARTITION BY feature, bin) AS DOUBLE) AS nx,
+         CAST(SUM(n_xy) OVER (PARTITION BY feature, y) AS DOUBLE) AS ny,
+         CAST(SUM(n_xy) OVER (PARTITION BY feature) AS DOUBLE) AS t
+  FROM cells)
+SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(MAX(t) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND((nxy / t) * LN(nxy * t / (nx * ny)) * 1000000000) AS BIGINT)) AS BIGINT) AS mi_nano
+FROM m GROUP BY 1"""
 
     return sqls

@@ -28,9 +28,9 @@ Reference parity: none (single-query reference); LLM-ops mandate breadth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["token_divergence"]
+__all__ = ["token_divergence", "mutual_information"]
 
 _NANO = 1_000_000_000
 
@@ -96,4 +96,62 @@ def token_divergence(
         F.sum("kab").alias("kl_ab_nano"),
         F.sum("kba").alias("kl_ba_nano"),
         F.sum("js").alias("js_nano"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    label_expr: str,
+    features: dict[str, str],
+) -> DataFrame:
+    """Mutual information I(feature; label) per integer-binned feature — the
+    standard filter-method feature ranking (Cover & Thomas, public
+    methodology), over a binary label.
+
+    ``features`` maps name -> integer SQL bin expression (the
+    operators/trees.py convention — caller owns the grid); ``label_expr``
+    is a boolean SQL expression. NULL bins are excluded per feature.
+
+    Scale shape: identical to the stump histogram — one scan, one explode,
+    one map-side-combined count keyed by ``(feature, bin, label)``;
+    marginals are windows over that ``n_features x n_bins x 2`` reduction,
+    never the corpus. Exact BIGINT cell counts; each cell's
+    ``(n_xy/T) * ln(n_xy*T/(n_x*n_y))`` term is one fixed IEEE sequence
+    nano-rounded BEFORE the per-feature sum (reduction-order free).
+    Returns ``(feature, n_cells, n_rows, mi_nano)``.
+    """
+    if not features:
+        raise ValueError("mutual_information: need at least one feature")
+    pairs = ", ".join(
+        f"named_struct('f', '{name}', 'b', CAST(({expr}) AS BIGINT))"
+        for name, expr in sorted(features.items())
+    )
+    cells = (
+        df.select(
+            F.expr(f"array({pairs})").alias("fb"),
+            F.expr(label_expr).cast("boolean").cast("int").alias("y"),
+        )
+        .select(F.explode("fb").alias("fb"), "y")
+        .select(F.col("fb.f").alias("feature"), F.col("fb.b").alias("bin"), "y")
+        .filter(F.col("bin").isNotNull())
+        .groupBy("feature", "bin", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    wf = Window.partitionBy("feature")
+    wx = Window.partitionBy("feature", "bin")
+    wy = Window.partitionBy("feature", "y")
+    m = cells.select(
+        "feature",
+        F.col("n_xy").cast("double").alias("nxy"),
+        F.sum("n_xy").over(wx).cast("double").alias("nx"),
+        F.sum("n_xy").over(wy).cast("double").alias("ny"),
+        F.sum("n_xy").over(wf).cast("double").alias("t"),
+    )
+    term = (F.col("nxy") / F.col("t")) * F.log(
+        F.col("nxy") * F.col("t") / (F.col("nx") * F.col("ny"))
+    )
+    return m.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max(F.col("t").cast("long")).alias("n_rows"),
+        F.sum(_nano(term)).alias("mi_nano"),
     )

@@ -59,3 +59,33 @@ def test_js_bounded_by_ln2(spark):
     # JS divergence <= ln 2 always (Lin 1991)
     js = _run(spark, ["aaa aaa aaa"], ["zzz zzz zzz"])[-1]
     assert 0 < js <= round(math.log(2) * 1e9)
+
+
+def test_mutual_information_python_replay(spark):
+    import math
+
+    from pagerank_spark.operators.infotheory import mutual_information
+
+    # f strongly predicts y; g is pure noise
+    data = [(i % 3, i % 2, 1 if i % 3 == 0 else 0) for i in range(12)]
+    df = spark.createDataFrame(data, "f long, g long, y long")
+
+    def mi_nano(pairs):
+        from collections import Counter
+        nxy = Counter(pairs)
+        nx = Counter(b for b, _ in pairs)
+        ny = Counter(y for _, y in pairs)
+        t = len(pairs)
+        return sum(
+            round((c / t) * math.log(c * t / (nx[b] * ny[y])) * 1_000_000_000)
+            for (b, y), c in nxy.items()
+        )
+
+    got = {r.feature: (r.n_cells, r.n_rows, r.mi_nano)
+           for r in mutual_information(df, "y = 1", {"f": "f", "g": "g"}).collect()}
+    f_pairs = [(a, c) for a, _, c in data]
+    g_pairs = [(b, c) for _, b, c in data]
+    assert got["f"] == (len(set(f_pairs)), 12, mi_nano(f_pairs))
+    assert got["g"] == (len(set(g_pairs)), 12, mi_nano(g_pairs))
+    # ranking sanity: the predictive feature dominates; noise MI ~ 0
+    assert got["f"][2] > got["g"][2] and abs(got["g"][2]) < 1000
