@@ -3807,21 +3807,10 @@ def q_critpath_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     3v mod 250, weight (v%5)+1): monotone max-propagation on the Pregel
     engine, exact BIGINT path weights, fixpoint in depth supersteps."""
     from pagerank_spark.algos.dag import critical_path
+    from pagerank_spark.sources.graphs import layered_dag
 
-    W, L = 250, 12
-    v = spark.range(W * L).select(F.col("id").cast("long").alias("v"))
-    mk = (
-        "v AS src, ((v DIV {W}) + {s}) * {W} + (v * {m}) % {W} AS dst,"
-        " (v % 5) + 1 AS w"
-    )
-    e1 = v.filter(f"(v DIV {W}) + 1 < {L}").selectExpr(
-        *mk.format(W=W, s=1, m=7).split(", ")
-    )
-    e2 = v.filter(f"(v DIV {W}) + 2 < {L}").selectExpr(
-        *mk.format(W=W, s=2, m=3).split(", ")
-    )
     return critical_path(
-        e1.unionByName(e2), weight_col="w", max_iters=20, check_every=4
+        layered_dag(spark, 250, 12), weight_col="w", max_iters=20, check_every=4
     )
 
 

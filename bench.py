@@ -279,6 +279,21 @@ def run_bench(spark, sf_dir: str) -> dict:
         item_cooccurrence(li, "l_orderkey", "l_partkey"), k=3)
         .agg(F.sum("cos2_micro")).collect())
 
+    # round-4 session-7 addition (appended): weighted critical path on a
+    # 800k-vertex / ~1.5M-edge layered DAG — the max-propagation fixpoint is
+    # a different superstep workload from PageRank (integer max-combine,
+    # constant depth regardless of width). Action sums the computed path
+    # weights (§12 audit).
+    from pagerank_spark.algos.dag import critical_path
+    from pagerank_spark.sources.graphs import layered_dag
+
+    dag = layered_dag(spark, 100_000, 8).persist()
+    dag.count()
+    timed("critpath_dag800k", lambda: critical_path(
+        dag, weight_col="w", max_iters=12, check_every=4)
+        .agg(F.sum("cp")).collect())
+    dag.unpersist()
+
     edges.unpersist()
     return {"timings": timings, "samples": samples, "extras": extras, "n_edges": n_edges}
 

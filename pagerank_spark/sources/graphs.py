@@ -331,3 +331,29 @@ def densest_synth_sql_cte() -> str:
         "  UNION ALL\n"
         f"  SELECT i, i * 10 + {k} FROM ki)"
     )
+
+
+def layered_dag(
+    spark: SparkSession, width: int, layers: int, weighted: bool = True
+) -> DataFrame:
+    """Deterministic layered DAG for critical-path/topo benchmarks — the
+    same closed-form family as the ``critpath_synth`` gate (layer hop
+    ``v -> (l+1)*W + 7v mod W``, skip hop ``v -> (l+2)*W + 3v mod W``,
+    weight ``(v % 5) + 1``), scaled to ``width x layers`` vertices.
+    Identical on any cluster size (pure ``spark.range`` arithmetic);
+    depth = ``layers - 1`` regardless of width, so the superstep count of
+    the fixpoint is constant while the per-superstep work scales with W.
+    """
+    v = spark.range(width * layers).selectExpr("CAST(id AS BIGINT) AS v")
+    mk = (
+        "v AS src, ((v DIV {W}) + {s}) * {W} + (v * {m}) % {W} AS dst,"
+        " (v % 5) + 1 AS w"
+    )
+    e1 = v.filter(f"(v DIV {width}) + 1 < {layers}").selectExpr(
+        *mk.format(W=width, s=1, m=7).split(", ")
+    )
+    e2 = v.filter(f"(v DIV {width}) + 2 < {layers}").selectExpr(
+        *mk.format(W=width, s=2, m=3).split(", ")
+    )
+    out = e1.unionByName(e2)
+    return out if weighted else out.drop("w")
