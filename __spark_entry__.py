@@ -3977,6 +3977,21 @@ def q_top_bigrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(docs, n=2, k=20)
 
 
+def q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores (operators/textops.py::textrank_keywords):
+    damped PageRank over the adjacent-word co-occurrence graph (window=2,
+    symmetric, co-occurrence-count weights), k=4 unrolled. The word graph is
+    built with JVM array expressions and ranked by the SAME weighted
+    PageRank kernel the reference accelerates (pagerank.v rank-propagation
+    core) — vertex ids are words. Oracle: the co-occurrence edge CTE fed to
+    _pagerank_weighted_sql with real counts as the weight CTE."""
+    from pagerank_spark.operators.textops import textrank_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = textrank_keywords(docs, k_iters=4)
+    return res.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 for a fixed bag-of-words query over the documents corpus
     (operators/retrieval.py): inverted-index postings, Lucene-positive IDF
@@ -4260,6 +4275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "priority_sample_docs": q_priority_sample_docs,
         "top_bigrams_docs": q_top_bigrams_docs,
+        "textrank_docs": q_textrank_docs,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -6851,6 +6867,25 @@ SELECT doc_id, len(w) AS n_tokens, len(covered) AS n_removed,
            list_filter(range(1, len(w) + 1), i -> NOT list_contains(covered, i)),
            i -> w[i]), ' '), '') AS text_clean
 FROM c"""
+
+    # TextRank: adjacent-word co-occurrence edges (symmetric, count
+    # weights) piped into the SAME unrolled weighted-PageRank oracle the
+    # graph gates use — word strings are the vertex ids
+    textrank_edges_cte = """
+d AS (SELECT string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+tp AS (SELECT unnest(list_transform(range(1, len(ws)),
+           i -> {'a': ws[i], 'b': ws[i+1]})) AS s FROM d),
+p AS (SELECT s['a'] AS a, s['b'] AS b FROM tp
+      WHERE s['a'] <> s['b'] AND s['a'] <> '' AND s['b'] <> ''),
+cooc AS (SELECT a AS src, b AS dst, COUNT(*) AS c
+         FROM (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p)
+         GROUP BY 1, 2),
+e AS (SELECT src, dst FROM cooc)"""
+    sqls["textrank_docs"] = _pagerank_weighted_sql(
+        textrank_edges_cte, 4,
+        ew_cte="ew AS MATERIALIZED (SELECT src, dst, CAST(c AS DOUBLE) AS w FROM cooc)",
+    )
 
     # deterministic tiebreak (cnt desc, gram asc) on BOTH sides makes the
     # top-20 multiset unique, so the order-insensitive compare is exact

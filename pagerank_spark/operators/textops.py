@@ -283,3 +283,51 @@ def remove_frequent_segments(
         ).alias("text"),
         F.sum(F.col("rm").cast("long")).alias("n_removed"),
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    k_iters: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword scores: damped PageRank over the word co-occurrence
+    graph (Mihalcea & Tarau 2004, window = 2).
+
+    The graph is built with pure JVM array expressions: adjacent-token
+    pairs per document (one transform + explode), symmetrized, then ONE
+    map-side-combined groupBy produces co-occurrence-count edge weights.
+    Ranking reuses the engine's weighted PageRank kernel
+    (algos/pagerank.py — the reference's rank-propagation core,
+    pagerank.v:1045-1140, re-targeted at a word graph; vertex ids are
+    strings here, the kernel is id-type-agnostic). Output is
+    vocabulary-sized, so the scale cost is the token scan + the kernel's
+    one edge shuffle; supersteps run over the (tiny) word graph.
+
+    Returns (id string, rank double) — raw ranks; callers round.
+    """
+    from ..algos.pagerank import pagerank
+
+    toks = docs.select(F.split(F.col(text_col), " ").alias("__ws")).where(
+        F.size("__ws") >= 2
+    )
+    # adjacent pairs: struct(ws[i-1], ws[i]) for i in 1..size-1 (0-based [])
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__ws) - 1),"
+                    " i -> struct(__ws[i - 1] AS a, __ws[i] AS b))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.a", "__p.b")
+        .where((F.col("a") != F.col("b")) & (F.col("a") != "") & (F.col("b") != ""))
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    cooc = sym.groupBy(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    res = pagerank(cooc, max_iters=k_iters, tol=0.0, weight_col="weight")
+    return res.ranks
