@@ -1144,6 +1144,62 @@ def q_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moment_matrix(li, ["qty", "disc_pct", "tax_pct"], "price_usd")
 
 
+_CORR_COLS = ["qty", "price_h", "disc_bp", "tax_bp"]
+
+
+def q_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (operators/regress.py::corr_matrix) over
+    quantized lineitem features: ONE exact-BIGINT moment aggregation, then
+    closed-form per-pair correlations built only from correctly-rounded IEEE
+    ops (cast/sqrt/mul/div) — reduction-order-free, no float SUM anywhere.
+    price is quantized to hundreds of dollars (cents DIV 10000) so
+    n*S_pp <= 6e4 * 1.2e6 * n stays far under 2^63 at gate scale; corr is
+    invariant to the scaling, the grid choice is the documented contract."""
+    from pagerank_spark.operators.regress import corr_matrix
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) DIV 10000").alias("price_h"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_bp"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax_bp"),
+    )
+    return corr_matrix(li, _CORR_COLS).select(
+        "col_a", "col_b", F.round("corr", 6).alias("corr")
+    )
+
+
+def _corr_lineitem_sql() -> str:
+    """DuckDB replica of q_corr_lineitem: same quantization, same exact
+    BIGINT moments (every SUM CAST to BIGINT — HUGEINT leaks become floats
+    in fetchdf), same IEEE expression per pair."""
+    cols = _CORR_COLS
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    sums += [f"CAST(SUM(z{i}) AS BIGINT) AS s_{i}" for i in range(len(cols))]
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            sums.append(f"CAST(SUM(z{i} * z{j}) AS BIGINT) AS s_{i}_{j}")
+    pairs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            num = f"(n * s_{i}_{j} - s_{i} * s_{j})"
+            va = f"(n * s_{i}_{i} - s_{i} * s_{i})"
+            vb = f"(n * s_{j}_{j} - s_{j} * s_{j})"
+            pairs.append(
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, "
+                f"ROUND(CASE WHEN {va} > 0 AND {vb} > 0 THEN CAST({num} AS DOUBLE)"
+                f" / (sqrt(CAST({va} AS DOUBLE)) * sqrt(CAST({vb} AS DOUBLE))) END, 6)"
+                f" AS corr FROM m"
+            )
+    return (
+        "WITH z AS MATERIALIZED (SELECT CAST(l_quantity AS BIGINT) AS z0,\n"
+        "  CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 10000 AS z1,\n"
+        "  CAST(ROUND(l_discount * 100) AS BIGINT) AS z2,\n"
+        "  CAST(ROUND(l_tax * 100) AS BIGINT) AS z3 FROM lineitem),\n"
+        "m AS MATERIALIZED (SELECT " + ", ".join(sums) + " FROM z)\n"
+        + "\nUNION ALL\n".join(pairs)
+    )
+
+
 def q_k_truss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-truss of the copurchase graph, peeled to fixpoint (measured 4
     rounds at sf0.01; the oracle unrolls 5 — no-op rounds at the fixpoint
@@ -4276,6 +4332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_docs": q_priority_sample_docs,
         "top_bigrams_docs": q_top_bigrams_docs,
         "textrank_docs": q_textrank_docs,
+        "corr_lineitem": q_corr_lineitem,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -5180,6 +5237,8 @@ FROM tok GROUP BY 1, 2
         + " FROM lineitem)\n"
         + _mom
     )
+
+    sqls["corr_lineitem"] = _corr_lineitem_sql()
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)

@@ -112,3 +112,54 @@ def linear_fit(
     m = moment_matrix(df, x_cols, y_col)
     rows = [(r["i"], r["j"], r["s"]) for r in m.collect()]
     return solve_normal_equations(rows, len(x_cols), lam), m
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact-moment Pearson correlation matrix over integer-valued columns.
+
+    ONE map-side-combined aggregation computes ``n``, per-column sums, and
+    all pairwise product sums as exact BIGINT (the moment_matrix shape: the
+    shuffle is one partial row per partition regardless of row count), then
+    each pair's correlation is the closed form over those integers::
+
+        corr = (n*S_xy - S_x*S_y)
+               / (sqrt(n*S_xx - S_x^2) * sqrt(n*S_yy - S_y^2))
+
+    The integer numerators/variances are exact and order-free; every float
+    op after them (int->double cast, sqrt, *, /) is correctly-rounded IEEE,
+    so the double is reduction-order-independent and engine-reproducible
+    bit-for-bit.
+
+    Overflow contract (caller's, as in moment_matrix): ``n * max|x_i*x_j|``
+    and ``S_i * S_j`` must stay under 2^63 — quantize wide columns down
+    first (Pearson is scale/translation-invariant, so rescaling only enters
+    through the quantization grid itself, which the caller owns).
+
+    Returns ``(col_a, col_b, corr)`` for the strict upper triangle; a
+    constant column yields NULL corr (zero variance) rather than NaN.
+    """
+    d = len(cols)
+    zs = [F.col(c).cast("long") for c in cols]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(zs[i]).alias(f"s_{i}") for i in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(zs[i] * zs[j]).alias(f"s_{i}_{j}"))
+    one = df.groupBy().agg(*aggs)
+    pair_structs = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            num = f"(n * s_{i}_{j} - s_{i} * s_{j})"
+            va = f"(n * s_{i}_{i} - s_{i} * s_{i})"
+            vb = f"(n * s_{j}_{j} - s_{j} * s_{j})"
+            corr = (
+                f"CASE WHEN {va} > 0 AND {vb} > 0 THEN CAST({num} AS DOUBLE)"
+                f" / (sqrt(CAST({va} AS DOUBLE)) * sqrt(CAST({vb} AS DOUBLE))) END"
+            )
+            pair_structs.append(
+                f"struct('{cols[i]}' AS col_a, '{cols[j]}' AS col_b, {corr} AS corr)"
+            )
+    return (
+        one.select(F.explode(F.expr("array(" + ", ".join(pair_structs) + ")")).alias("p"))
+        .select("p.col_a", "p.col_b", "p.corr")
+    )
