@@ -1168,6 +1168,41 @@ def q_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/regress.py::spearman_corr) of
+    quantity vs price over lineitem: tie-averaged doubled ranks from a
+    distinct-value LUT cumsum'd by the two-phase distributed prefix sum (no
+    global window), centered by the exact mean n+1, one exact-BIGINT
+    comoment aggregation. Oracle replays the identical doubled-rank algebra
+    with a window over the (tiny) distinct-value table."""
+    from pagerank_spark.operators.regress import spearman_corr
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) DIV 10000").alias("price_h"),
+    )
+    res = spearman_corr(li, "qty", "price_h")
+    return res.select("n", F.round("spearman", 6).alias("spearman"))
+
+
+_SPEARMAN_LINEITEM_SQL = """
+WITH t AS MATERIALIZED (SELECT CAST(l_quantity AS BIGINT) AS x,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 10000 AS y FROM lineitem),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+lx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+rx AS (SELECT v, 2 * CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) - c + 1 AS r2 FROM lx),
+ly AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+ry AS (SELECT v, 2 * CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) - c + 1 AS r2 FROM ly),
+cen AS (SELECT rx.r2 - (nn.n + 1) AS cx, ry.r2 - (nn.n + 1) AS cy
+        FROM t CROSS JOIN nn JOIN rx ON rx.v = t.x JOIN ry ON ry.v = t.y),
+m AS (SELECT CAST(SUM(cx * cy) AS BIGINT) AS sxy, CAST(SUM(cx * cx) AS BIGINT) AS sxx,
+             CAST(SUM(cy * cy) AS BIGINT) AS syy FROM cen)
+SELECT nn.n AS n,
+       ROUND(CASE WHEN sxx > 0 AND syy > 0 THEN CAST(sxy AS DOUBLE)
+             / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))) END, 6) AS spearman
+FROM m CROSS JOIN nn"""
+
+
 def _corr_lineitem_sql() -> str:
     """DuckDB replica of q_corr_lineitem: same quantization, same exact
     BIGINT moments (every SUM CAST to BIGINT — HUGEINT leaks become floats
@@ -4333,6 +4368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams_docs": q_top_bigrams_docs,
         "textrank_docs": q_textrank_docs,
         "corr_lineitem": q_corr_lineitem,
+        "spearman_lineitem": q_spearman_lineitem,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -5239,6 +5275,7 @@ FROM tok GROUP BY 1, 2
     )
 
     sqls["corr_lineitem"] = _corr_lineitem_sql()
+    sqls["spearman_lineitem"] = _SPEARMAN_LINEITEM_SQL
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)

@@ -163,3 +163,58 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         one.select(F.explode(F.expr("array(" + ", ".join(pair_structs) + ")")).alias("p"))
         .select("p.col_a", "p.col_b", "p.corr")
     )
+
+
+def spearman_corr(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Spearman rank correlation with exact tie-averaged ranks, no global
+    sort, no window.
+
+    Average ranks are computed per DISTINCT value: the LUT ``groupBy(v)``
+    count is run through :func:`distributed_cumsum
+    <..operators.cumsum.distributed_cumsum>` (two-phase prefix sum — the
+    100-TB substitute for a single-partition ``Window.orderBy``), giving the
+    DOUBLED average rank ``r2 = 2*cum - cnt + 1`` as an exact BIGINT (ties
+    average to halves; doubling keeps integers). Rows join the LUT back
+    (broadcast when the value domain is small), are centered by the exact
+    doubled-rank mean ``n + 1`` (so the three comoment sums need no ``n *``
+    rescale and stay under 2^63 for n up to ~2M rows — ranks are the
+    worst-case wide column), and ONE aggregation produces the exact BIGINT
+    S_xy/S_xx/S_yy; the correlation is the same correctly-rounded IEEE
+    closed form as :func:`corr_matrix`.
+
+    Returns one row ``(n, spearman)``.
+    """
+    from .cumsum import distributed_cumsum
+
+    def rank_lut(col: str, out: str) -> DataFrame:
+        cnt = df.groupBy(F.col(col).alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
+        cum = distributed_cumsum(cnt, ["__v"], "__c", out_col="__cum")
+        return cum.select(
+            F.col("__v").alias(col),
+            (2 * F.col("__cum") - F.col("__c") + 1).alias(out),
+        )
+
+    ranked = (
+        df.select(col_x, col_y)
+        .join(F.broadcast(rank_lut(col_x, "__rx")), col_x)
+        .join(F.broadcast(rank_lut(col_y, "__ry")), col_y)
+    )
+    nrow = df.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    cen = ranked.crossJoin(F.broadcast(nrow)).select(
+        (F.col("__rx") - (F.col("__n") + 1)).alias("cx"),
+        (F.col("__ry") - (F.col("__n") + 1)).alias("cy"),
+        "__n",
+    )
+    agg = cen.groupBy().agg(
+        F.max("__n").alias("n"),
+        F.sum(F.col("cx") * F.col("cy")).alias("sxy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
+        F.sum(F.col("cy") * F.col("cy")).alias("syy"),
+    )
+    return agg.select(
+        "n",
+        F.expr(
+            "CASE WHEN sxx > 0 AND syy > 0 THEN CAST(sxy AS DOUBLE)"
+            " / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))) END"
+        ).alias("spearman"),
+    )
