@@ -1185,6 +1185,51 @@ def q_spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("n", F.round("spearman", 6).alias("spearman"))
 
 
+def q_acf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order revenue at lags 1..7
+    (operators/temporal.py::autocorrelation): series = epoch-day index +
+    exact-cents daily totals quantized to thousands of dollars (integer div
+    of the exact cents sum — deterministic grid, keeps n*max|x| ~ 5e6 so
+    squared deviations summed stay far under 2^63). Mean handling is exact:
+    deviations are the integers n*x - S; one lag-join, no window."""
+    from pagerank_spark.operators.temporal import autocorrelation
+
+    series = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(
+            F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400").alias("t")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) DIV 100000 AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    res = autocorrelation(series, "t", "x", max_lag=7)
+    return res.select("lag", "n_pairs", F.round("acf", 6).alias("acf"))
+
+
+_ACF_ORDERS_SQL = """
+WITH s AS MATERIALIZED (
+  SELECT CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS t,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100000 AS x
+  FROM orders GROUP BY 1),
+m AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sm FROM s),
+den AS MATERIALIZED (
+  SELECT CAST(SUM((m.n * s.x - m.sm) * (m.n * s.x - m.sm)) AS BIGINT) AS d
+  FROM s CROSS JOIN m),
+l AS (SELECT unnest(range(1, 8)) AS lag),
+p AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM((m.n * a.x - m.sm) * (m.n * b.x - m.sm)) AS BIGINT) AS num
+  FROM l JOIN s a ON true JOIN s b ON b.t = a.t + l.lag CROSS JOIN m
+  GROUP BY 1)
+SELECT p.lag, p.n_pairs,
+       ROUND(CASE WHEN den.d > 0 THEN CAST(p.num AS DOUBLE) / CAST(den.d AS DOUBLE) END, 6) AS acf
+FROM p CROSS JOIN den"""
+
+
 _SPEARMAN_LINEITEM_SQL = """
 WITH t AS MATERIALIZED (SELECT CAST(l_quantity AS BIGINT) AS x,
        CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 10000 AS y FROM lineitem),
@@ -4369,6 +4414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_docs": q_textrank_docs,
         "corr_lineitem": q_corr_lineitem,
         "spearman_lineitem": q_spearman_lineitem,
+        "acf_orders": q_acf_orders,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -5276,6 +5322,7 @@ FROM tok GROUP BY 1, 2
 
     sqls["corr_lineitem"] = _corr_lineitem_sql()
     sqls["spearman_lineitem"] = _SPEARMAN_LINEITEM_SQL
+    sqls["acf_orders"] = _ACF_ORDERS_SQL
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)

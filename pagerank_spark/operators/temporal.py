@@ -291,3 +291,75 @@ def interevent_stats(
         F.min("gap_s").alias("min_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Exact sample autocorrelation of an integer-valued regular series at
+    lags ``1..max_lag``.
+
+    ``series`` must have one row per integer time index ``t_col`` with an
+    integer value ``x_col`` (aggregate + quantize upstream; gaps are allowed
+    — a missing t simply contributes no pair at the lags that would touch
+    it). The classic estimator ``r_k = sum_t (x_t - mean)(x_{t+k} - mean) /
+    sum_t (x_t - mean)^2`` is computed with the mean cleared exactly:
+    multiplying through by n^2 turns every deviation into the exact BIGINT
+    ``n*x_t - S``, so numerators and denominator are order-free integer
+    sums and the ratio is one correctly-rounded IEEE divide.
+
+    Scale shape: ONE lag-join (the series crossed with the lag list joins
+    the series once on ``t + lag``), no window, no per-lag pass; the series
+    is already aggregated so the join input is small relative to the raw
+    table. Overflow contract (caller's): ``n * max|x|`` must stay under
+    ~3e9 so squared products summed stay below 2^63.
+
+    Returns ``(lag, n_pairs, acf)`` — ``acf`` NULL only for a constant
+    series (zero variance).
+    """
+    t, x = F.col(t_col), F.col(x_col)
+    m = series.groupBy().agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(x).alias("__s")
+    )
+    a = (
+        series.select(t.alias("__t"), x.alias("__xa"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "__t", "__n", "__s",
+            F.explode(F.expr(f"sequence(1, {int(max_lag)})")).alias("lag"),
+            (F.col("__n") * F.col("__xa") - F.col("__s")).alias("__da"),
+        )
+    )
+    b = series.crossJoin(F.broadcast(m)).select(
+        t.alias("__tb"),
+        (F.col("__n") * x - F.col("__s")).alias("__db"),
+    )
+    # dev*dev, never pow(): pow is float and not correctly rounded
+    den = (
+        series.crossJoin(F.broadcast(m))
+        .select((F.col("__n") * x - F.col("__s")).alias("__d"))
+        .select((F.col("__d") * F.col("__d")).alias("__d2"))
+        .groupBy()
+        .agg(F.sum("__d2").alias("__den"))
+    )
+    num = (
+        a.join(b, a["__t"] + a["lag"] == b["__tb"])
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("__da") * F.col("__db")).alias("__num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.expr(
+                "CASE WHEN __den > 0 THEN CAST(__num AS DOUBLE) / CAST(__den AS DOUBLE) END"
+            ).alias("acf"),
+        )
+    )
