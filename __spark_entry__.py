@@ -1209,6 +1209,43 @@ def q_acf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("lag", "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (operators/hyptest.py::benford_test) of
+    order totals in exact cents: digit from the BIGINT's string form,
+    expected probabilities inlined as Python-computed full-precision
+    literals (engine log10 is not correctly rounded — a literal is
+    bit-identical on both engines), per-digit chi-square terms with no
+    float sum. TPC-H uniform prices are decidedly NOT Benford — the gate
+    checks the statistic, not the law."""
+    from pagerank_spark.operators.hyptest import benford_test
+
+    cents = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return benford_test(cents, "cents")
+
+
+def _benford_orders_sql() -> str:
+    import math
+
+    p_case = "CASE g.digit " + " ".join(
+        f"WHEN {d} THEN {math.log10(1.0 + 1.0 / d)!r}" for d in range(1, 10)
+    ) + " END"
+    exp = f"CAST(n.n AS DOUBLE) * ({p_case})"
+    dev = f"(CAST(COALESCE(o.observed, 0) AS DOUBLE) - {exp})"
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0),
+n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM d GROUP BY 1),
+g AS (SELECT unnest(range(1, 10)) AS digit)
+SELECT g.digit AS digit, COALESCE(o.observed, 0) AS observed,
+       ROUND({exp}, 6) AS expected,
+       ROUND({dev} * {dev} / ({exp}), 6) AS term
+FROM g CROSS JOIN n LEFT JOIN o ON o.digit = g.digit"""
+
+
 _ACF_ORDERS_SQL = """
 WITH s AS MATERIALIZED (
   SELECT CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS t,
@@ -4415,6 +4452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_lineitem": q_corr_lineitem,
         "spearman_lineitem": q_spearman_lineitem,
         "acf_orders": q_acf_orders,
+        "benford_orders": q_benford_orders,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -5323,6 +5361,7 @@ FROM tok GROUP BY 1, 2
     sqls["corr_lineitem"] = _corr_lineitem_sql()
     sqls["spearman_lineitem"] = _SPEARMAN_LINEITEM_SQL
     sqls["acf_orders"] = _ACF_ORDERS_SQL
+    sqls["benford_orders"] = _benford_orders_sql()
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)

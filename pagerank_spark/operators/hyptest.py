@@ -147,3 +147,57 @@ def chi_square(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
             .alias("chi2_micro"),
         )
     )
+
+
+def benford_test(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford first-digit goodness-of-fit over a positive integer column
+    (fraud/synthetic-data screening: natural multiplicative data follows
+    P(d) = log10(1 + 1/d); uniform or fabricated figures don't).
+
+    The first digit comes from the BIGINT's string form (no float log in
+    the digit path), so the whole scan is one codegen'd projection + one
+    9-bucket map-side-combined aggregate. Expected probabilities are the
+    nine constants inlined as full-precision literals computed by Python's
+    math.log10 — not engine log10 (log is NOT correctly rounded IEEE and
+    may differ across engines; a literal is bit-identical everywhere). The
+    per-digit chi-square term is then a fixed sequence of correctly-rounded
+    ops (cast, *, -, /) over the exact counts; terms are emitted per digit
+    (no float sum anywhere — callers can sum the 9 rounded terms if they
+    want the scalar statistic).
+
+    Returns ``(digit, observed, expected, term)`` for digits 1..9, where
+    ``expected = n * P(d)`` and ``term = (observed - expected)^2 /
+    expected``, both rounded to 6 dp.
+    """
+    import math
+
+    v = F.col(value_col)
+    digits = df.where(v > 0).select(
+        F.substring(v.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    n = digits.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    # all 9 digits present even when observed == 0
+    base = (
+        obs.sparkSession.range(1, 10)
+        .select(F.col("id").cast("int").alias("digit"))
+        .join(obs, "digit", "left")
+        .select("digit", F.coalesce("observed", F.lit(0)).alias("observed"))
+        .crossJoin(F.broadcast(n))
+    )
+    p_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {math.log10(1.0 + 1.0 / d)!r}" for d in range(1, 10)
+    ) + " END"
+    return base.select(
+        "digit",
+        "observed",
+        F.round(F.expr(f"CAST(__n AS DOUBLE) * ({p_case})"), 6).alias("expected"),
+        F.round(
+            F.expr(
+                f"(CAST(observed AS DOUBLE) - CAST(__n AS DOUBLE) * ({p_case}))"
+                f" * (CAST(observed AS DOUBLE) - CAST(__n AS DOUBLE) * ({p_case}))"
+                f" / (CAST(__n AS DOUBLE) * ({p_case}))"
+            ),
+            6,
+        ).alias("term"),
+    )
