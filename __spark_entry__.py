@@ -1209,6 +1209,48 @@ def q_acf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("lag", "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification (operators/classify.py::
+    nearest_centroid) over the embeddings table: train = vec_id % 5 != 0,
+    test = the held-out fifth. Grid-quantized vectors make centroids exact
+    BIGINT sums; distances are one correctly-rounded double per (test,
+    class). Oracle replays the identical integer algebra with 1-based list
+    indexing over the fixed D=64."""
+    from pagerank_spark.operators.classify import nearest_centroid
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    train = emb.where(F.col("vec_id") % 5 != 0)
+    test = emb.where(F.col("vec_id") % 5 == 0)
+    res = nearest_centroid(train, test)
+    return res.select("vec_id", "label_true", "pred", F.round("dist", 6).alias("dist"))
+
+
+_CENTROID_EMBEDDINGS_SQL = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+tr AS (SELECT * FROM q WHERE vec_id % 5 <> 0),
+te AS (SELECT * FROM q WHERE vec_id % 5 = 0),
+pos AS (SELECT unnest(range(1, 65)) AS p),
+ct AS MATERIALIZED (
+  SELECT label AS cl, pos.p AS p, CAST(SUM(qv[pos.p]) AS BIGINT) AS s
+  FROM tr CROSS JOIN pos GROUP BY 1, 2),
+cn AS MATERIALIZED (SELECT label AS cl, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1),
+d AS (
+  SELECT te.vec_id, te.label AS label_true, ct.cl AS pred, cn.n AS n,
+         CAST(SUM((cn.n * te.qv[ct.p] - ct.s) * (cn.n * te.qv[ct.p] - ct.s)) AS BIGINT) AS delta
+  FROM te JOIN ct ON true JOIN cn ON cn.cl = ct.cl
+  GROUP BY 1, 2, 3, 4),
+sc AS (
+  SELECT vec_id, label_true, pred,
+         CAST(delta AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           CAST(delta AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), pred) AS rn
+  FROM d)
+SELECT vec_id, label_true, pred, ROUND(dist, 6) AS dist FROM sc WHERE rn = 1"""
+
+
 def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit (operators/hyptest.py::benford_test) of
     order totals in exact cents: digit from the BIGINT's string form,
@@ -4453,6 +4495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_lineitem": q_spearman_lineitem,
         "acf_orders": q_acf_orders,
         "benford_orders": q_benford_orders,
+        "centroid_embeddings": q_centroid_embeddings,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -5362,6 +5405,7 @@ FROM tok GROUP BY 1, 2
     sqls["spearman_lineitem"] = _SPEARMAN_LINEITEM_SQL
     sqls["acf_orders"] = _ACF_ORDERS_SQL
     sqls["benford_orders"] = _benford_orders_sql()
+    sqls["centroid_embeddings"] = _CENTROID_EMBEDDINGS_SQL
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)

@@ -32,7 +32,7 @@ LLM-training-pipeline mandate breadth — corpus routing/labeling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["train_naive_bayes", "nb_predict"]
 
@@ -156,3 +156,60 @@ def nb_predict(
         .agg(best.alias("b"))
         .select(id_col, F.col("b.cls").alias("pred_cls"), F.col("b.cost_micro").alias("cost_micro"))
     )
+
+
+def nearest_centroid(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over embedding vectors.
+
+    Vectors snap to the integer grid ``round(x*scale)``
+    (operators/clustering.quantize_vectors), so class centroids are exact
+    rational ``S_c / n_c`` held as BIGINT sums + counts, and the squared
+    distance to a centroid is the exact BIGINT ``delta_c = sum_p (n_c*x_p -
+    S_cp)^2`` divided by ``n_c^2`` — the division happens ONCE in double
+    (correctly-rounded ops over exact ints: reduction-order-free).
+    Prediction = min over classes with a deterministic (dist, label)
+    tiebreak via a per-test-vector keyed window.
+
+    Scale shape: the centroid table is classes x D rows (one posexplode +
+    map-side-combined sum — tiny), broadcast back; the test scan is one
+    zip_with/aggregate lambda per class — no per-row Python, no global
+    window. Overflow contract: ``n_c * scale`` under ~3e9 (per-class rows
+    times grid; quantize down for million-row classes).
+
+    Returns ``(id_col, label_true, pred, dist)`` per test row.
+    """
+    from .clustering import quantize_vectors
+
+    tr = quantize_vectors(train, scale, vec_col, "__qv")
+    te = quantize_vectors(test, scale, vec_col, "__qv")
+    cent = (
+        tr.select(F.col(label_col).alias("__cl"), F.posexplode("__qv").alias("pos", "val"))
+        .groupBy("__cl", "pos")
+        .agg(F.sum("val").alias("s"))
+        .groupBy("__cl")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .select("__cl", F.expr("transform(ps, p -> p.s)").alias("sv"))
+        .join(tr.groupBy(F.col(label_col).alias("__cl")).agg(F.count(F.lit(1)).alias("n")), "__cl")
+    )
+    scored = (
+        te.crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.col(label_col).alias("label_true"),
+            F.col("__cl").alias("pred"),
+            F.expr(
+                "CAST(aggregate(zip_with(__qv, sv, (x, s) -> (n * x - s) * (n * x - s)),"
+                " 0L, (acc, v) -> acc + v) AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "pred")
+    return scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
