@@ -1948,6 +1948,16 @@ def q_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "triangles long")
 
 
+def q_cliques4_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex 4-clique counts (algos/triangles.py::
+    four_cliques_per_vertex) on the co-purchase graph: degree-oriented
+    triangles extended by three oriented d-legs, each clique materialized
+    exactly once. Oracle replays the identical orientation and joins."""
+    from pagerank_spark.algos.triangles import four_cliques_per_vertex
+
+    return four_cliques_per_vertex(_graph_for(spark, sf_dir, "copurchase"))
+
+
 def q_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_spark.algos.labelprop import label_propagation
 
@@ -4496,6 +4506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_orders": q_acf_orders,
         "benford_orders": q_benford_orders,
         "centroid_embeddings": q_centroid_embeddings,
+        "cliques4_copurchase": q_cliques4_copurchase,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -7227,6 +7238,35 @@ inc AS (SELECT a AS c, b AS n FROM und UNION ALL SELECT b, a FROM und),
 pairs AS (SELECT x.n AS pa, y.n AS pb, COUNT(*) AS w
           FROM inc x JOIN inc y ON x.c = y.c AND x.n < y.n GROUP BY 1, 2)
 SELECT COUNT(*) AS n_pairs, CAST(SUM(w * (w - 1)) // 4 AS BIGINT) AS squares FROM pairs"""
+
+    # 4-cliques: same (deg, id) orientation as the engine; each clique
+    # appears once as a < b < c < d in orientation order
+    sqls["cliques4_copurchase"] = f"""
+WITH {_materialize(COPURCHASE_EDGES_CTE.strip())},
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+dg AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1),
+o AS MATERIALIZED (
+  SELECT CASE WHEN lf THEN a ELSE b END AS u, CASE WHEN lf THEN b ELSE a END AS v
+  FROM (SELECT und.a, und.b,
+               (da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)) AS lf
+        FROM und JOIN dg da ON da.id = und.a JOIN dg db ON db.id = und.b)),
+ok AS MATERIALIZED (
+  SELECT o.u, o.v, dv.deg AS dv FROM o JOIN dg dv ON dv.id = o.v),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM ok e1 JOIN ok e2 ON e1.u = e2.u
+   AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+quad AS (
+  SELECT tri.a, tri.b, tri.c, e4.v AS d
+  FROM tri JOIN o e4 ON e4.u = tri.a
+  JOIN o e5 ON e5.u = tri.b AND e5.v = e4.v
+  JOIN o e6 ON e6.u = tri.c AND e6.v = e4.v)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS cliques4
+FROM (SELECT unnest([a, b, c, d]) AS id FROM quad) GROUP BY 1"""
 
     sqls["boilerplate_docs"] = """
 WITH segs AS (

@@ -236,3 +236,32 @@ def square_count(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.expr("sum(weight * (weight - 1)) div 4").alias("squares"),
     )
+
+
+def four_cliques_per_vertex(edges: DataFrame) -> DataFrame:
+    """``(id, cliques4)`` — number of 4-cliques each vertex belongs to.
+
+    Extends the degree-oriented triangle machinery one level: a 4-clique
+    with vertices in orientation order a < b < c < d (k = struct(deg, id))
+    is a triangle (a, b, c) plus oriented edges a->d, b->d, c->d — the
+    orientation makes each clique materialize exactly ONCE, and the
+    candidate-d fan-out per triangle is bounded by the oriented out-degree
+    O(sqrt(E)), the same bound that keeps the wedge join linear-ish
+    (Chiba–Nishizeki / Ortmann–Brandes edge orientation, public method).
+
+    The oriented edge set is referenced six times (two wedge legs, the
+    closer, and the three d-legs), so it is eagerly localCheckpoint-ed —
+    the triad_census lesson: multi-referenced subtrees re-execute per
+    reference otherwise.
+    """
+    o = _oriented(edges).localCheckpoint()
+    tri = _triangle_rows(o)
+    ead = o.select(F.col("u").alias("a"), F.col("v").alias("d"))
+    ebd = o.select(F.col("u").alias("b"), F.col("v").alias("d"))
+    ecd = o.select(F.col("u").alias("c"), F.col("v").alias("d"))
+    quads = tri.join(ead, "a").join(ebd, ["b", "d"]).join(ecd, ["c", "d"])
+    return (
+        quads.select(F.explode(F.array("a", "b", "c", "d")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("cliques4"))
+    )
