@@ -1251,6 +1251,36 @@ sc AS (
 SELECT vec_id, label_true, pred, ROUND(dist, 6) AS dist FROM sc WHERE rn = 1"""
 
 
+def q_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue
+    (operators/profile.py::gini_concentration): exact cents totals, ranks
+    from the two-phase distributed prefix sum (no global window), exact
+    BIGINT rank form, one correctly-rounded ratio."""
+    from pagerank_spark.operators.profile import gini_concentration
+
+    rev = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    res = gini_concentration(rev, "cents", "cust")
+    return res.select("n", "total", F.round("gini", 6).alias("gini"))
+
+
+_GINI_CUSTOMERS_SQL = """
+WITH r AS MATERIALIZED (
+  SELECT o_custkey AS id,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+rk AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, id) AS BIGINT) AS i FROM r),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS total,
+             CAST(SUM(i * x) AS BIGINT) AS si FROM rk)
+SELECT n, total,
+       ROUND(CASE WHEN total > 0 THEN CAST(2 * si - (n + 1) * total AS DOUBLE)
+             / CAST(n * total AS DOUBLE) END, 6) AS gini
+FROM m"""
+
+
 def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit (operators/hyptest.py::benford_test) of
     order totals in exact cents: digit from the BIGINT's string form,
@@ -4507,6 +4537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_orders": q_benford_orders,
         "centroid_embeddings": q_centroid_embeddings,
         "cliques4_copurchase": q_cliques4_copurchase,
+        "gini_customers": q_gini_customers,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -5417,6 +5448,7 @@ FROM tok GROUP BY 1, 2
     sqls["acf_orders"] = _ACF_ORDERS_SQL
     sqls["benford_orders"] = _benford_orders_sql()
     sqls["centroid_embeddings"] = _CENTROID_EMBEDDINGS_SQL
+    sqls["gini_customers"] = _GINI_CUSTOMERS_SQL
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)

@@ -65,3 +65,43 @@ def profile_table(df: DataFrame, exact: bool = True) -> DataFrame:
         ),
         F.col("__n").alias("n_rows"),
     ).select("column", "dtype", "n_rows", "n_null", "n_distinct", "min_long", "max_long")
+
+
+def gini_concentration(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
+    """Exact Gini coefficient of a non-negative integer value column —
+    the standard concentration/skew report (revenue concentration, key-load
+    imbalance before a shuffle, token-frequency inequality).
+
+    Uses the rank form ``G = (2 * sum_i i*x_(i) - (n+1) * sum x) /
+    (n * sum x)`` with ascending ranks ``i`` assigned by
+    :func:`..operators.cumsum.distributed_cumsum` over the total order
+    ``(value, id)`` — the two-phase prefix sum, NOT a single-partition
+    global window, so ranking scales like any other shuffle. Every term is
+    an exact BIGINT; the final ratio is one correctly-rounded double.
+
+    Overflow contract (caller's): ``n * max(x)`` under ~9e18/n — quantize
+    wide value columns down first (Gini is scale-invariant, the grid is
+    the only approximation and the caller owns it).
+
+    Returns one row ``(n, total, gini)``; ``gini`` NULL when the total is
+    zero.
+    """
+    from .cumsum import distributed_cumsum
+
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(value_col).cast("long").alias("__x")
+    ).withColumn("__one", F.lit(1).cast("long"))
+    ranked = distributed_cumsum(base, ["__x", "__id"], "__one", out_col="__i")
+    agg = ranked.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("total"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__si"),
+    )
+    return agg.select(
+        "n",
+        "total",
+        F.expr(
+            "CASE WHEN total > 0 THEN CAST(2 * __si - (n + 1) * total AS DOUBLE)"
+            " / CAST(n * total AS DOUBLE) END"
+        ).alias("gini"),
+    )
