@@ -1267,6 +1267,54 @@ def q_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("n", "total", F.round("gini", 6).alias("gini"))
 
 
+def q_bootstrap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order value in cents
+    (operators/hyptest.py::poisson_bootstrap_mean): 100 deterministic
+    replicate means in one scan — Knuth-hash uniforms inverted through
+    integer Poisson(1) CDF thresholds, exact BIGINT weighted sums, one
+    divide per replicate. Oracle replays the identical hash + threshold
+    algebra."""
+    from pagerank_spark.operators.hyptest import poisson_bootstrap_mean
+
+    cents = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    res = poisson_bootstrap_mean(cents, "cents", "id", n_boot=100)
+    return res.select("b", "n_eff", F.round("mean", 6).alias("mean"))
+
+
+def _bootstrap_orders_sql(n_boot: int = 100) -> str:
+    import math
+
+    thresholds = []
+    acc, fact = 0.0, 1
+    for k in range(10):
+        if k:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        thresholds.append(int(math.floor(acc * 4294967296.0)))
+    w_case = (
+        "CASE "
+        + " ".join(f"WHEN h < {t} THEN {k}" for k, t in enumerate(thresholds))
+        + " ELSE 10 END"
+    )
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT o_orderkey AS id, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+reps AS (SELECT unnest(range(1, {n_boot + 1})) AS rb),
+h AS (SELECT reps.rb, v.x,
+             (((((v.id * 2654435761) % 4294967296) % 1000003) + reps.rb * 7919)
+              * 2654435761) % 4294967296 AS h
+      FROM v CROSS JOIN reps),
+w AS (SELECT rb, x, CAST({w_case} AS BIGINT) AS w FROM h),
+m AS (SELECT rb, CAST(SUM(w * x) AS BIGINT) AS sx, CAST(SUM(w) AS BIGINT) AS n_eff
+      FROM w GROUP BY 1)
+SELECT CAST(rb AS INT) AS b, n_eff,
+       ROUND(CASE WHEN n_eff > 0 THEN CAST(sx AS DOUBLE) / CAST(n_eff AS DOUBLE) END, 6) AS mean
+FROM m"""
+
+
 _GINI_CUSTOMERS_SQL = """
 WITH r AS MATERIALIZED (
   SELECT o_custkey AS id,
@@ -4538,6 +4586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_embeddings": q_centroid_embeddings,
         "cliques4_copurchase": q_cliques4_copurchase,
         "gini_customers": q_gini_customers,
+        "bootstrap_orders": q_bootstrap_orders,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -5449,6 +5498,7 @@ FROM tok GROUP BY 1, 2
     sqls["benford_orders"] = _benford_orders_sql()
     sqls["centroid_embeddings"] = _CENTROID_EMBEDDINGS_SQL
     sqls["gini_customers"] = _GINI_CUSTOMERS_SQL
+    sqls["bootstrap_orders"] = _bootstrap_orders_sql()
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)

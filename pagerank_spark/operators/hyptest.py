@@ -201,3 +201,63 @@ def benford_test(df: DataFrame, value_col: str) -> DataFrame:
             6,
         ).alias("term"),
     )
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame, value_col: str, id_col: str, n_boot: int = 100
+) -> DataFrame:
+    """Poisson bootstrap of the mean: ``n_boot`` deterministic resample
+    means in ONE scan (the classic scale-out bootstrap — Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012: at
+    large n, multinomial resampling factorizes into independent
+    Poisson(1) weights per row, so no global resample pass is needed).
+
+    Each (row, replicate) weight is Poisson(1)-distributed but fully
+    deterministic: a Knuth multiplicative hash of (id, b) produces a
+    32-bit uniform, inverted through the Poisson CDF as INTEGER threshold
+    literals precomputed in Python (floor(cdf_k * 2^32)) — no engine RNG,
+    no float in the weight path, repartition-stable and SQL-replayable.
+    Replicate means are exact BIGINT weighted sums divided once.
+
+    Scale shape: the explode costs n_boot x the scan IN ONE JOB (no
+    driver loop, no shuffle of the raw table — the only shuffle carries
+    n_boot partial rows per partition). Weights are capped at 10
+    (P ~ 1e-8 tail); the CI consumer reads the n_boot-row output.
+
+    Returns ``(b, n_eff, mean)`` — one row per replicate.
+    """
+    import math
+
+    thresholds = []
+    acc, fact = 0.0, 1
+    for k in range(10):
+        if k:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        thresholds.append(int(math.floor(acc * 4294967296.0)))
+    w_case = (
+        "CASE "
+        + " ".join(f"WHEN __h < {t} THEN {k}" for k, t in enumerate(thresholds))
+        + " ELSE 10 END"
+    )
+    rep = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("long").alias("__x"),
+        F.explode(F.expr(f"sequence(1, {int(n_boot)})")).alias("b"),
+    )
+    weighted = (
+        rep.withColumn("__h1", F.expr("pmod(__id * 2654435761, 4294967296) % 1000003"))
+        .withColumn("__h", F.expr("pmod((__h1 + b * 7919) * 2654435761, 4294967296)"))
+        .withColumn("__w", F.expr(w_case).cast("long"))
+    )
+    out = weighted.groupBy("b").agg(
+        F.sum(F.col("__w") * F.col("__x")).alias("__sx"),
+        F.sum("__w").alias("n_eff"),
+    )
+    return out.select(
+        F.col("b").cast("int").alias("b"),
+        "n_eff",
+        F.expr(
+            "CASE WHEN n_eff > 0 THEN CAST(__sx AS DOUBLE) / CAST(n_eff AS DOUBLE) END"
+        ).alias("mean"),
+    )
