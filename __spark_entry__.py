@@ -1144,6 +1144,42 @@ def q_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moment_matrix(li, ["qty", "disc_pct", "tax_pct"], "price_usd")
 
 
+def q_isotonic_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (operators/regress.py::isotonic_fit) of line
+    price (exact cents) on quantity: minimax-form PAV over distinct-x
+    prefix sums — relational, window-free, D^2 on the 50-value distinct
+    table only. Fit values are non-decreasing by construction; oracle
+    replays the identical block-mean minimax."""
+    from pagerank_spark.operators.regress import isotonic_fit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    res = isotonic_fit(li, "qty", "cents")
+    return res.select(F.col("x"), "n", F.round("fit", 6).alias("fit"))
+
+
+_ISOTONIC_LINEITEM_SQL = """
+WITH g AS MATERIALIZED (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1),
+b AS MATERIALIZED (
+  SELECT x, sy, c,
+         CAST(SUM(sy) OVER (ORDER BY x) AS BIGINT) AS ps,
+         CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) AS pc FROM g),
+blk AS (
+  SELECT lo.x AS xj,
+         CAST(hi.ps - (lo.ps - lo.sy) AS DOUBLE)
+           / CAST(hi.pc - (lo.pc - lo.c) AS DOUBLE) AS avg
+  FROM b lo JOIN b hi ON lo.x <= hi.x),
+mins AS (SELECT xj, MIN(avg) AS mj FROM blk GROUP BY 1)
+SELECT b.x AS x, b.c AS n, ROUND(MAX(m.mj), 6) AS fit
+FROM b JOIN mins m ON m.xj <= b.x GROUP BY 1, 2"""
+
+
 _CORR_COLS = ["qty", "price_h", "disc_bp", "tax_bp"]
 
 
@@ -4587,6 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cliques4_copurchase": q_cliques4_copurchase,
         "gini_customers": q_gini_customers,
         "bootstrap_orders": q_bootstrap_orders,
+        "isotonic_lineitem": q_isotonic_lineitem,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -5499,6 +5536,7 @@ FROM tok GROUP BY 1, 2
     sqls["centroid_embeddings"] = _CENTROID_EMBEDDINGS_SQL
     sqls["gini_customers"] = _GINI_CUSTOMERS_SQL
     sqls["bootstrap_orders"] = _bootstrap_orders_sql()
+    sqls["isotonic_lineitem"] = _ISOTONIC_LINEITEM_SQL
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)

@@ -218,3 +218,66 @@ def spearman_corr(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             " / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))) END"
         ).alias("spearman"),
     )
+
+
+def isotonic_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Distributed isotonic regression (least-squares monotone fit of y on
+    x — the standard score-calibration primitive) via the minimax
+    representation::
+
+        fit(x_i) = max_{j<=i} min_{k>=i} mean(y over blocks x_j..x_k)
+
+    (Robertson–Wright–Dykstra 1988, eq. 1.9–1.13 — equivalent to PAV but
+    expressible as relational algebra instead of a sequential pooling
+    loop.)
+
+    Scale shape: y is aggregated to EXACT BIGINT (sum, count) per DISTINCT
+    x first — the raw table is scanned once and everything after runs on
+    the distinct-value table D, with prefix sums from the two-phase
+    distributed cumsum (no global window). The pair stages are D^2
+    self-joins of that aggregated table: isotonic calibration inputs have
+    bounded distinct scores (quantize continuous x upstream), and the
+    bound is documented, not silent. Block means are one correctly-rounded
+    divide over exact integers, and min/max over doubles are exact
+    selections, so the fit is reduction-order-free and engine-identical.
+
+    Returns ``(x, n, fit)`` per distinct x; ``fit`` is non-decreasing in x.
+    """
+    from .cumsum import distributed_cumsum
+
+    g = df.groupBy(F.col(x_col).alias("x")).agg(
+        F.sum(F.col(y_col).cast("long")).alias("sy"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    ps = distributed_cumsum(g, ["x"], "sy", out_col="ps").select("x", "sy", "c", "ps")
+    pc = distributed_cumsum(g.select("x", "c"), ["x"], "c", out_col="pc").select("x", "pc")
+    base = ps.join(pc, "x")
+    lo = base.select(
+        F.col("x").alias("xj"),
+        (F.col("ps") - F.col("sy")).alias("ps0"),
+        (F.col("pc") - F.col("c")).alias("pc0"),
+    )
+    hi = base.select(F.col("x").alias("xk"), "ps", "pc")
+    # mean over the contiguous block x_j..x_k, exact ints -> one divide
+    block = lo.join(hi, F.col("xj") <= F.col("xk")).select(
+        "xj",
+        "xk",
+        (
+            (F.col("ps") - F.col("ps0")).cast("double")
+            / (F.col("pc") - F.col("pc0")).cast("double")
+        ).alias("avg"),
+    )
+    # m(j, i) = min_{k >= i} mean(x_j..x_k) is needed per (j, i); the
+    # max-min collapses in two grouped passes because min over k >= i of a
+    # row (j, k) depends only on (j, k >= i): first attach each block mean
+    # to every i in [j, k]... that is D^3. Instead use the standard
+    # two-sided form fit(i) = max_{j<=i} min_{k>=j} avg(j, k), valid at
+    # the PAV solution (RWD eq. 1.13): min over k first, then max over j.
+    mins = block.groupBy("xj").agg(F.min("avg").alias("mj"))
+    idx = base.select(F.col("x"), F.col("c").alias("n"))
+    fit = (
+        idx.join(mins, F.col("xj") <= F.col("x"))
+        .groupBy("x", "n")
+        .agg(F.max("mj").alias("fit"))
+    )
+    return fit.select("x", "n", "fit")
