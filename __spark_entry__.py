@@ -1351,6 +1351,59 @@ SELECT CAST(rb AS INT) AS b, n_eff,
 FROM m"""
 
 
+def q_streaks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run statistics (operators/sequences.py::streaks):
+    longest same-type streak per (user, event_type) via the row_number
+    difference trick — two keyed windows sharing one shuffle."""
+    from pagerank_spark.operators.sequences import streaks
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return streaks(ev)
+
+
+_STREAKS_EVENTS_SQL = """
+WITH r AS MATERIALIZED (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS isl
+  FROM events),
+runs AS (SELECT user_id, event_type, isl, CAST(COUNT(*) AS BIGINT) AS len
+         FROM r GROUP BY 1, 2, 3)
+SELECT user_id, event_type, CAST(MAX(len) AS BIGINT) AS max_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks, CAST(SUM(len) AS BIGINT) AS n_events
+FROM runs GROUP BY 1, 2"""
+
+
+def q_twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user
+    (operators/temporal.py::time_weighted_avg): dwell-weighted exact-cents
+    sums over right-open intervals, whole-second FLOOR epochs both sides,
+    one keyed lead window + one aggregation."""
+    from pagerank_spark.operators.temporal import time_weighted_avg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = time_weighted_avg(ev)
+    return res.select(
+        "user_id", "n_intervals", "total_seconds", F.round("twap", 6).alias("twap")
+    )
+
+
+_TWAP_EVENTS_SQL = """
+WITH q AS MATERIALIZED (
+  SELECT user_id AS k, CAST(ROUND(value * 100) AS BIGINT) AS v,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, ts, event_id
+  FROM events),
+iv AS (SELECT k, v, LEAD(s) OVER (PARTITION BY k ORDER BY ts, event_id) - s AS dur FROM q),
+f AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+             CAST(SUM(dur) AS BIGINT) AS total_seconds,
+             CAST(SUM(v * dur) AS BIGINT) AS ws
+      FROM iv WHERE dur IS NOT NULL GROUP BY 1)
+SELECT k AS user_id, n_intervals, total_seconds,
+       ROUND(CASE WHEN total_seconds > 0
+             THEN CAST(ws AS DOUBLE) / (CAST(total_seconds AS DOUBLE) * 100.0) END, 6) AS twap
+FROM f"""
+
+
 _GINI_CUSTOMERS_SQL = """
 WITH r AS MATERIALIZED (
   SELECT o_custkey AS id,
@@ -4624,6 +4677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_customers": q_gini_customers,
         "bootstrap_orders": q_bootstrap_orders,
         "isotonic_lineitem": q_isotonic_lineitem,
+        "streaks_events": q_streaks_events,
+        "twap_events": q_twap_events,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -5537,6 +5592,8 @@ FROM tok GROUP BY 1, 2
     sqls["gini_customers"] = _GINI_CUSTOMERS_SQL
     sqls["bootstrap_orders"] = _bootstrap_orders_sql()
     sqls["isotonic_lineitem"] = _ISOTONIC_LINEITEM_SQL
+    sqls["streaks_events"] = _STREAKS_EVENTS_SQL
+    sqls["twap_events"] = _TWAP_EVENTS_SQL
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)

@@ -245,3 +245,38 @@ def attribution(
         ).alias("linear_micro"),
         F.sum(F.col("touched").cast("long")).alias("n_touchpoints"),
     )
+
+
+def streaks(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Consecutive-run (gaps-and-islands) statistics per (key, type):
+    longest streak, number of streaks, total events — the retry-loop /
+    repeated-action detector (e.g. an agent stuck re-invoking the same
+    tool across consecutive turns).
+
+    Classic islands trick: in the per-key (ts, tiebreak) total order,
+    ``row_number over key  -  row_number over (key, type)`` is constant
+    exactly within a maximal run of the same type, so one groupBy on that
+    difference materializes the runs. Both windows are KEYED (partitioned
+    by user) — per-key history bounded, no global window, and the two
+    row_numbers share one shuffle + sort of the events scan.
+
+    Returns ``(key_col, type_col, max_streak, n_streaks, n_events)``.
+    """
+    w_all = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    w_typ = Window.partitionBy(key_col, type_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    runs = (
+        events.withColumn("__isl", F.row_number().over(w_all) - F.row_number().over(w_typ))
+        .groupBy(key_col, type_col, "__isl")
+        .agg(F.count(F.lit(1)).alias("__len"))
+    )
+    return runs.groupBy(key_col, type_col).agg(
+        F.max("__len").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("__len").alias("n_events"),
+    )

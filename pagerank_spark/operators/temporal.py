@@ -363,3 +363,52 @@ def autocorrelation(
             ).alias("acf"),
         )
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_scale: int = 100,
+) -> DataFrame:
+    """Time-weighted average (TWAP) per key: each observation holds until
+    the key's next observation, so its weight is the dwell in whole
+    seconds (both engines FLOOR epoch — exact, deterministic; the last
+    observation has no successor and is excluded, the standard
+    right-open-interval convention).
+
+    Values are quantized to ``round(v * value_scale)`` BIGINT so the
+    weighted sum is exact integer arithmetic; the single divide is
+    correctly-rounded IEEE. One keyed window (lead) + one aggregation.
+
+    Returns ``(key_col, n_intervals, total_seconds, twap)`` where twap is
+    back in original units (the /value_scale happens in the final divide).
+    """
+    sec = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    q = events.select(
+        F.col(key_col).alias("__k"),
+        F.round(F.col(value_col) * value_scale).cast("long").alias("__v"),
+        sec.alias("__s"),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+    )
+    w = Window.partitionBy("__k").orderBy(F.col(ts_col), F.col(tiebreak_col))
+    iv = q.withColumn("__dur", F.lead("__s").over(w) - F.col("__s")).where(
+        F.col("__dur").isNotNull()
+    )
+    agg = iv.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__dur").alias("total_seconds"),
+        F.sum(F.col("__v") * F.col("__dur")).alias("__wsum"),
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        "n_intervals",
+        "total_seconds",
+        F.expr(
+            f"CASE WHEN total_seconds > 0 THEN CAST(__wsum AS DOUBLE)"
+            f" / (CAST(total_seconds AS DOUBLE) * {float(value_scale)!r}) END"
+        ).alias("twap"),
+    )
