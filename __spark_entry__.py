@@ -1351,6 +1351,34 @@ SELECT CAST(rb AS INT) AS b, n_eff,
 FROM m"""
 
 
+def q_quantile_disc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles of price cents
+    (operators/packing.py::exact_quantiles): value histogram + distributed
+    prefix sum + rational-ceil probes — no value buffering, no global sort,
+    no float anywhere. The scale path beside the documented exact
+    `percentile` buffering cliff."""
+    from pagerank_spark.operators.packing import exact_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return exact_quantiles(li, "cents", [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)])
+
+
+_QUANTILE_DISC_LINEITEM_SQL = """
+WITH h AS MATERIALIZED (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1),
+cum AS MATERIALIZED (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM h),
+nn AS (SELECT CAST(MAX(cum) AS BIGINT) AS n FROM cum),
+probes(num, den) AS (VALUES (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)),
+t AS (SELECT CAST(num AS BIGINT) AS q_num, CAST(den AS BIGINT) AS q_den,
+             (CAST(num AS BIGINT) * n + den - 1) // den AS k, n
+      FROM probes CROSS JOIN nn)
+SELECT t.q_num, t.q_den, t.k, t.n, CAST(MIN(cum.v) AS BIGINT) AS value
+FROM t JOIN cum ON cum.cum >= t.k GROUP BY 1, 2, 3, 4"""
+
+
 def q_streaks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands run statistics (operators/sequences.py::streaks):
     longest same-type streak per (user, event_type) via the row_number
@@ -4679,6 +4707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_lineitem": q_isotonic_lineitem,
         "streaks_events": q_streaks_events,
         "twap_events": q_twap_events,
+        "quantile_disc_lineitem": q_quantile_disc_lineitem,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -5594,6 +5623,7 @@ FROM tok GROUP BY 1, 2
     sqls["isotonic_lineitem"] = _ISOTONIC_LINEITEM_SQL
     sqls["streaks_events"] = _STREAKS_EVENTS_SQL
     sqls["twap_events"] = _TWAP_EVENTS_SQL
+    sqls["quantile_disc_lineitem"] = _QUANTILE_DISC_LINEITEM_SQL
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)

@@ -272,3 +272,41 @@ def stratified_sample(
     for key, p in sorted(fractions.items()):
         pct = F.when(F.col(by) == key, F.lit(p)).otherwise(pct)
     return df.filter(bucket < pct)
+
+
+def exact_quantiles(
+    df: DataFrame, value_col: str, qs: list[tuple[int, int]]
+) -> DataFrame:
+    """Exact discrete (type-1 / lower empirical) quantiles of an integer
+    column with NO per-group value buffering and NO global sort — the
+    scale-correct exact path next to the two documented cliffs: Spark's
+    exact ``percentile`` buffers every group value in executor memory, and
+    ``quantile_bins``' exact mode needs a global NTILE window.
+
+    Shape: ONE map-side-combined value histogram (|distinct| rows), the
+    two-phase distributed prefix sum over it, then each probe q is "the
+    smallest value whose cumulative count >= ceil(q*n)" — a broadcast
+    nested-loop of the tiny probe list against the histogram plus a
+    map-side-combined MIN. Everything is integer arithmetic: quantiles are
+    passed as exact rationals ``(num, den)`` so ``ceil(q*n) = (num*n +
+    den - 1) div den`` never touches a float.
+
+    Returns ``(q_num, q_den, k, n, value)`` — one row per probe.
+    """
+    from .cumsum import distributed_cumsum
+
+    h = df.groupBy(F.col(value_col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    cum = distributed_cumsum(h, ["v"], "c", out_col="cum").select("v", "cum")
+    nrow = cum.groupBy().agg(F.max("cum").alias("n"))
+    probes = df.sparkSession.createDataFrame(
+        [(int(num), int(den)) for num, den in qs], "q_num long, q_den long"
+    )
+    targets = (
+        probes.crossJoin(F.broadcast(nrow))
+        .withColumn("k", F.expr("(q_num * n + q_den - 1) DIV q_den"))
+    )
+    return (
+        cum.join(F.broadcast(targets), F.col("cum") >= F.col("k"))
+        .groupBy("q_num", "q_den", "k", "n")
+        .agg(F.min("v").alias("value"))
+    )

@@ -1,0 +1,42 @@
+"""Exact discrete quantiles (operators/packing.py::exact_quantiles)."""
+
+import math
+
+from pagerank_spark.operators.packing import exact_quantiles
+
+
+def _py_q(xs, num, den):
+    s = sorted(xs)
+    k = -(-num * len(s) // den)  # ceil
+    return s[k - 1], k
+
+
+def _check(spark, xs, qs):
+    df = spark.createDataFrame([(x,) for x in xs], ["v"])
+    got = {(r["q_num"], r["q_den"]): (r["value"], r["k"], r["n"]) for r in exact_quantiles(df, "v", qs).collect()}
+    for num, den in qs:
+        want_v, want_k = _py_q(xs, num, den)
+        assert got[(num, den)] == (want_v, want_k, len(xs)), (num, den)
+
+
+def test_quantiles_match_sorted_indexing(spark):
+    xs = [((i * 37) % 101) for i in range(200)]
+    _check(spark, xs, [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100), (1, 1)])
+
+
+def test_quantiles_with_heavy_ties(spark):
+    xs = [5] * 90 + [1] * 5 + [9] * 5
+    _check(spark, xs, [(1, 100), (1, 20), (1, 2), (19, 20), (1, 1)])
+
+
+def test_median_odd_even(spark):
+    _check(spark, [1, 2, 3, 4, 5], [(1, 2)])      # k=3 -> 3
+    _check(spark, [1, 2, 3, 4], [(1, 2)])          # k=2 -> 2 (lower median)
+
+
+def test_quantiles_repartition_stable(spark):
+    xs = [((i * 13) % 29) for i in range(500)]
+    df = spark.createDataFrame([(x,) for x in xs], ["v"])
+    a = sorted(map(tuple, exact_quantiles(df.repartition(3), "v", [(1, 2), (3, 4)]).collect()))
+    b = sorted(map(tuple, exact_quantiles(df.repartition(19), "v", [(1, 2), (3, 4)]).collect()))
+    assert a == b
