@@ -1351,6 +1351,41 @@ SELECT CAST(rb AS INT) AS b, n_eff,
 FROM m"""
 
 
+def q_knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine kNN graph (operators/similarity.py::knn_graph), k=3:
+    grid-quantized integer dots/norms, one correctly-rounded cosine per
+    pair, per-vector keyed-window top-k with id tiebreak. Oracle replays
+    the identical integer algebra with a 64-term list lambda."""
+    from pagerank_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = knn_graph(emb, k=3)
+    return res.select("vec_id", "neighbor", "rank", F.round("cos", 6).alias("cos"))
+
+
+_KNN_GRAPH_EMBEDDINGS_SQL = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+n AS MATERIALIZED (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM q),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+         CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE a.n2 > 0 AND b.n2 > 0),
+r AS (
+  SELECT vec_id, neighbor, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor ASC) AS rank
+  FROM p)
+SELECT vec_id, neighbor, CAST(rank AS INT) AS rank, ROUND(cos, 6) AS cos
+FROM r WHERE rank <= 3"""
+
+
 def q_quantile_disc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete quantiles of price cents
     (operators/packing.py::exact_quantiles): value histogram + distributed
@@ -4708,6 +4743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaks_events": q_streaks_events,
         "twap_events": q_twap_events,
         "quantile_disc_lineitem": q_quantile_disc_lineitem,
+        "knn_graph_embeddings": q_knn_graph_embeddings,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -5624,6 +5660,7 @@ FROM tok GROUP BY 1, 2
     sqls["streaks_events"] = _STREAKS_EVENTS_SQL
     sqls["twap_events"] = _TWAP_EVENTS_SQL
     sqls["quantile_disc_lineitem"] = _QUANTILE_DISC_LINEITEM_SQL
+    sqls["knn_graph_embeddings"] = _KNN_GRAPH_EMBEDDINGS_SQL
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)

@@ -310,3 +310,54 @@ def pq_topk(
         "vec_id", adc_udf(F.col("codes")).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph by cosine over grid-quantized
+    vectors: every vector's top-k neighbors, the all-pairs extension of
+    :func:`cosine_topk_bruteforce` (which serves one query).
+
+    Vectors snap to ``round(x*scale)`` BIGINT, so dot products and squared
+    norms are EXACT integers (one zip_with/aggregate lambda each, norms
+    computed once per vector and carried through the join); the cosine is
+    a fixed correctly-rounded IEEE sequence over those integers —
+    engine-reproducible, ties broken by neighbor id.
+
+    Scale shape: the self-join is the brute-force N^2 BASELINE, correct at
+    any dimension and the right choice up to ~10^5 vectors per blocking
+    key; beyond that the bucketed paths (hyperplane LSH / IVF inverted
+    lists in this module) generate candidates and THIS operator's scoring
+    applies within buckets. Zero-norm vectors match nothing and are
+    matched by nothing (cosine undefined).
+
+    Returns ``(vec_id, neighbor, rank, cos)`` — k rows per vector.
+    """
+    from pyspark.sql import Window
+
+    from .clustering import quantize_vectors
+
+    q = quantize_vectors(emb, scale, vec_col, "__qv").withColumn(
+        "__n2", F.expr("aggregate(transform(__qv, x -> x * x), 0L, (s, v) -> s + v)")
+    ).where(F.col("__n2") > 0)
+    a = q.select(F.col(id_col).alias("__a"), F.col("__qv").alias("__qa"), F.col("__n2").alias("__na"))
+    b = q.select(F.col(id_col).alias("__b"), F.col("__qv").alias("__qb"), F.col("__n2").alias("__nb"))
+    pairs = a.join(b, F.col("__a") != F.col("__b"))
+    cos = F.expr(
+        "CAST(aggregate(zip_with(__qa, __qb, (x, y) -> x * y), 0L, (s, v) -> s + v) AS DOUBLE)"
+        " / (sqrt(CAST(__na AS DOUBLE)) * sqrt(CAST(__nb AS DOUBLE)))"
+    )
+    scored = pairs.select(
+        F.col("__a").alias(id_col), F.col("__b").alias("neighbor"), cos.alias("cos")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(id_col, "neighbor", "rank", "cos")
+    )
