@@ -1351,6 +1351,39 @@ SELECT CAST(rb AS INT) AS b, n_eff,
 FROM m"""
 
 
+def q_randne_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandNE iterative-random-projection embedding
+    (operators/linalg.py::randne_embedding), d=8 over the undirected
+    co-purchase graph: hash-derived ±1 projection, E1 = A·R and E2 = A²·R
+    as exact BIGINT spmm — training-free graph embedding, SQL-replayable."""
+    from pagerank_spark.operators.linalg import randne_embedding
+
+    return randne_embedding(_graph_for(spark, sf_dir, "copurchase"), d=8)
+
+
+_RANDNE_COPURCHASE_SQL_TMPL = """
+WITH {edges},
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+dims AS (SELECT unnest(range(0, 8)) AS j),
+r AS MATERIALIZED (
+  SELECT id AS k, j,
+         1 - 2 * (((((id * 2654435761) % 4294967296) % 1000003 + j * 7919)
+                   * 2654435761) % 4294967296 % 2) AS v
+  FROM verts CROSS JOIN dims),
+e1 AS MATERIALIZED (
+  SELECT sym.src AS i, r.j, CAST(SUM(r.v) AS BIGINT) AS v
+  FROM sym JOIN r ON r.k = sym.dst GROUP BY 1, 2 HAVING SUM(r.v) <> 0),
+e2 AS MATERIALIZED (
+  SELECT sym.src AS i, e1.j, CAST(SUM(e1.v) AS BIGINT) AS v
+  FROM sym JOIN e1 ON e1.i = sym.dst GROUP BY 1, 2 HAVING SUM(e1.v) <> 0)
+SELECT COALESCE(e1.i, e2.i) AS id, COALESCE(e1.j, e2.j) AS dim,
+       COALESCE(e1.v, 0) AS e1, COALESCE(e2.v, 0) AS e2
+FROM e1 FULL OUTER JOIN e2 ON e1.i = e2.i AND e1.j = e2.j"""
+
+
 def q_knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine kNN graph (operators/similarity.py::knn_graph), k=3:
     grid-quantized integer dots/norms, one correctly-rounded cosine per
@@ -4744,6 +4777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_events": q_twap_events,
         "quantile_disc_lineitem": q_quantile_disc_lineitem,
         "knn_graph_embeddings": q_knn_graph_embeddings,
+        "randne_copurchase": q_randne_copurchase,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -5661,6 +5695,9 @@ FROM tok GROUP BY 1, 2
     sqls["twap_events"] = _TWAP_EVENTS_SQL
     sqls["quantile_disc_lineitem"] = _QUANTILE_DISC_LINEITEM_SQL
     sqls["knn_graph_embeddings"] = _KNN_GRAPH_EMBEDDINGS_SQL
+    sqls["randne_copurchase"] = _RANDNE_COPURCHASE_SQL_TMPL.format(
+        edges=_materialize(COPURCHASE_EDGES_CTE.strip())
+    )
 
     sqls["k_truss_copurchase"] = _truss_sql(COPURCHASE_EDGES_CTE, 5, 5)
     sqls["mis_events"] = _mis_sql(EVENTS_EDGES_CTE, 7)

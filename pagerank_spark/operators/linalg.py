@@ -182,3 +182,56 @@ def power_iteration(cells: list[tuple[int, int, int]], d: int, iters: int = 50):
         v = w / nrm
         lam = float(v @ m @ v)
     return lam, v
+
+
+def randne_embedding(edges: DataFrame, d: int = 8) -> DataFrame:
+    """RandNE-style graph embedding (Zhang et al. 2018, "Billion-scale
+    Network Embedding via Iterative Random Projection" — public method):
+    project the adjacency's neighborhood structure through a random matrix,
+    ``E_k = A^k R``, instead of training — two sparse matmuls replace SGD.
+
+    Here R is a hash-derived ±1 matrix (Knuth multiplicative over
+    (vertex, dim) — no RNG), so E_1 = A R and E_2 = A^2 R are EXACT BIGINT
+    via :func:`spmm_cells`: deterministic, repartition-stable, and
+    SQL-replayable. Signs-only R is the standard sparse JL choice; callers
+    normalize/concatenate hops downstream (kept integer here on purpose).
+
+    Scale shape: two inner-index joins + grouped sums over (E * d) cells —
+    the d-explode is the only amplification (d ~ 8-128), and each matmul
+    shuffles on the inner index exactly once. Overflow: |E2| <= deg_max^2,
+    fine below deg_max ~ 3e9 / sqrt(d).
+
+    Returns ``(id, dim, e1, e2)`` — undirected adjacency, absent cells
+    where both hops are zero.
+    """
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).where(F.col("a") != F.col("b")).dropDuplicates(["a", "b"])
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    sign = F.expr(
+        "1 - 2 * (pmod((pmod(id * 2654435761, 4294967296) % 1000003 + j * 7919)"
+        " * 2654435761, 4294967296) % 2)"
+    )
+    r = (
+        verts.select("id", F.explode(F.expr(f"sequence(0, {int(d) - 1})")).alias("j"))
+        .select(F.col("id").alias("k"), F.col("j"), sign.cast("long").alias("v"))
+    )
+    a_cells = sym.select(
+        F.col("src").alias("i"), F.col("dst").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    e1 = spmm_cells(a_cells, r)
+    e2 = spmm_cells(a_cells, e1.select(F.col("i").alias("k"), "j", "v"))
+    j1 = e1.select(F.col("i").alias("id"), F.col("j").alias("dim"), F.col("v").alias("e1"))
+    j2 = e2.select(F.col("i").alias("id"), F.col("j").alias("dim"), F.col("v").alias("e2"))
+    return (
+        j1.join(j2, ["id", "dim"], "full_outer")
+        .select(
+            "id",
+            "dim",
+            F.coalesce("e1", F.lit(0)).alias("e1"),
+            F.coalesce("e2", F.lit(0)).alias("e2"),
+        )
+    )
