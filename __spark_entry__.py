@@ -1351,6 +1351,93 @@ SELECT CAST(rb AS INT) AS b, n_eff,
 FROM m"""
 
 
+def q_percolation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-attack robustness curve: remove the top-k degree hubs
+    (exact, (degree desc, id asc) tiebreak) for k in {0, 20, 100} and
+    report surviving-vertex count, component count, and largest-component
+    size via the engine's exact min-label CC (algos/components.py) with
+    the survivors passed as the vertex set (isolated survivors keep
+    singleton components). The classic Albert–Jeong–Barabási attack
+    analysis (Nature 2000), run as three CC jobs over anti-joined edges.
+    Oracle: unrolled min-label rounds per k."""
+    from pagerank_spark.algos.components import connected_components
+
+    edges = _graph_for(spark, sf_dir, "copurchase")
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    out = None
+    for k in (0, 20, 100):
+        hubs = deg.orderBy(F.col("c").desc(), F.col("id").asc()).limit(k).select("id")
+        ek = (
+            und.join(F.broadcast(hubs.withColumnRenamed("id", "a")), "a", "left_anti")
+            .join(F.broadcast(hubs.withColumnRenamed("id", "b")), "b", "left_anti")
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        verts = deg.join(F.broadcast(hubs), "id", "left_anti").select("id")
+        labels = connected_components(ek, vertices=verts)
+        sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cs"))
+        row = sizes.agg(
+            F.lit(k).alias("k_removed"),
+            F.sum("cs").alias("n_vertices"),
+            F.count(F.lit(1)).alias("n_components"),
+            F.max("cs").alias("lcc_size"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _percolation_copurchase_sql(ks=(0, 20, 100), rounds: int = 12) -> str:
+    parts = [
+        _materialize(COPURCHASE_EDGES_CTE.strip()),
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b"
+        " FROM e WHERE src <> dst)",
+        "alldeg AS MATERIALIZED (SELECT id, COUNT(*) AS c FROM"
+        " (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1)",
+    ]
+    sels = []
+    for k in ks:
+        parts.append(
+            f"hub{k} AS MATERIALIZED (SELECT id FROM alldeg ORDER BY c DESC, id ASC LIMIT {k})"
+        )
+        parts.append(
+            f"g{k} AS MATERIALIZED (SELECT a, b FROM und"
+            f" WHERE a NOT IN (SELECT id FROM hub{k}) AND b NOT IN (SELECT id FROM hub{k}))"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT a AS src, b AS dst FROM g{k}"
+            f" UNION ALL SELECT b, a FROM g{k})"
+        )
+        parts.append(
+            f"l{k}_0 AS MATERIALIZED (SELECT id, id AS component FROM alldeg"
+            f" WHERE id NOT IN (SELECT id FROM hub{k}))"
+        )
+        for t in range(1, rounds + 1):
+            parts.append(
+                f"l{k}_{t} AS MATERIALIZED (SELECT l.id,"
+                f" LEAST(l.component, COALESCE(MIN(n.component), l.component)) AS component"
+                f" FROM l{k}_{t - 1} l LEFT JOIN s{k} s ON s.dst = l.id"
+                f" LEFT JOIN l{k}_{t - 1} n ON n.id = s.src"
+                f" GROUP BY l.id, l.component)"
+            )
+        sels.append(
+            f"SELECT {k} AS k_removed, CAST(SUM(cs) AS BIGINT) AS n_vertices,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_components, CAST(MAX(cs) AS BIGINT) AS lcc_size"
+            f" FROM (SELECT component, COUNT(*) AS cs FROM l{k}_{rounds} GROUP BY 1)"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
 def q_randne_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RandNE iterative-random-projection embedding
     (operators/linalg.py::randne_embedding), d=8 over the undirected
@@ -4778,6 +4865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_disc_lineitem": q_quantile_disc_lineitem,
         "knn_graph_embeddings": q_knn_graph_embeddings,
         "randne_copurchase": q_randne_copurchase,
+        "percolation_copurchase": q_percolation_copurchase,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -5695,6 +5783,7 @@ FROM tok GROUP BY 1, 2
     sqls["twap_events"] = _TWAP_EVENTS_SQL
     sqls["quantile_disc_lineitem"] = _QUANTILE_DISC_LINEITEM_SQL
     sqls["knn_graph_embeddings"] = _KNN_GRAPH_EMBEDDINGS_SQL
+    sqls["percolation_copurchase"] = _percolation_copurchase_sql()
     sqls["randne_copurchase"] = _RANDNE_COPURCHASE_SQL_TMPL.format(
         edges=_materialize(COPURCHASE_EDGES_CTE.strip())
     )
