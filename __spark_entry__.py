@@ -4332,6 +4332,30 @@ def q_auc_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_exact(labeled, "score", "label")
 
 
+def q_reliability_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve (operators/mleval.py::reliability_curve) of the
+    CCNet LM English score: 5 exact equal-mass bins over the integer
+    negated-surprisal score, per-bin exact sums + empirical en-rate —
+    reliability should rise with the bin. Oracle composes the lm CTE with
+    the rational-ceil quantile-edge algebra."""
+    from pagerank_spark.operators.lm import lm_score, train_bigram_lm
+    from pagerank_spark.operators.mleval import reliability_curve
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uni, bi, v = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    scored = lm_score(docs, uni, bi, v).join(docs.select("doc_id", "lang"), "doc_id")
+    labeled = scored.select(
+        (-F.col("avg_surprisal_micro")).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    res = reliability_curve(labeled, "score", "label", n_bins=5)
+    return res.select(
+        "bin", "n", "sum_score", "pos",
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("pos_rate", 6).alias("pos_rate"),
+    )
+
+
 def q_nbayes_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix (operators/mleval.py) of the NB router vs true
     langs — observed cells with row totals, exact counts (the eval loop
@@ -4866,6 +4890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_embeddings": q_knn_graph_embeddings,
         "randne_copurchase": q_randne_copurchase,
         "percolation_copurchase": q_percolation_copurchase,
+        "reliability_lm_docs": q_reliability_lm_docs,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -7201,6 +7226,36 @@ SELECT CAST(SUM(np_s) AS BIGINT) AS n_pos,
        CAST(SUM(np_s * (2 * (cum - nn_s) + nn_s)) * 1000000
             // (2 * SUM(np_s) * SUM(nn_s)) AS BIGINT) AS auc_micro
 FROM c"""
+
+    # reliability curve of the LM score: equal-mass quantile edges via the
+    # same rational-ceil algebra as quantile_disc_lineitem, bins by strict
+    # edge comparison, exact per-bin sums
+    sqls["reliability_lm_docs"] = f"""
+WITH lmout AS ({sqls['lm_score_docs']}),
+base AS (
+  SELECT -l.avg_surprisal_micro AS s,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM lmout l JOIN documents d USING (doc_id)),
+h AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1),
+cum AS (SELECT s, CAST(SUM(c) OVER (ORDER BY s) AS BIGINT) AS cum FROM h),
+nn AS (SELECT CAST(MAX(cum) AS BIGINT) AS n FROM cum),
+probes AS (SELECT unnest(range(1, 5)) AS i),
+t AS (SELECT i, (i * n + 5 - 1) // 5 AS k FROM probes CROSS JOIN nn),
+edges AS (SELECT t.i, CAST(MIN(cum.s) AS BIGINT) AS edge
+          FROM t JOIN cum ON cum.cum >= t.k GROUP BY 1),
+g AS (SELECT s, y, CAST(COUNT(*) AS BIGINT) AS m FROM base GROUP BY 1, 2),
+binned AS (
+  SELECT g.s, g.y, g.m,
+         CAST(COALESCE(SUM(CASE WHEN e.edge < g.s THEN 1 END), 0) AS INT) AS bin
+  FROM g LEFT JOIN edges e ON e.edge < g.s GROUP BY 1, 2, 3),
+agg AS (
+  SELECT bin, CAST(SUM(m) AS BIGINT) AS n, CAST(SUM(s * m) AS BIGINT) AS sum_score,
+         CAST(SUM(y * m) AS BIGINT) AS pos
+  FROM binned GROUP BY 1)
+SELECT bin, n, sum_score, pos,
+       ROUND(CAST(sum_score AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_score,
+       ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate
+FROM agg"""
 
     # confusion matrix of the NB router vs the true labels — observed
     # cells only, exact counts + row totals

@@ -147,3 +147,48 @@ def cohen_kappa(
         .cast("long")
         .alias("kappa_micro"),
     )
+
+
+def reliability_curve(
+    scored: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Calibration / reliability curve: rank-based equal-mass score bins,
+    per-bin mean score and empirical positive rate — the diagram behind
+    ECE and every "is this score a probability?" check.
+
+    Bin edges are the exact discrete quantiles ``i/n_bins`` from
+    :func:`..operators.packing.exact_quantiles` (value histogram +
+    distributed prefix sum — no sort, no value buffering); the edge list
+    (n_bins-1 integers) is collected into ONE broadcast array and each row's
+    bin is a codegen'd fold ``sum(score > edge_i)`` — ties lump into the
+    lower bin, deterministically. Integer scores in, exact BIGINT sums per
+    bin, two correctly-rounded divides out.
+
+    Returns ``(bin, n, sum_score, pos, mean_score, pos_rate)``.
+    """
+    from .packing import exact_quantiles
+
+    edges = exact_quantiles(
+        scored.select(score_col), score_col, [(i, n_bins) for i in range(1, n_bins)]
+    )
+    earr = edges.groupBy().agg(F.sort_array(F.collect_list("value")).alias("__edges"))
+    binned = scored.crossJoin(F.broadcast(earr)).select(
+        F.expr(
+            f"aggregate(__edges, 0, (b, t) -> b + IF({score_col} > t, 1, 0))"
+        ).alias("bin"),
+        F.col(score_col).cast("long").alias("__s"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__s").alias("sum_score"),
+        F.sum("__y").alias("pos"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "sum_score",
+        "pos",
+        (F.col("sum_score").cast("double") / F.col("n").cast("double")).alias("mean_score"),
+        (F.col("pos").cast("double") / F.col("n").cast("double")).alias("pos_rate"),
+    )
