@@ -1287,6 +1287,104 @@ sc AS (
 SELECT vec_id, label_true, pred, ROUND(dist, 6) AS dist FROM sc WHERE rn = 1"""
 
 
+def q_assoc_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules (operators/mining.py::association_rules)
+    over lineitem order baskets, support >= 3: confidence and lift as
+    exact integer micro units (BIGINT products + integer division — no
+    float). Oracle counts pair/item supports naively and replays the
+    identical integer algebra."""
+    from pagerank_spark.operators.mining import association_rules
+
+    baskets = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("basket_id"), F.col("l_partkey").alias("item")
+    )
+    return association_rules(baskets, minsup=3)
+
+
+_ASSOC_RULES_LINEITEM_SQL = """
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, CAST(COUNT(*) AS BIGINT) AS support
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+s1 AS MATERIALIZED (
+  SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS s FROM li GROUP BY 1),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM li),
+bt AS (SELECT a, b, support FROM p UNION ALL SELECT b, a, support FROM p)
+SELECT bt.a AS antecedent, bt.b AS consequent, bt.support,
+       bt.support * 1000000 // sa.s AS conf_micro,
+       nb.nb * bt.support * 1000000 // (sa.s * sb.s) AS lift_micro
+FROM bt JOIN s1 sa ON sa.item = bt.a JOIN s1 sb ON sb.item = bt.b
+CROSS JOIN nb"""
+
+
+def q_sprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald binomial SPRT per experiment arm
+    (operators/hyptest.py::sprt_binomial): arms = user_id % 4, success =
+    purchase event, H0 p=0.18 vs H1 p=0.22 — LLR from exact BIGINT counts
+    and Python-literal log constants (engine ln never crosses engines)."""
+    from pagerank_spark.operators.hyptest import sprt_binomial
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 4).alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("succ"),
+    )
+    res = sprt_binomial(ev, "arm", "succ")
+    return res.select("arm", "n", "successes", F.round("llr", 6).alias("llr"), "decision")
+
+
+def _sprt_events_sql() -> str:
+    import math
+
+    p0, p1, alpha, beta = 0.18, 0.22, 0.05, 0.05
+    la = math.log(p1 / p0)
+    lb = math.log((1.0 - p1) / (1.0 - p0))
+    hi = math.log((1.0 - beta) / alpha)
+    lo = math.log(beta / (1.0 - alpha))
+    return f"""
+WITH a AS (SELECT user_id % 4 AS arm,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s FROM events),
+g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS successes
+      FROM a GROUP BY 1),
+l AS (SELECT arm, n, successes,
+             CAST(successes AS DOUBLE) * {la!r} + CAST(n - successes AS DOUBLE) * {lb!r} AS llr
+      FROM g)
+SELECT arm, n, successes, ROUND(llr, 6) AS llr,
+       CASE WHEN llr >= {hi!r} THEN 'accept_h1'
+            WHEN llr <= {lo!r} THEN 'accept_h0' ELSE 'continue' END AS decision
+FROM l"""
+
+
+def q_transition_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state next-step entropy of the user behavior chain
+    (operators/infotheory.py::transition_entropy): keyed lead pairs,
+    nano-rounded -p ln p cell terms, exact BIGINT per-state sums."""
+    from pagerank_spark.operators.infotheory import transition_entropy
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transition_entropy(ev)
+
+
+_TRANSITION_ENTROPY_SQL = """
+WITH pairs AS MATERIALIZED (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+cells AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n_next_states FROM cells GROUP BY 1),
+terms AS (
+  SELECT cells.cur, tot.t, tot.n_next_states,
+         CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000000) AS BIGINT) AS h
+  FROM cells JOIN tot ON tot.cur = cells.cur)
+SELECT cur AS state, CAST(MAX(t) AS BIGINT) AS n_pairs,
+       CAST(MAX(n_next_states) AS BIGINT) AS n_next_states,
+       CAST(SUM(h) AS BIGINT) AS entropy_nano
+FROM terms GROUP BY 1"""
+
+
 def q_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-customer revenue
     (operators/profile.py::gini_concentration): exact cents totals, ranks
@@ -4891,6 +4989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "randne_copurchase": q_randne_copurchase,
         "percolation_copurchase": q_percolation_copurchase,
         "reliability_lm_docs": q_reliability_lm_docs,
+        "sprt_events": q_sprt_events,
+        "assoc_rules_lineitem": q_assoc_rules_lineitem,
+        "transition_entropy_events": q_transition_entropy_events,
         "cc_sizes_events": q_cc_sizes_events,
         "k_core_copurchase": q_k_core_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -5802,6 +5903,9 @@ FROM tok GROUP BY 1, 2
     sqls["benford_orders"] = _benford_orders_sql()
     sqls["centroid_embeddings"] = _CENTROID_EMBEDDINGS_SQL
     sqls["gini_customers"] = _GINI_CUSTOMERS_SQL
+    sqls["sprt_events"] = _sprt_events_sql()
+    sqls["assoc_rules_lineitem"] = _ASSOC_RULES_LINEITEM_SQL
+    sqls["transition_entropy_events"] = _TRANSITION_ENTROPY_SQL
     sqls["bootstrap_orders"] = _bootstrap_orders_sql()
     sqls["isotonic_lineitem"] = _ISOTONIC_LINEITEM_SQL
     sqls["streaks_events"] = _STREAKS_EVENTS_SQL

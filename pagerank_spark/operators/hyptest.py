@@ -261,3 +261,53 @@ def poisson_bootstrap_mean(
             "CASE WHEN n_eff > 0 THEN CAST(__sx AS DOUBLE) / CAST(n_eff AS DOUBLE) END"
         ).alias("mean"),
     )
+
+
+def sprt_binomial(
+    df: DataFrame,
+    arm_col: str,
+    success_col: str,
+    p0: float = 0.18,
+    p1: float = 0.22,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Per-arm binomial SPRT (Wald 1945, Sequential Probability Ratio
+    Test — the always-valid A/B stopping rule): the log-likelihood ratio
+    for H1: p = p1 vs H0: p = p0 after n trials with s successes is
+    ``LLR = s*ln(p1/p0) + (n-s)*ln((1-p1)/(1-p0))``; accept H1 when LLR >=
+    ln((1-beta)/alpha), accept H0 when LLR <= ln(beta/(1-alpha)),
+    otherwise keep sampling.
+
+    Determinism: the four log constants are computed by PYTHON's math.log
+    and inlined as repr literals (engine ln is not correctly-rounded IEEE
+    and must never cross engines — the Benford rule); s and n are exact
+    BIGINT from one map-side-combined aggregation, so the LLR is two
+    correctly-rounded multiplies and one add.
+
+    Returns ``(arm, n, successes, llr, decision)``.
+    """
+    import math
+
+    la = math.log(p1 / p0)
+    lb = math.log((1.0 - p1) / (1.0 - p0))
+    hi = math.log((1.0 - beta) / alpha)
+    lo = math.log(beta / (1.0 - alpha))
+    agg = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(success_col).cast("long")).alias("successes"),
+    )
+    llr = F.expr(
+        f"CAST(successes AS DOUBLE) * {la!r}"
+        f" + CAST(n - successes AS DOUBLE) * {lb!r}"
+    )
+    return agg.select("arm", "n", "successes", llr.alias("llr")).select(
+        "arm",
+        "n",
+        "successes",
+        "llr",
+        F.when(F.col("llr") >= hi, F.lit("accept_h1"))
+        .when(F.col("llr") <= lo, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

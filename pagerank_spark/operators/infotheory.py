@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["token_divergence", "mutual_information"]
+__all__ = ["token_divergence", "mutual_information", "transition_entropy"]
 
 _NANO = 1_000_000_000
 
@@ -154,4 +154,46 @@ def mutual_information(
         F.count(F.lit(1)).alias("n_cells"),
         F.max(F.col("t").cast("long")).alias("n_rows"),
         F.sum(_nano(term)).alias("mi_nano"),
+    )
+
+
+def transition_entropy(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-state next-step entropy of the first-order behavior chain:
+    H(next | cur = s) over consecutive same-key event pairs — the
+    predictability profile of a Markov process (a state with near-zero
+    entropy is a deterministic funnel step; a high-entropy state is a
+    branching point).
+
+    Shape: one keyed lead window derives the (cur, next) pairs, one
+    map-side-combined groupBy counts cells, totals ride back via a
+    broadcast join, and each cell's ``-p ln p`` term is nano-rounded
+    BEFORE the per-state BIGINT sum (module discipline — reduction-order
+    free; LN is the only transcendental, strict-sweep guarded).
+
+    Returns ``(state, n_pairs, n_next_states, entropy_nano)``.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    pairs = (
+        events.withColumn("__nxt", F.lead(state_col).over(w))
+        .where(F.col("__nxt").isNotNull())
+        .select(F.col(state_col).alias("cur"), F.col("__nxt"))
+    )
+    cells = pairs.groupBy("cur", "__nxt").agg(F.count(F.lit(1)).alias("c"))
+    totals = cells.groupBy("cur").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_next_states")
+    )
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    terms = cells.join(totals, "cur").select(
+        "cur", "t", "n_next_states", _nano(-p * F.log(p)).alias("h")
+    )
+    return terms.groupBy(F.col("cur").alias("state")).agg(
+        F.max("t").alias("n_pairs"),
+        F.max("n_next_states").alias("n_next_states"),
+        F.sum("h").alias("entropy_nano"),
     )

@@ -210,3 +210,48 @@ def frequent_sequences(
         .select(F.lit(3).alias("size"), "a", "b", "c", "support")
     )
     return out.unionByName(f3)
+
+
+def association_rules(
+    baskets: DataFrame,
+    minsup: int,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Directed association rules a -> b from the frequent pairs (Agrawal &
+    Srikant 1994): confidence = sup(ab)/sup(a) and lift =
+    n*sup(ab)/(sup(a)*sup(b)), both emitted as EXACT integer micro units
+    (BIGINT products + one integer division — no float anywhere, so the
+    rule ordering and the gate hash are reduction-order free).
+
+    Reuses :func:`frequent_itemsets` (Apriori L1 prune + optional
+    hot-basket cap) for the pair supports and joins per-item supports
+    back; each frequent pair yields both directions.
+
+    Returns ``(antecedent, consequent, support, conf_micro, lift_micro)``.
+    """
+    pairs = frequent_itemsets(
+        baskets, minsup, max_size=2, basket_col=basket_col, item_col=item_col,
+        max_basket_size=max_basket_size,
+    ).select(F.col("a"), F.col("b"), F.col("support"))
+    b = baskets.select(
+        F.col(basket_col).alias("bid"), F.col(item_col).alias("item")
+    ).dropDuplicates(["bid", "item"])
+    sup1 = b.groupBy("item").agg(F.count(F.lit(1)).alias("s1"))
+    n = b.select("bid").distinct().groupBy().agg(F.count(F.lit(1)).alias("nb"))
+    both = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "support")
+    )
+    joined = (
+        both.join(sup1.select(F.col("item").alias("a"), F.col("s1").alias("sa")), "a")
+        .join(sup1.select(F.col("item").alias("b"), F.col("s1").alias("sb")), "b")
+        .crossJoin(F.broadcast(n))
+    )
+    return joined.select(
+        F.col("a").alias("antecedent"),
+        F.col("b").alias("consequent"),
+        "support",
+        F.expr("support * 1000000 DIV sa").alias("conf_micro"),
+        F.expr("nb * support * 1000000 DIV (sa * sb)").alias("lift_micro"),
+    )
