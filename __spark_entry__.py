@@ -4786,6 +4786,24 @@ def q_matching_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_matching(edges, num_partitions=8).matching
 
 
+def q_vertex_cover_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-approximate minimum vertex cover (Gavril/Yannakakis — endpoints
+    of any maximal matching cover every edge at <= 2x optimum): composes
+    algos/matching.py's deterministic hash-priority matching; output is
+    the cover vertex set with the matching round it came from (min round
+    per vertex — vertices match exactly once, the min is for safety).
+    Oracle wraps the unrolled matching SQL and takes the same endpoints."""
+    from pagerank_spark.algos.matching import maximal_matching
+
+    edges = _graph_for(spark, sf_dir, "copurchase").localCheckpoint()
+    m = maximal_matching(edges, num_partitions=8).matching
+    return (
+        m.select(F.explode(F.array("a", "b")).alias("id"), "round")
+        .groupBy("id")
+        .agg(F.min("round").alias("round"))
+    )
+
+
 def _matching_sql(edges_cte: str, rounds: int) -> str:
     """Unrolled hash-priority maximal matching (mirror of
     algos/matching.py, same 31-bit integer arithmetic)."""
@@ -4911,6 +4929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
         "boilerplate_docs": q_boilerplate_docs,
         "matching_copurchase": q_matching_copurchase,
+        "vertex_cover_copurchase": q_vertex_cover_copurchase,
         "squares_copurchase": q_squares_copurchase,
         "simrank_synth": q_simrank_synth,
         "context_windows_events": q_context_windows_events,
@@ -7714,6 +7733,11 @@ SELECT src, dst FROM (
 ) WHERE rn <= 2"""
 
     sqls["matching_copurchase"] = _matching_sql(COPURCHASE_EDGES_CTE, 9)
+    sqls["vertex_cover_copurchase"] = f"""
+WITH m AS ({_matching_sql(COPURCHASE_EDGES_CTE, 9)})
+SELECT id, CAST(MIN(round) AS INT) AS round FROM (
+  SELECT a AS id, round FROM m UNION ALL SELECT b AS id, round FROM m)
+GROUP BY 1"""
 
     sqls["simrank_synth"] = """
 WITH n AS (SELECT unnest(range(0, 300)) AS v),
