@@ -1569,6 +1569,38 @@ SELECT COALESCE(e1.i, e2.i) AS id, COALESCE(e1.j, e2.j) AS dim,
 FROM e1 FULL OUTER JOIN e2 ON e1.i = e2.i AND e1.j = e2.j"""
 
 
+def q_grouped_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact discrete quantiles
+    (operators/packing.py::grouped_exact_quantiles): median and p90 of
+    price cents per return flag via a keyed-window histogram cumsum — no
+    per-group value buffering (the exact `percentile` cliff), no global
+    window. All-integer output."""
+    from pagerank_spark.operators.packing import grouped_exact_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return grouped_exact_quantiles(li, "flag", "cents", [(1, 2), (9, 10)])
+
+
+_GROUPED_MEDIAN_LINEITEM_SQL = """
+WITH h AS MATERIALIZED (
+  SELECT l_returnflag AS g, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2),
+cum AS MATERIALIZED (
+  SELECT g, v, CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum FROM h),
+ng AS (SELECT g, CAST(MAX(cum) AS BIGINT) AS n FROM cum GROUP BY 1),
+probes(num, den) AS (VALUES (1, 2), (9, 10)),
+t AS (SELECT g, CAST(num AS BIGINT) AS q_num, CAST(den AS BIGINT) AS q_den,
+             (CAST(num AS BIGINT) * n + den - 1) // den AS k, n
+      FROM ng CROSS JOIN probes)
+SELECT t.g AS flag, t.q_num, t.q_den, t.k, t.n, CAST(MIN(cum.v) AS BIGINT) AS value
+FROM t JOIN cum ON cum.g = t.g AND cum.cum >= t.k
+GROUP BY 1, 2, 3, 4, 5"""
+
+
 def q_knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine kNN graph (operators/similarity.py::knn_graph), k=3:
     grid-quantized integer dots/norms, one correctly-rounded cosine per
@@ -5005,6 +5037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_events": q_twap_events,
         "quantile_disc_lineitem": q_quantile_disc_lineitem,
         "knn_graph_embeddings": q_knn_graph_embeddings,
+        "grouped_median_lineitem": q_grouped_median_lineitem,
         "randne_copurchase": q_randne_copurchase,
         "percolation_copurchase": q_percolation_copurchase,
         "reliability_lm_docs": q_reliability_lm_docs,
@@ -5931,6 +5964,7 @@ FROM tok GROUP BY 1, 2
     sqls["twap_events"] = _TWAP_EVENTS_SQL
     sqls["quantile_disc_lineitem"] = _QUANTILE_DISC_LINEITEM_SQL
     sqls["knn_graph_embeddings"] = _KNN_GRAPH_EMBEDDINGS_SQL
+    sqls["grouped_median_lineitem"] = _GROUPED_MEDIAN_LINEITEM_SQL
     sqls["percolation_copurchase"] = _percolation_copurchase_sql()
     sqls["randne_copurchase"] = _RANDNE_COPURCHASE_SQL_TMPL.format(
         edges=_materialize(COPURCHASE_EDGES_CTE.strip())

@@ -310,3 +310,42 @@ def exact_quantiles(
         .groupBy("q_num", "q_den", "k", "n")
         .agg(F.min("v").alias("value"))
     )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame, group_col: str, value_col: str, qs: list[tuple[int, int]]
+) -> DataFrame:
+    """Per-group exact discrete quantiles — the grouped form of
+    :func:`exact_quantiles`, closing the documented cliff where Spark's
+    exact ``percentile`` buffers every group value in executor memory.
+
+    Shape: ONE map-side-combined (group, value) histogram, a KEYED window
+    cumsum over it (partitioned by group, ordered by value — per-group
+    distinct values, never the raw rows, and never a single-partition
+    window), then each rational probe ``(num, den)`` selects the smallest
+    value whose cumulative count >= ceil(q * n_g) via a broadcast
+    nested-loop + map-side MIN. All integer arithmetic.
+
+    Returns ``(group, q_num, q_den, k, n, value)``.
+    """
+    h = df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    cum = h.select("g", "v", F.sum("c").over(w).alias("cum"))
+    ng = cum.groupBy("g").agg(F.max("cum").alias("n"))
+    probes = df.sparkSession.createDataFrame(
+        [(int(num), int(den)) for num, den in qs], "q_num long, q_den long"
+    )
+    targets = ng.crossJoin(F.broadcast(probes)).withColumn(
+        "k", F.expr("(q_num * n + q_den - 1) DIV q_den")
+    )
+    # plain equi-join on the group key: AQE broadcasts when targets is
+    # small and falls back to a shuffle join at extreme group cardinality
+    return (
+        cum.join(targets, ["g"])
+        .where(F.col("cum") >= F.col("k"))
+        .groupBy("g", "q_num", "q_den", "k", "n")
+        .agg(F.min("v").alias("value"))
+        .select(F.col("g").alias(group_col), "q_num", "q_den", "k", "n", "value")
+    )

@@ -40,3 +40,19 @@ def test_quantiles_repartition_stable(spark):
     a = sorted(map(tuple, exact_quantiles(df.repartition(3), "v", [(1, 2), (3, 4)]).collect()))
     b = sorted(map(tuple, exact_quantiles(df.repartition(19), "v", [(1, 2), (3, 4)]).collect()))
     assert a == b
+
+
+def test_grouped_quantiles_match_per_group_sorting(spark):
+    from pagerank_spark.operators.packing import grouped_exact_quantiles
+
+    rows = [("a", (i * 7) % 31) for i in range(57)] + [("b", (i * 11) % 13) for i in range(24)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        (r["g"], r["q_num"], r["q_den"]): (r["value"], r["k"], r["n"])
+        for r in grouped_exact_quantiles(df, "g", "v", [(1, 2), (3, 4)]).collect()
+    }
+    for g in ("a", "b"):
+        xs = sorted(v for gg, v in rows if gg == g)
+        for num, den in ((1, 2), (3, 4)):
+            k = -(-num * len(xs) // den)
+            assert got[(g, num, den)] == (xs[k - 1], k, len(xs)), (g, num, den)
