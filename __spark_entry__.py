@@ -1569,6 +1569,40 @@ SELECT COALESCE(e1.i, e2.i) AS id, COALESCE(e1.j, e2.j) AS dim,
 FROM e1 FULL OUTER JOIN e2 ON e1.i = e2.i AND e1.j = e2.j"""
 
 
+def q_changepoint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point (operators/smoothing.py::changepoint) over the
+    daily-revenue series (thousand-dollar units, the acf_orders grid):
+    exact BIGINT |n*S_t - i*S_n| argmax with (stat desc, t asc) tiebreak —
+    the drift localizer behind the cusum_events detector."""
+    from pagerank_spark.operators.smoothing import changepoint
+
+    series = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(
+            F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400").alias("t")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) DIV 100000 AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    return changepoint(series, "t", "x")
+
+
+_CHANGEPOINT_ORDERS_SQL = """
+WITH s AS MATERIALIZED (
+  SELECT CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS t,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100000 AS x
+  FROM orders GROUP BY 1),
+c AS (SELECT t, CAST(SUM(x) OVER (ORDER BY t) AS BIGINT) AS s,
+             CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS i FROM s),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sn FROM s)
+SELECT t AS t_split, i AS i_split, m.n AS n, ABS(m.n * c.s - c.i * m.sn) AS stat
+FROM c CROSS JOIN m
+ORDER BY stat DESC, t_split ASC LIMIT 1"""
+
+
 def q_grouped_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact discrete quantiles
     (operators/packing.py::grouped_exact_quantiles): median and p90 of
@@ -5038,6 +5072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_disc_lineitem": q_quantile_disc_lineitem,
         "knn_graph_embeddings": q_knn_graph_embeddings,
         "grouped_median_lineitem": q_grouped_median_lineitem,
+        "changepoint_orders": q_changepoint_orders,
         "randne_copurchase": q_randne_copurchase,
         "percolation_copurchase": q_percolation_copurchase,
         "reliability_lm_docs": q_reliability_lm_docs,
@@ -5965,6 +6000,7 @@ FROM tok GROUP BY 1, 2
     sqls["quantile_disc_lineitem"] = _QUANTILE_DISC_LINEITEM_SQL
     sqls["knn_graph_embeddings"] = _KNN_GRAPH_EMBEDDINGS_SQL
     sqls["grouped_median_lineitem"] = _GROUPED_MEDIAN_LINEITEM_SQL
+    sqls["changepoint_orders"] = _CHANGEPOINT_ORDERS_SQL
     sqls["percolation_copurchase"] = _percolation_copurchase_sql()
     sqls["randne_copurchase"] = _RANDNE_COPURCHASE_SQL_TMPL.format(
         edges=_materialize(COPURCHASE_EDGES_CTE.strip())

@@ -143,3 +143,40 @@ def cusum(
             F.round(F.array_max("st") * _SCALE).cast("long").alias("cusum_max_micro"),
         )
     )
+
+
+def changepoint(series: DataFrame, t_col: str, x_col: str) -> DataFrame:
+    """Single change-point localization (binary segmentation, step 1):
+    the split maximizing the CUSUM deviation ``|S_t - (t/n) * S_n|`` over
+    an integer-valued series — where the running sum departs furthest
+    from the global trend line.
+
+    Exactness: multiplying by n clears the fraction, so the statistic is
+    the exact BIGINT ``|n * S_t - i * S_n|`` (i = 1-based position, S from
+    the two-phase distributed prefix sum — no global window); the argmax
+    is a TakeOrdered with deterministic (stat desc, t asc) tiebreak, never
+    a full sort. Overflow contract: ``n * S_n`` under 2^63 (quantize wide
+    values upstream, as in :func:`..operators.temporal.autocorrelation`).
+
+    Returns one row ``(t_split, i_split, n, stat)``.
+    """
+    from .cumsum import distributed_cumsum
+
+    base = series.select(
+        F.col(t_col).alias("__t"), F.col(x_col).cast("long").alias("__x")
+    ).withColumn("__one", F.lit(1).cast("long"))
+    cs = distributed_cumsum(base, ["__t"], "__x", out_col="__s")
+    ci = distributed_cumsum(base.select("__t", "__one"), ["__t"], "__one", out_col="__i")
+    j = cs.join(ci.select("__t", "__i"), "__t")
+    # last cumsum row via struct-max on position (NOT max(__s): the series
+    # may go negative, so the max cumsum is not necessarily the total)
+    tot = j.groupBy().agg(F.max(F.struct("__i", "__s")).alias("__m")).select(
+        F.col("__m.__s").alias("__sn"), F.col("__m.__i").alias("__n")
+    )
+    stat = j.crossJoin(F.broadcast(tot)).select(
+        F.col("__t").alias("t_split"),
+        F.col("__i").alias("i_split"),
+        F.col("__n").alias("n"),
+        F.abs(F.col("__n") * F.col("__s") - F.col("__i") * F.col("__sn")).alias("stat"),
+    )
+    return stat.orderBy(F.col("stat").desc(), F.col("t_split").asc()).limit(1)
