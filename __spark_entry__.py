@@ -1569,6 +1569,46 @@ SELECT COALESCE(e1.i, e2.i) AS id, COALESCE(e1.j, e2.j) AS dim,
 FROM e1 FULL OUTER JOIN e2 ON e1.i = e2.i AND e1.j = e2.j"""
 
 
+def q_trend_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend (operators/regress.py::grouped_trend): exact
+    integer moments over (epoch-hour, value-cents) per user, closed-form
+    OLS slope/intercept — one aggregation, no window. Hour grid keeps
+    n*max(t)^2 well under 2^63."""
+    from pagerank_spark.operators.regress import grouped_trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) DIV 3600").alias("th"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    res = grouped_trend(ev, "user_id", "th", "cents")
+    return res.select(
+        F.col("key").alias("user_id"),
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+_TREND_USERS_EVENTS_SQL = """
+WITH b AS MATERIALIZED (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS x
+  FROM events),
+m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(t * x) AS BIGINT) AS stx
+      FROM b GROUP BY 1)
+SELECT user_id, n,
+       ROUND(CASE WHEN n * stt - st * st > 0 THEN CAST(n * stx - st * sx AS DOUBLE)
+             / CAST(n * stt - st * st AS DOUBLE) END, 6) AS slope,
+       ROUND(CASE WHEN n * stt - st * st > 0 THEN
+             (CAST(sx AS DOUBLE) - (CAST(n * stx - st * sx AS DOUBLE)
+              / CAST(n * stt - st * st AS DOUBLE)) * CAST(st AS DOUBLE))
+             / CAST(n AS DOUBLE) END, 6) AS intercept
+FROM m"""
+
+
 def q_changepoint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point (operators/smoothing.py::changepoint) over the
     daily-revenue series (thousand-dollar units, the acf_orders grid):
@@ -5073,6 +5113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_embeddings": q_knn_graph_embeddings,
         "grouped_median_lineitem": q_grouped_median_lineitem,
         "changepoint_orders": q_changepoint_orders,
+        "trend_users_events": q_trend_users_events,
         "randne_copurchase": q_randne_copurchase,
         "percolation_copurchase": q_percolation_copurchase,
         "reliability_lm_docs": q_reliability_lm_docs,
@@ -6001,6 +6042,7 @@ FROM tok GROUP BY 1, 2
     sqls["knn_graph_embeddings"] = _KNN_GRAPH_EMBEDDINGS_SQL
     sqls["grouped_median_lineitem"] = _GROUPED_MEDIAN_LINEITEM_SQL
     sqls["changepoint_orders"] = _CHANGEPOINT_ORDERS_SQL
+    sqls["trend_users_events"] = _TREND_USERS_EVENTS_SQL
     sqls["percolation_copurchase"] = _percolation_copurchase_sql()
     sqls["randne_copurchase"] = _RANDNE_COPURCHASE_SQL_TMPL.format(
         edges=_materialize(COPURCHASE_EDGES_CTE.strip())

@@ -281,3 +281,45 @@ def isotonic_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         .agg(F.max("mj").alias("fit"))
     )
     return fit.select("x", "n", "fit")
+
+
+def grouped_trend(
+    df: DataFrame, key_col: str, t_col: str, x_col: str
+) -> DataFrame:
+    """Per-key linear trend (1-D OLS slope/intercept) from exact integer
+    moments: ONE map-side-combined groupBy computes (n, St, Sx, Stt, Stx)
+    as BIGINT, then ``slope = (n*Stx - St*Sx) / (n*Stt - St^2)`` and
+    ``intercept = (Sx - slope*St) / n`` are correctly-rounded IEEE over
+    those integers — per-key regression at fact-table scale with no
+    window, no per-key iteration (the degenerate-D=1 sibling of
+    :func:`moment_matrix`, kept closed-form to stay in one aggregation).
+
+    Overflow contract (caller's): ``n_k * max(t)^2`` and ``n_k * max|t*x|``
+    under 2^63 — shift/quantize t (slope is shift-invariant in t).
+
+    Returns ``(key, n, slope, intercept)``; slope NULL for keys with zero
+    time variance (single timestamp).
+    """
+    t = F.col(t_col).cast("long")
+    x = F.col(x_col).cast("long")
+    agg = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).alias("st"),
+        F.sum(x).alias("sx"),
+        F.sum(t * t).alias("stt"),
+        F.sum(t * x).alias("stx"),
+    )
+    return agg.select(
+        "key",
+        "n",
+        F.expr(
+            "CASE WHEN n * stt - st * st > 0 THEN CAST(n * stx - st * sx AS DOUBLE)"
+            " / CAST(n * stt - st * st AS DOUBLE) END"
+        ).alias("slope"),
+        F.expr(
+            "CASE WHEN n * stt - st * st > 0 THEN"
+            " (CAST(sx AS DOUBLE) - (CAST(n * stx - st * sx AS DOUBLE)"
+            "  / CAST(n * stt - st * st AS DOUBLE)) * CAST(st AS DOUBLE))"
+            " / CAST(n AS DOUBLE) END"
+        ).alias("intercept"),
+    )
