@@ -1569,6 +1569,40 @@ SELECT COALESCE(e1.i, e2.i) AS id, COALESCE(e1.j, e2.j) AS dim,
 FROM e1 FULL OUTER JOIN e2 ON e1.i = e2.i AND e1.j = e2.j"""
 
 
+def q_gapfill_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill/resample (operators/temporal.py::resample_ffill): dense
+    per-priority daily grid over each key's observed span, forward-filled
+    by composing the engine's as-of join; was_missing flags synthesized
+    rows. Oracle = generate_series grid + DuckDB ASOF LEFT JOIN."""
+    from pagerank_spark.operators.temporal import resample_ffill
+
+    series = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(
+            F.col("o_orderpriority").alias("k"),
+            F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400").alias("t"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    )
+    return resample_ffill(series, "k", "t", "x")
+
+
+_GAPFILL_ORDERS_SQL = """
+WITH s AS MATERIALIZED (
+  SELECT o_orderpriority AS k,
+         CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS t,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2),
+spans AS (SELECT k, MIN(t) AS lo, MAX(t) AS hi FROM s GROUP BY 1),
+grid AS (SELECT k, unnest(range(lo, hi + 1)) AS t FROM spans),
+filled AS (
+  SELECT g.k, g.t, s.x
+  FROM grid g ASOF LEFT JOIN s ON g.k = s.k AND g.t >= s.t)
+SELECT f.k, f.t, f.x,
+       CASE WHEN s2.t IS NULL THEN 1 ELSE 0 END AS was_missing
+FROM filled f LEFT JOIN s s2 ON s2.k = f.k AND s2.t = f.t"""
+
+
 def q_trend_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user value trend (operators/regress.py::grouped_trend): exact
     integer moments over (epoch-hour, value-cents) per user, closed-form
@@ -5114,6 +5148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_median_lineitem": q_grouped_median_lineitem,
         "changepoint_orders": q_changepoint_orders,
         "trend_users_events": q_trend_users_events,
+        "gapfill_orders": q_gapfill_orders,
         "randne_copurchase": q_randne_copurchase,
         "percolation_copurchase": q_percolation_copurchase,
         "reliability_lm_docs": q_reliability_lm_docs,
@@ -6043,6 +6078,7 @@ FROM tok GROUP BY 1, 2
     sqls["grouped_median_lineitem"] = _GROUPED_MEDIAN_LINEITEM_SQL
     sqls["changepoint_orders"] = _CHANGEPOINT_ORDERS_SQL
     sqls["trend_users_events"] = _TREND_USERS_EVENTS_SQL
+    sqls["gapfill_orders"] = _GAPFILL_ORDERS_SQL
     sqls["percolation_copurchase"] = _percolation_copurchase_sql()
     sqls["randne_copurchase"] = _RANDNE_COPURCHASE_SQL_TMPL.format(
         edges=_materialize(COPURCHASE_EDGES_CTE.strip())

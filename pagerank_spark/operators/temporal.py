@@ -412,3 +412,51 @@ def time_weighted_avg(
             f" / (CAST(total_seconds AS DOUBLE) * {float(value_scale)!r}) END"
         ).alias("twap"),
     )
+
+
+def resample_ffill(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    max_steps: int = 2_000_000,
+) -> DataFrame:
+    """Regularize a per-key integer-time series: materialize EVERY step in
+    the key's observed [min_t, max_t] span and forward-fill gaps with the
+    most recent observation — the resample/gap-fill step before any
+    fixed-step model (ACF, EWMA, changepoint) sees irregular data.
+
+    Composition, not new machinery: the dense grid is a per-key
+    ``sequence`` explode (row amplification = span length, guarded by
+    ``max_steps`` — a span that large belongs in a coarser grid, raised
+    loudly rather than exploded silently), and the fill IS
+    :func:`asof_join` — grid rows as-of-join the observations backward on
+    the same key. Steps before a key's first observation keep NULL;
+    ``was_missing`` flags filled rows.
+
+    Returns ``(key_col, t_col, x_col, was_missing)``.
+    """
+    spans = series.groupBy(F.col(key_col)).agg(
+        F.min(t_col).alias("__lo"), F.max(t_col).alias("__hi")
+    )
+    worst = spans.agg(F.max(F.col("__hi") - F.col("__lo")).alias("m")).first()["m"]
+    if worst is not None and worst + 1 > max_steps:
+        raise ValueError(
+            f"span {worst + 1} exceeds max_steps={max_steps}; use a coarser time grid"
+        )
+    grid = spans.select(
+        F.col(key_col), F.explode(F.expr("sequence(__lo, __hi)")).alias(t_col)
+    )
+    filled = asof_join(grid, series, on=t_col, by=key_col, value_cols=[x_col])
+    present = series.select(
+        F.col(key_col), F.col(t_col), F.lit(0).alias("__missing")
+    )
+    return (
+        filled.join(present, [key_col, t_col], "left")
+        .select(
+            key_col,
+            t_col,
+            x_col,
+            F.coalesce("__missing", F.lit(1)).alias("was_missing"),
+        )
+    )
