@@ -4926,6 +4926,33 @@ def q_matching_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_matching(edges, num_partitions=8).matching
 
 
+def q_coarsen_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One multilevel-coarsening step (METIS-style, public method):
+    hash-priority maximal matching picks disjoint pairs
+    (algos/matching.py), matched pairs collapse to their min endpoint,
+    unmatched vertices keep their id, and operators/graphstats.py::
+    contract_graph aggregates the weighted supergraph — the composition
+    every multilevel partitioner runs per level. Output: coarse weighted
+    edges. Oracle wraps the unrolled matching SQL + the same contraction."""
+    from pagerank_spark.algos.matching import maximal_matching
+    from pagerank_spark.operators.graphstats import contract_graph
+
+    edges = _graph_for(spark, sf_dir, "copurchase").localCheckpoint()
+    m = maximal_matching(edges, num_partitions=8).matching
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    pair_map = m.select(F.col("a").alias("id"), F.least("a", "b").alias("group")).unionByName(
+        m.select(F.col("b").alias("id"), F.least("a", "b").alias("group"))
+    )
+    mapping = verts.join(pair_map, "id", "left").select(
+        "id", F.coalesce("group", F.col("id")).alias("group")
+    )
+    return contract_graph(edges, mapping)
+
+
 def q_vertex_cover_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-approximate minimum vertex cover (Gavril/Yannakakis — endpoints
     of any maximal matching cover every edge at <= 2x optimum): composes
@@ -5070,6 +5097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_docs": q_boilerplate_docs,
         "matching_copurchase": q_matching_copurchase,
         "vertex_cover_copurchase": q_vertex_cover_copurchase,
+        "coarsen_copurchase": q_coarsen_copurchase,
         "squares_copurchase": q_squares_copurchase,
         "simrank_synth": q_simrank_synth,
         "context_windows_events": q_context_windows_events,
@@ -7881,6 +7909,28 @@ SELECT src, dst FROM (
 ) WHERE rn <= 2"""
 
     sqls["matching_copurchase"] = _matching_sql(COPURCHASE_EDGES_CTE, 9)
+    # DuckDB rejects duplicate CTE aliases even across nesting levels, so
+    # the outer copy of the edge derivation is alpha-renamed li->li0, e->e0
+    coarsen_outer_edges = (
+        _materialize(COPURCHASE_EDGES_CTE.strip())
+        .replace("li AS", "li0 AS")
+        .replace("FROM li a JOIN li b", "FROM li0 a JOIN li0 b")
+        .replace("e AS", "e0 AS")
+    )
+    sqls["coarsen_copurchase"] = f"""
+WITH {coarsen_outer_edges},
+m AS MATERIALIZED ({_matching_sql(COPURCHASE_EDGES_CTE, 9)}),
+verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+pm AS (SELECT a AS id, LEAST(a, b) AS grp FROM m
+       UNION ALL SELECT b, LEAST(a, b) FROM m),
+mp AS MATERIALIZED (
+  SELECT v.id, COALESCE(pm.grp, v.id) AS grp
+  FROM verts v LEFT JOIN pm ON pm.id = v.id),
+g AS (SELECT ms.grp AS src, md.grp AS dst
+      FROM e0 JOIN mp ms ON ms.id = e0.src JOIN mp md ON md.id = e0.dst
+      WHERE ms.grp <> md.grp)
+SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM g GROUP BY 1, 2"""
+
     sqls["vertex_cover_copurchase"] = f"""
 WITH m AS ({_matching_sql(COPURCHASE_EDGES_CTE, 9)})
 SELECT id, CAST(MIN(round) AS INT) AS round FROM (
