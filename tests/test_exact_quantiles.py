@@ -56,3 +56,16 @@ def test_grouped_quantiles_match_per_group_sorting(spark):
         for num, den in ((1, 2), (3, 4)):
             k = -(-num * len(xs) // den)
             assert got[(g, num, den)] == (xs[k - 1], k, len(xs)), (g, num, den)
+
+
+def test_quantile_plans_have_no_global_window(spark):
+    from pagerank_spark.operators.packing import grouped_exact_quantiles
+
+    df = spark.createDataFrame([("a", i % 7) for i in range(50)], ["g", "v"])
+    p1 = exact_quantiles(df.select("v"), "v", [(1, 2)])._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p1  # prefix sum is the two-phase cumsum, not a window
+    p2 = grouped_exact_quantiles(df, "g", "v", [(1, 2)])._jdf.queryExecution().executedPlan().toString()
+    # the grouped window must be keyed (hash partitioned), never global:
+    # every SinglePartition exchange in this plan would be a scale cliff
+    # except the one-row global aggregates, which this plan doesn't need
+    assert "SinglePartition" not in p2
