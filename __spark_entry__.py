@@ -4518,6 +4518,23 @@ def q_chi2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square(ev, "event_type", "bucket")
 
 
+def q_mann_kendall_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend screen (operators/hyptest.py): per
+    order-priority MONTHLY revenue series (exact cents), S = signed pair
+    count over the time-ordered grid plus the tie-corrected variance in
+    exact 18x units — all BIGINT, no floats. The pair join is quadratic
+    only in the bounded per-key series length (months), never in the fact
+    count."""
+    from pagerank_spark.operators.hyptest import mann_kendall
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ser = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.trunc("o_orderdate", "month").alias("m"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    return mann_kendall(ser, "prio", "m", "cents")
+
+
 def q_dbscan_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN (operators/spatial.py::dbscan) on a planted closed-form
     layout: three complete 40-point blobs (all pairwise within eps=30 ->
@@ -5145,6 +5162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_orders": q_compaction_orders,
         "welch_events": q_welch_events,
         "chi2_events": q_chi2_events,
+        "mann_kendall_orders": q_mann_kendall_orders,
         "dbscan_planted": q_dbscan_planted,
         "auc_lm_docs": q_auc_lm_docs,
         "nbayes_confusion_docs": q_nbayes_confusion_docs,
@@ -7246,6 +7264,28 @@ SELECT n_cells,
        t AS total,
        CAST(ROUND((t * (s_nano - 1000000000)) / 1000.0) AS BIGINT) AS chi2_micro
 FROM s"""
+
+    # Mann-Kendall: pure BIGINT pair signs + tie-corrected variance in 18x
+    # units — no float on either engine
+    sqls["mann_kendall_orders"] = """
+WITH ser AS MATERIALIZED (
+  SELECT o_orderpriority AS k, date_trunc('month', o_orderdate) AS t,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT a.k AS k,
+         CAST(COALESCE(SUM(CASE WHEN b.x > a.x THEN 1
+                                WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+  FROM ser a JOIN ser b ON a.k = b.k AND a.t < b.t
+  GROUP BY 1),
+nn AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM ser GROUP BY 1),
+ties AS (
+  SELECT k, CAST(SUM(tp * (tp - 1) * (2 * tp + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT k, x, CAST(COUNT(*) AS BIGINT) AS tp FROM ser GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT nn.k AS grp, nn.n AS n, COALESCE(s.s, 0) AS s,
+       CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS BIGINT) AS var18
+FROM nn JOIN ties ON nn.k = ties.k LEFT JOIN s ON nn.k = s.k"""
 
     # EWMA: identical left-fold over the same ordered doubles on both
     # engines -> bit-equal result, single final micro-rounding

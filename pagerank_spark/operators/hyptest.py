@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["welch_ttest", "chi_square"]
+__all__ = ["welch_ttest", "chi_square", "mann_kendall"]
 
 _SCALE = 1_000_000
 
@@ -260,6 +260,70 @@ def poisson_bootstrap_mean(
         F.expr(
             "CASE WHEN n_eff > 0 THEN CAST(__sx AS DOUBLE) / CAST(n_eff AS DOUBLE) END"
         ).alias("mean"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame, key_col: str, time_col: str, value_col: str
+) -> DataFrame:
+    """Per-key Mann-Kendall monotonic-trend test (Mann 1945, Kendall 1975
+    — the standard nonparametric "is this series drifting" screen) over a
+    pre-aggregated time series: ``S = sum_{i<j} sign(x_j - x_i)`` ordered
+    by ``time_col``, plus the tie-corrected variance in EXACT 18x units:
+    ``var18 = n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5)`` (so
+    ``Var(S) = var18/18`` exactly — no float anywhere; consumers needing a
+    z-score divide once).
+
+    Contract: one row per (key, time) — callers pre-aggregate raw facts to
+    a bounded grid (daily/weekly/monthly) first, which is also the 100-TB
+    scale story: the pair enumeration is a within-key self-join, quadratic
+    in the per-key SERIES length (bounded by the grid, e.g. 120 months),
+    never in the fact count; it shuffles once on the key. ``value_col``
+    must be integer-valued (pre-scale to cents/micros).
+
+    Returns ``(grp, n, s, var18)`` — all BIGINT.
+    """
+    ser = df.select(
+        F.col(key_col).alias("k"),
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    a, b = ser.alias("a"), ser.alias("b")
+    sg = (
+        F.when(F.col("b.x") > F.col("a.x"), F.lit(1))
+        .when(F.col("b.x") < F.col("a.x"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.t") < F.col("b.t")))
+        .groupBy(F.col("a.k").alias("k"))
+        .agg(F.sum(sg).alias("s"))
+    )
+    nn = ser.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        ser.groupBy("k", "x")
+        .agg(F.count(F.lit(1)).alias("tp"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.col("tp") * (F.col("tp") - 1) * (2 * F.col("tp") + 5)
+            ).alias("tie_term")
+        )
+    )
+    return (
+        nn.join(ties, "k")
+        .join(s, "k", "left")
+        .select(
+            F.col("k").alias("grp"),
+            F.col("n").cast("long").alias("n"),
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s"),
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            )
+            .cast("long")
+            .alias("var18"),
+        )
     )
 
 

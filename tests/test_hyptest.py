@@ -1,8 +1,8 @@
-"""Welch t + chi-square: SciPy-free closed-form replays on planted data."""
+"""Welch t + chi-square + Mann-Kendall: SciPy-free closed-form replays."""
 
 import math
 
-from pagerank_spark.operators.hyptest import chi_square, welch_ttest
+from pagerank_spark.operators.hyptest import chi_square, mann_kendall, welch_ttest
 
 
 def _welch_py(xs, ys):
@@ -42,6 +42,47 @@ def test_chi2_independent_and_dependent(spark):
     # closed form: T * (sum o^2/(r*c) - 1) = 30 * (15^2/225 + 15^2/225 - 1) = 30
     assert out.n_cells == 2 and out.total == 30
     assert out.chi2_micro == 30_000_000
+
+
+def _mk_py(series):
+    """Pure-Python Mann-Kendall: (n, S, 18*Var(S)) over a (t, x) list."""
+    series = sorted(series)
+    xs = [x for _, x in series]
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(tp * (tp - 1) * (2 * tp + 5) for tp in Counter(xs).values())
+    return n, s, n * (n - 1) * (2 * n + 5) - tie
+
+
+def test_mann_kendall_matches_replay(spark):
+    up = [(t, 10 + 3 * t + (t % 2)) for t in range(12)]          # rising trend
+    flat = [(t, 7) for t in range(9)]                            # all ties
+    mixed = [(0, 5), (1, 9), (2, 5), (3, 2), (4, 9), (5, 1)]     # ties + noise
+    rows = (
+        [("up", t, x) for t, x in up]
+        + [("flat", t, x) for t, x in flat]
+        + [("mixed", t, x) for t, x in mixed]
+    )
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    got = {r.grp: (r.n, r.s, r.var18) for r in mann_kendall(df, "k", "t", "x").collect()}
+    assert got["up"] == _mk_py(up)
+    assert got["flat"] == _mk_py(flat)
+    assert got["mixed"] == _mk_py(mixed)
+    # sanity on the planted shapes: rising S maximal-ish, all-ties S = 0
+    assert got["up"][1] > 0 and got["flat"][1] == 0
+    assert got["flat"][2] == 0  # one tie group of size n cancels n(n-1)(2n+5)
+
+
+def test_mann_kendall_single_point(spark):
+    df = spark.createDataFrame([("solo", 0, 42)], "k string, t long, x long")
+    r = mann_kendall(df, "k", "t", "x").collect()[0]
+    assert (r.n, r.s, r.var18) == (1, 0, 0)
 
 
 def test_plans_are_window_free(spark):
