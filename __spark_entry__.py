@@ -1772,6 +1772,35 @@ SELECT t.q_num, t.q_den, t.k, t.n, CAST(MIN(cum.v) AS BIGINT) AS value
 FROM t JOIN cum ON cum.cum >= t.k GROUP BY 1, 2, 3, 4"""
 
 
+def q_weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED quantiles (operators/packing.py::
+    weighted_exact_quantiles): price cents weighted by units sold —
+    histogram sums weight per distinct value, distributed prefix sum,
+    rational-ceil probes; pure BIGINT, no buffering, no global sort."""
+    from pagerank_spark.operators.packing import weighted_exact_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("units"),
+    )
+    return weighted_exact_quantiles(li, "cents", "units", [(1, 4), (1, 2), (3, 4)])
+
+
+_WEIGHTED_MEDIAN_LINEITEM_SQL = """
+WITH h AS MATERIALIZED (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1),
+cum AS MATERIALIZED (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM h),
+nn AS (SELECT CAST(MAX(cum) AS BIGINT) AS n FROM cum),
+probes(num, den) AS (VALUES (1, 4), (1, 2), (3, 4)),
+t AS (SELECT CAST(num AS BIGINT) AS q_num, CAST(den AS BIGINT) AS q_den,
+             (CAST(num AS BIGINT) * n + den - 1) // den AS k, n
+      FROM probes CROSS JOIN nn)
+SELECT t.q_num, t.q_den, t.k, t.n, CAST(MIN(cum.v) AS BIGINT) AS value
+FROM t JOIN cum ON cum.cum >= t.k GROUP BY 1, 2, 3, 4"""
+
+
 def q_streaks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands run statistics (operators/sequences.py::streaks):
     longest same-type streak per (user, event_type) via the row_number
@@ -5190,6 +5219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaks_events": q_streaks_events,
         "twap_events": q_twap_events,
         "quantile_disc_lineitem": q_quantile_disc_lineitem,
+        "weighted_median_lineitem": q_weighted_median_lineitem,
         "knn_graph_embeddings": q_knn_graph_embeddings,
         "grouped_median_lineitem": q_grouped_median_lineitem,
         "changepoint_orders": q_changepoint_orders,
@@ -6120,6 +6150,7 @@ FROM tok GROUP BY 1, 2
     sqls["streaks_events"] = _STREAKS_EVENTS_SQL
     sqls["twap_events"] = _TWAP_EVENTS_SQL
     sqls["quantile_disc_lineitem"] = _QUANTILE_DISC_LINEITEM_SQL
+    sqls["weighted_median_lineitem"] = _WEIGHTED_MEDIAN_LINEITEM_SQL
     sqls["knn_graph_embeddings"] = _KNN_GRAPH_EMBEDDINGS_SQL
     sqls["grouped_median_lineitem"] = _GROUPED_MEDIAN_LINEITEM_SQL
     sqls["changepoint_orders"] = _CHANGEPOINT_ORDERS_SQL

@@ -312,6 +312,45 @@ def exact_quantiles(
     )
 
 
+def weighted_exact_quantiles(
+    df: DataFrame, value_col: str, weight_col: str, qs: list[tuple[int, int]]
+) -> DataFrame:
+    """Exact WEIGHTED discrete quantiles of an integer column under
+    integer weights (the weighted-median family: e.g. price quantiles
+    weighted by units sold, latency percentiles weighted by request
+    count). Generalizes :func:`exact_quantiles` — weight 1 everywhere
+    recovers it exactly.
+
+    Same scale shape: ONE map-side-combined histogram now summing WEIGHT
+    per distinct value (|distinct| rows — the raw rows are never sorted,
+    buffered, or globally windowed), the two-phase distributed prefix sum,
+    then each exact-rational probe ``(num, den)`` selects the smallest
+    value whose cumulative weight >= ``ceil(q*W) = (num*W + den - 1) div
+    den``. Pure BIGINT arithmetic end to end.
+
+    Returns ``(q_num, q_den, k, n, value)`` — ``n`` is total weight W.
+    """
+    from .cumsum import distributed_cumsum
+
+    h = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("c")
+    )
+    cum = distributed_cumsum(h, ["v"], "c", out_col="cum").select("v", "cum")
+    nrow = cum.groupBy().agg(F.max("cum").alias("n"))
+    probes = df.sparkSession.createDataFrame(
+        [(int(num), int(den)) for num, den in qs], "q_num long, q_den long"
+    )
+    targets = (
+        probes.crossJoin(F.broadcast(nrow))
+        .withColumn("k", F.expr("(q_num * n + q_den - 1) DIV q_den"))
+    )
+    return (
+        cum.join(F.broadcast(targets), F.col("cum") >= F.col("k"))
+        .groupBy("q_num", "q_den", "k", "n")
+        .agg(F.min("v").alias("value"))
+    )
+
+
 def grouped_exact_quantiles(
     df: DataFrame, group_col: str, value_col: str, qs: list[tuple[int, int]]
 ) -> DataFrame:

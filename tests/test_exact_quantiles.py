@@ -2,6 +2,8 @@
 
 import math
 
+from pyspark.sql import functions as F
+
 from pagerank_spark.operators.packing import exact_quantiles
 
 
@@ -69,3 +71,32 @@ def test_quantile_plans_have_no_global_window(spark):
     # every SinglePartition exchange in this plan would be a scale cliff
     # except the one-row global aggregates, which this plan doesn't need
     assert "SinglePartition" not in p2
+
+
+def test_weighted_quantiles_match_expansion(spark):
+    from pagerank_spark.operators.packing import exact_quantiles, weighted_exact_quantiles
+
+    rows = [((i * 7) % 31, 1 + (i % 4)) for i in range(57)]
+    df = spark.createDataFrame(rows, ["v", "w"])
+    got = {
+        (r["q_num"], r["q_den"]): (r["value"], r["k"], r["n"])
+        for r in weighted_exact_quantiles(df, "v", "w", [(1, 4), (1, 2), (3, 4)]).collect()
+    }
+    # ground truth: physically expand each row w times, take discrete quantiles
+    flat = sorted(v for v, w in rows for _ in range(w))
+    for num, den in ((1, 4), (1, 2), (3, 4)):
+        k = -(-num * len(flat) // den)
+        assert got[(num, den)] == (flat[k - 1], k, len(flat)), (num, den)
+    # weight 1 everywhere recovers the unweighted operator exactly
+    ones = df.select("v", F.lit(1).alias("w"))
+    a = sorted(map(tuple, weighted_exact_quantiles(ones, "v", "w", [(1, 2)]).collect()))
+    b = sorted(map(tuple, exact_quantiles(df.select("v"), "v", [(1, 2)]).collect()))
+    assert a == b
+
+
+def test_weighted_quantile_plan_has_no_window(spark):
+    from pagerank_spark.operators.packing import weighted_exact_quantiles
+
+    df = spark.createDataFrame([(i % 7, 2) for i in range(50)], ["v", "w"])
+    p = weighted_exact_quantiles(df, "v", "w", [(1, 2)])._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p
