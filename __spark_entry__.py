@@ -2376,6 +2376,18 @@ def q_cms_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "tok").select("tok", "est", "exact")
 
 
+def q_ams_f2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch (operators/sketches.py::ams_f2): 8 signed
+    counters over the corpus token stream, each the exact BIGINT sum of
+    deterministic +/-1 hash signs; est = z^2 next to the exact second
+    frequency moment. The oracle replays poly31, the mixer, every sign,
+    every z, and the exact F2."""
+    from pagerank_spark.operators.sketches import ams_f2
+
+    toks = _doc_tokens(spark, sf_dir)
+    return ams_f2(toks, "tok", reps=8, salt=53)
+
+
 def q_bloom_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter join pruning (operators/sketches.py): a 64-bit / 3-hash
     filter built over the ENGLISH docs' token set probes the full
@@ -5154,6 +5166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_copurchase": q_node2vec_copurchase,
         "merge_upsert_orders": q_merge_upsert_orders,
         "cms_tokens_docs": q_cms_tokens_docs,
+        "ams_f2_docs": q_ams_f2_docs,
         "hll_distinct_events": q_hll_distinct_events,
         "bloom_probe_docs": q_bloom_probe_docs,
         "chunk_windows_docs": q_chunk_windows_docs,
@@ -5565,6 +5578,26 @@ SELECT p.tok, CAST(MIN(sk.cnt) AS BIGINT) AS est,
        CAST(ANY_VALUE(p.exact) AS BIGINT) AS exact
 FROM probe p JOIN sk ON sk.row = p.row AND sk.col = p.col
 GROUP BY 1"""
+
+    # ams f2: replay poly31 + mixer signs per replicate; z, z^2, and the
+    # exact second moment are all BIGINT
+    _ams_signs = "\n  UNION ALL ".join(
+        f"SELECT {i} AS rep, CASE WHEN ({_mix31_sql('v', 53 + i)}) % 2 = 0"
+        " THEN 1 ELSE -1 END AS sg FROM pv"
+        for i in range(8)
+    )
+    sqls["ams_f2_docs"] = f"""
+WITH tok AS MATERIALIZED (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            t -> len(t) > 0)) AS tok
+  FROM documents),
+pv AS MATERIALIZED (SELECT tok, {_POLY31_TOK_SQL} AS v FROM tok),
+sg AS ({_ams_signs}),
+z AS (SELECT rep, CAST(SUM(sg) AS BIGINT) AS z FROM sg GROUP BY 1),
+ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok))
+SELECT CAST(z.rep AS BIGINT) AS rep, z.z, z.z * z.z AS est, ex.f2_exact
+FROM z, ex"""
 
     # hll: p=5 (m=32), rho = 27 - bitlen(h >> 5), absent register => 2^32
     _hll_h = _mix31_sql("v", 37)

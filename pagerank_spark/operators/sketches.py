@@ -40,6 +40,7 @@ __all__ = [
     "hll_build",
     "hll_merge",
     "hll_estimate",
+    "ams_f2",
 ]
 
 
@@ -260,3 +261,50 @@ def hll_estimate(
     lc = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double"))
     est = F.when((raw <= 2.5 * m) & (F.col("zeros") > 0), lc).otherwise(raw)
     return agg.select(*gc, "zeros", denom).withColumn("est", est)
+
+
+def ams_f2(
+    df: DataFrame, key_col: str, reps: int = 8, salt: int = 53
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996 — the
+    classic "tug-of-war" F2 estimator): each replicate keeps ONE signed
+    counter ``z = sum_x s(x)`` over the raw key stream, where ``s(x)`` is a
+    deterministic +/-1 hash sign; ``E[z^2] = F2 = sum_k c_k^2`` (the join /
+    self-join size and skew statistic). ``reps`` independent replicates are
+    emitted so consumers can median/mean them.
+
+    Scale shape: a ``reps``-way explode of the scan (the CMS pattern) into
+    one map-side-combined ``reps``-row aggregate — fixed-size state, no
+    key shuffle. For calibration the exact F2 is computed alongside from
+    the key histogram (one extra aggregation; drop it at true scale).
+    Everything is BIGINT: signs, z, z^2, and exact F2 — fully
+    SQL-replayable via the engine-neutral poly31 + mix31 hashes.
+
+    Returns ``(rep, z, est, f2_exact)`` — one row per replicate.
+    """
+    h = _poly31(F.col(key_col))
+    rows = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (F.lit(1) - 2 * F.pmod(_mix31(h, salt + i), F.lit(2))).cast(
+                        "long"
+                    )
+                    for i in range(reps)
+                ]
+            )
+        ).alias("rep", "sg")
+    )
+    z = rows.groupBy("rep").agg(F.sum("sg").alias("z"))
+    exact = (
+        df.groupBy(F.col(key_col).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy()
+        .agg(F.sum(F.col("__c") * F.col("__c")).alias("f2_exact"))
+    )
+    return z.crossJoin(F.broadcast(exact)).select(
+        F.col("rep").cast("long").alias("rep"),
+        "z",
+        (F.col("z") * F.col("z")).alias("est"),
+        "f2_exact",
+    )

@@ -62,3 +62,37 @@ def test_grouped_approx_percentile_matches_exact_shape(spark):
     for g in exact:
         # within 1% of the group's exact median on this distribution
         assert abs(approx[g] - exact[g]) <= 0.01 * max(1.0, exact[g])
+
+
+def test_ams_f2_exact_and_unbiased_shape(spark):
+    from pagerank_spark.operators.sketches import ams_f2
+
+    # planted stream: token t_i appears i times, i = 1..6 -> F2 = sum i^2 = 91
+    rows = [(f"t{i}",) for i in range(1, 7) for _ in range(i)]
+    df = spark.createDataFrame(rows, ["tok"])
+    out = ams_f2(df, "tok", reps=8, salt=53).collect()
+    assert len(out) == 8
+    assert all(r.f2_exact == 91 for r in out)
+    assert all(r.est == r.z * r.z for r in out)
+    # replay the signs in pure Python (poly31 + mix31)
+    M31, KNUTH, MIX = 1 << 31, 2654435761, 2246822519
+
+    def poly31(s):
+        a = 0
+        for c in s:
+            a = (a * 31 + ord(c)) % M31
+        return a
+
+    def mix31(v, salt):
+        h1 = (v * KNUTH + salt) % M31
+        h1 ^= h1 >> 15
+        h2 = (h1 * MIX + 1) % M31
+        return h2 ^ (h2 >> 13)
+
+    got = {r.rep: r.z for r in out}
+    for rep in range(8):
+        z = sum(
+            (1 - 2 * (mix31(poly31(t), 53 + rep) % 2))
+            for t, in rows
+        )
+        assert got[rep] == z, rep
