@@ -5110,6 +5110,59 @@ def _ball_ctes(edges_cte: str, k: int) -> str:
     return "WITH " + ",\n".join(ctes)
 
 
+def q_ks_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance
+    (operators/ranktests.py::ks_two_sample) between the AUTOMOBILE and
+    BUILDING account-balance distributions (exact cents): D's numerator
+    ``max |n_b*cumA - n_a*cumB|`` is an exact BIGINT over the pooled
+    distinct-value LUT prefix-summed by the two-phase distributed cumsum
+    (no global window); d_micro = floor-scaled exact rational."""
+    from pagerank_spark.operators.ranktests import ks_two_sample
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return ks_two_sample(c, "c_mktsegment", "cents", "AUTOMOBILE", "BUILDING")
+
+
+def q_kruskal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (operators/ranktests.py::kruskal_wallis) of order
+    totalprice (exact cents) across the five order priorities: doubled
+    tie-averaged ranks from the distinct-value LUT cumsum, exact BIGINT
+    centered group sums, per-group milli-rounded terms (floor(x+0.5) —
+    identical IEEE both engines), tie-corrected H in micro units."""
+    from pagerank_spark.operators.ranktests import kruskal_wallis
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return kruskal_wallis(o, "o_orderpriority", "cents")
+
+
+def q_pettitt_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank changepoint (operators/ranktests.py::pettitt_test) on
+    the daily order-revenue series (same epoch-day grid + thousands-of-
+    dollars quantization as acf_orders): U_t = t(n+1) - prefix-sum of
+    doubled tie-averaged ranks (Mann-Whitney identity), all exact BIGINT;
+    K = max|U_t| located at the earliest maximizing day."""
+    from pagerank_spark.operators.ranktests import pettitt_test
+
+    series = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(
+            F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400").alias("t")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) DIV 100000 AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    return pettitt_test(series, "t", "x")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5167,6 +5220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_orders": q_merge_upsert_orders,
         "cms_tokens_docs": q_cms_tokens_docs,
         "ams_f2_docs": q_ams_f2_docs,
+        "ks_customers": q_ks_customers,
+        "kruskal_orders": q_kruskal_orders,
+        "pettitt_orders": q_pettitt_orders,
         "hll_distinct_events": q_hll_distinct_events,
         "bloom_probe_docs": q_bloom_probe_docs,
         "chunk_windows_docs": q_chunk_windows_docs,
@@ -8235,5 +8291,68 @@ m AS (
 SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(MAX(t) AS BIGINT) AS n_rows,
        CAST(SUM(CAST(ROUND((nxy / t) * LN(nxy * t / (nx * ny)) * 1000000000) AS BIGINT)) AS BIGINT) AS mi_nano
 FROM m GROUP BY 1"""
+
+    # two-sample KS: exact BIGINT CDF-gap numerator over the pooled
+    # distinct-value LUT (window cumsum replays the distributed prefix sum)
+    sqls["ks_customers"] = """
+WITH t AS MATERIALIZED (
+  SELECT c_mktsegment AS g, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')),
+lut AS MATERIALIZED (
+  SELECT v, CAST(SUM(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM t GROUP BY 1),
+c AS (SELECT v, CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb FROM lut),
+nn AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM lut)
+SELECT n_a, n_b, CAST(MAX(ABS(n_b * cuma - n_a * cumb)) AS BIGINT) AS d_num,
+       CAST(MAX(ABS(n_b * cuma - n_a * cumb)) * 1000000 // (n_a * n_b) AS BIGINT) AS d_micro
+FROM c CROSS JOIN nn GROUP BY n_a, n_b"""
+
+    # Kruskal-Wallis: identical doubled-rank algebra; per-group milli terms
+    # via floor(x+0.5) (exact IEEE both engines), exact BIGINT sum
+    sqls["kruskal_orders"] = """
+WITH t AS MATERIALIZED (
+  SELECT o_orderpriority AS g, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+lut0 AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+lut AS (SELECT v, 2 * CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) - c + 1 AS r2 FROM lut0),
+grp AS MATERIALIZED (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(r2) AS BIGINT) AS rg2
+  FROM t JOIN lut USING (v) GROUP BY 1),
+term AS (SELECT CAST(FLOOR(CAST(rg2 - ng * (n + 1) AS DOUBLE) * (rg2 - ng * (n + 1))
+                / ng * 1000.0 + 0.5) AS BIGINT) AS t_milli FROM grp CROSS JOIN nn),
+ties AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie_num FROM lut0),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM grp),
+s AS (SELECT CAST(SUM(t_milli) AS BIGINT) AS h_milli_sum FROM term)
+SELECT n, k, tie_num, h_milli_sum,
+  CAST(FLOOR(3.0 * CAST(h_milli_sum AS DOUBLE) / 1000.0
+       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * 1000000 + 0.5) AS BIGINT) AS h_micro,
+  CASE WHEN CAST(tie_num AS DOUBLE) = CAST(n AS DOUBLE) * n * n - n THEN CAST(0 AS BIGINT)
+       ELSE CAST(FLOOR(3.0 * CAST(h_milli_sum AS DOUBLE) / 1000.0
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+            * (CAST(n AS DOUBLE) * n * n - n)
+            / ((CAST(n AS DOUBLE) * n * n - n) - CAST(tie_num AS DOUBLE))
+            * 1000000 + 0.5) AS BIGINT) END AS hc_micro
+FROM s CROSS JOIN nn CROSS JOIN ties CROSS JOIN kk"""
+
+    # Pettitt: U_t = t(n+1) - prefix-sum of doubled ranks, exact BIGINT
+    sqls["pettitt_orders"] = """
+WITH s AS MATERIALIZED (
+  SELECT CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS t,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100000 AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+lut0 AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1),
+lut AS (SELECT x, 2 * CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) - c + 1 AS r2 FROM lut0),
+r AS MATERIALIZED (
+  SELECT s.t, CAST(ROW_NUMBER() OVER (ORDER BY s.t) AS BIGINT) AS i,
+         CAST(SUM(lut.r2) OVER (ORDER BY s.t) AS BIGINT) AS cumr2
+  FROM s JOIN lut USING (x)),
+u AS MATERIALIZED (SELECT t, i * (n + 1) - cumr2 AS u FROM r CROSS JOIN nn),
+km AS (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS k_stat FROM u)
+SELECT nn.n, km.k_stat,
+       (SELECT CAST(MIN(t) AS BIGINT) FROM u WHERE ABS(u.u) = km.k_stat) AS t_star
+FROM nn CROSS JOIN km"""
 
     return sqls
