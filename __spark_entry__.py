@@ -207,6 +207,38 @@ FROM dt LEFT JOIN ein ON ein.label = dt.label CROSS JOIN mm"""
     )
 
 
+def _conductance_sql(edges_cte: str, k: int) -> str:
+    """Per-labelprop-community conductance mirroring
+    algos/modularity.py::conductance_by_community exactly: undirected
+    simple graph, boundary edges credited to both endpoint communities,
+    phi_micro = floor-scaled exact rational."""
+    ctes = _labelprop_ctes(edges_cte, k)
+    ctes += [
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e WHERE src <> dst)",
+        "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS mi FROM und)",
+        "dg2 AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM "
+        "(SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1)",
+        f"bnd AS (SELECT la.label AS l1, lb.label AS l2 FROM und "
+        f"JOIN l{k} la ON und.a = la.id JOIN l{k} lb ON und.b = lb.id "
+        f"WHERE la.label <> lb.label)",
+        "cut AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cut FROM "
+        "(SELECT l1 AS label FROM bnd UNION ALL SELECT l2 FROM bnd) GROUP BY 1)",
+        f"vol AS (SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+        f"CAST(SUM(dg2.deg) AS BIGINT) AS volume FROM dg2 "
+        f"JOIN l{k} l ON dg2.id = l.id GROUP BY 1)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT vol.label, vol.n_vertices, vol.volume, COALESCE(cut.cut, 0) AS cut,
+       CASE WHEN least(vol.volume, 2 * mm.mi - vol.volume) > 0
+            THEN CAST(COALESCE(cut.cut, 0) * 1000000 // least(vol.volume, 2 * mm.mi - vol.volume) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS phi_micro
+FROM vol LEFT JOIN cut ON cut.label = vol.label CROSS JOIN mm"""
+    )
+
+
 def _wppr_sql(edges_cte: str, k: int, seed_mod: int = 97) -> str:
     """Unrolled k-iteration WEIGHTED + PERSONALIZED PageRank — the
     composition pagerank(weight_col=..., teleport=...): contributions are
@@ -309,6 +341,34 @@ def _hits_sql(edges_cte: str, k: int) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT a.id, ROUND(a.auth, 6) AS auth, ROUND(h.hub, 6) AS hub"
         + f"\nFROM a{k} a JOIN h{k} h ON a.id = h.id"
+    )
+
+
+def _salsa_sql(edges_cte: str, k: int) -> str:
+    """Unrolled k-iteration SALSA mirroring algos/hits.py::salsa exactly:
+    degree-normalized gathers (the per-edge op is score / degree — the
+    same IEEE division the engine performs), mass-preserving (no
+    normalizer), init hub = 1/|outdeg>0 vertices|."""
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1)",
+        "idg AS MATERIALIZED (SELECT dst, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1)",
+        "h0 AS MATERIALIZED (SELECT src AS id, 1.0 / (SELECT COUNT(*) FROM od) AS hub FROM od)",
+    ]
+    for it in range(1, k + 1):
+        ctes.append(
+            f"a{it} AS MATERIALIZED (SELECT e.dst AS id, SUM(h.hub / od.d) AS auth "
+            f"FROM e JOIN h{it - 1} h ON e.src = h.id JOIN od ON od.src = e.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"h{it} AS MATERIALIZED (SELECT e.src AS id, SUM(a.auth / idg.d) AS hub "
+            f"FROM e JOIN a{it} a ON e.dst = a.id JOIN idg ON idg.dst = e.dst GROUP BY 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT COALESCE(a.id, h.id) AS id, ROUND(COALESCE(a.auth, 0), 6) AS auth,"
+        + " ROUND(COALESCE(h.hub, 0), 6) AS hub"
+        + f"\nFROM a{k} a FULL OUTER JOIN h{k} h ON a.id = h.id"
     )
 
 
@@ -605,6 +665,29 @@ def q_hits_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = hits(
             _graph_for(spark, sf_dir, "events"), max_iters=4, tol=0.0,
             check_every=2, num_partitions=4,
+        )
+        out = res.scores.select(
+            "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+        ).localCheckpoint()  # materialize before restoring the conf
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
+def q_salsa_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA (algos/hits.py::salsa) on the events graph, k=3 iterations:
+    degree-normalized mutual reinforcement (the who-to-follow walk),
+    mass-preserving so no normalizer appears in the plan. Oracle: unrolled
+    3-iteration SQL (_salsa_sql) with the identical per-edge score/degree
+    division."""
+    from pagerank_spark.algos.hits import salsa
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        res = salsa(
+            _graph_for(spark, sf_dir, "events"), max_iters=3, tol=0.0,
+            check_every=3, num_partitions=4,
         )
         out = res.scores.select(
             "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
@@ -2617,6 +2700,31 @@ def q_louvain_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain(
         _graph_for(spark, sf_dir, "copurchase"), max_phases=2, max_rounds=5
     )
+
+
+def q_conductance_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance (algos/modularity.py::
+    conductance_by_community) of the labelprop-k=5 communities on the
+    events graph: (label, n_vertices, volume, cut, phi_micro) — all exact
+    BIGINTs, floor-scaled rational phi. Oracle: the unrolled labelprop
+    CTEs composed with the same cut/volume arithmetic (_conductance_sql)."""
+    from pagerank_spark.algos.labelprop import label_propagation
+    from pagerank_spark.algos.modularity import conductance_by_community
+
+    edges = _graph_for(spark, sf_dir, "events")
+    labels = label_propagation(edges, max_iters=5)
+    return conductance_by_community(edges, labels)
+
+
+def q_fd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (operators/constraints.py::
+    fd_violations) of the candidate FD user_id -> event_type on events:
+    exact distinct-key / violating-key counts plus the g3 repair numerator
+    (min rows to delete), all BIGINT from two keyed aggregations."""
+    from pagerank_spark.operators.constraints import fd_violations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fd_violations(ev, ["user_id"], "event_type")
 
 
 def q_modularity_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5190,6 +5298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_events_k3": q_ppr_events_k3,
         "wppr_events_k3": q_wppr_events_k3,
         "hits_events_k4": q_hits_events,
+        "salsa_events_k3": q_salsa_events,
         "katz_events_k4": q_katz_events,
         "eigenvector_events_k4": q_eigenvector_events,
         "linkpred_copurchase": q_linkpred_copurchase,
@@ -5334,6 +5443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_cliques_synth": q_louvain_cliques_synth,
         "louvain_copurchase": q_louvain_copurchase,
         "modularity_labelprop_events": q_modularity_labelprop_events,
+        "conductance_labelprop_events": q_conductance_labelprop_events,
+        "fd_events": q_fd_events,
         "clustering_coef_copurchase": q_clustering_coef_copurchase,
         "graph_summary_events": q_graph_summary_events,
         "harmonic_closeness_events": q_harmonic_closeness_events,
@@ -5428,6 +5539,7 @@ def oracle_sql() -> dict[str, str]:
     # generic Pregel engine parity: same recurrences, same oracles
     sqls["pregel_pagerank_events_k3"] = _pagerank_sql(EVENTS_EDGES_CTE, 3)
     sqls["hits_events_k4"] = _hits_sql(EVENTS_EDGES_CTE, 4)
+    sqls["salsa_events_k3"] = _salsa_sql(EVENTS_EDGES_CTE, 3)
     sqls["katz_events_k4"] = _katz_sql(EVENTS_EDGES_CTE, 4, 0.05, 1.0)
     sqls["eigenvector_events_k4"] = _eigen_sql(EVENTS_EDGES_CTE, 4)
     sqls["multi_ppr_events"] = _multi_ppr_sql(EVENTS_EDGES_CTE, 3, 97)
@@ -5860,6 +5972,16 @@ SELECT CAST(r.range AS BIGINT) AS id,
        CAST(6 * (r.range // 6) AS BIGINT) AS community
 FROM range(48) r"""
     sqls["modularity_labelprop_events"] = _modularity_sql(EVENTS_EDGES_CTE, 5)
+    sqls["conductance_labelprop_events"] = _conductance_sql(EVENTS_EDGES_CTE, 5)
+    sqls["fd_events"] = """
+WITH cells AS MATERIALIZED (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+pk AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nrhs, CAST(SUM(c) AS BIGINT) AS nrows,
+              CAST(MAX(c) AS BIGINT) AS maxc FROM cells GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+       CAST(SUM(nrows - maxc) AS BIGINT) AS rows_to_fix
+FROM pk"""
     # copurchase e is already the canonical loop-free a<b DISTINCT edge set,
     # so the per-vertex triangle CTE mirrors the triangles_per_part oracle
     sqls["clustering_coef_copurchase"] = f"""

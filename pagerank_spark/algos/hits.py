@@ -182,3 +182,134 @@ def hits(
     result.scores = state.select("id", "auth", "hub")
     result.iter_seconds = time.monotonic() - t_start  # type: ignore[attr-defined]
     return result
+
+
+@dataclass
+class SalsaResult:
+    scores: DataFrame         # (id long, auth double, hub double)
+    iterations: int
+    converged: bool
+    l1_history: list = field(default_factory=list)
+
+
+def salsa(
+    edges: DataFrame,
+    max_iters: int = 20,
+    tol: float = 1e-9,
+    num_partitions: int | None = None,
+    check_every: int = 2,
+) -> SalsaResult:
+    """SALSA (Lempel & Moran 2001, the Stochastic Approach for Link
+    Structure Analysis — the link-analysis ranking behind
+    who-to-follow-style recommenders): HITS's mutual reinforcement with
+    DEGREE-NORMALIZED gathers, i.e. alternating steps of the random walk
+    on the hub/authority bipartite view::
+
+        auth_k(v) = sum over in-edges (u,v) of hub_{k-1}(u) / outdeg(u)
+        hub_k(u)  = sum over out-edges (u,v) of auth_k(v) / indeg(v)
+
+    Both half-steps apply a column-stochastic matrix, so TOTAL MASS IS
+    PRESERVED exactly — unlike HITS there is no per-block normalizer
+    (no one-row aggregate in the plan at all): init hub = 1/|hubs| over
+    the outdeg>0 vertices and every iterate stays a probability vector.
+
+    Shuffle discipline mirrors :func:`hits`: two one-time edge layouts
+    (by src / by dst), each carrying its STATIC integer degree column so
+    the per-edge contribution is the same correctly-rounded ``score / deg``
+    division the SQL oracle performs (never ``score * (1/deg)`` — a
+    different IEEE op); state is narrow ``(id, hub)`` over hub vertices
+    only, referenced twice per superstep, truncated per block by a lazy
+    localCheckpoint whose single action is the block L1.
+
+    Every hub has an out-edge and every out-neighbor has an in-edge, so
+    both gathers are inner joins with no dangling-coalesce leg.
+    """
+    t_start = time.monotonic()
+    p = num_partitions or max(4, _num_partitions(edges))
+    e = edges.select("src", "dst")
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    idg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("idg"))
+    edges_src = (
+        e.join(od, "src").select("src", "dst", "od").repartition(p, "src").localCheckpoint()
+    )
+    edges_dst = (
+        e.join(idg, "dst").select("src", "dst", "idg").repartition(p, "dst").localCheckpoint()
+    )
+    hubs = od.select("src").repartition(p, "src").localCheckpoint()
+    n_h = hubs.count()
+    if n_h == 0:
+        raise ValueError("salsa requires a non-empty edge set")
+
+    state = hubs.select(F.col("src").alias("id"), F.lit(1.0 / n_h).alias("hub")).localCheckpoint(
+        eager=False
+    )
+    state.count()
+
+    def _superstep(st: DataFrame) -> tuple:
+        a = (
+            edges_src.join(st.hint("shuffle_hash"), edges_src.src == st.id, "inner")
+            .groupBy("dst")
+            .agg(F.sum(F.col("hub") / F.col("od")).alias("auth"))
+        )
+        h = (
+            edges_dst.join(a.hint("shuffle_hash"), "dst", "inner")
+            .groupBy("src")
+            .agg(F.sum(F.col("auth") / F.col("idg")).alias("hub"))
+            .select(F.col("src").alias("id"), "hub")
+        )
+        return a, h
+
+    result = SalsaResult(scores=state, iterations=0, converged=False)
+    it = 0
+    auth = None
+    prev_auth = None
+    while it < max_iters:
+        block = min(check_every, max_iters - it)
+        new_state = state
+        intermediates = []
+        for i in range(block):
+            auth, new_state = _superstep(new_state)
+            if i == block - 1:
+                # the block-final auth is part of the returned scores:
+                # persist it so the block's L1 action materializes it ONCE
+                # (a lazy recompute after intermediates unpersist would
+                # re-run the double gather with a fresh reduction order)
+                auth = auth.persist()
+            else:
+                new_state = new_state.persist()
+                intermediates.append(new_state)
+        new_state = new_state.localCheckpoint(eager=False)
+        prev = state.select("id", F.col("hub").alias("__ph"))
+        row = (
+            new_state.join(prev.hint("shuffle_hash"), "id")
+            .agg(F.sum(F.abs(F.col("hub") - F.col("__ph"))).alias("l1"))
+            .first()
+        )
+        l1 = float(row["l1"])
+        for df in intermediates:
+            df.unpersist()
+        if prev_auth is not None:
+            prev_auth.unpersist()
+        prev_auth = auth
+        state = new_state
+        it += block
+        result.l1_history.append(l1)
+        result.iterations = it
+        if l1 < tol:
+            result.converged = True
+            break
+
+    # final scores: the block-final auth iterate (persisted — materialized
+    # by its block's L1 action) full-outer'd with the final hub vector
+    scores = (
+        auth.select(F.col("dst").alias("id"), "auth")
+        .join(state, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
+    )
+    result.scores = scores
+    result.iter_seconds = time.monotonic() - t_start  # type: ignore[attr-defined]
+    return result
