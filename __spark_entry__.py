@@ -2716,6 +2716,43 @@ def q_conductance_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFram
     return conductance_by_community(edges, labels)
 
 
+def q_anova_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F (operators/hyptest.py::anova_oneway) of order
+    totalprice (quantized to whole thousands of dollars — keeps squared
+    group sums exact in double) across the five order priorities: exact
+    BIGINT moments, per-group milli terms via floor(x+0.5), F in micro
+    units from a fixed correctly-rounded sequence."""
+    from pagerank_spark.operators.hyptest import anova_oneway
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 100000").alias("kd"),
+    )
+    return anova_oneway(o, "o_orderpriority", "kd")
+
+
+def q_flesch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease (operators/textops.py::readability) per
+    document: exact letter-run / terminator-run / vowel-run counts in one
+    codegen'd projection, literal constants, floor(x*1e6+0.5) once."""
+    from pagerank_spark.operators.textops import readability
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return readability(docs)
+
+
+def q_holt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing (operators/smoothing.py::holt) of each
+    user's value series, alpha=1/2, beta=1/4: the expanded-form dyadic
+    fold replayed by the oracle as a recursive CTE (DuckDB's
+    struct-accumulator list_reduce is unfaithful — later fields see
+    earlier fields' new values), floor(x*1e6+0.5)-rounded once."""
+    from pagerank_spark.operators.smoothing import holt
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return holt(ev, "user_id", "value", "ts", "event_id", 1, 2)
+
+
 def q_fd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency audit (operators/constraints.py::
     fd_violations) of the candidate FD user_id -> event_type on events:
@@ -5445,6 +5482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_labelprop_events": q_modularity_labelprop_events,
         "conductance_labelprop_events": q_conductance_labelprop_events,
         "fd_events": q_fd_events,
+        "holt_events": q_holt_events,
+        "anova_orders": q_anova_orders,
+        "flesch_docs": q_flesch_docs,
         "clustering_coef_copurchase": q_clustering_coef_copurchase,
         "graph_summary_events": q_graph_summary_events,
         "harmonic_closeness_events": q_harmonic_closeness_events,
@@ -5982,6 +6022,58 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
        CAST(SUM(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
        CAST(SUM(nrows - maxc) AS BIGINT) AS rows_to_fix
 FROM pk"""
+    # Holt: recursive-CTE replay of the expanded dyadic fold (A=2, B=4 ->
+    # l' = (x + l + b)/2, b' = (x - l + 7b)/8), identical IEEE ops
+    sqls["holt_events"] = """
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE)
+              ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS vs,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+it AS (
+  SELECT user_id, n_events, 1 AS i, vs, vs[1] AS l, CAST(0.0 AS DOUBLE) AS b FROM seq
+  UNION ALL
+  SELECT user_id, n_events, i + 1, vs,
+         (vs[i + 1] + 1.0 * (l + b)) / 2.0,
+         (vs[i + 1] - l + 7.0 * b) / 8.0
+  FROM it WHERE i < len(vs))
+SELECT user_id, n_events,
+       CAST(FLOOR(l * 1000000 + 0.5) AS BIGINT) AS level_micro,
+       CAST(FLOOR(b * 1000000 + 0.5) AS BIGINT) AS trend_micro
+FROM it WHERE i = len(vs)"""
+    # one-way ANOVA: identical exact-moment + milli-term algebra
+    sqls["anova_orders"] = """
+WITH t AS MATERIALIZED (
+  SELECT o_orderpriority AS g,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000 AS v FROM orders),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s_total,
+               CAST(SUM(v * v) AS BIGINT) AS ssq FROM t),
+grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(v) AS BIGINT) AS sg FROM t GROUP BY 1),
+terms AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(CAST(FLOOR(CAST(sg AS DOUBLE) * sg / ng * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS t_milli_sum
+          FROM grp)
+SELECT n, k, s_total, ssq, t_milli_sum,
+  CASE WHEN k < 2 OR n <= k
+         OR (CAST(ssq AS DOUBLE) - CAST(t_milli_sum AS DOUBLE) / 1000.0) <= 0
+       THEN CAST(-1 AS BIGINT)
+       ELSE CAST(FLOOR(
+         ((CAST(t_milli_sum AS DOUBLE) / 1000.0 - CAST(s_total AS DOUBLE) * s_total / n) / (k - 1))
+         / ((CAST(ssq AS DOUBLE) - CAST(t_milli_sum AS DOUBLE) / 1000.0) / (n - k))
+         * 1000000 + 0.5) AS BIGINT) END AS f_micro
+FROM tot CROSS JOIN terms"""
+    # Flesch: same three regex-run counts, literal constants, floor once
+    sqls["flesch_docs"] = """
+WITH c AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(FLOOR((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)) * 1000000 + 0.5) AS BIGINT) AS flesch_micro
+FROM c WHERE n_words > 0"""
     # copurchase e is already the canonical loop-free a<b DISTINCT edge set,
     # so the per-vertex triangle CTE mirrors the triangles_per_part oracle
     sqls["clustering_coef_copurchase"] = f"""

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["welch_ttest", "chi_square", "mann_kendall"]
+__all__ = ["welch_ttest", "chi_square", "mann_kendall", "anova_oneway"]
 
 _SCALE = 1_000_000
 
@@ -374,4 +374,67 @@ def sprt_binomial(
         .when(F.col("llr") <= lo, F.lit("accept_h0"))
         .otherwise(F.lit("continue"))
         .alias("decision"),
+    )
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One row ``(n, k, s_total, ssq, t_milli_sum, f_micro)`` — one-way
+    ANOVA F across all groups (Fisher 1925, public methodology).
+
+    Sufficient statistics are exact BIGINTs from ONE aggregation
+    (per-group count and sum, plus the global sum of squares);
+    ``value_col`` must be integer-quantized by the caller so squares stay
+    under 2^53 when lifted to double. The cross-group reduction
+    ``sum_g s_g^2 / n_g`` uses the shared trick: each group's term is
+    rounded once to MILLI units via floor(x+0.5) (exact IEEE both
+    engines), the sum is an exact BIGINT, and::
+
+        SSB = t_milli_sum/1000 - S^2/N      (between-group)
+        SSW = SSQ - t_milli_sum/1000        (within-group)
+        F   = (SSB/(k-1)) / (SSW/(N-k))
+
+    is a fixed sequence of correctly-rounded ops over integers. Degenerate
+    inputs (k < 2, N <= k, or SSW <= 0 — all groups internally constant)
+    emit f_micro = -1 rather than dividing by zero.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).cast("long").alias("__v")
+    )
+    grp = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__ng"), F.sum("__v").alias("__sg")
+    )
+    tot = base.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__v").alias("s_total"),
+        F.sum(F.col("__v") * F.col("__v")).alias("ssq"),
+    )
+    terms = grp.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.floor(
+                F.col("__sg").cast("double") * F.col("__sg") / F.col("__ng")
+                * F.lit(1000.0)
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("t_milli_sum"),
+    )
+    j = tot.crossJoin(F.broadcast(terms))
+    ssb = F.expr(
+        "CAST(t_milli_sum AS DOUBLE) / 1000.0"
+        " - CAST(s_total AS DOUBLE) * s_total / n"
+    )
+    ssw = F.expr("CAST(ssq AS DOUBLE) - CAST(t_milli_sum AS DOUBLE) / 1000.0")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return j.select(
+        "n",
+        "k",
+        "s_total",
+        "ssq",
+        "t_milli_sum",
+        F.when(
+            (F.col("k") < 2) | (F.col("n") <= F.col("k")) | (ssw <= 0), F.lit(-1)
+        )
+        .otherwise(F.floor(f_stat * F.lit(1_000_000) + F.lit(0.5)))
+        .cast("long")
+        .alias("f_micro"),
     )

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["ewma", "cusum"]
+__all__ = ["ewma", "cusum", "holt"]
 
 _SCALE = 1_000_000
 
@@ -180,3 +180,73 @@ def changepoint(series: DataFrame, t_col: str, x_col: str) -> DataFrame:
         F.abs(F.col("__n") * F.col("__s") - F.col("__i") * F.col("__sn")).alias("stat"),
     )
     return stat.orderBy(F.col("stat").desc(), F.col("t_split").asc()).limit(1)
+
+
+def holt(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    level_halvings: int = 1,
+    trend_halvings: int = 2,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per key — level +
+    trend, the standard one-pass forecast state for drifting series
+    (Holt 1957, public methodology).
+
+    Canonical recurrence (EXPANDED single-expression form, with
+    ``A = 2^level_halvings`` i.e. alpha = 1/A, ``B = 2^trend_halvings``
+    i.e. beta = 1/B)::
+
+        l' = (x + (A-1) * (l + b)) / A
+        b' = (x - l + ((A-1) + A*(B-1)) * b) / (A*B)
+
+    The textbook sequential form ``b' = beta*(l'-l) + (1-beta)*b`` is
+    algebraically equal but a DIFFERENT IEEE op sequence; this operator
+    and its oracles commit to the expanded form so both engines replay
+    bit-identical doubles. (DuckDB 1.0 cannot run a struct-accumulator
+    ``list_reduce`` faithfully anyway — later struct fields observe the
+    earlier fields' NEW values mid-iteration — so the SQL oracle replays
+    the fold as a recursive CTE; see tests/test_holt.py.)
+
+    Init: ``l = x_1, b = 0`` (first observation in (ts, tiebreak) order).
+    Scale shape: identical to :func:`ewma` — one map-side-combined
+    collect per key, the fold is a codegen'd ``aggregate`` lambda over
+    the key's own (bounded) series; no window, no cross-key state.
+
+    Returns ``(key_col, n_events, level_micro, trend_micro)`` —
+    floor(x*1e6 + 0.5)-rounded ONCE (exact IEEE floor on both engines).
+    """
+    if level_halvings < 1 or trend_halvings < 1:
+        raise ValueError("halvings must be >= 1")
+    a = 1 << level_halvings
+    b = 1 << trend_halvings
+    cc = (a - 1) + a * (b - 1)
+    d = a * b
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    rows = events.select(
+        F.col(key_col).alias("k"),
+        F.struct(
+            sec.alias("s"),
+            F.col(tiebreak_col).cast("long").alias("tb"),
+            F.col(value_col).cast("double").alias("v"),
+        ).alias("o"),
+    )
+    per_key = rows.groupBy("k").agg(
+        F.sort_array(F.collect_list("o")).alias("arr"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    fold = F.expr(
+        f"aggregate(slice(arr, 2, greatest(size(arr) - 1, 0)), "
+        f"named_struct('l', CAST(element_at(arr, 1).v AS DOUBLE), 'b', CAST(0.0 AS DOUBLE)), "
+        f"(acc, x) -> named_struct("
+        f"'l', (x.v + {a - 1}.0 * (acc.l + acc.b)) / {a}.0, "
+        f"'b', (x.v - acc.l + {cc}.0 * acc.b) / {d}.0))"
+    )
+    return per_key.select(
+        F.col("k").alias(key_col),
+        "n_events",
+        F.floor(fold.getField("l") * _SCALE + F.lit(0.5)).cast("long").alias("level_micro"),
+        F.floor(fold.getField("b") * _SCALE + F.lit(0.5)).cast("long").alias("trend_micro"),
+    )

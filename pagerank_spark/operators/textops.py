@@ -331,3 +331,51 @@ def textrank_keywords(
     ).agg(F.count(F.lit(1)).cast("double").alias("weight"))
     res = pagerank(cooc, max_iters=k_iters, tol=0.0, weight_col="weight")
     return res.ranks
+
+
+def readability(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document Flesch reading-ease (Flesch 1948, public methodology)
+    from three exact integer counts — the standard corpus-quality /
+    audience screen in training-data prep:
+
+    * ``n_words`` — runs of ASCII letters (``[A-Za-z]+``)
+    * ``n_sentences`` — runs of terminators (``[.!?]+``), floored at 1
+    * ``n_syllables`` — the classic proxy: vowel-group runs
+      (``[aeiouy]+`` over the lowercased text; a vowel run never crosses
+      a word boundary, so whole-text counting equals the per-word sum)
+
+    ``flesch = 206.835 - 1.015*(W/S) - 84.6*(Y/W)`` with the constants as
+    full-precision literals and the two divisions over exact BIGINTs —
+    a fixed correctly-rounded sequence, micro-scaled once via
+    floor(x*1e6 + 0.5) (can be negative for dense technical text — floor
+    rounding is exact IEEE on both engines either way).
+
+    Scale shape: ONE codegen'd projection over the corpus scan — zero
+    shuffles, zero UDFs; documents with no letters are dropped (W = 0
+    has no defined score).
+
+    Returns ``(id_col, n_words, n_sentences, n_syllables, flesch_micro)``.
+    """
+    counted = docs.select(
+        F.col(id_col),
+        F.expr(f"CAST(size(regexp_extract_all({text_col}, '[A-Za-z]+', 0)) AS BIGINT)").alias(
+            "n_words"
+        ),
+        F.expr(
+            f"CAST(greatest(size(regexp_extract_all({text_col}, '[.!?]+', 0)), 1) AS BIGINT)"
+        ).alias("n_sentences"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)) AS BIGINT)"
+        ).alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    score = F.expr(
+        "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)"
+        " - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)"
+    )
+    return counted.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.floor(score * F.lit(1_000_000) + F.lit(0.5)).cast("long").alias("flesch_micro"),
+    )
