@@ -2716,6 +2716,25 @@ def q_conductance_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFram
     return conductance_by_community(edges, labels)
 
 
+def q_theilsen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil-Sen trend slope (operators/regress.py::theil_sen)
+    over each user's DAILY value series (exact per-event cents summed to
+    the epoch-day grid): pairwise slopes floor-scaled once to micro
+    BIGINTs, lower median via the keyed-window histogram cumsum — pair
+    enumeration quadratic only in per-user days, never events."""
+    from pagerank_spark.operators.regress import theil_sen
+
+    ser = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            "user_id",
+            F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) DIV 86400").alias("d"),
+        )
+        .agg(F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("cents"))
+    )
+    return theil_sen(ser, "user_id", "d", "cents")
+
+
 def q_anova_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F (operators/hyptest.py::anova_oneway) of order
     totalprice (quantized to whole thousands of dollars — keeps squared
@@ -5483,6 +5502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_labelprop_events": q_conductance_labelprop_events,
         "fd_events": q_fd_events,
         "holt_events": q_holt_events,
+        "theilsen_events": q_theilsen_events,
         "anova_orders": q_anova_orders,
         "flesch_docs": q_flesch_docs,
         "clustering_coef_copurchase": q_clustering_coef_copurchase,
@@ -6074,6 +6094,23 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
        CAST(FLOOR((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
                    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)) * 1000000 + 0.5) AS BIGINT) AS flesch_micro
 FROM c WHERE n_words > 0"""
+    # Theil-Sen: same pair slopes + lower-median histogram algebra
+    sqls["theilsen_events"] = """
+WITH s AS MATERIALIZED (
+  SELECT user_id AS k, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS t,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+p AS MATERIALIZED (
+  SELECT a.k, CAST(FLOOR(1000000.0 * (b.x - a.x) / (b.t - a.t)) AS BIGINT) AS slope
+  FROM s a JOIN s b ON a.k = b.k AND a.t < b.t),
+h AS (SELECT k, slope, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+cum AS (SELECT k, slope, CAST(SUM(c) OVER (PARTITION BY k ORDER BY slope) AS BIGINT) AS cum FROM h),
+ng AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1),
+sel AS (SELECT cum.k, MIN(cum.slope) AS med_slope_micro
+        FROM cum JOIN ng ON ng.k = cum.k
+        WHERE cum.cum >= (ng.n_pairs + 1) // 2 GROUP BY 1)
+SELECT sel.k AS grp, ng.n_pairs, sel.med_slope_micro
+FROM sel JOIN ng ON ng.k = sel.k"""
     # copurchase e is already the canonical loop-free a<b DISTINCT edge set,
     # so the per-vertex triangle CTE mirrors the triangles_per_part oracle
     sqls["clustering_coef_copurchase"] = f"""

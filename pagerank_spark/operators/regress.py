@@ -323,3 +323,56 @@ def grouped_trend(
             " / CAST(n AS DOUBLE) END"
         ).alias("intercept"),
     )
+
+
+def theil_sen(
+    df: DataFrame, key_col: str, time_col: str, value_col: str
+) -> DataFrame:
+    """Per-key Theil-Sen slope (Theil 1950 / Sen 1968 — the robust
+    median-of-pairwise-slopes trend estimator, the standard companion to
+    the Mann-Kendall screen in :mod:`..operators.hyptest`).
+
+    Contract mirrors ``mann_kendall``: one row per (key, time) — callers
+    pre-aggregate raw facts to a bounded grid first, so the pair
+    enumeration is quadratic only in the per-key SERIES length, never the
+    fact count, and shuffles once on the key. ``time_col`` and
+    ``value_col`` must be integer-valued (pre-scale).
+
+    Each pairwise slope is floor-scaled ONCE to an exact micro BIGINT
+    (``floor(1e6 * dy / dt)`` — floor toward -inf on both engines), and
+    the per-key median is the LOWER median (smallest slope whose
+    cumulative pair count >= ceil(n/2)) computed by the same keyed-window
+    histogram machinery as :func:`..operators.packing.grouped_exact_quantiles`
+    — per-key distinct slopes, never buffered raw pairs.
+
+    Returns ``(grp, n_pairs, med_slope_micro)``.
+    """
+    from pyspark.sql import Window
+
+    ser = df.select(
+        F.col(key_col).alias("k"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    a, b = ser.alias("a"), ser.alias("b")
+    slopes = a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.t") < F.col("b.t"))).select(
+        F.col("a.k").alias("k"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * (F.col("b.x") - F.col("a.x"))
+            / (F.col("b.t") - F.col("a.t"))
+        )
+        .cast("long")
+        .alias("slope"),
+    )
+    h = slopes.groupBy("k", "slope").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("k").orderBy("slope")
+    cum = h.select("k", "slope", F.sum("__c").over(w).alias("__cum"))
+    ng = cum.groupBy("k").agg(F.max("__cum").alias("n_pairs"))
+    med = (
+        cum.join(ng, "k")
+        .where(F.col("__cum") >= F.expr("(n_pairs + 1) DIV 2"))
+        .groupBy("k", "n_pairs")
+        .agg(F.min("slope").alias("med_slope_micro"))
+    )
+    return med.select(F.col("k").alias("grp"), "n_pairs", "med_slope_micro")
