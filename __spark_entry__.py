@@ -2716,6 +2716,39 @@ def q_conductance_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFram
     return conductance_by_community(edges, labels)
 
 
+def q_crosscorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation (operators/temporal.py::cross_correlation) of the
+    daily click-count series against the daily purchase-count series at
+    lags 0..5: exact n-scaled integer deviations (full-series means), ONE
+    lag-join, scalings cancel in the normalized ratio."""
+    from pagerank_spark.operators.temporal import cross_correlation
+
+    grid = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) DIV 86400").alias("t")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+        )
+    )
+    res = cross_correlation(grid, "t", "x", "y", max_lag=5)
+    return res.select("lag", "n_pairs", F.round("ccf", 6).alias("ccf"))
+
+
+def q_seasonal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonal index (operators/temporal.py::
+    seasonal_index) of daily order revenue (exact cents): per-month mean
+    daily revenue over global mean daily revenue, floor-scaled micro."""
+    from pagerank_spark.operators.temporal import seasonal_index
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderdate", F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    return seasonal_index(o, "o_orderdate", "cents")
+
+
 def q_theilsen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Theil-Sen trend slope (operators/regress.py::theil_sen)
     over each user's DAILY value series (exact per-event cents summed to
@@ -5502,6 +5535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_labelprop_events": q_conductance_labelprop_events,
         "fd_events": q_fd_events,
         "holt_events": q_holt_events,
+        "crosscorr_events": q_crosscorr_events,
+        "seasonal_orders": q_seasonal_orders,
         "theilsen_events": q_theilsen_events,
         "anova_orders": q_anova_orders,
         "flesch_docs": q_flesch_docs,
@@ -6111,6 +6146,38 @@ sel AS (SELECT cum.k, MIN(cum.slope) AS med_slope_micro
         WHERE cum.cum >= (ng.n_pairs + 1) // 2 GROUP BY 1)
 SELECT sel.k AS grp, ng.n_pairs, sel.med_slope_micro
 FROM sel JOIN ng ON ng.k = sel.k"""
+    # cross-correlation: identical n-scaled deviation algebra, one lag-join
+    sqls["crosscorr_events"] = """
+WITH g AS MATERIALIZED (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS t,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy FROM g),
+d AS MATERIALIZED (SELECT t, n * x - sx AS dx, n * y - sy AS dy FROM g CROSS JOIN m),
+den AS (SELECT CAST(SUM(dx * dx) AS BIGINT) AS vx, CAST(SUM(dy * dy) AS BIGINT) AS vy FROM d),
+l AS (SELECT UNNEST(range(0, 6)) AS lag),
+num AS (SELECT l.lag AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(a.dx * b.dy) AS BIGINT) AS s
+        FROM l JOIN d a ON TRUE JOIN d b ON b.t = a.t + l.lag GROUP BY 1)
+SELECT CAST(num.lag AS INT) AS lag, num.n_pairs,
+       ROUND(CASE WHEN vx > 0 AND vy > 0 THEN CAST(s AS DOUBLE)
+             / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) END, 6) AS ccf
+FROM num CROSS JOIN den"""
+    # seasonal index: same day-grid + month ratio algebra
+    sqls["seasonal_orders"] = """
+WITH days AS MATERIALIZED (
+  SELECT CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+mo AS (SELECT CAST(month(make_timestamp(d * 86400 * 1000000)) AS INT) AS month,
+              CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(x) AS BIGINT) AS total
+       FROM days GROUP BY 1),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(x) AS BIGINT) AS t FROM days)
+SELECT month, n_days, total,
+  CAST(FLOOR(CAST(total AS DOUBLE) * nd / (CAST(n_days AS DOUBLE) * t) * 1000000 + 0.5) AS BIGINT) AS idx_micro
+FROM mo CROSS JOIN g"""
     # copurchase e is already the canonical loop-free a<b DISTINCT edge set,
     # so the per-vertex triangle CTE mirrors the triangles_per_part oracle
     sqls["clustering_coef_copurchase"] = f"""

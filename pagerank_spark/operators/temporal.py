@@ -460,3 +460,113 @@ def resample_ffill(
             F.coalesce("__missing", F.lit(1)).alias("was_missing"),
         )
     )
+
+
+def cross_correlation(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Exact sample cross-correlation ``r_k = corr(x_t, y_{t+k})`` of two
+    integer-valued regular series on a shared grid, lags ``0..max_lag``
+    (the lead/lag dependence screen between two metrics — does X today
+    move Y k days later?).
+
+    Same exact-mean machinery as :func:`autocorrelation`: deviations are
+    the exact BIGINTs ``n*x_t - S_x`` / ``n*y_t - S_y`` (n = grid length,
+    means over the FULL series, classic CCF estimator), numerator summed
+    over the pairs each lag aligns; the n-scalings cancel exactly in the
+    normalized ratio. ONE lag-join for all lags, no window. Overflow
+    contract (caller's): ``n * max|x|`` and ``n * max|y|`` under ~3e9.
+
+    Returns ``(lag, n_pairs, ccf)`` — NULL only if either series is
+    constant.
+    """
+    t = F.col(t_col)
+    m = series.groupBy().agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x_col).alias("__sx"),
+        F.sum(y_col).alias("__sy"),
+    )
+    dev = (
+        series.crossJoin(F.broadcast(m))
+        .select(
+            t.alias("__t"),
+            (F.col("__n") * F.col(x_col) - F.col("__sx")).alias("__dx"),
+            (F.col("__n") * F.col(y_col) - F.col("__sy")).alias("__dy"),
+        )
+        .localCheckpoint()  # referenced by both legs of the lag join + denom
+    )
+    den = dev.groupBy().agg(
+        F.sum(F.col("__dx") * F.col("__dx")).alias("__vx"),
+        F.sum(F.col("__dy") * F.col("__dy")).alias("__vy"),
+    )
+    lags = series.sparkSession.range(0, max_lag + 1).select(F.col("id").alias("lag"))
+    a = dev.select("__t", "__dx").crossJoin(F.broadcast(lags))
+    b = dev.select(F.col("__t").alias("__tb"), "__dy")
+    num = (
+        a.join(b, a["__t"] + a["lag"] == b["__tb"])
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("__dx") * F.col("__dy")).alias("__num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.expr(
+                "CASE WHEN __vx > 0 AND __vy > 0 THEN CAST(__num AS DOUBLE)"
+                " / (sqrt(CAST(__vx AS DOUBLE)) * sqrt(CAST(__vy AS DOUBLE))) END"
+            ).alias("ccf"),
+        )
+    )
+
+
+def seasonal_index(
+    facts: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Calendar-month seasonal index of a daily-aggregable integer metric:
+    ``idx(m) = mean daily value in month m / global mean daily value``
+    (the classical ratio-to-moving-average seasonality screen, reduced to
+    its grid form — months vs the whole span).
+
+    Everything is exact BIGINT until one final fixed-sequence double
+    ratio: per-day sums (``value_col`` must be integer-valued, e.g.
+    cents), per-month day counts + totals, and the global pair; then
+    ``idx_micro = floor(1e6 * (s_m * D) / (d_m * T) + 0.5)``. Overflow
+    contract: ``s_m * D`` is lifted to double (exact while < 2^53).
+
+    Two map-side-combined aggregations over the scan (day grid, then
+    months); the month table is 12 rows. Returns ``(month, n_days,
+    total, idx_micro)``.
+    """
+    days = facts.groupBy(
+        F.expr(f"CAST(FLOOR(unix_timestamp({ts_col})) AS BIGINT) DIV 86400").alias("__d")
+    ).agg(F.sum(F.col(value_col).cast("long")).alias("__x"))
+    months = days.groupBy(
+        F.month(F.timestamp_seconds(F.col("__d") * 86400)).alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_days"), F.sum("__x").alias("total"))
+    g = days.groupBy().agg(
+        F.count(F.lit(1)).alias("__nd"), F.sum("__x").alias("__t")
+    )
+    return months.crossJoin(F.broadcast(g)).select(
+        F.col("month").cast("int").alias("month"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("total").cast("long").alias("total"),
+        F.floor(
+            F.expr(
+                "CAST(total AS DOUBLE) * __nd / (CAST(n_days AS DOUBLE) * __t)"
+            )
+            * F.lit(1_000_000)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("idx_micro"),
+    )
