@@ -2716,6 +2716,22 @@ def q_conductance_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFram
     return conductance_by_community(edges, labels)
 
 
+def q_rfm_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators/segmentation.py::rfm_scores) of
+    customers from their orders: exact epoch-day recency vs the global
+    last order day, exact count/cents profile, quintile cutpoints from
+    the exact-quantile histogram machinery, strict-< scoring (ties bin
+    low), segment = 100r + 10f + m."""
+    from pagerank_spark.operators.segmentation import rfm_scores
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return rfm_scores(o, "o_custkey", "o_orderdate", "cents", n_bins=5)
+
+
 def q_crosscorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-correlation (operators/temporal.py::cross_correlation) of the
     daily click-count series against the daily purchase-count series at
@@ -5535,6 +5551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_labelprop_events": q_conductance_labelprop_events,
         "fd_events": q_fd_events,
         "holt_events": q_holt_events,
+        "rfm_customers": q_rfm_customers,
         "crosscorr_events": q_crosscorr_events,
         "seasonal_orders": q_seasonal_orders,
         "theilsen_events": q_theilsen_events,
@@ -6178,6 +6195,44 @@ g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(x) AS BIGINT) AS t FROM da
 SELECT month, n_days, total,
   CAST(FLOOR(CAST(total AS DOUBLE) * nd / (CAST(n_days AS DOUBLE) * t) * 1000000 + 0.5) AS BIGINT) AS idx_micro
 FROM mo CROSS JOIN g"""
+    # RFM: identical profile + exact type-1 quintile cutpoints + strict-<
+    # scoring; inequality joins are 4-cutpoint x customer, trivially small
+    sqls["rfm_customers"] = """
+WITH prof0 AS MATERIALIZED (
+  SELECT o_custkey AS k,
+         MAX(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400) AS last_d,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary
+  FROM orders GROUP BY 1),
+glast AS (SELECT MAX(last_d) AS a FROM prof0),
+prof AS MATERIALIZED (
+  SELECT k, CAST(a - last_d AS BIGINT) AS recency_days, frequency, monetary
+  FROM prof0 CROSS JOIN glast),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM prof),
+ii AS (SELECT UNNEST(range(1, 5)) AS i),
+hr AS (SELECT recency_days AS v, COUNT(*) AS c FROM prof GROUP BY 1),
+cr AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM hr),
+kr AS MATERIALIZED (SELECT i, (SELECT MIN(v) FROM cr WHERE cum >= (i * n + 4) // 5) AS cv
+      FROM ii CROSS JOIN nn),
+hf AS (SELECT frequency AS v, COUNT(*) AS c FROM prof GROUP BY 1),
+cf AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM hf),
+kf AS MATERIALIZED (SELECT i, (SELECT MIN(v) FROM cf WHERE cum >= (i * n + 4) // 5) AS cv
+      FROM ii CROSS JOIN nn),
+hm AS (SELECT monetary AS v, COUNT(*) AS c FROM prof GROUP BY 1),
+cm AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM hm),
+km AS MATERIALIZED (SELECT i, (SELECT MIN(v) FROM cm WHERE cum >= (i * n + 4) // 5) AS cv
+      FROM ii CROSS JOIN nn),
+rs AS (SELECT p.k, CAST(5 - COUNT(kr.cv) AS BIGINT) AS r_score
+       FROM prof p LEFT JOIN kr ON kr.cv < p.recency_days GROUP BY 1),
+fs AS (SELECT p.k, CAST(1 + COUNT(kf.cv) AS BIGINT) AS f_score
+       FROM prof p LEFT JOIN kf ON kf.cv < p.frequency GROUP BY 1),
+ms AS (SELECT p.k, CAST(1 + COUNT(km.cv) AS BIGINT) AS m_score
+       FROM prof p LEFT JOIN km ON km.cv < p.monetary GROUP BY 1)
+SELECT p.k AS o_custkey, p.recency_days, p.frequency, p.monetary,
+       rs.r_score, fs.f_score, ms.m_score,
+       CAST(100 * rs.r_score + 10 * fs.f_score + ms.m_score AS BIGINT) AS segment
+FROM prof p
+JOIN rs ON rs.k = p.k JOIN fs ON fs.k = p.k JOIN ms ON ms.k = p.k"""
     # copurchase e is already the canonical loop-free a<b DISTINCT edge set,
     # so the per-vertex triangle CTE mirrors the triangles_per_part oracle
     sqls["clustering_coef_copurchase"] = f"""
