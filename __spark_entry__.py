@@ -2716,6 +2716,19 @@ def q_conductance_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFram
     return conductance_by_community(edges, labels)
 
 
+def q_ecc_cliquering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed eccentricity / reachable-set size per vertex
+    (algos/paths.py::eccentricity — all-sources BFS over
+    landmark_distances) on the planted 8x6 clique ring, whose i<j intra-
+    clique orientation makes reachability genuinely asymmetric. Oracle:
+    the clique-ring edge CTE + the same BFS rounds unrolled with a seed
+    column + per-seed max/count."""
+    from pagerank_spark.algos.paths import eccentricity
+    from pagerank_spark.sources.graphs import clique_ring
+
+    return eccentricity(clique_ring(spark, 8, 6), max_iters=20)
+
+
 def q_rfm_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (operators/segmentation.py::rfm_scores) of
     customers from their orders: exact epoch-day recency vs the global
@@ -5551,6 +5564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_labelprop_events": q_conductance_labelprop_events,
         "fd_events": q_fd_events,
         "holt_events": q_holt_events,
+        "ecc_cliquering": q_ecc_cliquering,
         "rfm_customers": q_rfm_customers,
         "crosscorr_events": q_crosscorr_events,
         "seasonal_orders": q_seasonal_orders,
@@ -6197,6 +6211,156 @@ SELECT month, n_days, total,
 FROM mo CROSS JOIN g"""
     # RFM: identical profile + exact type-1 quintile cutpoints + strict-<
     # scoring; inequality joins are 4-cutpoint x customer, trivially small
+    sqls["ecc_cliquering"] = """
+WITH e AS MATERIALIZED (
+  SELECT c.range * 6 + i.range AS src, c.range * 6 + j.range AS dst
+  FROM range(8) c, range(6) i, range(6) j WHERE i.range < j.range
+  UNION ALL
+  SELECT c.range * 6 + 5, ((c.range + 1) % 8) * 6 FROM range(8) c),
+v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+d0 AS MATERIALIZED (SELECT id AS seed, id, 0.0 AS dist FROM v),
+d1 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d0
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d0 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d2 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d1
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d1 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d3 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d2
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d2 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d4 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d3
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d3 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d5 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d4
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d4 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d6 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d5
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d5 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d7 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d6
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d6 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d8 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d7
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d7 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d9 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d8
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d8 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d10 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d9
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d9 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d11 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d10
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d10 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d12 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d11
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d11 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d13 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d12
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d12 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d14 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d13
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d13 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d15 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d14
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d14 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d16 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d15
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d15 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d17 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d16
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d16 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d18 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d17
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d17 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d19 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d18
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d18 d ON e.src = d.id
+  ) GROUP BY 1, 2
+),
+d20 AS MATERIALIZED (
+  SELECT seed, id, MIN(dist) AS dist FROM (
+    SELECT seed, id, dist FROM d19
+    UNION ALL
+    SELECT d.seed, e.dst AS id, d.dist + 1.0 AS dist FROM e JOIN d19 d ON e.src = d.id
+  ) GROUP BY 1, 2
+)
+SELECT seed AS id, CAST(MAX(dist) AS BIGINT) AS ecc, CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM d20 GROUP BY 1"""
     sqls["rfm_customers"] = """
 WITH prof0 AS MATERIALIZED (
   SELECT o_custkey AS k,
