@@ -2716,6 +2716,39 @@ def q_conductance_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFram
     return conductance_by_community(edges, labels)
 
 
+def q_moran_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I (operators/spatial.py::morans_i) over the
+    deterministic customer point field (same 7919/104729 coords as
+    radius_join) with a spatially smooth value v = x + y + k%97 planted so
+    I > 0: floor-grid cells of 50, rook adjacency, exact n-scaled integer
+    deviations, one fixed-sequence double ratio."""
+    from pagerank_spark.operators.spatial import morans_i
+
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        (F.col("c_custkey") * 7919 % 1000).alias("x"),
+        (F.col("c_custkey") * 104729 % 1000).alias("y"),
+        (
+            (F.col("c_custkey") * 7919 % 1000)
+            + (F.col("c_custkey") * 104729 % 1000)
+            + F.col("c_custkey") % 97
+        ).alias("v"),
+    )
+    return morans_i(pts, "x", "y", "v", 50)
+
+
+def q_winsorize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit (operators/outliers.py::winsorize) of order
+    cents at the exact type-1 1st/99th percentiles: cutpoints from the
+    histogram + distributed prefix sum, one broadcast clamp pass, all
+    exact BIGINTs."""
+    from pagerank_spark.operators.outliers import winsorize
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    return winsorize(o, "cents", (1, 100), (99, 100))
+
+
 def q_ecc_cliquering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed eccentricity / reachable-set size per vertex
     (algos/paths.py::eccentricity — all-sources BFS over
@@ -5564,6 +5597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_labelprop_events": q_conductance_labelprop_events,
         "fd_events": q_fd_events,
         "holt_events": q_holt_events,
+        "moran_customers": q_moran_customers,
+        "winsorize_orders": q_winsorize_orders,
         "ecc_cliquering": q_ecc_cliquering,
         "rfm_customers": q_rfm_customers,
         "crosscorr_events": q_crosscorr_events,
@@ -6211,6 +6246,40 @@ SELECT month, n_days, total,
 FROM mo CROSS JOIN g"""
     # RFM: identical profile + exact type-1 quintile cutpoints + strict-<
     # scoring; inequality joins are 4-cutpoint x customer, trivially small
+    sqls["moran_customers"] = """
+WITH pts AS MATERIALIZED (
+  SELECT c_custkey * 7919 % 1000 AS x, c_custkey * 104729 % 1000 AS y,
+         (c_custkey * 7919 % 1000) + (c_custkey * 104729 % 1000) + c_custkey % 97 AS v
+  FROM customer),
+cells AS MATERIALIZED (
+  SELECT x // 50 AS cx, y // 50 AS cy, CAST(SUM(v) AS BIGINT) AS v FROM pts GROUP BY 1, 2),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s FROM cells),
+dev AS MATERIALIZED (SELECT cx, cy, n * v - s AS d FROM cells CROSS JOIN m),
+adj AS (SELECT a.d AS da, b.d AS db FROM dev a JOIN dev b
+        ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1),
+nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+              CAST(COALESCE(SUM(da * db), 0) AS BIGINT) AS num FROM adj),
+dd AS (SELECT CAST(SUM(d * d) AS BIGINT) AS den FROM dev)
+SELECT m.n AS n_cells, nw.w_pairs, nw.num, dd.den,
+       CASE WHEN nw.w_pairs > 0 AND dd.den > 0
+            THEN CAST(FLOOR(CAST(m.n AS DOUBLE) * nw.num
+                 / (CAST(nw.w_pairs AS DOUBLE) * dd.den) * 1000000 + 0.5) AS BIGINT)
+            END AS i_micro
+FROM m CROSS JOIN nw CROSS JOIN dd"""
+    sqls["winsorize_orders"] = """
+WITH t AS MATERIALIZED (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+h AS (SELECT v, COUNT(*) AS c FROM t GROUP BY 1),
+cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+lo AS (SELECT MIN(v) AS lo_cut FROM cum CROSS JOIN nn WHERE cum >= (1 * n + 99) // 100),
+hi AS (SELECT MIN(v) AS hi_cut FROM cum CROSS JOIN nn WHERE cum >= (99 * n + 99) // 100)
+SELECT n, lo_cut, hi_cut,
+  CAST(SUM(CASE WHEN v < lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+  CAST(SUM(CASE WHEN v > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+  CAST(SUM(v) AS BIGINT) AS sum_before,
+  CAST(SUM(GREATEST(LEAST(v, hi_cut), lo_cut)) AS BIGINT) AS sum_after
+FROM t CROSS JOIN nn CROSS JOIN lo CROSS JOIN hi
+GROUP BY n, lo_cut, hi_cut"""
     sqls["ecc_cliquering"] = """
 WITH e AS MATERIALIZED (
   SELECT c.range * 6 + i.range AS src, c.range * 6 + j.range AS dst

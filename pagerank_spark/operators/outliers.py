@@ -76,3 +76,45 @@ def mad_outliers(
             "mad4",
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo: tuple[int, int] = (1, 100),
+    hi: tuple[int, int] = (99, 100),
+) -> DataFrame:
+    """Percentile winsorization audit — clamp an integer column at exact
+    type-1 quantile cutpoints (the robust-preprocessing standard before
+    moment-based stats; Tukey's taxonomy, public methodology).
+
+    Cutpoints come from :func:`..operators.packing.exact_quantiles`
+    (histogram + distributed prefix sum — no sort, no window, no value
+    buffering) as exact rationals; the clamp pass is one broadcast of the
+    2-row cutpoint table onto the scan. Emits the one-row audit summary
+    (not the clamped rows — compose ``clamp_expr`` for that):
+    ``(n, lo_cut, hi_cut, n_clamped_lo, n_clamped_hi, sum_before,
+    sum_after)`` — all exact BIGINTs.
+    """
+    from .packing import exact_quantiles
+
+    q = exact_quantiles(df, value_col, [lo, hi])
+    cuts = q.groupBy().agg(
+        F.min(F.when((F.col("q_num") * lo[1]) == (F.lit(lo[0]) * F.col("q_den")), F.col("value"))).alias("__lo"),
+        F.min(F.when((F.col("q_num") * hi[1]) == (F.lit(hi[0]) * F.col("q_den")), F.col("value"))).alias("__hi"),
+    )
+    v = F.col(value_col).cast("long")
+    return (
+        df.select(v.alias("__v"))
+        .crossJoin(F.broadcast(cuts))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("__lo").alias("lo_cut"),
+            F.max("__hi").alias("hi_cut"),
+            F.sum(F.when(F.col("__v") < F.col("__lo"), 1).otherwise(0)).alias("n_clamped_lo"),
+            F.sum(F.when(F.col("__v") > F.col("__hi"), 1).otherwise(0)).alias("n_clamped_hi"),
+            F.sum("__v").alias("sum_before"),
+            F.sum(F.greatest(F.least(F.col("__v"), F.col("__hi")), F.col("__lo"))).alias("sum_after"),
+        )
+    )

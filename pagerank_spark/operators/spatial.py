@@ -182,3 +182,80 @@ def dbscan(
         .withColumnRenamed("p", id_col)
         .select(id_col, "cluster", "is_core")
     )
+
+
+def morans_i(
+    points: DataFrame,
+    x_col: str,
+    y_col: str,
+    value_col: str,
+    cell_size: int,
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation (Moran 1950, public
+    methodology — the standard hot-spot screen: do nearby cells carry
+    similar values?) over a floor-grid aggregation with rook (4-neighbor)
+    binary weights between OCCUPIED cells::
+
+        I = (n / W) * sum_adj(d_i * d_j) / sum(d_i^2)
+
+    Exactness: cell values are integer sums; deviations are the exact
+    BIGINTs ``d_c = n * v_c - S`` (mean cleared by n-scaling — the n^2
+    factors cancel in the ratio); the adjacency sum is one equi-join of
+    the cell table against its 4 offset images (ordered pairs — W counts
+    both directions, the symmetric-weight convention); the final I is one
+    fixed-sequence double expression, micro-scaled via floor(x+0.5).
+
+    Scale shape: points aggregate once to cells (map-side combine);
+    everything after is cell-table-sized. Overflow contract (caller's):
+    ``n_cells * max|cell sum|`` under ~3e9 — quantize values upstream.
+
+    Returns ``(n_cells, w_pairs, num, den, i_micro)``; i_micro is NULL
+    when W = 0 (no adjacent occupied cells) or den = 0 (constant field).
+    """
+    cells = points.groupBy(
+        F.floor(F.col(x_col) / cell_size).alias("cx"),
+        F.floor(F.col(y_col) / cell_size).alias("cy"),
+    ).agg(F.sum(F.col(value_col).cast("long")).alias("__v"))
+    m = cells.groupBy().agg(F.count(F.lit(1)).alias("__n"), F.sum("__v").alias("__s"))
+    dev = (
+        cells.crossJoin(F.broadcast(m))
+        .select("cx", "cy", (F.col("__n") * F.col("__v") - F.col("__s")).alias("__d"), "__n")
+        .localCheckpoint()  # feeds the self-join twice + both sums
+    )
+    offs = F.expr(
+        "array(struct(1 AS ox, 0 AS oy), struct(-1 AS ox, 0 AS oy),"
+        " struct(0 AS ox, 1 AS oy), struct(0 AS ox, -1 AS oy))"
+    )
+    probe = dev.select(
+        "cx", "cy", F.col("__d").alias("__da"), F.explode(offs).alias("__o")
+    ).select(
+        (F.col("cx") + F.col("__o.ox")).alias("cx"),
+        (F.col("cy") + F.col("__o.oy")).alias("cy"),
+        "__da",
+    )
+    adj = probe.join(dev.select("cx", "cy", F.col("__d").alias("__db")), ["cx", "cy"])
+    num_w = adj.groupBy().agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.sum(F.col("__da") * F.col("__db")).alias("num"),
+    )
+    den = dev.groupBy().agg(
+        F.max("__n").alias("n_cells"), F.sum(F.col("__d") * F.col("__d")).alias("den")
+    )
+    return den.crossJoin(F.broadcast(num_w)).select(
+        "n_cells",
+        F.col("w_pairs").cast("long").alias("w_pairs"),
+        F.coalesce(F.col("num"), F.lit(0)).cast("long").alias("num"),
+        F.col("den").cast("long").alias("den"),
+        F.when(
+            (F.col("w_pairs") > 0) & (F.col("den") > 0),
+            F.floor(
+                F.expr(
+                    "CAST(n_cells AS DOUBLE) * num / (CAST(w_pairs AS DOUBLE) * den)"
+                )
+                * F.lit(1_000_000)
+                + F.lit(0.5)
+            ),
+        )
+        .cast("long")
+        .alias("i_micro"),
+    )
