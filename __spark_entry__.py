@@ -2716,6 +2716,44 @@ def q_conductance_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFram
     return conductance_by_community(edges, labels)
 
 
+def q_zscore_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag z-score standardization of quantity
+    (operators/encoding.py::group_zscore): exact BIGINT group moments
+    broadcast back onto the scan, closed-form (n*x - s)/sqrt(n*q - s^2),
+    floor(x*1e6+0.5) once."""
+    from pagerank_spark.operators.encoding import group_zscore
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return group_zscore(li, "l_returnflag", "qty")
+
+
+def q_forecast_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive / seasonal-naive forecast backtest (operators/temporal.py::
+    naive_backtest) of the per-priority daily revenue grid (thousands of
+    dollars): exact BIGINT pair counts + summed |errors|, exact floor
+    rational MAEs, two key-co-partitioned lag self-joins."""
+    from pagerank_spark.operators.temporal import naive_backtest
+
+    ser = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.expr("CAST(FLOOR(unix_timestamp(o_orderdate)) AS BIGINT) DIV 86400").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) DIV 100000 AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    return naive_backtest(ser, "prio", "d", "x", season_lag=7)
+
+
 def q_moran_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Moran's I (operators/spatial.py::morans_i) over the
     deterministic customer point field (same 7919/104729 coords as
@@ -5597,6 +5635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_labelprop_events": q_conductance_labelprop_events,
         "fd_events": q_fd_events,
         "holt_events": q_holt_events,
+        "zscore_lineitem": q_zscore_lineitem,
+        "forecast_orders": q_forecast_orders,
         "moran_customers": q_moran_customers,
         "winsorize_orders": q_winsorize_orders,
         "ecc_cliquering": q_ecc_cliquering,
@@ -6246,6 +6286,33 @@ SELECT month, n_days, total,
 FROM mo CROSS JOIN g"""
     # RFM: identical profile + exact type-1 quintile cutpoints + strict-<
     # scoring; inequality joins are 4-cutpoint x customer, trivially small
+    sqls["zscore_lineitem"] = """
+WITH t AS MATERIALIZED (
+  SELECT l_orderkey, l_linenumber, l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem),
+m AS (SELECT l_returnflag AS g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qty) AS BIGINT) AS s,
+             CAST(SUM(qty * qty) AS BIGINT) AS q FROM t GROUP BY 1)
+SELECT t.l_orderkey, t.l_linenumber, t.l_returnflag, t.qty,
+  CASE WHEN n * q - s * s > 0
+       THEN CAST(FLOOR((CAST(n AS DOUBLE) * qty - s)
+            / sqrt(CAST(n * q - s * s AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) END AS z_micro
+FROM t JOIN m ON m.g = t.l_returnflag"""
+    sqls["forecast_orders"] = """
+WITH s AS MATERIALIZED (
+  SELECT o_orderpriority AS k, CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS t,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100000 AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2),
+l1 AS (SELECT a.k, CAST(COUNT(*) AS BIGINT) AS n1, CAST(SUM(ABS(b.x - a.x)) AS BIGINT) AS sae1
+       FROM s a JOIN s b ON a.k = b.k AND b.t = a.t + 1 GROUP BY 1),
+ls AS (SELECT a.k, CAST(COUNT(*) AS BIGINT) AS ns, CAST(SUM(ABS(b.x - a.x)) AS BIGINT) AS saes
+       FROM s a JOIN s b ON a.k = b.k AND b.t = a.t + 7 GROUP BY 1),
+kk AS (SELECT DISTINCT k FROM s)
+SELECT kk.k AS grp,
+       CAST(COALESCE(n1, 0) AS BIGINT) AS n1, CAST(COALESCE(sae1, 0) AS BIGINT) AS sae1,
+       CASE WHEN n1 > 0 THEN CAST(sae1 * 1000000 // n1 AS BIGINT) END AS mae1_micro,
+       CAST(COALESCE(ns, 0) AS BIGINT) AS ns, CAST(COALESCE(saes, 0) AS BIGINT) AS saes,
+       CASE WHEN ns > 0 THEN CAST(saes * 1000000 // ns AS BIGINT) END AS maes_micro
+FROM kk LEFT JOIN l1 ON l1.k = kk.k LEFT JOIN ls ON ls.k = kk.k"""
     sqls["moran_customers"] = """
 WITH pts AS MATERIALIZED (
   SELECT c_custkey * 7919 % 1000 AS x, c_custkey * 104729 % 1000 AS y,

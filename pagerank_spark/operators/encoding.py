@@ -90,3 +90,39 @@ def feature_hash(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumnRenamed("id", id_col)
     )
+
+
+def group_zscore(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "z_micro"
+) -> DataFrame:
+    """Per-group z-score standardization (the feature-engineering
+    normalizer): ``z = (x - mean_g) / std_g`` with POPULATION std, emitted
+    micro-scaled via floor(x*1e6 + 0.5).
+
+    Exactness: per-group mean/variance come from exact BIGINT moments
+    ``(n, s, ssq)`` in one map-side-combined aggregation; the n-scalings
+    cancel into the closed form ``z = (n*x - s) / sqrt(n*ssq - s^2)`` —
+    exact integers into two correctly-rounded IEEE ops, no float
+    reduction anywhere. Groups with zero variance emit NULL.
+
+    Scale shape: one aggregation (groups-sized) broadcast back onto the
+    scan — the fact table is read once and never shuffled. Overflow
+    contract (caller's): ``n_g * ssq_g < 2^63`` — quantize wide values.
+
+    Returns the input columns plus ``out_col``.
+    """
+    m = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("long")).alias("__s"),
+        F.sum(F.col(value_col).cast("long") * F.col(value_col).cast("long")).alias("__q"),
+    )
+    z = F.expr(
+        f"CASE WHEN __n * __q - __s * __s > 0 THEN"
+        f" (CAST(__n AS DOUBLE) * {value_col} - __s)"
+        f" / sqrt(CAST(__n * __q - __s * __s AS DOUBLE)) END"
+    )
+    return (
+        df.join(F.broadcast(m), group_col)
+        .withColumn(out_col, F.floor(z * F.lit(1_000_000) + F.lit(0.5)).cast("long"))
+        .drop("__n", "__s", "__q")
+    )

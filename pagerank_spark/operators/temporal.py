@@ -570,3 +570,67 @@ def seasonal_index(
         .cast("long")
         .alias("idx_micro"),
     )
+
+
+def naive_backtest(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    season_lag: int = 7,
+) -> DataFrame:
+    """Per-key forecast-baseline backtest: mean absolute error of the
+    NAIVE forecast (predict x_{t-1}) and the SEASONAL-NAIVE forecast
+    (predict x_{t-season_lag}) over a regular integer grid — the two
+    baselines every forecasting evaluation is anchored to (Hyndman &
+    Athanasopoulos, public methodology). A model that can't beat these
+    numbers isn't a model.
+
+    ``series`` has one row per (key, integer t) with integer ``x_col``
+    (aggregate + quantize upstream; grid gaps simply contribute no pair).
+    All statistics are exact BIGINTs — pair counts and summed |errors| —
+    and the MAEs are exact floor rationals ``(1e6 * sae) div n``. Shape:
+    two key-co-partitioned self-joins on (k, t+lag), no windows.
+
+    Returns ``(grp, n1, sae1, mae1_micro, ns, saes, maes_micro)``; keys
+    with no lag-aligned pairs emit 0 counts and NULL MAEs.
+    """
+    ser = series.select(
+        F.col(key_col).alias("k"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+    ).localCheckpoint()
+
+    def leg(lag: int, n_name: str, s_name: str) -> DataFrame:
+        a, b = ser.alias("a"), ser.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.k") == F.col("b.k")) & (F.col("b.t") == F.col("a.t") + lag),
+            )
+            .groupBy(F.col("a.k").alias("k"))
+            .agg(
+                F.count(F.lit(1)).alias(n_name),
+                F.sum(F.abs(F.col("b.x") - F.col("a.x"))).alias(s_name),
+            )
+        )
+
+    keys = ser.select("k").dropDuplicates()
+    out = (
+        keys.join(leg(1, "n1", "sae1"), "k", "left")
+        .join(leg(int(season_lag), "ns", "saes"), "k", "left")
+        .select(
+            F.col("k").alias("grp"),
+            F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+            F.coalesce("sae1", F.lit(0)).cast("long").alias("sae1"),
+            F.expr("CASE WHEN n1 > 0 THEN CAST(sae1 * 1000000 DIV n1 AS BIGINT) END").alias(
+                "mae1_micro"
+            ),
+            F.coalesce("ns", F.lit(0)).cast("long").alias("ns"),
+            F.coalesce("saes", F.lit(0)).cast("long").alias("saes"),
+            F.expr("CASE WHEN ns > 0 THEN CAST(saes * 1000000 DIV ns AS BIGINT) END").alias(
+                "maes_micro"
+            ),
+        )
+    )
+    return out
