@@ -2716,6 +2716,22 @@ def q_conductance_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFram
     return conductance_by_community(edges, labels)
 
 
+def q_ari_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (operators/mleval.py::partition_agreement)
+    between the labelprop-k=5 communities and the connected components of
+    the events graph — exact BIGINT pair-counting over the joined label
+    domain; ONE fixed-sequence double ratio at the end. Oracle composes
+    the unrolled labelprop CTEs with the per-user component shortcut."""
+    from pagerank_spark.algos.components import connected_components
+    from pagerank_spark.algos.labelprop import label_propagation
+    from pagerank_spark.operators.mleval import partition_agreement
+
+    edges = _graph_for(spark, sf_dir, "events")
+    lp = label_propagation(edges, max_iters=5)
+    cc = connected_components(edges).select("id", F.col("component").alias("label"))
+    return partition_agreement(lp, cc)
+
+
 def q_zscore_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag z-score standardization of quantity
     (operators/encoding.py::group_zscore): exact BIGINT group moments
@@ -5635,6 +5651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_labelprop_events": q_conductance_labelprop_events,
         "fd_events": q_fd_events,
         "holt_events": q_holt_events,
+        "ari_events": q_ari_events,
         "zscore_lineitem": q_zscore_lineitem,
         "forecast_orders": q_forecast_orders,
         "moran_customers": q_moran_customers,
@@ -6174,6 +6191,30 @@ SELECT CAST(r.range AS BIGINT) AS id,
 FROM range(48) r"""
     sqls["modularity_labelprop_events"] = _modularity_sql(EVENTS_EDGES_CTE, 5)
     sqls["conductance_labelprop_events"] = _conductance_sql(EVENTS_EDGES_CTE, 5)
+    _lp5 = ",\n".join(_labelprop_ctes(EVENTS_EDGES_CTE, 5))
+    sqls["ari_events"] = f"""
+WITH {_lp5},
+ccm AS MATERIALIZED (
+  SELECT v2.id, MIN(v2.id) OVER (PARTITION BY ev.user_id) AS comp
+  FROM (SELECT src AS id FROM e UNION SELECT dst AS id FROM e) v2
+  JOIN events ev ON ev.event_id = v2.id),
+cells AS MATERIALIZED (
+  SELECT l.label AS la, c.comp AS lb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM l5 l JOIN ccm c ON c.id = l.id GROUP BY 1, 2),
+sc AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS scp FROM cells),
+ma AS (SELECT CAST(SUM(cc * (cc - 1) // 2) AS BIGINT) AS sap
+       FROM (SELECT CAST(SUM(c) AS BIGINT) AS cc FROM cells GROUP BY la)),
+mb AS (SELECT CAST(SUM(cc * (cc - 1) // 2) AS BIGINT) AS sbp
+       FROM (SELECT CAST(SUM(c) AS BIGINT) AS cc FROM cells GROUP BY lb))
+SELECT n, scp AS sum_cells_pairs, sap AS sum_a_pairs, sbp AS sum_b_pairs,
+  CASE WHEN (CAST(sap + sbp AS DOUBLE) / 2.0
+             - CAST(sap AS DOUBLE) * sbp / (CAST(n AS DOUBLE) * (n - 1) / 2.0)) <> 0
+       THEN CAST(FLOOR(
+         (CAST(scp AS DOUBLE) - CAST(sap AS DOUBLE) * sbp / (CAST(n AS DOUBLE) * (n - 1) / 2.0))
+         / (CAST(sap + sbp AS DOUBLE) / 2.0
+            - CAST(sap AS DOUBLE) * sbp / (CAST(n AS DOUBLE) * (n - 1) / 2.0))
+         * 1000000 + 0.5) AS BIGINT) END AS ari_micro
+FROM sc CROSS JOIN ma CROSS JOIN mb"""
     sqls["fd_events"] = """
 WITH cells AS MATERIALIZED (
   SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),

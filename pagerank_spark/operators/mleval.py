@@ -192,3 +192,72 @@ def reliability_curve(
         (F.col("sum_score").cast("double") / F.col("n").cast("double")).alias("mean_score"),
         (F.col("pos").cast("double") / F.col("n").cast("double")).alias("pos_rate"),
     )
+
+
+def partition_agreement(
+    labels_a: DataFrame, labels_b: DataFrame, id_col: str = "id", label_col: str = "label"
+) -> DataFrame:
+    """Adjusted Rand Index between two vertex partitions (Hubert & Arabie
+    1985, public methodology) — the standard clustering-agreement score,
+    e.g. "do label propagation and connected components carve the graph
+    the same way?".
+
+    Pure pair-counting algebra, all exact BIGINTs from the (la, lb)
+    contingency cells of the inner-joined id domain::
+
+        sc = sum_ij C(n_ij, 2)   sa = sum_i C(a_i, 2)   sb = sum_j C(b_j, 2)
+        ARI = (sc - sa*sb/T) / ((sa + sb)/2 - sa*sb/T),  T = C(n, 2)
+
+    The only floats are the final fixed-sequence ratio (``sa*sb`` is
+    lifted to double — exact while < 2^53; quantize by sharding if either
+    partition exceeds ~3e9 same-cluster pairs). Emitted micro-scaled via
+    floor(x+0.5); the degenerate denominator (both partitions trivial)
+    emits NULL.
+
+    Shape: one id-keyed join, one cell aggregation, marginals re-derived
+    from the cell table (clusters-sized). Returns ``(n, sum_cells_pairs,
+    sum_a_pairs, sum_b_pairs, ari_micro)``.
+    """
+    cells = (
+        labels_a.select(F.col(id_col).alias("__i"), F.col(label_col).alias("__la"))
+        .join(
+            labels_b.select(F.col(id_col).alias("__i"), F.col(label_col).alias("__lb")),
+            "__i",
+        )
+        .groupBy("__la", "__lb")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint()  # feeds the cell sum + both marginals
+    )
+    pairs = lambda c: F.expr(f"{c} * ({c} - 1) DIV 2")  # noqa: E731  (exact BIGINT)
+    sc = cells.groupBy().agg(
+        F.sum("__c").alias("n"), F.sum(pairs("__c")).alias("sum_cells_pairs")
+    )
+    sa = (
+        cells.groupBy("__la")
+        .agg(F.sum("__c").alias("__c"))
+        .groupBy()
+        .agg(F.sum(pairs("__c")).alias("sum_a_pairs"))
+    )
+    sb = (
+        cells.groupBy("__lb")
+        .agg(F.sum("__c").alias("__c"))
+        .groupBy()
+        .agg(F.sum(pairs("__c")).alias("sum_b_pairs"))
+    )
+    j = sc.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    expect = F.expr(
+        "CAST(sum_a_pairs AS DOUBLE) * sum_b_pairs / (CAST(n AS DOUBLE) * (n - 1) / 2.0)"
+    )
+    num = F.col("sum_cells_pairs").cast("double") - expect
+    den = (
+        (F.col("sum_a_pairs") + F.col("sum_b_pairs")).cast("double") / 2.0 - expect
+    )
+    return j.select(
+        "n",
+        "sum_cells_pairs",
+        "sum_a_pairs",
+        "sum_b_pairs",
+        F.when(den != 0, F.floor(num / den * F.lit(1_000_000) + F.lit(0.5)))
+        .cast("long")
+        .alias("ari_micro"),
+    )
