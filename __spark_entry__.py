@@ -2716,6 +2716,17 @@ def q_conductance_labelprop_events(spark: SparkSession, sf_dir: str) -> DataFram
     return conductance_by_community(edges, labels)
 
 
+def q_absorption_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=25-truncated expected steps to 'purchase' per transient event
+    type (operators/sequences.py::absorption_steps): one transition-count
+    scan, then the x_{t+1} = 1 + Q x_t power series over the states-sized
+    table — the oracle unrolls the identical 25 double iterations."""
+    from pagerank_spark.operators.sequences import absorption_steps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return absorption_steps(ev, absorbing="purchase", k_iters=25)
+
+
 def q_ari_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjusted Rand Index (operators/mleval.py::partition_agreement)
     between the labelprop-k=5 communities and the connected components of
@@ -5651,6 +5662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_labelprop_events": q_conductance_labelprop_events,
         "fd_events": q_fd_events,
         "holt_events": q_holt_events,
+        "absorption_events": q_absorption_events,
         "ari_events": q_ari_events,
         "zscore_lineitem": q_zscore_lineitem,
         "forecast_orders": q_forecast_orders,
@@ -6327,6 +6339,144 @@ SELECT month, n_days, total,
 FROM mo CROSS JOIN g"""
     # RFM: identical profile + exact type-1 quintile cutpoints + strict-<
     # scoring; inequality joins are 4-cutpoint x customer, trivially small
+    sqls["absorption_events"] = """
+WITH s AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM s WHERE dst IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT src, CAST(SUM(n) AS BIGINT) AS rt FROM c GROUP BY 1),
+q AS MATERIALIZED (SELECT c.src, c.dst, c.n, t.rt FROM c JOIN t USING (src) WHERE c.src <> 'purchase'),
+st AS MATERIALIZED (SELECT DISTINCT src AS state FROM q),
+x0 AS (SELECT state, 0.0 AS x FROM st),
+x1 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x0 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x2 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x1 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x3 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x2 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x4 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x3 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x5 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x4 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x6 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x5 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x7 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x6 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x8 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x7 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x9 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x8 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x10 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x9 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x11 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x10 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x12 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x11 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x13 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x12 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x14 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x13 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x15 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x14 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x16 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x15 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x17 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x16 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x18 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x17 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x19 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x18 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x20 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x19 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x21 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x20 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x22 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x21 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x23 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x22 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x24 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x23 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+x25 AS MATERIALIZED (
+  SELECT st.state, 1.0 + COALESCE(g.g, 0.0) AS x FROM st LEFT JOIN (
+    SELECT q.src AS state, SUM(q.n / q.rt * COALESCE(xp.x, 0.0)) AS g
+    FROM q LEFT JOIN x24 xp ON xp.state = q.dst GROUP BY 1) g
+  ON g.state = st.state),
+no AS (SELECT src AS state, CAST(MAX(rt) AS BIGINT) AS n_out FROM q GROUP BY 1)
+SELECT no.state, no.n_out, CAST(FLOOR(x.x * 1000000 + 0.5) AS BIGINT) AS x_micro
+FROM no JOIN x25 x ON x.state = no.state"""
     sqls["zscore_lineitem"] = """
 WITH t AS MATERIALIZED (
   SELECT l_orderkey, l_linenumber, l_returnflag, CAST(l_quantity AS BIGINT) AS qty

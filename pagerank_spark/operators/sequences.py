@@ -280,3 +280,77 @@ def streaks(
         F.count(F.lit(1)).alias("n_streaks"),
         F.sum("__len").alias("n_events"),
     )
+
+
+def absorption_steps(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    absorbing: str = "purchase",
+    k_iters: int = 25,
+) -> DataFrame:
+    """k-truncated expected steps to absorption per transient state — the
+    absorbing-Markov-chain read of a user journey ("from a 'view', how
+    many events until 'purchase'?"), computed as the truncated power
+    series ``x_{t+1} = 1 + Q x_t`` (x_0 = 0) instead of the matrix
+    inverse so BOTH engines can replay the identical finite double
+    sequence (the exact ``(I-Q)^{-1} 1`` is the k -> inf limit; with
+    absorption probability 1 the truncation error decays geometrically).
+
+    The distributed work is the ONE scan building transition counts
+    (consecutive states per key in (ts, tiebreak) order — same
+    convention as :func:`transition_matrix`); the iteration then runs
+    over the states-sized table (|states| rows, a metadata-scale frame)
+    with per-edge probability ``n / rowtotal`` as the same correctly-
+    rounded division on both engines. States whose row never reaches
+    absorption simply accumulate toward k (the truncation is the
+    documented semantics).
+
+    Returns ``(state, n_out, x_micro)`` — x floor-scaled once;
+    ``n_out`` = total outgoing transitions (exact BIGINT).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    steps = events.select(
+        F.col(state_col).alias("src"),
+        F.lead(state_col).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("src").agg(F.sum("n").alias("rt"))
+    q = (
+        counts.join(tot, "src")
+        .filter(F.col("src") != F.lit(absorbing))
+        .select("src", "dst", "n", "rt")
+        .localCheckpoint()  # the tiny transient-row table the loop re-reads
+    )
+    states = q.select(F.col("src").alias("state")).dropDuplicates().localCheckpoint()
+    x = states.select("state", F.lit(0.0).alias("x"))
+    for _ in range(int(k_iters)):
+        gathered = (
+            q.join(
+                x.select(F.col("state").alias("dst"), F.col("x").alias("__xd")),
+                "dst",
+                "left",  # edges into the absorbing state (or non-transient dst) gather 0
+            )
+            .groupBy("src")
+            .agg(
+                F.sum(
+                    F.col("n") / F.col("rt") * F.coalesce(F.col("__xd"), F.lit(0.0))
+                ).alias("__g")
+            )
+        )
+        x = (
+            states.join(gathered.withColumnRenamed("src", "state"), "state", "left")
+            .select(
+                "state",
+                (F.lit(1.0) + F.coalesce(F.col("__g"), F.lit(0.0))).alias("x"),
+            )
+            .localCheckpoint()  # states-sized; keeps the 25-deep plan flat
+        )
+    n_out = q.groupBy(F.col("src").alias("state")).agg(F.max("rt").alias("n_out"))
+    return n_out.join(x, "state").select(
+        "state",
+        F.col("n_out").cast("long").alias("n_out"),
+        F.floor(F.col("x") * F.lit(1_000_000) + F.lit(0.5)).cast("long").alias("x_micro"),
+    )
