@@ -5237,6 +5237,18 @@ def q_scc_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(edges, num_partitions=8).labels
 
 
+def q_bowtie_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition (algos/scc.py::bowtie_decomposition) of
+    the planted cyclic graph relative to its largest SCC: per-vertex region
+    in {SCC, IN, OUT, OTHER}. Oracle: the scc_synth recursive-CTE closure
+    extended with core selection and forward/backward reachability tests."""
+    from pagerank_spark.algos.scc import bowtie_decomposition
+    from pagerank_spark.sources.graphs import synth_cyclic
+
+    edges = synth_cyclic(spark, 300, block=10)
+    return bowtie_decomposition(edges, num_partitions=8)
+
+
 def q_ball_sizes_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANF exact mode: per-part 2-hop directed ball sizes on the co-purchase
     graph (algos/neighborhood.py). Oracle: two unrolled distinct frontier
@@ -5528,6 +5540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_orders": q_ivm_orders,
         "brandrank_copurchase": q_brandrank_copurchase,
         "scc_synth": q_scc_synth,
+        "bowtie_synth": q_bowtie_synth,
         "ball_sizes_copurchase": q_ball_sizes_copurchase,
         "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
         "boilerplate_docs": q_boilerplate_docs,
@@ -8913,6 +8926,53 @@ mutual AS (SELECT a.s AS u, a.d AS v FROM reach a JOIN reach b ON a.s = b.d AND 
 SELECT v.id AS id, GREATEST(v.id, COALESCE(MAX(m.v), v.id)) AS scc
 FROM verts v LEFT JOIN mutual m ON m.u = v.id
 GROUP BY v.id"""
+
+    sqls["bowtie_synth"] = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT r.range AS src, (r.range - r.range % 10) + ((r.range % 10 + 1) % 10) AS dst
+    FROM range(300) r
+    WHERE NOT ((r.range // 10) % 3 = 2 AND r.range % 10 = 9)
+    UNION ALL
+    SELECT r.range, (r.range - r.range % 10) + ((r.range % 10 + 3) % 10)
+    FROM range(300) r
+    WHERE (r.range // 10) % 3 <> 2 AND (r.range * 2654435761) % 7 = 0
+    UNION ALL
+    SELECT r.range, r.range + 10 FROM range(300) r WHERE r.range % 10 = 0 AND r.range + 10 < 300
+    UNION ALL
+    SELECT r.range, r.range + 10 FROM range(300) r WHERE (r.range * 40503 + 7) % 5 = 0 AND r.range + 10 < 300
+    UNION ALL
+    SELECT r.range, r.range - 10 FROM range(300) r WHERE r.range % 10 = 0 AND (r.range // 10) % 5 = 3
+  )
+),
+reach AS (
+  SELECT src AS s, dst AS d FROM e
+  UNION
+  SELECT r.s, e2.dst FROM reach r JOIN e e2 ON e2.src = r.d
+),
+verts AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+mutual AS (SELECT a.s AS u, a.d AS v FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s),
+labels AS MATERIALIZED (
+  SELECT v.id AS id, GREATEST(v.id, COALESCE(MAX(m.v), v.id)) AS scc
+  FROM verts v LEFT JOIN mutual m ON m.u = v.id
+  GROUP BY v.id
+),
+core AS MATERIALIZED (
+  SELECT scc FROM (
+    SELECT scc, COUNT(*) AS c FROM labels GROUP BY scc ORDER BY c DESC, scc ASC LIMIT 1
+  )
+),
+corev AS MATERIALIZED (SELECT id FROM labels WHERE scc = (SELECT scc FROM core)),
+fwd AS (SELECT DISTINCT r.d AS id FROM reach r JOIN corev c ON r.s = c.id),
+bwd AS (SELECT DISTINCT r.s AS id FROM reach r JOIN corev c ON r.d = c.id)
+SELECT l.id AS id,
+       CASE WHEN l.scc = (SELECT scc FROM core) THEN 'SCC'
+            WHEN b.id IS NOT NULL THEN 'IN'
+            WHEN f.id IS NOT NULL THEN 'OUT'
+            ELSE 'OTHER' END AS region
+FROM labels l
+LEFT JOIN fwd f ON f.id = l.id
+LEFT JOIN bwd b ON b.id = l.id"""
 
     sqls["ball_sizes_copurchase"] = (
         _ball_ctes(COPURCHASE_EDGES_CTE, 2)

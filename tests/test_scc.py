@@ -111,3 +111,20 @@ def test_scc_budget_cut_reports_unconverged(spark):
     assert not res.converged and res.rounds == 1
     got = {r.id: r.scc for r in res.labels.collect()}
     assert got == {2: 3, 3: 3}  # round 1 resolves only the top color class
+
+
+def test_bowtie_decomposition_hand_graph(spark):
+    # core cycle {1,2,3}; 0 -> core (IN); core -> 4 (OUT); 0 -> 5 is an
+    # IN-tendril (OTHER); 9 -> 10 disconnected (OTHER); 4 -> 6 OUT-chain
+    # stays OUT-reachable (6 is OUT); singleton SCCs everywhere else
+    from pagerank_spark.algos.scc import bowtie_decomposition
+
+    pairs = [(1, 2), (2, 3), (3, 1), (0, 1), (3, 4), (0, 5), (9, 10), (4, 6)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.id: r.region for r in bowtie_decomposition(edges, num_partitions=4).collect()}
+    assert got == {
+        1: "SCC", 2: "SCC", 3: "SCC",
+        0: "IN",
+        4: "OUT", 6: "OUT",
+        5: "OTHER", 9: "OTHER", 10: "OTHER",
+    }
