@@ -5249,6 +5249,18 @@ def q_bowtie_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bowtie_decomposition(edges, num_partitions=8)
 
 
+def q_condensation_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of the planted cyclic graph
+    (algos/scc.py::condensation_edges): one edge per ordered pair of
+    distinct SCCs connected by an original edge. Oracle: the scc_synth
+    closure labels joined back onto the closed-form edge rules."""
+    from pagerank_spark.algos.scc import condensation_edges
+    from pagerank_spark.sources.graphs import synth_cyclic
+
+    edges = synth_cyclic(spark, 300, block=10)
+    return condensation_edges(edges, num_partitions=8)
+
+
 def q_ball_sizes_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANF exact mode: per-part 2-hop directed ball sizes on the co-purchase
     graph (algos/neighborhood.py). Oracle: two unrolled distinct frontier
@@ -5541,6 +5553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brandrank_copurchase": q_brandrank_copurchase,
         "scc_synth": q_scc_synth,
         "bowtie_synth": q_bowtie_synth,
+        "condensation_synth": q_condensation_synth,
         "ball_sizes_copurchase": q_ball_sizes_copurchase,
         "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
         "boilerplate_docs": q_boilerplate_docs,
@@ -8973,6 +8986,42 @@ SELECT l.id AS id,
 FROM labels l
 LEFT JOIN fwd f ON f.id = l.id
 LEFT JOIN bwd b ON b.id = l.id"""
+
+    sqls["condensation_synth"] = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT r.range AS src, (r.range - r.range % 10) + ((r.range % 10 + 1) % 10) AS dst
+    FROM range(300) r
+    WHERE NOT ((r.range // 10) % 3 = 2 AND r.range % 10 = 9)
+    UNION ALL
+    SELECT r.range, (r.range - r.range % 10) + ((r.range % 10 + 3) % 10)
+    FROM range(300) r
+    WHERE (r.range // 10) % 3 <> 2 AND (r.range * 2654435761) % 7 = 0
+    UNION ALL
+    SELECT r.range, r.range + 10 FROM range(300) r WHERE r.range % 10 = 0 AND r.range + 10 < 300
+    UNION ALL
+    SELECT r.range, r.range + 10 FROM range(300) r WHERE (r.range * 40503 + 7) % 5 = 0 AND r.range + 10 < 300
+    UNION ALL
+    SELECT r.range, r.range - 10 FROM range(300) r WHERE r.range % 10 = 0 AND (r.range // 10) % 5 = 3
+  )
+),
+reach AS (
+  SELECT src AS s, dst AS d FROM e
+  UNION
+  SELECT r.s, e2.dst FROM reach r JOIN e e2 ON e2.src = r.d
+),
+verts AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+mutual AS (SELECT a.s AS u, a.d AS v FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s),
+labels AS MATERIALIZED (
+  SELECT v.id AS id, GREATEST(v.id, COALESCE(MAX(m.v), v.id)) AS scc
+  FROM verts v LEFT JOIN mutual m ON m.u = v.id
+  GROUP BY v.id
+)
+SELECT DISTINCT ls.scc AS src_scc, ld.scc AS dst_scc
+FROM e
+JOIN labels ls ON ls.id = e.src
+JOIN labels ld ON ld.id = e.dst
+WHERE ls.scc <> ld.scc"""
 
     sqls["ball_sizes_copurchase"] = (
         _ball_ctes(COPURCHASE_EDGES_CTE, 2)

@@ -344,3 +344,34 @@ def bowtie_decomposition(
             .alias("region"),
         )
     )
+
+
+def condensation_edges(
+    edges: DataFrame,
+    labels: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Edge list ``(src_scc, dst_scc)`` of the condensation DAG: vertices =
+    SCC labels, one edge per ordered pair of distinct SCCs connected by at
+    least one original edge. Always acyclic (the defining property of the
+    condensation). ``labels`` lets callers reuse an already-computed
+    ``(id, scc)`` table; otherwise SCC runs here.
+
+    Scale shape: two hash joins of the edge table against the (small) label
+    table on src then dst, a distinct on the contracted pairs — the same
+    contract-graph pattern as graphstats.contract_graph, reused for the
+    SCC quotient.
+    """
+    if labels is None:
+        labels = strongly_connected_components(edges, num_partitions=num_partitions).labels
+    lab = labels.select("id", "scc").localCheckpoint(eager=False)
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    return (
+        e.join(lab.select(F.col("id").alias("src"), F.col("scc").alias("src_scc")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("scc").alias("dst_scc")), "dst")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .dropDuplicates()
+    )
