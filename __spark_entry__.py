@@ -5261,6 +5261,19 @@ def q_condensation_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return condensation_edges(edges, num_partitions=8)
 
 
+def q_wl_colors_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement (operators/graphstats.py::wl_refinement) on the
+    planted cyclic graph, 3 rounds: per-vertex structural color from an
+    exact-integer fold over the sorted neighbor-color multiset — the classic
+    graph-isomorphism screening fingerprint. Oracle: the same fold unrolled
+    with DuckDB list_reduce over list_sort'ed neighbor color lists."""
+    from pagerank_spark.operators.graphstats import wl_refinement
+    from pagerank_spark.sources.graphs import synth_cyclic
+
+    edges = synth_cyclic(spark, 300, block=10)
+    return wl_refinement(edges, rounds=3, num_partitions=8)
+
+
 def q_ball_sizes_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANF exact mode: per-part 2-hop directed ball sizes on the co-purchase
     graph (algos/neighborhood.py). Oracle: two unrolled distinct frontier
@@ -5554,6 +5567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_synth": q_scc_synth,
         "bowtie_synth": q_bowtie_synth,
         "condensation_synth": q_condensation_synth,
+        "wl_colors_synth": q_wl_colors_synth,
         "ball_sizes_copurchase": q_ball_sizes_copurchase,
         "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
         "boilerplate_docs": q_boilerplate_docs,
@@ -9022,6 +9036,55 @@ FROM e
 JOIN labels ls ON ls.id = e.src
 JOIN labels ld ON ld.id = e.dst
 WHERE ls.scc <> ld.scc"""
+
+    sqls["wl_colors_synth"] = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT r.range AS src, (r.range - r.range % 10) + ((r.range % 10 + 1) % 10) AS dst
+    FROM range(300) r
+    WHERE NOT ((r.range // 10) % 3 = 2 AND r.range % 10 = 9)
+    UNION ALL
+    SELECT r.range, (r.range - r.range % 10) + ((r.range % 10 + 3) % 10)
+    FROM range(300) r
+    WHERE (r.range // 10) % 3 <> 2 AND (r.range * 2654435761) % 7 = 0
+    UNION ALL
+    SELECT r.range, r.range + 10 FROM range(300) r WHERE r.range % 10 = 0 AND r.range + 10 < 300
+    UNION ALL
+    SELECT r.range, r.range + 10 FROM range(300) r WHERE (r.range * 40503 + 7) % 5 = 0 AND r.range + 10 < 300
+    UNION ALL
+    SELECT r.range, r.range - 10 FROM range(300) r WHERE r.range % 10 = 0 AND (r.range // 10) % 5 = 3
+  )
+),
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e WHERE src <> dst
+    UNION ALL
+    SELECT dst, src FROM e WHERE src <> dst
+  )
+),
+c0 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS c FROM sym GROUP BY src),
+c1 AS MATERIALIZED (
+  SELECT v.id AS id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_prepend(v.c, list_sort(list(n.c)))),
+                     (h, x) -> (h * 1000003 + x) % 2147483647) AS c
+  FROM c0 v JOIN sym s ON s.src = v.id JOIN c0 n ON n.id = s.dst
+  GROUP BY v.id, v.c
+),
+c2 AS MATERIALIZED (
+  SELECT v.id AS id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_prepend(v.c, list_sort(list(n.c)))),
+                     (h, x) -> (h * 1000003 + x) % 2147483647) AS c
+  FROM c1 v JOIN sym s ON s.src = v.id JOIN c1 n ON n.id = s.dst
+  GROUP BY v.id, v.c
+),
+c3 AS MATERIALIZED (
+  SELECT v.id AS id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_prepend(v.c, list_sort(list(n.c)))),
+                     (h, x) -> (h * 1000003 + x) % 2147483647) AS c
+  FROM c2 v JOIN sym s ON s.src = v.id JOIN c2 n ON n.id = s.dst
+  GROUP BY v.id, v.c
+)
+SELECT id, c AS color FROM c3"""
 
     sqls["ball_sizes_copurchase"] = (
         _ball_ctes(COPURCHASE_EDGES_CTE, 2)

@@ -522,3 +522,55 @@ def triad_census(edges: DataFrame) -> DataFrame:
             ).cast("long").alias("cnt"),
         )
     )
+
+
+def wl_refinement(edges: DataFrame, rounds: int = 3, num_partitions: int = 32) -> DataFrame:
+    """Weisfeiler-Leman color refinement over the UNDIRECTED simple graph:
+    ``(id, color)`` after ``rounds`` iterations, ``color_0 = degree`` and
+    ``color_{t+1} = fold(h*1000003 + x mod 2147483647)`` over
+    ``[color_t(v)] ++ sorted(colors of neighbors)``.
+
+    The color histogram is the classic 1-WL graph fingerprint (graph-dedup /
+    isomorphism screening); stable color classes are structural roles.
+
+    Exact-integer and order-independent (neighbor colors are array_sort-ed
+    before the fold), so a SQL oracle replays it bit-for-bit with
+    list_reduce. Scale shape per round: one hash join of colors onto the
+    symmetrized edge list (shuffled once on dst up front), one groupBy(src)
+    collect_list — the same message-aggregate pattern as every superstep in
+    algos/, with state truncated per round via localCheckpoint. The fold
+    itself is a codegen'd higher-order aggregate, no UDFs.
+    """
+    sym = (
+        edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(
+                F.col("dst").cast("long").alias("src"), F.col("src").cast("long").alias("dst")
+            ).filter(F.col("src") != F.col("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .repartition(num_partitions, "dst")
+        .localCheckpoint()
+    )
+    colors = (
+        sym.groupBy("src").agg(F.count(F.lit(1)).alias("c")).withColumnRenamed("src", "id")
+    ).localCheckpoint()
+    fold = "(h, x) -> (h * 1000003 + x) % 2147483647"
+    for _ in range(rounds):
+        nb = (
+            sym.join(colors.select(F.col("id").alias("dst"), F.col("c").alias("nc")), "dst")
+            .groupBy("src")
+            .agg(F.array_sort(F.collect_list("nc")).alias("ncs"))
+            .withColumnRenamed("src", "id")
+        )
+        colors = (
+            colors.join(nb, "id")
+            .select(
+                "id",
+                F.expr(
+                    f"aggregate(concat(array(c), ncs), CAST(0 AS BIGINT), {fold})"
+                ).alias("c"),
+            )
+        ).localCheckpoint()
+    return colors.select("id", F.col("c").alias("color"))
