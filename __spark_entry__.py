@@ -2827,6 +2827,28 @@ def q_ecc_cliquering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eccentricity(clique_ring(spark, 8, 6), max_iters=20)
 
 
+def q_distdist_cliquering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hop-plot (algos/paths.py::distance_distribution) of the 8x6
+    clique ring: histogram of finite directed pairwise distances from the
+    all-sources BFS. Oracle: the ecc_cliquering unrolled per-seed BFS with
+    a histogram final select."""
+    from pagerank_spark.algos.paths import distance_distribution
+    from pagerank_spark.sources.graphs import clique_ring
+
+    return distance_distribution(clique_ring(spark, 8, 6), max_iters=20)
+
+
+def q_effdiam_cliquering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90th-percentile effective diameter + exact diameter + finite-pair
+    count (algos/paths.py::effective_diameter) of the clique ring — integer
+    threshold comparison on the distance histogram, no float quantile.
+    Oracle: same BFS closure, running sum over the histogram."""
+    from pagerank_spark.algos.paths import effective_diameter
+    from pagerank_spark.sources.graphs import clique_ring
+
+    return effective_diameter(clique_ring(spark, 8, 6), q_pct=90, max_iters=20)
+
+
 def q_rfm_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (operators/segmentation.py::rfm_scores) of
     customers from their orders: exact epoch-day recency vs the global
@@ -5709,6 +5731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_customers": q_moran_customers,
         "winsorize_orders": q_winsorize_orders,
         "ecc_cliquering": q_ecc_cliquering,
+        "distdist_cliquering": q_distdist_cliquering,
+        "effdiam_cliquering": q_effdiam_cliquering,
         "rfm_customers": q_rfm_customers,
         "crosscorr_events": q_crosscorr_events,
         "seasonal_orders": q_seasonal_orders,
@@ -6728,6 +6752,27 @@ d20 AS MATERIALIZED (
 )
 SELECT seed AS id, CAST(MAX(dist) AS BIGINT) AS ecc, CAST(COUNT(*) AS BIGINT) AS n_reached
 FROM d20 GROUP BY 1"""
+    # reuse the ecc_cliquering unrolled BFS (same closure, different final
+    # aggregate): slice off its final SELECT, append the histogram /
+    # effective-diameter finishers
+    _bfs_prefix = sqls["ecc_cliquering"].rsplit("SELECT seed AS id", 1)[0]
+    sqls["distdist_cliquering"] = _bfs_prefix + """SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM d20 WHERE seed <> id GROUP BY 1"""
+    sqls["effdiam_cliquering"] = _bfs_prefix + """, h AS MATERIALIZED (
+  SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM d20 WHERE seed <> id GROUP BY 1
+),
+c AS (
+  SELECT dist,
+         SUM(n_pairs) OVER (ORDER BY dist) AS cum,
+         SUM(n_pairs) OVER () AS total
+  FROM h
+)
+SELECT CAST(MIN(dist) AS BIGINT) AS eff_diameter,
+       CAST(MAX(dist) AS BIGINT) AS diameter,
+       CAST(MAX(total) AS BIGINT) AS n_pairs
+FROM c WHERE 100 * cum >= 90 * total"""
+
     sqls["rfm_customers"] = """
 WITH prof0 AS MATERIALIZED (
   SELECT o_custkey AS k,

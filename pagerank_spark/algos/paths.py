@@ -32,6 +32,7 @@ Scale design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .pagerank import _num_partitions
@@ -290,3 +291,62 @@ def eccentricity(
         F.max(F.col("dist")).cast("long").alias("ecc"),
         F.count(F.lit(1)).alias("n_reached"),
     ).select(F.col("seed").alias("id"), "ecc", "n_reached")
+
+
+def distance_distribution(
+    edges: DataFrame,
+    max_iters: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact histogram ``(dist, n_pairs)`` of FINITE directed pairwise
+    distances (s != t) — the hop plot. All-sources BFS via
+    :func:`landmark_distances` (state keyed (seed, id), cost
+    O(sum of reached sets)); exact mode for gate-scale graphs, the ANF/HLL
+    estimator in algos/neighborhood.py is the 100-TB path for the same
+    curve. Distances cast to BIGINT (unit hops) for hash-stable output.
+    """
+    verts = (
+        edges.select(F.col("src").cast("long").alias("id"))
+        .unionByName(edges.select(F.col("dst").cast("long").alias("id")))
+        .dropDuplicates()
+    )
+    ld = landmark_distances(edges, verts, max_iters=max_iters, num_partitions=num_partitions)
+    return (
+        ld.filter(F.col("seed") != F.col("id"))
+        .groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def effective_diameter(
+    edges: DataFrame,
+    q_pct: int = 90,
+    max_iters: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One row ``(eff_diameter, diameter, n_pairs)``: the smallest hop count
+    d with ``100 * #(pairs at dist <= d) >= q_pct * #finite pairs`` (the
+    standard 90th-percentile effective diameter), the exact diameter, and
+    the finite-pair count. Integer comparison — no float quantile — so the
+    SQL oracle replays it exactly. Derived from one
+    :func:`distance_distribution` histogram (tiny: one row per distinct
+    distance), aggregated with a running-sum window over that histogram —
+    single-partition by construction of the histogram, never of the data.
+    """
+    h = distance_distribution(edges, max_iters=max_iters, num_partitions=num_partitions)
+    w = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = h.select(
+        "dist",
+        F.sum("n_pairs").over(w).alias("cum"),
+        F.sum("n_pairs").over(tot).alias("total"),
+    )
+    return (
+        cum.filter(F.lit(100) * F.col("cum") >= F.lit(q_pct) * F.col("total"))
+        .groupBy()
+        .agg(
+            F.min("dist").alias("eff_diameter"),
+            F.max("dist").alias("diameter"),
+            F.max("total").alias("n_pairs"),
+        )
+    )
