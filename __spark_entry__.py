@@ -2954,6 +2954,18 @@ def q_holt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt(ev, "user_id", "value", "ts", "event_id", 1, 2)
 
 
+def q_holtwinters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters smoothing (operators/smoothing.py::
+    holt_winters) of each user's value series, alpha=1/2 beta=1/4
+    gamma=1/4, period 4, rotating seasonal list (head = next slot) so no
+    engine needs indexed list updates; identical IEEE expression trees
+    both sides, recursive-CTE oracle, floor(x*1e6+0.5)-rounded once."""
+    from pagerank_spark.operators.smoothing import holt_winters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return holt_winters(ev, "user_id", "value", "ts", "event_id", period=4)
+
+
 def q_fd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency audit (operators/constraints.py::
     fd_violations) of the candidate FD user_id -> event_type on events:
@@ -5724,6 +5736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_labelprop_events": q_conductance_labelprop_events,
         "fd_events": q_fd_events,
         "holt_events": q_holt_events,
+        "holtwinters_events": q_holtwinters_events,
         "absorption_events": q_absorption_events,
         "ari_events": q_ari_events,
         "zscore_lineitem": q_zscore_lineitem,
@@ -6302,6 +6315,32 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
 FROM pk"""
     # Holt: recursive-CTE replay of the expanded dyadic fold (A=2, B=4 ->
     # l' = (x + l + b)/2, b' = (x - l + 7b)/8), identical IEEE ops
+    sqls["holtwinters_events"] = """
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE)
+              ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS vs,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+it AS (
+  SELECT user_id, n_events, 1 AS i, vs, vs[1] AS l, CAST(0.0 AS DOUBLE) AS b,
+         CAST([0.0, 0.0, 0.0, 0.0] AS DOUBLE[]) AS seas
+  FROM seq
+  UNION ALL
+  SELECT user_id, n_events, i + 1, vs,
+         ((vs[i + 1] - seas[1]) + 1.0 * (l + b)) / 2.0,
+         ((vs[i + 1] - seas[1]) - l + 7.0 * b) / 8.0,
+         list_append(seas[2:], (vs[i + 1] - ((vs[i + 1] - seas[1]) + 1.0 * (l + b)) / 2.0 + 3.0 * seas[1]) / 4.0)
+  FROM it WHERE i < len(vs))
+SELECT user_id, n_events,
+       CAST(FLOOR(l * 1000000 + 0.5) AS BIGINT) AS level_micro,
+       CAST(FLOOR(b * 1000000 + 0.5) AS BIGINT) AS trend_micro,
+       CAST(FLOOR(seas[1] * 1000000 + 0.5) AS BIGINT) AS s1_micro,
+       CAST(FLOOR(seas[2] * 1000000 + 0.5) AS BIGINT) AS s2_micro,
+       CAST(FLOOR(seas[3] * 1000000 + 0.5) AS BIGINT) AS s3_micro,
+       CAST(FLOOR(seas[4] * 1000000 + 0.5) AS BIGINT) AS s4_micro
+FROM it WHERE i = len(vs)"""
+
     sqls["holt_events"] = """
 WITH RECURSIVE seq AS MATERIALIZED (
   SELECT user_id,

@@ -250,3 +250,79 @@ def holt(
         F.floor(fold.getField("l") * _SCALE + F.lit(0.5)).cast("long").alias("level_micro"),
         F.floor(fold.getField("b") * _SCALE + F.lit(0.5)).cast("long").alias("trend_micro"),
     )
+
+
+def holt_winters(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    period: int = 4,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential) smoothing per key with
+    dyadic coefficients alpha=1/2, beta=1/4, gamma=1/4 (Winters 1960,
+    public methodology): level + trend + a ``period``-slot seasonal state.
+
+    State-update subtlety: the seasonal vector is kept as a ROTATING list
+    whose head is the slot consumed next — each step reads ``seas[1]``,
+    appends the refreshed slot at the tail (``concat(slice(seas, 2, m-1),
+    [S_new])``) — so neither engine needs an indexed in-place list update,
+    and every field of the new state is an expression over the OLD state
+    only (same expanded-form discipline as :func:`holt`; with
+    ``s1 = seas[1]``, the level/trend updates are exactly holt's with
+    ``x`` replaced by ``x - s1``). Both engines commit to the identical
+    IEEE expression tree, so doubles replay bit-for-bit; the oracle is a
+    recursive CTE for the same reason as holt's (DuckDB struct-accumulator
+    list_reduce is unfaithful).
+
+    Init: ``l = x_1, b = 0, seas = zeros(period)`` — the first ``period``
+    steps learn the seasonal slots through the gamma update.
+
+    Returns ``(key_col, n_events, level_micro, trend_micro, s1_micro ..
+    s<period>_micro)`` — all floor(x*1e6+0.5) BIGINT; the s columns are in
+    rotation order (s1 = next slot to be consumed).
+
+    Scale shape: identical to ewma/holt — one map-side-combined sorted
+    collect per key, a codegen'd aggregate lambda over each key's own
+    bounded series, no windows, no cross-key state.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    m = period
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    rows = events.select(
+        F.col(key_col).alias("k"),
+        F.struct(
+            sec.alias("s"),
+            F.col(tiebreak_col).cast("long").alias("tb"),
+            F.col(value_col).cast("double").alias("v"),
+        ).alias("o"),
+    )
+    per_key = rows.groupBy("k").agg(
+        F.sort_array(F.collect_list("o")).alias("arr"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    s1 = "element_at(acc.seas, 1)"
+    lvl_new = f"((x.v - {s1}) + 1.0 * (acc.l + acc.b)) / 2.0"
+    snew = f"(x.v - {lvl_new} + 3.0 * {s1}) / 4.0"
+    fold = F.expr(
+        f"aggregate(slice(arr, 2, greatest(size(arr) - 1, 0)), "
+        f"named_struct("
+        f"'l', CAST(element_at(arr, 1).v AS DOUBLE), "
+        f"'b', CAST(0.0 AS DOUBLE), "
+        f"'seas', array_repeat(CAST(0.0 AS DOUBLE), {m})), "
+        f"(acc, x) -> named_struct("
+        f"'l', {lvl_new}, "
+        f"'b', ((x.v - {s1}) - acc.l + 7.0 * acc.b) / 8.0, "
+        f"'seas', concat(slice(acc.seas, 2, {m - 1}), array({snew}))))"
+    ).alias("st")
+    out = per_key.select(F.col("k"), "n_events", fold)
+    micro = lambda c: F.expr(f"CAST(FLOOR({c} * 1000000 + 0.5) AS BIGINT)")
+    cols = [
+        F.col("k").alias(key_col),
+        "n_events",
+        micro("st.l").alias("level_micro"),
+        micro("st.b").alias("trend_micro"),
+    ] + [micro(f"element_at(st.seas, {j})").alias(f"s{j}_micro") for j in range(1, m + 1)]
+    return out.select(*cols)

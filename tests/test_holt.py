@@ -1,4 +1,5 @@
 """Holt smoothing: pure-Python expanded-form replay + closed forms."""
+from pyspark.sql import functions as F
 
 import math
 
@@ -49,3 +50,34 @@ def test_holt_linear_ramp_trend_positive(spark):
     le, te = _holt_py(vals)
     assert (r.level_micro, r.trend_micro) == (le, te)
     assert r.trend_micro > 0
+
+
+def test_holt_winters_matches_python_replay(spark):
+    # exact-replay oracle: same expanded-form IEEE ops in pure Python
+    from pagerank_spark.operators.smoothing import holt_winters
+
+    rows = [
+        (1, i, float(v), f"2024-01-01 00:{i:02d}:00")
+        for i, v in enumerate([10, 14, 9, 13, 11, 15, 10, 14, 12, 16, 11, 15])
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double, ts string").select(
+        "user_id", "event_id", "value", F.col("ts").cast("timestamp").alias("ts")
+    )
+    m = 4
+    # python replay in (ts, event_id) order == insertion order here
+    vs = [v for _, _, v, _ in rows]
+    l, b, seas = vs[0], 0.0, [0.0] * m
+    for x in vs[1:]:
+        s1 = seas[0]
+        l2 = ((x - s1) + 1.0 * (l + b)) / 2.0
+        b2 = ((x - s1) - l + 7.0 * b) / 8.0
+        snew = (x - ((x - s1) + 1.0 * (l + b)) / 2.0 + 3.0 * s1) / 4.0
+        seas = seas[1:] + [snew]
+        l, b = l2, b2
+    got = holt_winters(df, "user_id", "value", "ts", "event_id", period=m).collect()[0]
+    import math
+
+    micro = lambda x: math.floor(x * 1000000 + 0.5)
+    assert got.n_events == len(vs)
+    assert got.level_micro == micro(l) and got.trend_micro == micro(b)
+    assert [got.s1_micro, got.s2_micro, got.s3_micro, got.s4_micro] == [micro(s) for s in seas]
