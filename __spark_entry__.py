@@ -5067,6 +5067,19 @@ def q_critpath_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pathcount_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAG path counting + topological levels (algos/dag.py::
+    dag_path_counts) on a planted 8-layer x 8 DAG (same closed-form family
+    as critpath_synth, sized so the oracle's per-path enumeration stays
+    tiny): cnt(v) = ind(v) + sum of in-neighbor counts as a sum-gather
+    pregel fixpoint, exact BIGINT, converged = exact. Oracle: recursive
+    walk enumeration from the in-degree-0 sources, COUNT(*) per endpoint."""
+    from pagerank_spark.algos.dag import dag_path_counts
+    from pagerank_spark.sources.graphs import layered_dag
+
+    return dag_path_counts(layered_dag(spark, 8, 8, weighted=False), max_iters=20)
+
+
 def q_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution (operators/sequences.py): purchase
     conversions credited to preceding view/click touches within 7 days —
@@ -5652,6 +5665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": q_cusum_events,
         "stump_events": q_stump_events,
         "critpath_synth": q_critpath_synth,
+        "pathcount_synth": q_pathcount_synth,
         "attribution_events": q_attribution_events,
         "rrf_docs": q_rrf_docs,
         "bipartite_synth": q_bipartite_synth,
@@ -8800,6 +8814,30 @@ SELECT v AS id, CAST(MAX(d) AS BIGINT) AS cp FROM p GROUP BY 1"""
 
     # attribution: same left band-join, same per-conversion windows, pure
     # integer linear credit (1000000 // n)
+    sqls["pathcount_synth"] = """
+WITH RECURSIVE
+nv AS (SELECT unnest(range(0, 64)) AS v),
+e AS (
+  SELECT v AS src, ((v // 8) + 1) * 8 + (v * 7) % 8 AS dst FROM nv WHERE (v // 8) + 1 < 8
+  UNION ALL
+  SELECT v, ((v // 8) + 2) * 8 + (v * 3) % 8 FROM nv WHERE (v // 8) + 2 < 8
+),
+src0 AS (SELECT v FROM nv WHERE v NOT IN (SELECT dst FROM e)),
+walks AS (
+  SELECT v FROM src0
+  UNION ALL
+  SELECT e.dst AS v FROM walks w JOIN e ON e.src = w.v
+),
+lvlr AS (
+  SELECT v, 0 AS l FROM nv
+  UNION ALL
+  SELECT e.dst, l + 1 FROM lvlr JOIN e ON e.src = lvlr.v
+)
+SELECT w.v AS id, CAST(lv.lvl AS BIGINT) AS lvl, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM walks w
+JOIN (SELECT v, MAX(l) AS lvl FROM lvlr GROUP BY 1) lv ON lv.v = w.v
+GROUP BY w.v, lv.lvl"""
+
     sqls["attribution_events"] = """
 WITH conv AS (SELECT user_id AS k, event_id AS conv_id, ts AS cts
               FROM events WHERE event_type = 'purchase'),
