@@ -2954,6 +2954,18 @@ def q_holt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt(ev, "user_id", "value", "ts", "event_id", 1, 2)
 
 
+def q_balance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance (operators/sequences.py::bounded_balance)
+    per user over signed cent deltas (value cents - 5000), bounds
+    [0, 20000]: the non-associative token-bucket fold, exact BIGINT, with
+    per-bound clip counts. Oracle: integer recursive-CTE replay."""
+    from pagerank_spark.operators.sequences import bounded_balance
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    delta = F.expr("CAST(ROUND(value * 100) AS BIGINT) - 5000")
+    return bounded_balance(ev, "user_id", delta, "ts", "event_id", cap=20000, floor_val=0)
+
+
 def q_holtwinters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters smoothing (operators/smoothing.py::
     holt_winters) of each user's value series, alpha=1/2 beta=1/4
@@ -5750,6 +5762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_labelprop_events": q_conductance_labelprop_events,
         "fd_events": q_fd_events,
         "holt_events": q_holt_events,
+        "balance_events": q_balance_events,
         "holtwinters_events": q_holtwinters_events,
         "absorption_events": q_absorption_events,
         "ari_events": q_ari_events,
@@ -6329,6 +6342,26 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
 FROM pk"""
     # Holt: recursive-CTE replay of the expanded dyadic fold (A=2, B=4 ->
     # l' = (x + l + b)/2, b' = (x - l + 7b)/8), identical IEEE ops
+    sqls["balance_events"] = """
+WITH RECURSIVE seq AS MATERIALIZED (
+  SELECT user_id,
+         list(CAST(ROUND(value * 100) AS BIGINT) - 5000
+              ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS ds,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+it AS (
+  SELECT user_id, n_events, 0 AS i, ds,
+         CAST(0 AS BIGINT) AS bal, CAST(0 AS BIGINT) AS hi, CAST(0 AS BIGINT) AS lo
+  FROM seq
+  UNION ALL
+  SELECT user_id, n_events, i + 1, ds,
+         GREATEST(CAST(0 AS BIGINT), LEAST(CAST(20000 AS BIGINT), bal + ds[i + 1])),
+         hi + CAST(bal + ds[i + 1] > 20000 AS BIGINT),
+         lo + CAST(bal + ds[i + 1] < 0 AS BIGINT)
+  FROM it WHERE i < len(ds))
+SELECT user_id, n_events, bal AS balance, hi AS n_clip_hi, lo AS n_clip_lo
+FROM it WHERE i = len(ds)"""
+
     sqls["holtwinters_events"] = """
 WITH RECURSIVE seq AS MATERIALIZED (
   SELECT user_id,

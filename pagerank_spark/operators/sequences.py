@@ -354,3 +354,62 @@ def absorption_steps(
         F.col("n_out").cast("long").alias("n_out"),
         F.floor(F.col("x") * F.lit(1_000_000) + F.lit(0.5)).cast("long").alias("x_micro"),
     )
+
+
+def bounded_balance(
+    events: DataFrame,
+    key_col: str,
+    delta_col,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    cap: int = 20000,
+    floor_val: int = 0,
+) -> DataFrame:
+    """Clamped running balance per key — the inventory / credit-ledger /
+    token-bucket primitive: fold ``bal' = clamp(bal + delta, floor, cap)``
+    over the key's (ts, tiebreak)-ordered integer deltas, counting how
+    often each bound clipped. NON-associative (clamping destroys
+    reassociativity), so no window/scan can express it — it is the
+    canonical per-key sequential fold, same scale shape as ewma/holt: one
+    map-side-combined sorted collect per key, a codegen'd aggregate lambda
+    over the key's own bounded series, exact BIGINT end-to-end.
+
+    ``delta_col`` may be a Column expression (cast to BIGINT). Returns
+    ``(key_col, n_events, balance, n_clip_hi, n_clip_lo)``; the start
+    balance is ``floor_val``. Every new-state field reads only the OLD
+    accumulator (the repo's expanded-form fold discipline), so the
+    recursive-CTE oracle replays it exactly.
+    """
+    if cap <= floor_val:
+        raise ValueError("cap must exceed floor_val")
+    d = (delta_col if not isinstance(delta_col, str) else F.col(delta_col)).cast("long")
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    rows = events.select(
+        F.col(key_col).alias("k"),
+        F.struct(
+            sec.alias("s"),
+            F.col(tiebreak_col).cast("long").alias("tb"),
+            d.alias("d"),
+        ).alias("o"),
+    )
+    per_key = rows.groupBy("k").agg(
+        F.sort_array(F.collect_list("o")).alias("arr"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    raw = "acc.bal + x.d"
+    fold = F.expr(
+        f"aggregate(arr, "
+        f"named_struct('bal', CAST({floor_val} AS BIGINT), "
+        f"'hi', CAST(0 AS BIGINT), 'lo', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct("
+        f"'bal', greatest(CAST({floor_val} AS BIGINT), least(CAST({cap} AS BIGINT), {raw})), "
+        f"'hi', acc.hi + CAST({raw} > {cap} AS BIGINT), "
+        f"'lo', acc.lo + CAST({raw} < {floor_val} AS BIGINT)))"
+    ).alias("st")
+    return per_key.select(F.col("k"), "n_events", fold).select(
+        F.col("k").alias(key_col),
+        "n_events",
+        F.col("st.bal").alias("balance"),
+        F.col("st.hi").alias("n_clip_hi"),
+        F.col("st.lo").alias("n_clip_lo"),
+    )
