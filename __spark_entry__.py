@@ -2954,6 +2954,23 @@ def q_holt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt(ev, "user_id", "value", "ts", "event_id", 1, 2)
 
 
+def q_bh_fdr_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR (operators/hyptest.py::bh_fdr) at alpha=0.1
+    over 200 planted hypotheses (30 signal p-values id*97 micro, 170
+    hash-uniform nulls): all-integer step-up cut, deterministic tie order.
+    Oracle: same closed-form p table + window replay."""
+    from pagerank_spark.operators.hyptest import bh_fdr
+
+    hyp = spark.range(200).select(
+        F.col("id").alias("hyp"),
+        F.expr(
+            "CASE WHEN id < 30 THEN id * 97 "
+            "ELSE (id * 2654435761) % 2147483648 % 1000001 END"
+        ).alias("p_micro"),
+    )
+    return bh_fdr(hyp, "hyp", "p_micro", alpha_num=1, alpha_den=10)
+
+
 def q_balance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clamped running balance (operators/sequences.py::bounded_balance)
     per user over signed cent deltas (value cents - 5000), bounds
@@ -5762,6 +5779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_labelprop_events": q_conductance_labelprop_events,
         "fd_events": q_fd_events,
         "holt_events": q_holt_events,
+        "bh_fdr_synth": q_bh_fdr_synth,
         "balance_events": q_balance_events,
         "holtwinters_events": q_holtwinters_events,
         "absorption_events": q_absorption_events,
@@ -6342,6 +6360,24 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
 FROM pk"""
     # Holt: recursive-CTE replay of the expanded dyadic fold (A=2, B=4 ->
     # l' = (x + l + b)/2, b' = (x - l + 7b)/8), identical IEEE ops
+    sqls["bh_fdr_synth"] = """
+WITH hyp AS MATERIALIZED (
+  SELECT r.range AS hyp,
+         CAST(CASE WHEN r.range < 30 THEN r.range * 97
+              ELSE (r.range * 2654435761) % 2147483648 % 1000001 END AS BIGINT) AS p_micro
+  FROM range(200) r),
+ranked AS MATERIALIZED (
+  SELECT hyp, p_micro,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_micro, hyp) AS BIGINT) AS rank
+  FROM hyp),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ranked),
+cut AS (
+  SELECT COALESCE(MAX(rank), 0) AS kcut
+  FROM ranked, m
+  WHERE p_micro * m.m * 10 <= rank * 1000000 * 1)
+SELECT hyp, p_micro, rank, CAST(rank <= (SELECT kcut FROM cut) AS INT) AS rejected
+FROM ranked"""
+
     sqls["balance_events"] = """
 WITH RECURSIVE seq AS MATERIALIZED (
   SELECT user_id,

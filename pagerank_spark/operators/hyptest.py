@@ -438,3 +438,53 @@ def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         .cast("long")
         .alias("f_micro"),
     )
+
+
+def bh_fdr(
+    tests: DataFrame,
+    key_col: str,
+    p_micro_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg 1995,
+    public methodology) over a table of hypotheses with micro-unit
+    p-values (``p_micro = p * 1e6`` as BIGINT): find the largest rank k
+    with ``p_(k) <= alpha * k / m`` and reject ranks 1..k.
+
+    Entirely integer — the threshold test is
+    ``p_micro * m * alpha_den <= rank * 1000000 * alpha_num`` — so both
+    engines agree bit-for-bit. Ranks are ``row_number`` ordered by
+    ``(p_micro, key)`` (deterministic ties; the REJECTION SET is
+    tie-order-invariant because the cut uses the max passing rank).
+
+    The window is a single partition BY DESIGN OVER THE HYPOTHESIS TABLE —
+    one row per already-aggregated test, thousands at most, never raw
+    data; the data-sized work happened upstream in whatever produced the
+    p-values. Returns ``(key_col, p_micro, rank, rejected)``.
+    """
+    from pyspark.sql import Window
+
+    t = tests.select(
+        F.col(key_col).alias("k"), F.col(p_micro_col).cast("long").alias("p_micro")
+    )
+    w = Window.orderBy("p_micro", "k")
+    ranked = t.select(
+        "k", "p_micro", F.row_number().over(w).cast("long").alias("rank")
+    ).localCheckpoint(eager=False)
+    m = ranked.groupBy().agg(F.count(F.lit(1)).alias("m"))
+    cut = (
+        ranked.crossJoin(m)
+        .filter(
+            F.col("p_micro") * F.col("m") * F.lit(alpha_den)
+            <= F.col("rank") * F.lit(1000000) * F.lit(alpha_num)
+        )
+        .groupBy()
+        .agg(F.coalesce(F.max("rank"), F.lit(0).cast("long")).alias("kcut"))
+    )
+    return ranked.crossJoin(cut).select(
+        F.col("k").alias(key_col),
+        "p_micro",
+        "rank",
+        (F.col("rank") <= F.col("kcut")).cast("int").alias("rejected"),
+    )
