@@ -2954,6 +2954,18 @@ def q_holt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt(ev, "user_id", "value", "ts", "event_id", 1, 2)
 
 
+def q_stickiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per epoch week (operators/temporal.py::
+    stickiness, period='week' — the gate events span one calendar month,
+    so weekly periods exercise multiple rows): one distinct
+    (week, day, user) activity set feeds both aggregates; exact
+    integer-division micro ratio."""
+    from pagerank_spark.operators.temporal import stickiness
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stickiness(ev, "user_id", "ts", period="week")
+
+
 def q_bh_fdr_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini-Hochberg FDR (operators/hyptest.py::bh_fdr) at alpha=0.1
     over 200 planted hypotheses (30 signal p-values id*97 micro, 170
@@ -5779,6 +5791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_labelprop_events": q_conductance_labelprop_events,
         "fd_events": q_fd_events,
         "holt_events": q_holt_events,
+        "stickiness_events": q_stickiness_events,
         "bh_fdr_synth": q_bh_fdr_synth,
         "balance_events": q_balance_events,
         "holtwinters_events": q_holtwinters_events,
@@ -6360,6 +6373,20 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
 FROM pk"""
     # Holt: recursive-CTE replay of the expanded dyadic fold (A=2, B=4 ->
     # l' = (x + l + b)/2, b' = (x - l + 7b)/8), identical IEEE ops
+    sqls["stickiness_events"] = """
+WITH act AS MATERIALIZED (
+  SELECT DISTINCT CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS ym,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d,
+         user_id AS u
+  FROM events),
+dau AS (SELECT ym, d, CAST(COUNT(*) AS BIGINT) AS dau FROM act GROUP BY 1, 2),
+pm AS (SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(dau) AS BIGINT) AS sum_dau
+       FROM dau GROUP BY 1),
+mau AS (SELECT ym, CAST(COUNT(DISTINCT u) AS BIGINT) AS mau FROM act GROUP BY 1)
+SELECT pm.ym, pm.n_days, mau.mau,
+       CAST((sum_dau * 1000000) // (n_days * mau.mau) AS BIGINT) AS stickiness_micro
+FROM pm JOIN mau ON mau.ym = pm.ym"""
+
     sqls["bh_fdr_synth"] = """
 WITH hyp AS MATERIALIZED (
   SELECT r.range AS hyp,

@@ -634,3 +634,47 @@ def naive_backtest(
         )
     )
     return out
+
+
+def stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "month",
+) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — the standard engagement
+    ratio: ``avg(daily active users) / period active users`` (period = calendar
+    month or epoch week), emitted as
+    ``stickiness_micro = (sum of DAU * 1e6) DIV (observed days * MAU)``
+    (exact integer division; truncation == floor here, everything is
+    non-negative).
+
+    One distinct pass builds the (month, day, user) activity set; DAU and
+    MAU both aggregate from it (no second scan of the raw events).
+    Returns ``(ym, n_days, mau, stickiness_micro)`` with
+    ``ym = year*100 + month`` (or the epoch-week index).
+    """
+    if period not in ("month", "week"):
+        raise ValueError("period must be 'month' or 'week'")
+    per = (
+        (F.year(ts_col) * 100 + F.month(ts_col)).cast("long")
+        if period == "month"
+        else F.expr(f"CAST(unix_timestamp({ts_col}) AS BIGINT) DIV 604800")
+    )
+    act = events.select(
+        per.alias("ym"),
+        F.expr(f"CAST(unix_timestamp({ts_col}) AS BIGINT) DIV 86400").alias("d"),
+        F.col(user_col).alias("u"),
+    ).dropDuplicates()
+    act = act.localCheckpoint(eager=False)
+    dau = act.groupBy("ym", "d").agg(F.count(F.lit(1)).alias("dau"))
+    per_month = dau.groupBy("ym").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("dau").alias("sum_dau")
+    )
+    mau = act.groupBy("ym").agg(F.countDistinct("u").alias("mau"))
+    return per_month.join(mau, "ym").select(
+        "ym",
+        "n_days",
+        "mau",
+        F.expr("(sum_dau * 1000000) DIV (n_days * mau)").alias("stickiness_micro"),
+    )
