@@ -5121,6 +5121,55 @@ def q_pathcount_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dag_path_counts(layered_dag(spark, 8, 8, weighted=False), max_iters=20)
 
 
+def q_lt_cascade_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-threshold influence cascade (algos/cascade.py) on the
+    symmetrized co-purchase graph: seeds = top-200 degree hubs (asc-id
+    tiebreak), a vertex activates when >= 1/5 of its in-neighbors are
+    active — exact BIGINT test cnt*5 >= indeg*1, no division. Delta-frontier
+    supersteps (work ~ new-frontier out-edges); monotone, so the
+    convergence-stopped run equals the oracle's fixed 10 unrolled rounds
+    (measured fixpoint: 5 rounds, full activation at sf0.01)."""
+    from pagerank_spark.algos.cascade import linear_threshold_cascade
+
+    edges = _graph_for(spark, sf_dir, "copurchase")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = sym.groupBy(F.col("src").alias("id")).count()
+        seeds = deg.orderBy(F.desc("count"), F.asc("id")).limit(200).select("id")
+        res = linear_threshold_cascade(sym, seeds, num=1, den=5, max_iters=12)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return res.select("id", F.col("round").cast("long").alias("round"))
+
+
+def _lt_cascade_sql(rounds: int = 10) -> str:
+    parts = [
+        _materialize(COPURCHASE_EDGES_CTE.strip()),
+        "sym AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)",
+        "indeg AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS indeg FROM sym GROUP BY 1)",
+        "seeds AS MATERIALIZED (SELECT id FROM indeg ORDER BY indeg DESC, id ASC LIMIT 200)",
+        "s0 AS MATERIALIZED (SELECT id, 0 AS round FROM seeds)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT COALESCE(p.id, n.id) AS id,"
+            f" COALESCE(p.round, {t}) AS round FROM s{t - 1} p FULL JOIN ("
+            f" SELECT g.id FROM (SELECT e2.dst AS id, COUNT(*) AS cnt FROM sym e2"
+            f" JOIN s{t - 1} a ON a.id = e2.src GROUP BY 1) g"
+            f" JOIN indeg d ON d.id = g.id WHERE g.cnt * 5 >= d.indeg * 1"
+            f" ) n ON p.id = n.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, CAST(round AS BIGINT) AS round FROM s{rounds}"
+    )
+
+
 def q_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution (operators/sequences.py): purchase
     conversions credited to preceding view/click touches within 7 days —
@@ -5707,6 +5756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_events": q_stump_events,
         "critpath_synth": q_critpath_synth,
         "pathcount_synth": q_pathcount_synth,
+        "lt_cascade_copurchase": q_lt_cascade_copurchase,
         "attribution_events": q_attribution_events,
         "rrf_docs": q_rrf_docs,
         "bipartite_synth": q_bipartite_synth,
@@ -6373,6 +6423,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
 FROM pk"""
     # Holt: recursive-CTE replay of the expanded dyadic fold (A=2, B=4 ->
     # l' = (x + l + b)/2, b' = (x - l + 7b)/8), identical IEEE ops
+    sqls["lt_cascade_copurchase"] = _lt_cascade_sql()
     sqls["stickiness_events"] = """
 WITH act AS MATERIALIZED (
   SELECT DISTINCT CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS ym,
