@@ -3380,6 +3380,18 @@ def q_tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3)
 
 
+def q_heaps_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve (operators/textops.py:
+    vocab_growth): running token count + running distinct-vocab size at
+    25-doc checkpoints. Cumulative distinct via the first-occurrence trick
+    (term enters at MIN(doc_id)) — two shuffles regardless of checkpoint
+    count, exact BIGINT, prefix sums on the two-phase distributed cumsum."""
+    from pagerank_spark.operators.textops import vocab_growth
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_growth(docs, bucket_size=25)
+
+
 def q_blend_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dataset blending (operators/trainprep.py:blend_corpora):
     sample the corpus to a 50/20/15/10/5 lang mixture by taking the
@@ -5922,6 +5934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_docs": q_decontam_docs,
         "tfidf_docs": q_tfidf_docs,
         "blend_docs": q_blend_docs,
+        "heaps_docs": q_heaps_docs,
         "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
         "prepare_corpus_docs": q_prepare_corpus_docs,
         "triangles_per_part": q_triangles_per_part,
@@ -8048,6 +8061,24 @@ rk AS (
   FROM sc
 )
 SELECT doc_id, term, tf, ROUND(sco, 6) AS score, rk FROM rk WHERE rk <= 3"""
+
+    sqls["heaps_docs"] = """
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM documents
+),
+tk2 AS MATERIALIZED (SELECT doc_id, term FROM tk WHERE term <> ''),
+pbt AS (SELECT doc_id // 25 AS bucket, COUNT(*) AS n_tok FROM tk2 GROUP BY 1),
+firsts AS MATERIALIZED (SELECT term, MIN(doc_id) AS first_doc FROM tk2 GROUP BY 1),
+pbv AS (SELECT first_doc // 25 AS bucket, COUNT(*) AS n_new FROM firsts GROUP BY 1),
+b AS (
+  SELECT COALESCE(pbt.bucket, pbv.bucket) AS bucket,
+         COALESCE(n_tok, 0) AS n_tok, COALESCE(n_new, 0) AS n_new
+  FROM pbt FULL JOIN pbv ON pbt.bucket = pbv.bucket
+)
+SELECT bucket, CAST((bucket + 1) * 25 AS BIGINT) AS docs_bound,
+       CAST(SUM(n_tok) OVER (ORDER BY bucket) AS BIGINT) AS tokens_so_far,
+       CAST(SUM(n_new) OVER (ORDER BY bucket) AS BIGINT) AS vocab_so_far
+FROM b"""
 
     sqls["blend_docs"] = """
 WITH w(lang, wt) AS (VALUES ('en', 50), ('de', 20), ('es', 15), ('fr', 10), ('zh', 5)),

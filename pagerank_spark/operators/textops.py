@@ -379,3 +379,52 @@ def readability(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         "n_syllables",
         F.floor(score * F.lit(1_000_000) + F.lit(0.5)).cast("long").alias("flesch_micro"),
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    bucket_size: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: for each bucket of
+    ``bucket_size`` docs in ``id_col`` order, the running token count and
+    running DISTINCT-vocabulary size at the bucket's end.
+
+    The cumulative-distinct count — normally a re-scan per prefix — is one
+    aggregation via the first-occurrence trick: a term enters the
+    vocabulary exactly once, at MIN(doc_id); bucketing those entry points
+    and prefix-summing per-bucket counts gives every prefix's vocabulary
+    size in two shuffles, independent of the number of checkpoints. All
+    exact BIGINT; both prefix sums run on the two-phase distributed
+    cumsum (no global Window).
+    """
+    from .cumsum import distributed_cumsum
+
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    bucket = (F.col("doc_id") / bucket_size).cast("long")
+    per_bucket_tokens = tk.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    firsts = tk.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket_vocab = firsts.groupBy(
+        (F.col("first_doc") / bucket_size).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    both = per_bucket_tokens.join(per_bucket_vocab, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    cum = distributed_cumsum(both, ["bucket"], "n_tok", "tokens_so_far")
+    cum = distributed_cumsum(cum, ["bucket"], "n_new", "vocab_so_far")
+    return cum.select(
+        "bucket",
+        ((F.col("bucket") + 1) * bucket_size).alias("docs_bound"),
+        "tokens_so_far",
+        "vocab_so_far",
+    )
