@@ -3392,6 +3392,26 @@ def q_heaps_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(docs, bucket_size=25)
 
 
+def q_als2_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS user-factor half-step, k=2 (operators/recsys.py:
+    als_user_halfstep): ratings = per-(customer, part) summed quantities;
+    item factors are deterministic Knuth-hash ints in 1..7; every user's
+    2x2 ridge system solves in closed form — exact BIGINT moments, one
+    correctly-rounded division, ROUND 6 both engines."""
+    from pagerank_spark.operators.recsys import als_user_halfstep
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    ratings = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("user"),
+        F.col("l_partkey").alias("item"),
+        F.col("l_quantity").alias("rating"),
+    )
+    return als_user_halfstep(ratings)
+
+
 def q_blend_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dataset blending (operators/trainprep.py:blend_corpora):
     sample the corpus to a 50/20/15/10/5 lang mixture by taking the
@@ -5935,6 +5955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_docs": q_tfidf_docs,
         "blend_docs": q_blend_docs,
         "heaps_docs": q_heaps_docs,
+        "als2_lineitem": q_als2_lineitem,
         "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
         "prepare_corpus_docs": q_prepare_corpus_docs,
         "triangles_per_part": q_triangles_per_part,
@@ -8079,6 +8100,33 @@ SELECT bucket, CAST((bucket + 1) * 25 AS BIGINT) AS docs_bound,
        CAST(SUM(n_tok) OVER (ORDER BY bucket) AS BIGINT) AS tokens_so_far,
        CAST(SUM(n_new) OVER (ORDER BY bucket) AS BIGINT) AS vocab_so_far
 FROM b"""
+
+    sqls["als2_lineitem"] = """
+WITH r AS MATERIALIZED (
+  SELECT o_custkey AS u, l_partkey AS itm,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS rt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2
+),
+f AS (
+  SELECT u, rt,
+    ((itm * 2654435761) % 4294967296) % 7 + 1 AS f1,
+    (((((itm * 2654435761) % 4294967296) % 1000003 + 7919) * 2654435761)
+     % 4294967296) % 7 + 1 AS f2
+  FROM r
+),
+ag AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS n_items,
+    CAST(SUM(f1 * f1) AS BIGINT) AS a11, CAST(SUM(f1 * f2) AS BIGINT) AS a12,
+    CAST(SUM(f2 * f2) AS BIGINT) AS a22,
+    CAST(SUM(f1 * rt) AS BIGINT) AS b1, CAST(SUM(f2 * rt) AS BIGINT) AS b2
+  FROM f GROUP BY 1
+)
+SELECT u AS user, n_items,
+  ROUND(CAST((a22 + 1) * b1 - a12 * b2 AS DOUBLE)
+        / CAST((a11 + 1) * (a22 + 1) - a12 * a12 AS DOUBLE), 6) AS w1,
+  ROUND(CAST((a11 + 1) * b2 - a12 * b1 AS DOUBLE)
+        / CAST((a11 + 1) * (a22 + 1) - a12 * a12 AS DOUBLE), 6) AS w2
+FROM ag"""
 
     sqls["blend_docs"] = """
 WITH w(lang, wt) AS (VALUES ('en', 50), ('de', 20), ('es', 15), ('fr', 10), ('zh', 5)),

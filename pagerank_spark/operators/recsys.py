@@ -109,3 +109,59 @@ def item_topk_similar(cooc: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("item", "rec", "n_ab", "cos2_micro", "rk")
     )
+
+
+def als_user_halfstep(
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    lam: int = 1,
+) -> DataFrame:
+    """One exact ALS half-step with k=2 latent factors: fix item factors,
+    solve every user's ridge normal equations in closed form.
+
+    Item factors are training-free deterministic hashes (f ∈ 1..7 via the
+    repo-standard Knuth multiplicative scheme), so this is the *system
+    shape* of ALS — the per-user independent least-squares solve that makes
+    ALS embarrassingly parallel — with a bit-replayable answer. With k=2
+    the 2x2 system ``(A + λI) w = b`` inverts symbolically:
+
+        det = (a11+λ)(a22+λ) - a12²          (all exact BIGINT)
+        w1  = ((a22+λ)·b1 - a12·b2) / det
+        w2  = ((a11+λ)·b2 - a12·b1) / det
+
+    Numerators/denominator stay < 2^53, so the single double division is
+    correctly rounded and ROUND(.,6) is engine-stable. One shuffle per
+    groupBy: (user,item) dedup-sum, then the per-user moment aggregation —
+    no per-user driver loop, scales with users × avg-degree. General k
+    uses the Fraction Gauss–Jordan in operators/regress.py instead.
+    """
+    r = (
+        ratings.groupBy(
+            F.col(user_col).alias("u"), F.col(item_col).alias("itm")
+        )
+        .agg(F.sum(F.col(rating_col).cast("long")).alias("rt"))
+    )
+    h1 = (F.col("itm") * F.lit(2654435761)) % F.lit(4294967296)
+    h2 = ((h1 % F.lit(1000003) + F.lit(7919)) * F.lit(2654435761)) % F.lit(4294967296)
+    withf = r.select(
+        "u", "rt", (h1 % 7 + 1).alias("f1"), (h2 % 7 + 1).alias("f2")
+    )
+    ag = withf.groupBy("u").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("f1") * F.col("f1")).alias("a11"),
+        F.sum(F.col("f1") * F.col("f2")).alias("a12"),
+        F.sum(F.col("f2") * F.col("f2")).alias("a22"),
+        F.sum(F.col("f1") * F.col("rt")).alias("b1"),
+        F.sum(F.col("f2") * F.col("rt")).alias("b2"),
+    )
+    det = (F.col("a11") + lam) * (F.col("a22") + lam) - F.col("a12") * F.col("a12")
+    w1n = (F.col("a22") + lam) * F.col("b1") - F.col("a12") * F.col("b2")
+    w2n = (F.col("a11") + lam) * F.col("b2") - F.col("a12") * F.col("b1")
+    return ag.select(
+        F.col("u").alias("user"),
+        "n_items",
+        F.round(w1n.cast("double") / det.cast("double"), 6).alias("w1"),
+        F.round(w2n.cast("double") / det.cast("double"), 6).alias("w2"),
+    )
