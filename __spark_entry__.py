@@ -2174,6 +2174,21 @@ def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", zorder_key(a, b, bits=10).alias("z"))
 
 
+def q_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys over (user bucket, time bucket)
+    (functions/layout.py:hilbert_key) — strictly better locality than the
+    Z-order sibling gate (no quadrant-boundary jumps), as one F.aggregate
+    fold over the 8 bit levels with the (x, y, d) walk state packed into a
+    single BIGINT. The oracle replays the identical fold via DuckDB
+    list_reduce with the init state prepended to the level list."""
+    from pagerank_spark.functions.layout import hilbert_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    x = F.pmod(F.col("user_id"), F.lit(256))
+    y = F.pmod(F.unix_timestamp("ts"), F.lit(256))
+    return ev.select("event_id", hilbert_key(x, y, order=8).alias("h"))
+
+
 def q_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour per-user activity aggregates for every event
     (operators/temporal.py:rolling_time_agg) — one rangeBetween window
@@ -5956,6 +5971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blend_docs": q_blend_docs,
         "heaps_docs": q_heaps_docs,
         "als2_lineitem": q_als2_lineitem,
+        "hilbert_events": q_hilbert_events,
         "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
         "prepare_corpus_docs": q_prepare_corpus_docs,
         "triangles_per_part": q_triangles_per_part,
@@ -6341,6 +6357,24 @@ SELECT src, dst, n, ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY src), 6) AS prob F
 SELECT event_id,
        {_spread_sql("(user_id % 1024)", 10)}
        + ({_spread_sql("(CAST(FLOOR(epoch(ts)) AS BIGINT) % 1024)", 10)} << 1) AS z
+FROM events"""
+
+    sqls["hilbert_events"] = """
+SELECT event_id, list_reduce(
+  list_prepend(
+    CAST((user_id % 256) + 256 * (CAST(FLOOR(epoch(ts)) AS BIGINT) % 256) AS BIGINT),
+    CAST([128, 64, 32, 16, 8, 4, 2, 1] AS BIGINT[])),
+  (acc, s) ->
+    (((CASE WHEN ((acc >> 8) & 255) & s = 0 THEN
+       (CASE WHEN (acc & 255) & s > 0 THEN s - 1 - ((acc >> 8) & 255)
+        ELSE ((acc >> 8) & 255) END)
+     ELSE (acc & 255) END)) & 255)
+    + 256 * (((CASE WHEN ((acc >> 8) & 255) & s = 0 THEN
+       (CASE WHEN (acc & 255) & s > 0 THEN s - 1 - (acc & 255) ELSE (acc & 255) END)
+     ELSE ((acc >> 8) & 255) END)) & 255)
+    + 65536 * ((acc >> 16) + s * s * xor(3 * (CASE WHEN (acc & 255) & s > 0 THEN 1 ELSE 0 END),
+                                         (CASE WHEN ((acc >> 8) & 255) & s > 0 THEN 1 ELSE 0 END)))
+  ) >> 16 AS h
 FROM events"""
 
     sqls["rolling_events"] = """
