@@ -2189,6 +2189,18 @@ def q_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", hilbert_key(x, y, order=8).alias("h"))
 
 
+def q_temporal_motifs_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-windowed temporal motif counts (operators/temporal.py:
+    temporal_motif_counts) — 2-paths / return paths / closed triangles
+    within delta=50 ticks over the deterministic 5000-event hash stream
+    (sources/graphs.py:temporal_stream). Exact BIGINT instance counts;
+    oracle = the same three joins over the same range()-generated stream."""
+    from pagerank_spark.operators.temporal import temporal_motif_counts
+    from pagerank_spark.sources.graphs import temporal_stream
+
+    return temporal_motif_counts(temporal_stream(spark, 5000, 60), delta=50)
+
+
 def q_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour per-user activity aggregates for every event
     (operators/temporal.py:rolling_time_agg) — one rangeBetween window
@@ -5972,6 +5984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_docs": q_heaps_docs,
         "als2_lineitem": q_als2_lineitem,
         "hilbert_events": q_hilbert_events,
+        "temporal_motifs_synth": q_temporal_motifs_synth,
         "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
         "prepare_corpus_docs": q_prepare_corpus_docs,
         "triangles_per_part": q_triangles_per_part,
@@ -6358,6 +6371,31 @@ SELECT event_id,
        {_spread_sql("(user_id % 1024)", 10)}
        + ({_spread_sql("(CAST(FLOOR(epoch(ts)) AS BIGINT) % 1024)", 10)} << 1) AS z
 FROM events"""
+
+    sqls["temporal_motifs_synth"] = """
+WITH es AS MATERIALIZED (
+  SELECT ((i * 2654435761) % 4294967296) % 60 AS src,
+         ((((i * 2654435761) % 4294967296) % 1000003 + 7919) * 2654435761)
+           % 4294967296 % 60 AS dst,
+         i AS t
+  FROM (SELECT unnest(range(0, 5000)) AS i)
+),
+e AS MATERIALIZED (SELECT src, dst, t FROM es WHERE src <> dst),
+p2 AS MATERIALIZED (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w, e1.t AS t1, e2.t AS t2
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e2.t > e1.t AND e2.t <= e1.t + 50
+),
+base AS (
+  SELECT CAST(SUM(CASE WHEN w <> u THEN 1 ELSE 0 END) AS BIGINT) AS n_2path,
+         CAST(SUM(CASE WHEN w = u THEN 1 ELSE 0 END) AS BIGINT) AS n_return
+  FROM p2
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangle
+  FROM p2 JOIN e e3 ON p2.w <> p2.u AND e3.src = p2.u AND e3.dst = p2.w
+                    AND e3.t > p2.t2 AND e3.t <= p2.t1 + 50
+)
+SELECT n_2path, n_return, n_triangle FROM base, tri"""
 
     sqls["hilbert_events"] = """
 SELECT event_id, list_reduce(

@@ -357,3 +357,23 @@ def layered_dag(
     )
     out = e1.unionByName(e2)
     return out if weighted else out.drop("w")
+
+
+def temporal_stream(spark: SparkSession, n_events: int = 5000, n_vertices: int = 60) -> DataFrame:
+    """Deterministic temporal edge stream ``(src, dst, t)`` — one timestamped
+    directed interaction per tick, endpoints from the repo-standard Knuth
+    double-hash (products stay < 2^63), self-loops dropped. The synthetic
+    input for temporal-motif gates: hash endpoints revisit vertex pairs
+    often enough that delta-windowed 2-paths, return paths, and triangles
+    all occur."""
+    h1 = (F.col("id") * F.lit(2654435761)) % F.lit(4294967296)
+    h2 = ((h1 % F.lit(1000003) + F.lit(7919)) * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        spark.range(n_events)
+        .select(
+            (h1 % n_vertices).alias("src"),
+            (h2 % n_vertices).alias("dst"),
+            F.col("id").alias("t"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
