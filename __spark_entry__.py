@@ -1827,6 +1827,49 @@ SELECT vec_id, neighbor, CAST(rank AS INT) AS rank, ROUND(cos, 6) AS cos
 FROM r WHERE rank <= 3"""
 
 
+def q_lof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor, k=3 (operators/outliers.py:lof_scores) over
+    the grid-quantized embedding corpus: exact-BIGINT squared distances,
+    deterministic kNN (distance-then-id tiebreak), and neighbor sums
+    folded in ascending-id order so lrd/LOF are bit-identical IEEE
+    sequences in both engines."""
+    from pagerank_spark.operators.outliers import lof_scores
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lof_scores(emb, k=3)
+
+
+_LOF_EMBEDDINGS_SQL = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+p AS MATERIALIZED (
+  SELECT a.vec_id AS pa, b.vec_id AS pb,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS BIGINT) AS d2
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+r AS MATERIALIZED (
+  SELECT pa, pb, sqrt(CAST(d2 AS DOUBLE)) AS d,
+         ROW_NUMBER() OVER (PARTITION BY pa ORDER BY d2 ASC, pb ASC) AS rk
+  FROM p),
+knn AS MATERIALIZED (SELECT pa, pb, d, rk FROM r WHERE rk <= 3),
+kd AS MATERIALIZED (SELECT pa AS o, d AS kdist FROM knn WHERE rk = 3),
+reach AS MATERIALIZED (
+  SELECT knn.pa, knn.pb, greatest(kd.kdist, knn.d) AS rch
+  FROM knn JOIN kd ON kd.o = knn.pb),
+lrd AS MATERIALIZED (
+  SELECT pa, CASE WHEN rsum > 0 THEN 3.0 / rsum ELSE NULL END AS lrd
+  FROM (SELECT pa, list_reduce(list_prepend(0.0, list(rch ORDER BY pb)), (x, y) -> x + y) AS rsum
+        FROM reach GROUP BY pa)),
+ls AS (
+  SELECT knn.pa, list_reduce(list_prepend(0.0, list(l2.lrd ORDER BY knn.pb)), (x, y) -> x + y) AS lsum
+  FROM knn JOIN lrd l2 ON l2.pa = knn.pb GROUP BY knn.pa)
+SELECT ls.pa AS vec_id, ROUND(kd.kdist, 6) AS kdist, ROUND(lrd.lrd, 6) AS lrd,
+       ROUND(ls.lsum / (3.0 * lrd.lrd), 6) AS lof
+FROM ls JOIN lrd ON lrd.pa = ls.pa JOIN kd ON kd.o = ls.pa"""
+
+
 def q_quantile_disc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete quantiles of price cents
     (operators/packing.py::exact_quantiles): value histogram + distributed
@@ -5985,6 +6028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "als2_lineitem": q_als2_lineitem,
         "hilbert_events": q_hilbert_events,
         "temporal_motifs_synth": q_temporal_motifs_synth,
+        "lof_embeddings": q_lof_embeddings,
         "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
         "prepare_corpus_docs": q_prepare_corpus_docs,
         "triangles_per_part": q_triangles_per_part,
@@ -6372,6 +6416,7 @@ SELECT event_id,
        + ({_spread_sql("(CAST(FLOOR(epoch(ts)) AS BIGINT) % 1024)", 10)} << 1) AS z
 FROM events"""
 
+    sqls["lof_embeddings"] = _LOF_EMBEDDINGS_SQL
     sqls["temporal_motifs_synth"] = """
 WITH es AS MATERIALIZED (
   SELECT ((i * 2654435761) % 4294967296) % 60 AS src,

@@ -118,3 +118,86 @@ def winsorize(
             F.sum(F.greatest(F.least(F.col("__v"), F.col("__hi")), F.col("__lo"))).alias("sum_after"),
         )
     )
+
+
+def lof_scores(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000, SIGMOD — public
+    methodology) over an embedding column: density-relative outlier scores
+    where LOF >> 1 marks points whose local density is far below their
+    neighbors'.
+
+    Exactness discipline: vectors snap to the integer grid (one fp op per
+    component), squared distances are exact BIGINT lambda folds, and every
+    float that follows is a fixed correctly-rounded sequence — sqrt for
+    distances, one division per lrd, and neighbor sums folded in ascending
+    neighbor-id order (sort_array before aggregate), so both engines walk
+    identical IEEE ops. Deviation from the paper: the k-neighborhood is
+    exactly k points (distance-then-id tiebreak), not the tie-inclusive
+    set — deterministic and replayable where the original is not.
+
+    Scale shape: the all-pairs join is the brute-force baseline (right up
+    to ~10^5 vectors per blocking key); at corpus scale the LSH/IVF bucket
+    generators in operators/similarity.py feed candidate pairs and this
+    scoring applies within buckets. Duplicate-heavy data (k identical
+    points) yields a zero reach-sum — those ids are emitted with NULL lof
+    rather than an engine-divergent infinity.
+
+    Returns ``(id_col, kdist, lrd, lof)`` — kdist/lrd/lof rounded to 6dp.
+    """
+    from pyspark.sql import Window
+
+    from .clustering import quantize_vectors
+
+    q = quantize_vectors(emb, scale, vec_col, "__qv")
+    a = q.select(F.col(id_col).alias("__a"), F.col("__qv").alias("__qa"))
+    b = q.select(F.col(id_col).alias("__b"), F.col("__qv").alias("__qb"))
+    d2 = F.expr("aggregate(zip_with(__qa, __qb, (x, y) -> (x - y) * (x - y)), 0L, (s, v) -> s + v)")
+    pairs = a.join(b, F.col("__a") != F.col("__b")).select("__a", "__b", d2.alias("__d2"))
+    w = Window.partitionBy("__a").orderBy(F.col("__d2").asc(), F.col("__b").asc())
+    knn = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(k))
+        .select("__a", "__b", F.sqrt(F.col("__d2").cast("double")).alias("__d"), "__rk")
+    )
+    kd = knn.where(F.col("__rk") == k).select(
+        F.col("__a").alias("__o"), F.col("__d").alias("__kdist")
+    )
+    reach = knn.join(kd, knn["__b"] == kd["__o"]).select(
+        "__a", "__b", F.greatest("__kdist", "__d").alias("__reach")
+    )
+
+    def _ordered_sum(val_col: str):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("__b", val_col))),
+            F.lit(0.0),
+            lambda acc, s: acc + s[val_col],
+        )
+
+    lrd = (
+        reach.groupBy("__a")
+        .agg(_ordered_sum("__reach").alias("__rsum"))
+        .select(
+            "__a",
+            F.when(F.col("__rsum") > 0, F.lit(float(k)) / F.col("__rsum")).alias("__lrd"),
+        )
+    )
+    nbr = knn.join(
+        lrd.select(F.col("__a").alias("__b"), F.col("__lrd").alias("__lrd_o")), "__b"
+    )
+    lsum = nbr.groupBy("__a").agg(_ordered_sum("__lrd_o").alias("__lsum"))
+    return (
+        lsum.join(lrd, "__a")
+        .join(kd.select(F.col("__o").alias("__a"), "__kdist"), "__a")
+        .select(
+            F.col("__a").alias(id_col),
+            F.round("__kdist", 6).alias("kdist"),
+            F.round("__lrd", 6).alias("lrd"),
+            F.round(F.col("__lsum") / (F.lit(float(k)) * F.col("__lrd")), 6).alias("lof"),
+        )
+    )
