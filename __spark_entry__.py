@@ -1870,6 +1870,38 @@ SELECT ls.pa AS vec_id, ROUND(kd.kdist, 6) AS kdist, ROUND(lrd.lrd, 6) AS lrd,
 FROM ls JOIN lrd ON lrd.pa = ls.pa JOIN kd ON kd.o = ls.pa"""
 
 
+def q_cem_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened exact matching (operators/causal.py:cem_strata):
+    treatment = BUILDING market segment, strata = (nation, acctbal
+    2000-bucket), outcome = lifetime order spend in cents (customers with
+    no orders count as 0). Per matched stratum: counts, exact BIGINT
+    outcome sums, and the mean gap in micro-units (non-negative DIVs only,
+    so truncation == floor in both engines)."""
+    from pagerank_spark.operators.causal import cem_strata
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    units = c.join(spend, c.c_custkey == spend.o_custkey, "left").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.coalesce("cents", F.lit(0)).alias("cents"),
+    )
+    return cem_strata(
+        units,
+        treated=F.col("c_mktsegment") == "BUILDING",
+        outcome=F.col("cents"),
+        strata={
+            "nation": F.col("c_nationkey").cast("long"),
+            "bal_bucket": F.floor(F.col("c_acctbal") / 2000.0).cast("long"),
+        },
+    )
+
+
 def q_quantile_disc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete quantiles of price cents
     (operators/packing.py::exact_quantiles): value histogram + distributed
@@ -6029,6 +6061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_events": q_hilbert_events,
         "temporal_motifs_synth": q_temporal_motifs_synth,
         "lof_embeddings": q_lof_embeddings,
+        "cem_customers": q_cem_customers,
         "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
         "prepare_corpus_docs": q_prepare_corpus_docs,
         "triangles_per_part": q_triangles_per_part,
@@ -6417,6 +6450,30 @@ SELECT event_id,
 FROM events"""
 
     sqls["lof_embeddings"] = _LOF_EMBEDDINGS_SQL
+    sqls["cem_customers"] = """
+WITH spend AS MATERIALIZED (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+units AS MATERIALIZED (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_bucket,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+         COALESCE(spend.cents, 0) AS y
+  FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+),
+g AS (
+  SELECT nation, bal_bucket,
+         CAST(SUM(t) AS BIGINT) AS n_treated,
+         CAST(SUM(1 - t) AS BIGINT) AS n_control,
+         CAST(SUM(t * y) AS BIGINT) AS sum_treated,
+         CAST(SUM((1 - t) * y) AS BIGINT) AS sum_control
+  FROM units GROUP BY 1, 2
+)
+SELECT nation, bal_bucket, n_treated, n_control, sum_treated, sum_control,
+       CAST(sum_treated * 1000000 // n_treated
+            - sum_control * 1000000 // n_control AS BIGINT) AS diff_micro
+FROM g WHERE n_treated > 0 AND n_control > 0"""
     sqls["temporal_motifs_synth"] = """
 WITH es AS MATERIALIZED (
   SELECT ((i * 2654435761) % 4294967296) % 60 AS src,

@@ -1,0 +1,73 @@
+"""Observational causal estimators: coarsened exact matching.
+
+CEM (Iacus, King & Porro 2012 — public methodology): coarsen covariates
+into discrete strata, keep only strata containing BOTH treated and control
+units, and compare outcome means within strata — the simplest
+credible-at-scale treatment-effect estimator, and a pure groupBy in Spark
+(one shuffle on the stratum key, no per-unit matching joins, no ordering
+dependence — the reason CEM distributes where nearest-neighbor propensity
+matching does not).
+
+Exactness discipline: outcomes are exact integer units (cents); per-stratum
+sums/counts are BIGINT; the within-stratum mean gap is emitted as
+``diff_micro`` = (sum_t*1e6 DIV n_t) - (sum_c*1e6 DIV n_c) — each DIV acts
+on non-negative integers (truncate == floor), so the subtraction of the two
+exact terms is engine-stable even when negative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def cem_strata(
+    units: DataFrame,
+    treated: Column,
+    outcome: Column,
+    strata: dict[str, Column],
+) -> DataFrame:
+    """Per-stratum matched treatment/control table.
+
+    ``units``: one row per unit. ``treated``: boolean column. ``outcome``:
+    a NON-NEGATIVE exact-integer column (pre-scale currency to cents).
+    ``strata``: name -> coarsened covariate expression (discrete values).
+
+    Returns one row per matched stratum (>=1 treated AND >=1 control):
+    the stratum keys, ``n_treated``/``n_control``, exact outcome sums, and
+    ``diff_micro`` — the treated-minus-control mean gap in micro-units.
+    The weighted ATT is then ``sum(n_treated * diff_micro) /
+    sum(n_treated)`` over this table (see :func:`cem_att`).
+    """
+    t = treated.cast("int")
+    keyed = units.select(
+        *[c.alias(n) for n, c in strata.items()],
+        t.alias("__t"),
+        outcome.cast("long").alias("__y"),
+    )
+    g = keyed.groupBy(*strata.keys()).agg(
+        F.sum("__t").alias("n_treated"),
+        F.sum(1 - F.col("__t")).alias("n_control"),
+        F.sum(F.col("__t") * F.col("__y")).alias("sum_treated"),
+        F.sum((1 - F.col("__t")) * F.col("__y")).alias("sum_control"),
+    )
+    matched = g.where((F.col("n_treated") > 0) & (F.col("n_control") > 0))
+    return matched.withColumn(
+        "diff_micro",
+        F.expr("sum_treated * 1000000 DIV n_treated - sum_control * 1000000 DIV n_control"),
+    )
+
+
+def cem_att(strata_table: DataFrame) -> DataFrame:
+    """One-row weighted ATT over a :func:`cem_strata` table: the
+    treated-weighted mean of the stratum gaps, plus the matched counts.
+    One exact integer sum per term, a single correctly-rounded division."""
+    return strata_table.agg(
+        F.sum("n_treated").alias("n_treated_matched"),
+        F.sum("n_control").alias("n_control_matched"),
+        F.round(
+            F.sum(F.col("n_treated") * F.col("diff_micro")).cast("double")
+            / F.sum("n_treated").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("att"),
+    )
