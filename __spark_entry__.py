@@ -1870,6 +1870,18 @@ SELECT ls.pa AS vec_id, ROUND(kd.kdist, 6) AS kdist, ROUND(lrd.lrd, 6) AS lrd,
 FROM ls JOIN lrd ON lrd.pa = ls.pa JOIN kd ON kd.o = ls.pa"""
 
 
+def q_kmv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketches + set-operation estimates
+    (operators/sketches.py:kmv_build/kmv_set_ops), k=64 over distinct
+    users per event type: the Knuth multiplier is a bijection mod 2^32, so
+    sketches and the (k-1)*2^32 DIV h_k estimates are exact-replayable
+    BIGINT algebra — per-pair union/intersection estimates included."""
+    from pagerank_spark.operators.sketches import kmv_build, kmv_set_ops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_set_ops(kmv_build(ev, "event_type", "user_id", k=64), k=64)
+
+
 def q_cem_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarsened exact matching (operators/causal.py:cem_strata):
     treatment = BUILDING market segment, strata = (nation, acctbal
@@ -6062,6 +6074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_motifs_synth": q_temporal_motifs_synth,
         "lof_embeddings": q_lof_embeddings,
         "cem_customers": q_cem_customers,
+        "kmv_events": q_kmv_events,
         "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
         "prepare_corpus_docs": q_prepare_corpus_docs,
         "triangles_per_part": q_triangles_per_part,
@@ -6450,6 +6463,46 @@ SELECT event_id,
 FROM events"""
 
     sqls["lof_embeddings"] = _LOF_EMBEDDINGS_SQL
+    sqls["kmv_events"] = """
+WITH d AS MATERIALIZED (
+  SELECT DISTINCT event_type AS key, (user_id * 2654435761) % 4294967296 AS h FROM events
+),
+r AS MATERIALIZED (
+  SELECT key, h, ROW_NUMBER() OVER (PARTITION BY key ORDER BY h ASC) AS rk FROM d
+),
+sk AS MATERIALIZED (
+  SELECT key, list_sort(list(h)) AS sketch, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM r WHERE rk <= 64 GROUP BY key
+),
+s AS (
+  SELECT key, sketch, n_kept,
+    CASE WHEN n_kept < 64 THEN n_kept ELSE 63 * 4294967296 // sketch[64] END AS est
+  FROM sk
+),
+p AS (
+  SELECT a.key AS key_a, b.key AS key_b, a.sketch AS sa, b.sketch AS sb,
+         a.est AS est_a, b.est AS est_b
+  FROM s a JOIN s b ON a.key < b.key
+),
+c AS (
+  SELECT key_a, key_b, est_a, est_b, sa, sb,
+         list_sort(list_distinct(list_concat(sa, sb)))[1:64] AS comb
+  FROM p
+),
+t AS (
+  SELECT *,
+    CASE WHEN len(comb) >= 64 THEN comb[64] ELSE comb[len(comb)] END AS theta,
+    CASE WHEN len(comb) < 64 THEN CAST(len(comb) AS BIGINT)
+         ELSE 63 * 4294967296 // comb[64] END AS est_union
+  FROM c
+)
+SELECT key_a, key_b, CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+       CAST(est_union AS BIGINT) AS est_union,
+       CAST(len(list_filter(list_intersect(sa, sb), x -> x <= theta))
+            * est_union // 64 AS BIGINT) AS est_intersect,
+       CAST(len(list_filter(list_intersect(sa, sb), x -> x <= theta)) AS BIGINT) AS n_common
+FROM t"""
+
     sqls["cem_customers"] = """
 WITH spend AS MATERIALIZED (
   SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

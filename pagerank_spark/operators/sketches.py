@@ -308,3 +308,84 @@ def ams_f2(
         (F.col("z") * F.col("z")).alias("est"),
         "f2_exact",
     )
+
+
+def kmv_build(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002 — public
+    methodology) per key: the ``k`` smallest Knuth-multiplicative hashes of
+    ``value_col``. The odd multiplier mod 2^32 is a BIJECTION on 32-bit
+    ints, so distinct values map to distinct uniform hashes and the whole
+    sketch — unlike HLL's stochastic averaging — is exactly replayable in
+    SQL.
+
+    Scale shape: one distinct-pair shuffle on (key, hash), then the k-min
+    prune is a keyed window over the SAME partitioning (no second
+    exchange). Sketches are k BIGINTs — cheap to broadcast for the
+    pairwise set-operation estimates in :func:`kmv_set_ops`.
+
+    Returns ``(key, sketch array<long> ascending, n_kept)``.
+    """
+    from pyspark.sql import Window
+
+    h = (F.col(value_col).cast("long") * F.lit(2654435761)) % F.lit(4294967296)
+    d = df.select(F.col(key_col).alias("key"), h.alias("h")).dropDuplicates()
+    w = Window.partitionBy("key").orderBy(F.col("h").asc())
+    pruned = d.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") <= int(k))
+    return pruned.groupBy("key").agg(
+        F.sort_array(F.collect_list("h")).alias("sketch"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+def kmv_set_ops(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """All-pairs distinct/union/intersection estimates from KMV sketches.
+
+    For keys a < b: the union's k-min sketch is the k smallest of the
+    merged (deduplicated) sketch values with threshold theta = its k-th
+    element; estimates are the textbook all-integer forms
+
+        est        = (k-1) * 2^32 DIV h_k        (per-key cardinality)
+        est_union  = (k-1) * 2^32 DIV theta
+        est_inter  = |{h in A∩B : h <= theta}| * est_union DIV k
+
+    A key with fewer than k distinct values is exact (est = n_kept). Pure
+    BIGINT arithmetic end to end.
+    """
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept")
+    ).otherwise(F.expr(f"({k} - 1) * 4294967296 DIV element_at(sketch, {k})"))
+    s = sketches.select("key", "sketch", "n_kept", est.alias("est"))
+    a = s.select(
+        F.col("key").alias("key_a"), F.col("sketch").alias("sa"), F.col("est").alias("est_a")
+    )
+    b = s.select(
+        F.col("key").alias("key_b"), F.col("sketch").alias("sb"), F.col("est").alias("est_b")
+    )
+    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+    comb = F.expr(f"slice(array_sort(array_union(sa, sb)), 1, {k})")
+    pairs = pairs.withColumn("__comb", comb).withColumn(
+        "__theta",
+        F.when(
+            F.size("__comb") >= k, F.expr(f"element_at(__comb, {k})")
+        ).otherwise(F.expr("element_at(__comb, size(__comb))")),
+    )
+    est_union = F.when(
+        F.size("__comb") < k, F.size("__comb").cast("long")
+    ).otherwise(F.expr(f"({k} - 1) * 4294967296 DIV __theta"))
+    common = F.expr("size(filter(array_intersect(sa, sb), x -> x <= __theta))").cast("long")
+    return pairs.select(
+        "key_a",
+        "key_b",
+        "est_a",
+        "est_b",
+        est_union.alias("est_union"),
+        F.expr(f"size(filter(array_intersect(sa, sb), x -> x <= __theta)) * "
+               f"(CASE WHEN size(__comb) < {k} THEN CAST(size(__comb) AS BIGINT) "
+               f"ELSE ({k} - 1) * 4294967296 DIV __theta END) DIV {k}").alias("est_intersect"),
+        common.alias("n_common"),
+    )
