@@ -6498,8 +6498,10 @@ t AS (
 )
 SELECT key_a, key_b, CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
        CAST(est_union AS BIGINT) AS est_union,
-       CAST(len(list_filter(list_intersect(sa, sb), x -> x <= theta))
-            * est_union // 64 AS BIGINT) AS est_intersect,
+       CAST(CASE WHEN len(comb) < 64
+                 THEN len(list_filter(list_intersect(sa, sb), x -> x <= theta))
+                 ELSE len(list_filter(list_intersect(sa, sb), x -> x <= theta))
+                      * est_union // 64 END AS BIGINT) AS est_intersect,
        CAST(len(list_filter(list_intersect(sa, sb), x -> x <= theta)) AS BIGINT) AS n_common
 FROM t"""
 

@@ -384,8 +384,12 @@ def kmv_set_ops(sketches: DataFrame, k: int = 64) -> DataFrame:
         "est_a",
         "est_b",
         est_union.alias("est_union"),
-        F.expr(f"size(filter(array_intersect(sa, sb), x -> x <= __theta)) * "
-               f"(CASE WHEN size(__comb) < {k} THEN CAST(size(__comb) AS BIGINT) "
-               f"ELSE ({k} - 1) * 4294967296 DIV __theta END) DIV {k}").alias("est_intersect"),
+        F.expr(
+            f"CASE WHEN size(__comb) < {k} "
+            # sub-k: sketches are the complete sets -> intersection is exact
+            f"THEN CAST(size(filter(array_intersect(sa, sb), x -> x <= __theta)) AS BIGINT) "
+            f"ELSE size(filter(array_intersect(sa, sb), x -> x <= __theta))"
+            f" * (({k} - 1) * 4294967296 DIV __theta) DIV {k} END"
+        ).alias("est_intersect"),
         common.alias("n_common"),
     )
