@@ -1870,6 +1870,17 @@ SELECT ls.pa AS vec_id, ROUND(kd.kdist, 6) AS kdist, ROUND(lrd.lrd, 6) AS lrd,
 FROM ls JOIN lrd ON lrd.pa = ls.pa JOIN kd ON kd.o = ls.pa"""
 
 
+def q_rake_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE corpus keywords (operators/textops.py:rake_keywords): top-20
+    stopword-delimited phrases by summed word degree/frequency scores —
+    phrase stats aggregated before the word explode, all-integer
+    micro-unit scoring (positive DIVs only)."""
+    from pagerank_spark.operators.textops import rake_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rake_keywords(docs, k=20)
+
+
 def q_kmv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketches + set-operation estimates
     (operators/sketches.py:kmv_build/kmv_set_ops), k=64 over distinct
@@ -6075,6 +6086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lof_embeddings": q_lof_embeddings,
         "cem_customers": q_cem_customers,
         "kmv_events": q_kmv_events,
+        "rake_docs": q_rake_docs,
         "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
         "prepare_corpus_docs": q_prepare_corpus_docs,
         "triangles_per_part": q_triangles_per_part,
@@ -6463,6 +6475,39 @@ SELECT event_id,
 FROM events"""
 
     sqls["lof_embeddings"] = _LOF_EMBEDDINGS_SQL
+    sqls["rake_docs"] = """
+WITH ph0 AS MATERIALIZED (
+  SELECT unnest(regexp_split_to_array(
+           regexp_replace(lower(trim(text)),
+                          '\\b(the|a|of|and|to|in|is|it)\\b', '|', 'g'),
+           '\\|')) AS p
+  FROM documents
+),
+ph AS MATERIALIZED (SELECT trim(p) AS phrase FROM ph0 WHERE trim(p) <> ''),
+occ AS MATERIALIZED (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(len(regexp_split_to_array(phrase, '\\s+')) AS BIGINT) AS n_words
+  FROM ph GROUP BY phrase
+),
+pw AS MATERIALIZED (
+  SELECT phrase, n_occ, n_words,
+         unnest(regexp_split_to_array(phrase, '\\s+')) AS word
+  FROM occ
+),
+ws AS MATERIALIZED (
+  SELECT word, CAST(SUM(n_occ) AS BIGINT) AS freq,
+         CAST(SUM(n_occ * n_words) AS BIGINT) AS deg
+  FROM pw GROUP BY word
+),
+sc AS (
+  SELECT pw.phrase, pw.n_occ, pw.n_words,
+         CAST(SUM(ws.deg * 1000000 // ws.freq) AS BIGINT) AS score_micro
+  FROM pw JOIN ws USING (word)
+  GROUP BY 1, 2, 3
+)
+SELECT phrase, n_occ, n_words, score_micro FROM sc
+ORDER BY score_micro DESC, phrase ASC LIMIT 20"""
+
     sqls["kmv_events"] = """
 WITH d AS MATERIALIZED (
   SELECT DISTINCT event_type AS key, (user_id * 2654435761) % 4294967296 AS h FROM events

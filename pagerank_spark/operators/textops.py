@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    STOPWORDS,
     char_count,
     fingerprint,
     mean_token_len,
@@ -428,3 +429,54 @@ def vocab_growth(
         "tokens_so_far",
         "vocab_so_far",
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    stopwords: list[str] | None = None,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE corpus keywords (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents" — public methodology): candidate
+    phrases are maximal stopword-free runs; a word's score is
+    degree/frequency (degree = summed length of phrase occurrences
+    containing it); a phrase scores the sum of its words' scores.
+
+    Distributed variant: statistics are corpus-level (the per-doc original
+    is a trivial regrouping), phrases are aggregated as distinct strings
+    with occurrence counts BEFORE word explosion — so the heavy explode
+    runs over the distinct-phrase table, not the corpus. Word scores are
+    emitted in exact integer micro-units (deg * 1e6 DIV freq, both
+    positive, truncate == floor) and the phrase score is an integer sum —
+    engine-exact. Returns the top ``k`` phrases by (score desc, phrase
+    asc): ``(phrase, n_occ, n_words, score_micro)``.
+    """
+    sw = stopwords if stopwords is not None else list(STOPWORDS)
+    pat = r"\b(" + "|".join(sw) + r")\b"
+    repl = F.regexp_replace(F.lower(F.trim(F.col(text_col))), pat, "|")
+    phrases = (
+        docs.select(F.explode(F.split(repl, r"\|")).alias("__p"))
+        .select(F.trim("__p").alias("phrase"))
+        .where(F.col("phrase") != "")
+    )
+    occ = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    occ = occ.withColumn("words", F.split("phrase", r"\s+")).withColumn(
+        "n_words", F.size("words").cast("long")
+    )
+    pw = occ.select("phrase", "n_occ", "n_words", F.explode("words").alias("word"))
+    wstats = pw.groupBy("word").agg(
+        F.sum("n_occ").alias("freq"),
+        F.sum(F.col("n_occ") * F.col("n_words")).alias("deg"),
+    )
+    wscore = wstats.select(
+        "word", F.expr("deg * 1000000 DIV freq").alias("wscore_micro")
+    )
+    scored = (
+        pw.join(wscore, "word")
+        .groupBy("phrase", "n_occ", "n_words")
+        .agg(F.sum("wscore_micro").alias("score_micro"))
+    )
+    return scored.orderBy(
+        F.col("score_micro").desc(), F.col("phrase").asc()
+    ).limit(int(k))
