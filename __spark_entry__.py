@@ -5517,6 +5517,32 @@ def q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["spark", "shuffle", "join", "query"], k=20)
 
 
+def q_ndcg_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking (operators/mleval.py:ndcg_at_k) against
+    graded term-coverage relevance (rel = how many of the 4 query terms the
+    doc contains): literal micro log2 discounts (never engine-side log),
+    ideal = rel-desc reorder of the retrieved set, all-integer output."""
+    from pyspark.sql import Window
+
+    from pagerank_spark.operators.mleval import ndcg_at_k
+    from pagerank_spark.operators.retrieval import bm25_topk
+
+    terms = ["spark", "shuffle", "join", "query"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = bm25_topk(docs, terms, k=10)
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: F.length(x) > 0)
+    rel_doc = docs.select(
+        "doc_id",
+        sum(
+            [F.when(F.array_contains(toks, t), 1).otherwise(0) for t in terms],
+            F.lit(0),
+        ).alias("rel"),
+    )
+    return ndcg_at_k(ranked.join(rel_doc, "doc_id"), "rel", "rank", k=10)
+
+
 def q_scc_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components over the planted cyclic graph
     (sources/graphs.py::synth_cyclic — the gate tables are DAGs, so SCC
@@ -6087,6 +6113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cem_customers": q_cem_customers,
         "kmv_events": q_kmv_events,
         "rake_docs": q_rake_docs,
+        "ndcg_bm25_docs": q_ndcg_bm25_docs,
         "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
         "prepare_corpus_docs": q_prepare_corpus_docs,
         "triangles_per_part": q_triangles_per_part,
@@ -9496,6 +9523,39 @@ SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
 FROM c GROUP BY 1
 ORDER BY score_micro DESC, doc_id ASC
 LIMIT 20"""
+
+    from pagerank_spark.operators.mleval import ndcg_weights
+
+    _ndcg_w = "[" + ", ".join(str(x) for x in ndcg_weights(10)) + "]"
+    sqls["ndcg_bm25_docs"] = f"""
+WITH r AS MATERIALIZED (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rk
+  FROM ({sqls["bm25_docs"]})
+),
+tk AS MATERIALIZED (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> len(x) > 0) AS toks
+  FROM documents
+),
+t AS MATERIALIZED (
+  SELECT r.doc_id, r.rk,
+         CAST((CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'shuffle') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS BIGINT) AS rel
+  FROM r JOIN tk USING (doc_id) WHERE r.rk <= 10
+),
+i AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, rk ASC) AS irk FROM t),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_ranked,
+         CAST(SUM(rel * ({_ndcg_w})[rk]) AS BIGINT) AS dcg_micro,
+         CAST(SUM(rel * ({_ndcg_w})[irk]) AS BIGINT) AS idcg_micro
+  FROM i
+)
+SELECT CAST(10 AS BIGINT) AS k, n_ranked, dcg_micro, idcg_micro,
+       CAST(CASE WHEN idcg_micro > 0 THEN dcg_micro * 1000000 // idcg_micro
+                 ELSE 0 END AS BIGINT) AS ndcg_micro
+FROM a"""
 
     # duplicated-window membership and interval union are pure set algebra
     # on integer positions — the cleaned text is string-exact both sides

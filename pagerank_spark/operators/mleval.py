@@ -261,3 +261,60 @@ def partition_agreement(
         .cast("long")
         .alias("ari_micro"),
     )
+
+
+def ndcg_weights(k: int) -> list[int]:
+    """Per-rank DCG discounts as integer micro-units:
+    ``floor(1e6 / log2(rank+1) + 0.5)`` for rank 1..k. Computed ONCE in
+    Python and inlined as literals on both engines — log2 is not
+    correctly-rounded IEEE across engines, so it must never be evaluated
+    engine-side (the Benford-gate rule)."""
+    import math
+
+    return [int(1_000_000 / math.log2(i + 1) + 0.5) for i in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    rel_col: str = "rel",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k of a ranking against graded relevance labels — all-integer:
+    ``dcg_micro`` = sum(rel * w[rank]) with the literal micro discounts
+    from :func:`ndcg_weights`, ``idcg_micro`` over the ideal reordering of
+    the SAME retrieved set (rel desc, original rank as tiebreak — the
+    local-ideal NDCG variant), and ``ndcg_micro`` = dcg*1e6 DIV idcg
+    (non-negative, truncate == floor).
+
+    The ideal re-rank is a global row_number over at most ``k`` rows —
+    constant-size by construction, not a scale concern. Returns one row
+    ``(k, n_ranked, dcg_micro, idcg_micro, ndcg_micro)``.
+    """
+    from pyspark.sql import Window
+
+    warr = F.array([F.lit(x) for x in ndcg_weights(k)])
+    d = ranked.where(F.col(rank_col) <= k).select(
+        F.col(rank_col).cast("int").alias("__rk"),
+        F.col(rel_col).cast("long").alias("__rel"),
+    )
+    iw = Window.orderBy(F.col("__rel").desc(), F.col("__rk").asc())
+    d2 = d.withColumn("__irk", F.row_number().over(iw))
+    agg = d2.agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.sum(F.col("__rel") * F.element_at(warr, F.col("__rk"))).alias("dcg_micro"),
+        F.sum(F.col("__rel") * F.element_at(warr, F.col("__irk"))).alias("idcg_micro"),
+    )
+    return agg.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_ranked").cast("long").alias("n_ranked"),
+        "dcg_micro",
+        "idcg_micro",
+        F.when(
+            F.col("idcg_micro") > 0,
+            F.expr("dcg_micro * 1000000 DIV idcg_micro"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ndcg_micro"),
+    )
