@@ -5278,6 +5278,74 @@ def q_pathcount_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dag_path_counts(layered_dag(spark, 8, 8, weighted=False), max_iters=20)
 
 
+def q_onion_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion decomposition (algos/kcore.py:onion_layers) on a planted
+    4-shell graph both engines generate in closed form (200 pendants + a
+    60-leaf star -> layer 1; the isolated ex-center -> layer 2 at min 0;
+    a 100-cycle -> layer 3; a 30-clique -> layer 4): synchronized
+    min-degree peeling with an explicit alive-vertex table so isolation
+    is peeled, not silently lost. Oracle unrolls 6 rounds (rounds past
+    the empty graph are no-ops)."""
+    from pagerank_spark.algos.kcore import onion_layers
+
+    r30 = spark.range(30)
+    clique = r30.alias("a").join(r30.alias("b"), F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("src"), F.col("b.id").alias("dst")
+    )
+    cycle = spark.range(100).selectExpr("100 + id AS src", "100 + (id + 1) % 100 AS dst")
+    pendants = spark.range(200).selectExpr("1000 + id AS src", "100 + id % 100 AS dst")
+    star = spark.range(1, 61).selectExpr("CAST(500 AS BIGINT) AS src", "500 + id AS dst")
+    edges = clique.unionByName(cycle).unionByName(pendants).unionByName(star)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        res = onion_layers(edges, max_rounds=8)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return res
+
+
+def _onion_synth_sql(rounds: int = 6) -> str:
+    parts = [
+        "cl AS (SELECT a.i AS src, b.i AS dst FROM (SELECT unnest(range(0, 30)) AS i) a"
+        " JOIN (SELECT unnest(range(0, 30)) AS i) b ON a.i < b.i)",
+        "cy AS (SELECT 100 + i AS src, 100 + (i + 1) % 100 AS dst"
+        " FROM (SELECT unnest(range(0, 100)) AS i))",
+        "pe AS (SELECT 1000 + i AS src, 100 + i % 100 AS dst"
+        " FROM (SELECT unnest(range(0, 200)) AS i))",
+        "st AS (SELECT 500 AS src, 500 + i AS dst FROM (SELECT unnest(range(1, 61)) AS i))",
+        "e0raw AS (SELECT src, dst FROM cl UNION ALL SELECT src, dst FROM cy"
+        " UNION ALL SELECT src, dst FROM pe UNION ALL SELECT src, dst FROM st)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM e0raw UNION ALL SELECT dst, src FROM e0raw))",
+        "v0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT v.id, COALESCE(g.c, 0) AS c FROM v{t - 1} v"
+            f" LEFT JOIN (SELECT src, COUNT(*) AS c FROM e{t - 1} GROUP BY 1) g ON g.src = v.id)"
+        )
+        parts.append(
+            f"dr{t} AS MATERIALIZED (SELECT id, {t} AS layer,"
+            f" (SELECT MIN(c) FROM d{t}) AS k FROM d{t}"
+            f" WHERE c <= (SELECT MIN(c) FROM d{t}))"
+        )
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT id FROM v{t - 1}"
+            f" WHERE id NOT IN (SELECT id FROM dr{t}))"
+        )
+        parts.append(
+            f"e{t} AS MATERIALIZED (SELECT src, dst FROM e{t - 1}"
+            f" WHERE src NOT IN (SELECT id FROM dr{t})"
+            f" AND dst NOT IN (SELECT id FROM dr{t}))"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT id, CAST(layer AS BIGINT) AS layer, CAST(k AS BIGINT) AS k_peel FROM dr{t}"
+        for t in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
 def q_lt_cascade_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-threshold influence cascade (algos/cascade.py) on the
     symmetrized co-purchase graph: seeds = top-200 degree hubs (asc-id
@@ -5940,6 +6008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "critpath_synth": q_critpath_synth,
         "pathcount_synth": q_pathcount_synth,
         "lt_cascade_copurchase": q_lt_cascade_copurchase,
+        "onion_synth": q_onion_synth,
         "attribution_events": q_attribution_events,
         "rrf_docs": q_rrf_docs,
         "bipartite_synth": q_bipartite_synth,
@@ -6759,6 +6828,7 @@ FROM pk"""
     # Holt: recursive-CTE replay of the expanded dyadic fold (A=2, B=4 ->
     # l' = (x + l + b)/2, b' = (x - l + 7b)/8), identical IEEE ops
     sqls["lt_cascade_copurchase"] = _lt_cascade_sql()
+    sqls["onion_synth"] = _onion_synth_sql()
     sqls["stickiness_events"] = """
 WITH act AS MATERIALIZED (
   SELECT DISTINCT CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS ym,

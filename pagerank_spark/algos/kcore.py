@@ -70,3 +70,64 @@ def k_core(
             n_prev = n_cur
 
     return alive
+
+
+def onion_layers(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016,
+    Scientific Reports — public methodology): synchronized min-degree
+    peeling. Each round removes EVERY vertex whose current degree equals
+    the graph's current minimum (isolated vertices peel at min 0), so the
+    layer index refines coreness with intra-core depth — and the
+    synchronized rounds make it deterministic and SQL-unrollable.
+
+    Keeps an explicit alive-vertex table (edge lists lose isolated
+    vertices silently); per round: one degree aggregation, an in-plan
+    broadcast of the one-row global min (no driver round-trip for the
+    threshold), two semi-joins to shrink the edge set, and eager
+    localCheckpoints to truncate lineage. One count action per round for
+    termination — same superstep shape and cost as :func:`k_core`.
+
+    Returns ``(id, layer, k_peel)`` for every vertex; ``k_peel`` is the
+    minimum degree at the vertex's peel round (its coreness).
+    """
+    p = _num_partitions(edges)
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .repartition(p, "src")
+    ).localCheckpoint()
+    verts = sym.select(F.col("src").alias("id")).dropDuplicates().localCheckpoint()
+
+    out = None
+    cur_e, cur_v = sym, verts
+    for layer in range(1, max_rounds + 1):
+        deg = (
+            cur_v.join(
+                cur_e.groupBy("src").count().withColumnRenamed("src", "id"), "id", "left"
+            )
+            .select("id", F.coalesce("count", F.lit(0)).alias("c"))
+        )
+        m = deg.agg(F.min("c").alias("m"))
+        drop = (
+            deg.crossJoin(F.broadcast(m))
+            .where(F.col("c") <= F.col("m"))
+            .select(
+                "id",
+                F.lit(layer).cast("long").alias("layer"),
+                F.col("m").cast("long").alias("k_peel"),
+            )
+            .localCheckpoint()
+        )
+        if drop.count() == 0:
+            break
+        out = drop if out is None else out.unionByName(drop)
+        dropped = drop.select("id")
+        cur_v = cur_v.join(dropped, "id", "left_anti").localCheckpoint()
+        cur_e = (
+            cur_e.join(dropped.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(dropped.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return out
