@@ -1925,6 +1925,17 @@ def q_cem_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mutual_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest neighbors (operators/similarity.py:mutual_knn),
+    k=3: unordered pairs where each vector is in the other's exact cosine
+    top-k — one self-join of the knn_graph edge list; oracle composes the
+    knn SQL with the same reversed-pair join."""
+    from pagerank_spark.operators.similarity import mutual_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return mutual_knn(emb, k=3)
+
+
 def q_quantile_disc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete quantiles of price cents
     (operators/packing.py::exact_quantiles): value histogram + distributed
@@ -6183,6 +6194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_events": q_kmv_events,
         "rake_docs": q_rake_docs,
         "ndcg_bm25_docs": q_ndcg_bm25_docs,
+        "mutual_knn_embeddings": q_mutual_knn_embeddings,
         "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
         "prepare_corpus_docs": q_prepare_corpus_docs,
         "triangles_per_part": q_triangles_per_part,
@@ -7795,6 +7807,11 @@ FROM tok GROUP BY 1, 2
     sqls["quantile_disc_lineitem"] = _QUANTILE_DISC_LINEITEM_SQL
     sqls["weighted_median_lineitem"] = _WEIGHTED_MEDIAN_LINEITEM_SQL
     sqls["knn_graph_embeddings"] = _KNN_GRAPH_EMBEDDINGS_SQL
+    sqls["mutual_knn_embeddings"] = f"""
+WITH g AS MATERIALIZED ({_KNN_GRAPH_EMBEDDINGS_SQL})
+SELECT ga.vec_id AS a, ga.neighbor AS b, ga.rank AS rank_ab, gb.rank AS rank_ba, ga.cos
+FROM g ga JOIN g gb ON gb.vec_id = ga.neighbor AND gb.neighbor = ga.vec_id
+WHERE ga.vec_id < ga.neighbor"""
     sqls["grouped_median_lineitem"] = _GROUPED_MEDIAN_LINEITEM_SQL
     sqls["changepoint_orders"] = _CHANGEPOINT_ORDERS_SQL
     sqls["trend_users_events"] = _TREND_USERS_EVENTS_SQL

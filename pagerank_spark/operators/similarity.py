@@ -361,3 +361,26 @@ def knn_graph(
         .where(F.col("rank") <= int(k))
         .select(id_col, "neighbor", "rank", "cos")
     )
+
+
+def mutual_knn(emb: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Reciprocal nearest neighbors: pairs where EACH vector is in the
+    other's cosine top-k (the high-precision candidate filter used by
+    RNN-based clustering and cross-encoder dedup). One self-join of the
+    :func:`knn_graph` edge list on the reversed pair; emitted once per
+    unordered pair (a < b) with both ranks. Same exact-integer cosine
+    discipline as knn_graph — no new float surface."""
+    g = knn_graph(emb, k=k, id_col=id_col, vec_col=vec_col)
+    a = g.select(
+        F.col(id_col).alias("a"), F.col("neighbor").alias("b"),
+        F.col("rank").alias("rank_ab"), F.col("cos").alias("cos_ab"),
+    )
+    b = g.select(
+        F.col(id_col).alias("b2"), F.col("neighbor").alias("a2"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        a.join(b, (F.col("a") == F.col("a2")) & (F.col("b") == F.col("b2")))
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "rank_ab", "rank_ba", F.round("cos_ab", 6).alias("cos"))
+    )
