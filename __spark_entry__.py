@@ -1925,6 +1925,22 @@ def q_cem_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fifo_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot allocation (operators/inventory.py:fifo_allocate): per
+    part, lots = order-keyed summed quantities, demand = 3/5 of total
+    supply (integer DIV); consumed = clamp(demand - prefix, 0, qty) — the
+    sequential lot walk re-expressed as one keyed cumulative sum, exact
+    BIGINT."""
+    from pagerank_spark.operators.inventory import fifo_allocate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lots = li.groupBy(
+        F.col("l_partkey").alias("key"), F.col("l_orderkey").alias("lot_id")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    demand = lots.groupBy("key").agg(F.expr("SUM(qty) * 3 DIV 5").alias("demand"))
+    return fifo_allocate(lots, demand)
+
+
 def q_mutual_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal nearest neighbors (operators/similarity.py:mutual_knn),
     k=3: unordered pairs where each vector is in the other's exact cosine
@@ -6195,6 +6211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_docs": q_rake_docs,
         "ndcg_bm25_docs": q_ndcg_bm25_docs,
         "mutual_knn_embeddings": q_mutual_knn_embeddings,
+        "fifo_lineitem": q_fifo_lineitem,
         "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
         "prepare_corpus_docs": q_prepare_corpus_docs,
         "triangles_per_part": q_triangles_per_part,
@@ -7807,6 +7824,24 @@ FROM tok GROUP BY 1, 2
     sqls["quantile_disc_lineitem"] = _QUANTILE_DISC_LINEITEM_SQL
     sqls["weighted_median_lineitem"] = _WEIGHTED_MEDIAN_LINEITEM_SQL
     sqls["knn_graph_embeddings"] = _KNN_GRAPH_EMBEDDINGS_SQL
+    sqls["fifo_lineitem"] = """
+WITH lots AS MATERIALIZED (
+  SELECT l_partkey AS key, l_orderkey AS lot_id,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+d AS MATERIALIZED (SELECT key, CAST(SUM(qty) * 3 // 5 AS BIGINT) AS dem FROM lots GROUP BY 1),
+c AS (
+  SELECT key, lot_id, qty,
+         CAST(SUM(qty) OVER (PARTITION BY key ORDER BY lot_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM lots
+)
+SELECT c.key, c.lot_id, c.qty,
+       GREATEST(0, LEAST(c.qty, d.dem - (c.cum - c.qty))) AS consumed,
+       c.qty - GREATEST(0, LEAST(c.qty, d.dem - (c.cum - c.qty))) AS remaining
+FROM c JOIN d USING (key)"""
+
     sqls["mutual_knn_embeddings"] = f"""
 WITH g AS MATERIALIZED ({_KNN_GRAPH_EMBEDDINGS_SQL})
 SELECT ga.vec_id AS a, ga.neighbor AS b, ga.rank AS rank_ab, gb.rank AS rank_ba, ga.cos
