@@ -1925,6 +1925,27 @@ def q_cem_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dhondt_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Hondt highest-averages apportionment (operators/apportion.py):
+    10 seats per customer nation allocated across market segments by
+    order counts — divisor explode + keyed window, quotients are single
+    correctly-rounded divisions of exact BIGINTs, standard largest-party
+    tiebreak made total."""
+    from pagerank_spark.operators.apportion import dhondt_seats
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("district"),
+            F.col("c_mktsegment").alias("party"),
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    return dhondt_seats(v, n_seats=10)
+
+
 def q_fifo_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIFO lot allocation (operators/inventory.py:fifo_allocate): per
     part, lots = order-keyed summed quantities, demand = 3/5 of total
@@ -6212,6 +6233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_bm25_docs": q_ndcg_bm25_docs,
         "mutual_knn_embeddings": q_mutual_knn_embeddings,
         "fifo_lineitem": q_fifo_lineitem,
+        "dhondt_orders": q_dhondt_orders,
         "dedup_paragraphs_docs": q_dedup_paragraphs_docs,
         "prepare_corpus_docs": q_prepare_corpus_docs,
         "triangles_per_part": q_triangles_per_part,
@@ -7824,6 +7846,31 @@ FROM tok GROUP BY 1, 2
     sqls["quantile_disc_lineitem"] = _QUANTILE_DISC_LINEITEM_SQL
     sqls["weighted_median_lineitem"] = _WEIGHTED_MEDIAN_LINEITEM_SQL
     sqls["knn_graph_embeddings"] = _KNN_GRAPH_EMBEDDINGS_SQL
+    sqls["dhondt_orders"] = """
+WITH v AS MATERIALIZED (
+  SELECT CAST(c_nationkey AS BIGINT) AS district, c_mktsegment AS party,
+         CAST(COUNT(*) AS BIGINT) AS votes
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+q AS (
+  SELECT district, party, votes, i AS div,
+         CAST(votes AS DOUBLE) / CAST(i AS DOUBLE) AS quot
+  FROM v, (SELECT unnest(range(1, 11)) AS i) WHERE votes > 0
+),
+r AS (
+  SELECT district, party, votes,
+         ROW_NUMBER() OVER (PARTITION BY district
+                            ORDER BY quot DESC, votes DESC, party ASC, div ASC) AS rk
+  FROM q
+),
+won AS (
+  SELECT district, party, CAST(COUNT(*) AS BIGINT) AS seats
+  FROM r WHERE rk <= 10 GROUP BY 1, 2
+)
+SELECT v.district, v.party, v.votes, COALESCE(won.seats, 0) AS seats
+FROM v LEFT JOIN won USING (district, party)"""
+
     sqls["fifo_lineitem"] = """
 WITH lots AS MATERIALIZED (
   SELECT l_partkey AS key, l_orderkey AS lot_id,
