@@ -5960,6 +5960,30 @@ def q_pettitt_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pettitt_test(series, "t", "x")
 
 
+def q_cocitation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation strengths (Small 1973) on the copurchase graph
+    (operators/graphstats.py::cocitation): weight(a,b) = distinct sources
+    pointing at both, plus citation degrees and the exact-integer
+    micro-scaled squared-cosine normalization. Oracle: the same self-join +
+    integer algebra over the copurchase edge CTE."""
+    from pagerank_spark.operators.graphstats import cocitation
+
+    return cocitation(
+        _graph_for(spark, sf_dir, "copurchase"), mode="cocitation", min_weight=8
+    )
+
+
+def q_bibcoupling_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic-coupling strengths (Kessler 1963) on the copurchase
+    graph: weight(a,b) = distinct targets both cite — the out-edge dual of
+    co-citation, same capped-projection plan."""
+    from pagerank_spark.operators.graphstats import cocitation
+
+    return cocitation(
+        _graph_for(spark, sf_dir, "copurchase"), mode="coupling", min_weight=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6249,6 +6273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_planted": q_multimodal_video_planted,
         "multimodal_wav_features": q_multimodal_wav_features,
         "multimodal_video_frames": q_multimodal_video_frames,
+        "cocitation_copurchase": q_cocitation_copurchase,
+        "bibcoupling_copurchase": q_bibcoupling_copurchase,
     }
 
 
@@ -10241,5 +10267,24 @@ km AS (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS k_stat FROM u)
 SELECT nn.n, km.k_stat,
        (SELECT CAST(MIN(t) AS BIGINT) FROM u WHERE ABS(u.u) = km.k_stat) AS t_star
 FROM nn CROSS JOIN km"""
+
+    # co-citation / coupling: same distinct self-join + BIGINT cosine algebra
+    def _cocitation_sql(mode: str) -> str:
+        grp, itm = ("src", "dst") if mode == "cocitation" else ("dst", "src")
+        return f"""
+WITH {_materialize(COPURCHASE_EDGES_CTE.strip())},
+ed AS MATERIALIZED (SELECT DISTINCT {grp} AS g, {itm} AS i FROM e WHERE src <> dst),
+pr AS MATERIALIZED (
+  SELECT x.i AS a, y.i AS b, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM ed x JOIN ed y ON x.g = y.g AND x.i < y.i
+  GROUP BY 1, 2),
+deg AS MATERIALIZED (SELECT i AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1)
+SELECT pr.a, pr.b, weight, da.deg AS deg_a, db.deg AS deg_b,
+       (weight * weight * 1000000) // (da.deg * db.deg) AS cos2_micro
+FROM pr JOIN deg da ON da.id = pr.a JOIN deg db ON db.id = pr.b
+WHERE weight >= 8"""
+
+    sqls["cocitation_copurchase"] = _cocitation_sql("cocitation")
+    sqls["bibcoupling_copurchase"] = _cocitation_sql("coupling")
 
     return sqls

@@ -574,3 +574,59 @@ def wl_refinement(edges: DataFrame, rounds: int = 3, num_partitions: int = 32) -
             )
         ).localCheckpoint()
     return colors.select("id", F.col("c").alias("color"))
+
+
+def cocitation(
+    edges: DataFrame,
+    mode: str = "cocitation",
+    min_weight: int = 1,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Co-citation (Small 1973) / bibliographic-coupling (Kessler 1963)
+    strengths of a directed citation/link graph — the classic link-analysis
+    similarity the reference's rank kernel sits on top of (related-page
+    discovery over the same edge table the accelerator streams,
+    /root/reference/src/pagerank.v's CSR edges).
+
+    ``mode="cocitation"``: weight(a, b) = number of distinct sources that
+    cite BOTH a and b (pairs over shared ``src``). ``mode="coupling"``:
+    weight(a, b) = number of distinct targets cited by both (pairs over
+    shared ``dst``). Either is exactly :func:`bipartite_project` with the
+    shared endpoint as the group key, so the hub cap (a source citing
+    thousands of pages, a page cited by everything) reuses the same
+    pre-join group filter — the quadratic hazard and its mitigation are
+    identical.
+
+    Output adds the endpoint "citation degrees" (distinct group count per
+    item — in-degree for cocitation, out-degree for coupling) and the
+    exact-integer micro-scaled SQUARED cosine similarity
+    ``cos2_micro = (w^2 * 1e6) div (deg_a * deg_b)`` — monotone in the
+    usual cosine normalization ``w / sqrt(deg_a * deg_b)`` but free of
+    sqrt, so the gate hash is pure BIGINT arithmetic on both engines.
+    """
+    if mode not in ("cocitation", "coupling"):
+        raise ValueError(f"mode must be cocitation|coupling, got {mode!r}")
+    group, item = ("src", "dst") if mode == "cocitation" else ("dst", "src")
+    e = edges.select(group, item).filter(F.col("src") != F.col("dst"))
+    pairs = bipartite_project(
+        e, group, item, min_weight=min_weight, max_group_size=max_hub_degree
+    )
+    deg = (
+        e.dropDuplicates()
+        .groupBy(F.col(item).alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        pairs.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            "weight",
+            "deg_a",
+            "deg_b",
+            F.expr("(weight * weight * 1000000) div (deg_a * deg_b)").alias(
+                "cos2_micro"
+            ),
+        )
+    )
