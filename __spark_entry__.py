@@ -5984,6 +5984,21 @@ def q_bibcoupling_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dtw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer DTW distance of each user's cents-quantized value
+    series against a fixed 8-step ramp template (operators/dtw.py::
+    dtw_to_query) — the full DP as one nested codegen'd array fold.
+    Oracle: the identical fold via DuckDB list_reduce (list-typed
+    accumulators on both sides; the struct-accumulator pitfall doesn't
+    apply)."""
+    from pagerank_spark.operators.dtw import dtw_to_query
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dtw_to_query(
+        ev, query=[500, 1500, 2500, 3500, 4500, 5500, 6500, 7500]
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6275,6 +6290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames": q_multimodal_video_frames,
         "cocitation_copurchase": q_cocitation_copurchase,
         "bibcoupling_copurchase": q_bibcoupling_copurchase,
+        "dtw_events": q_dtw_events,
     }
 
 
@@ -10286,5 +10302,35 @@ WHERE weight >= 8"""
 
     sqls["cocitation_copurchase"] = _cocitation_sql("cocitation")
     sqls["bibcoupling_copurchase"] = _cocitation_sql("coupling")
+
+    # DTW: the identical nested integer fold via list_reduce (list-typed
+    # accumulators; boundary column 0 = 2^60 sentinel, init row constant)
+    _dtw_q = [500, 1500, 2500, 3500, 4500, 5500, 6500, 7500]
+    _dtw_m = len(_dtw_q)
+    _dtw_big = 1 << 60
+    _dtw_qlit = "[" + ", ".join(str(v) for v in _dtw_q) + "]::BIGINT[]"
+    _dtw_js = "[" + ", ".join(str(j) for j in range(1, _dtw_m + 1)) + "]::BIGINT[]"
+    _dtw_init = (
+        "[CAST(0 AS BIGINT), "
+        + ", ".join(str(_dtw_big) for _ in _dtw_q)
+        + "]"
+    )
+    sqls["dtw_events"] = f"""
+WITH s AS MATERIALIZED (
+  SELECT user_id,
+         list(CAST(ROUND(value * 100) AS BIGINT)
+              ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS vs,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1)
+SELECT user_id, n_events,
+  list_reduce(
+    list_prepend({_dtw_init}, list_transform(vs, v -> [v])),
+    (acc, e) -> list_reduce(
+      list_prepend([CAST({_dtw_big} AS BIGINT)],
+        list_transform({_dtw_js}, j -> [abs(e[1] - ({_dtw_qlit})[j]), acc[j + 1], acc[j]])),
+      (racc, t) -> list_append(racc, t[1] + least(racc[-1], t[2], t[3]))
+    )
+  )[{_dtw_m + 1}] AS dtw
+FROM s"""
 
     return sqls
