@@ -5999,6 +5999,17 @@ def q_dtw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lz78_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level LZ78 phrase-count redundancy signal per document
+    (operators/textops.py::lz78_complexity) — the compression-based
+    quality score. Oracle: the identical sequential parse via DuckDB
+    list_reduce over separator-joined tokens."""
+    from pagerank_spark.operators.textops import lz78_complexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lz78_complexity(docs)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6291,6 +6302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_copurchase": q_cocitation_copurchase,
         "bibcoupling_copurchase": q_bibcoupling_copurchase,
         "dtw_events": q_dtw_events,
+        "lz78_docs": q_lz78_docs,
     }
 
 
@@ -10332,5 +10344,28 @@ SELECT user_id, n_events,
     )
   )[{_dtw_m + 1}] AS dtw
 FROM s"""
+
+    # LZ78: identical sequential parse; state slot 1 = in-progress phrase
+    sqls["lz78_docs"] = """
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+  FROM documents),
+st AS MATERIALIZED (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+    list_reduce(
+      list_prepend([''], list_transform(toks, x -> [x])),
+      (acc, e) -> CASE WHEN list_contains(acc[2:], acc[1] || chr(31) || e[1])
+        THEN list_prepend(acc[1] || chr(31) || e[1], acc[2:])
+        ELSE list_prepend('', list_append(acc[2:], acc[1] || chr(31) || e[1])) END
+    ) AS s
+  FROM t),
+np AS (
+  SELECT doc_id, n_tokens,
+         CAST(len(s) - 1 + CASE WHEN s[1] <> '' THEN 1 ELSE 0 END AS BIGINT) AS n_phrases
+  FROM st)
+SELECT doc_id, n_tokens, n_phrases,
+       CASE WHEN n_tokens > 0 THEN (n_phrases * 1000000) // n_tokens END AS ratio_micro
+FROM np"""
 
     return sqls

@@ -480,3 +480,63 @@ def rake_keywords(
     return scored.orderBy(
         F.col("score_micro").desc(), F.col("phrase").asc()
     ).limit(int(k))
+
+
+def lz78_complexity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token-level LZ78 phrase count per document — the compression-based
+    redundancy signal (Ziv & Lempel 1978): highly templated/repetitive text
+    parses into FEW phrases relative to its token count, natural prose into
+    many. Corpus-prep filters use the ratio exactly like the Gopher
+    repetition signals (repetition_signals above), but it catches
+    long-range structure those per-n-gram ratios miss.
+
+    The LZ78 parse is inherently sequential per document (the dictionary
+    grows as the scan proceeds), so the shape mirrors operators/dtw.py: a
+    per-row codegen'd ``aggregate`` fold, state = the phrase dictionary as
+    an ``array<string>`` with slot 1 holding the in-progress phrase
+    (constant-typed state keeps the fold replayable by DuckDB's
+    ``list_reduce``, whose accumulator must match the element type).
+    Membership is ``array_contains`` — O(phrases) per token, quadratic
+    worst case per doc, bounded by document length (the sessionization
+    bound; a book-length doc belongs in a chunker upstream). Zero
+    shuffles: a pure per-row projection.
+
+    Tokens are lowercase ``[a-z0-9]+`` runs joined with a unit separator
+    inside phrases (prefix-ambiguity guard). ``ratio_micro = n_phrases *
+    1e6 div n_tokens`` — exact integers end to end; a trailing in-progress
+    phrase counts as one (standard convention).
+    """
+    toks = F.expr(f"regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9]+', 0)")
+    # state[1] = current phrase ('' = none); state[2:] = dictionary
+    fold = (
+        "aggregate(__toks, array(''), (acc, t) -> "
+        "CASE WHEN array_contains(slice(acc, 2, greatest(size(acc) - 1, 0)), "
+        "concat(element_at(acc, 1), '\\u001f', t)) "
+        "THEN concat(array(concat(element_at(acc, 1), '\\u001f', t)), "
+        "slice(acc, 2, greatest(size(acc) - 1, 0))) "
+        "ELSE concat(array(''), slice(acc, 2, greatest(size(acc) - 1, 0)), "
+        "array(concat(element_at(acc, 1), '\\u001f', t))) END)"
+    )
+    counted = docs.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col,
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.expr(fold).alias("__st"),
+    ).select(
+        id_col,
+        "n_tokens",
+        (
+            F.size("__st")
+            - 1
+            + F.when(F.element_at("__st", 1) != "", 1).otherwise(0)
+        ).cast("long").alias("n_phrases"),
+    )
+    return counted.select(
+        id_col,
+        "n_tokens",
+        "n_phrases",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (n_phrases * 1000000) div n_tokens END"
+        ).alias("ratio_micro"),
+    )
