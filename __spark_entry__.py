@@ -6010,6 +6010,17 @@ def q_lz78_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lz78_complexity(docs)
 
 
+def q_girth_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed girth probe (algos/paths.py::directed_girth) on the planted
+    cyclic graph at n=30 (no back-edge blocks, so the shortest cycle is the
+    two-chord loop 0->3->4->5->6->7->0 of length 6). Oracle: unrolled
+    boolean adjacency powers with the first non-empty diagonal."""
+    from pagerank_spark.algos.paths import directed_girth
+    from pagerank_spark.sources.graphs import synth_cyclic
+
+    return directed_girth(synth_cyclic(spark, 30, block=10), max_k=8)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6303,6 +6314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bibcoupling_copurchase": q_bibcoupling_copurchase,
         "dtw_events": q_dtw_events,
         "lz78_docs": q_lz78_docs,
+        "girth_synth": q_girth_synth,
     }
 
 
@@ -10367,5 +10379,40 @@ np AS (
 SELECT doc_id, n_tokens, n_phrases,
        CASE WHEN n_tokens > 0 THEN (n_phrases * 1000000) // n_tokens END AS ratio_micro
 FROM np"""
+
+    # girth: unrolled boolean adjacency powers over the n=30 planted graph
+    _g_b = "\n".join(
+        f"b{k} AS MATERIALIZED (SELECT DISTINCT b.i, e2.dst AS j "
+        f"FROM b{k - 1} b JOIN e e2 ON e2.src = b.j),"
+        for k in range(2, 9)
+    )
+    _g_d = "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, CAST(COUNT(*) AS BIGINT) AS c FROM b{k} WHERE i = j"
+        for k in range(1, 9)
+    )
+    sqls["girth_synth"] = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT r.range AS src, (r.range - r.range % 10) + ((r.range % 10 + 1) % 10) AS dst
+    FROM range(30) r
+    WHERE NOT ((r.range // 10) % 3 = 2 AND r.range % 10 = 9)
+    UNION ALL
+    SELECT r.range, (r.range - r.range % 10) + ((r.range % 10 + 3) % 10)
+    FROM range(30) r
+    WHERE (r.range // 10) % 3 <> 2 AND (r.range * 2654435761) % 7 = 0
+    UNION ALL
+    SELECT r.range, r.range + 10 FROM range(30) r WHERE r.range % 10 = 0 AND r.range + 10 < 30
+    UNION ALL
+    SELECT r.range, r.range + 10 FROM range(30) r WHERE (r.range * 40503 + 7) % 5 = 0 AND r.range + 10 < 30
+    UNION ALL
+    SELECT r.range, r.range - 10 FROM range(30) r WHERE r.range % 10 = 0 AND (r.range // 10) % 5 = 3
+  )
+),
+b1 AS MATERIALIZED (SELECT src AS i, dst AS j FROM e),
+{_g_b}
+d AS MATERIALIZED (
+  {_g_d})
+SELECT CAST(COALESCE((SELECT MIN(k) FROM d WHERE c > 0), -1) AS BIGINT) AS girth,
+       CAST(COALESCE((SELECT c FROM d WHERE c > 0 ORDER BY k LIMIT 1), 0) AS BIGINT) AS n_on_min_cycles"""
 
     return sqls

@@ -350,3 +350,57 @@ def effective_diameter(
             F.max("total").alias("n_pairs"),
         )
     )
+
+
+def directed_girth(
+    edges: DataFrame, max_k: int = 12, num_partitions: int | None = None
+) -> DataFrame:
+    """Exact directed girth probe: the smallest cycle length ``k <= max_k``,
+    found as the first boolean adjacency power with a non-empty diagonal.
+
+    A minimal closed walk is a simple cycle (any vertex repeat inside it
+    would yield a shorter closed walk), so girth = min k with
+    ``trace(A^k) > 0`` over the 0/1 adjacency. Each round multiplies the
+    reachable-pair relation by A in the BOOLEAN semiring — one hash join +
+    dropDuplicates, the (or, and) instance of the same superstep dataflow
+    as pagerank/SSSP (reference pagerank.v's gather loop; values never grow,
+    so there is nothing to overflow and nothing float to drift).
+
+    Scale notes: pair relation B_k can densify toward V^2 on
+    small-diameter graphs — the probe is meant for small ``max_k`` (girth
+    probes in practice ask "is there a short cycle?"); each round is one
+    co-partitioned join on the walk head + a pair-key dedup, edges are
+    shuffled once and reused, lineage truncated per round. Early-stops at
+    the first non-empty diagonal (one count action per round, the
+    iteration-driver contract).
+
+    Returns one row ``(girth, n_on_min_cycles)`` — ``(-1, 0)`` if no cycle
+    within ``max_k``. ``n_on_min_cycles`` = number of distinct vertices
+    with a closed k-walk at the girth (exact integers, hash-stable).
+    """
+    p = num_partitions or _num_partitions(edges)
+    e = (
+        edges.select("src", "dst")
+        .dropDuplicates()
+        .repartition(p, "src")
+        .localCheckpoint()
+    )
+    b = e.select(F.col("src").alias("i"), F.col("dst").alias("j")).localCheckpoint()
+    girth, n_on = -1, 0
+    for k in range(1, max_k + 1):
+        diag = b.filter(F.col("i") == F.col("j")).count()
+        if diag > 0:
+            girth, n_on = k, diag
+            break
+        if k == max_k:
+            break
+        b = (
+            b.join(e.hint("shuffle_hash"), b["j"] == e["src"])
+            .select("i", F.col("dst").alias("j"))
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(girth, n_on)], "girth long, n_on_min_cycles long"
+    )
