@@ -6021,6 +6021,20 @@ def q_girth_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return directed_girth(synth_cyclic(spark, 30, block=10), max_k=8)
 
 
+def q_pps_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS weighted sample of k=500 orders by price cents
+    (operators/packing.py::pps_systematic_sample over the distributed
+    two-phase cumsum) — exact integer probe arithmetic, no RNG. Oracle:
+    the same closed-form probe counts over a window cumsum."""
+    from pagerank_spark.operators.packing import pps_systematic_sample
+
+    t = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("w"),
+    )
+    return pps_systematic_sample(t, ["o_orderkey"], "w", k=500)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6315,6 +6329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_events": q_dtw_events,
         "lz78_docs": q_lz78_docs,
         "girth_synth": q_girth_synth,
+        "pps_sample_orders": q_pps_sample_orders,
     }
 
 
@@ -10414,5 +10429,21 @@ d AS MATERIALIZED (
   {_g_d})
 SELECT CAST(COALESCE((SELECT MIN(k) FROM d WHERE c > 0), -1) AS BIGINT) AS girth,
        CAST(COALESCE((SELECT c FROM d WHERE c > 0 ORDER BY k LIMIT 1), 0) AS BIGINT) AS n_on_min_cycles"""
+
+    # systematic PPS: same integer probe-count closed form over a cumsum
+    sqls["pps_sample_orders"] = """
+WITH t AS MATERIALIZED (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w FROM orders),
+c AS MATERIALIZED (
+  SELECT o_orderkey, w,
+         CAST(SUM(w) OVER (ORDER BY o_orderkey) AS BIGINT) AS cum FROM t),
+tot AS (SELECT CAST(MAX(cum) AS BIGINT) AS tw FROM c),
+m AS (
+  SELECT o_orderkey, w,
+    CAST(greatest(0, least(500, (1000 * cum + tw - 1) // (2 * tw)))
+       - greatest(0, least(500, (1000 * (cum - w) + tw - 1) // (2 * tw))) AS BIGINT)
+      AS multiplicity
+  FROM c CROSS JOIN tot)
+SELECT o_orderkey, w, multiplicity FROM m WHERE multiplicity >= 1"""
 
     return sqls

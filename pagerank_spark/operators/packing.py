@@ -388,3 +388,63 @@ def grouped_exact_quantiles(
         .agg(F.min("v").alias("value"))
         .select(F.col("g").alias(group_col), "q_num", "q_den", "k", "n", "value")
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    k: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (Madow 1949):
+    lay the rows end to end in the ``order_cols`` total order, place ``k``
+    equally spaced probes at ``(2i + 1) * W / (2k)`` over the weighted
+    line ``[0, W)``, and keep each row as many times as probes land inside
+    its weight interval — the standard deterministic WOR design for
+    weighted corpus mixing (every row with weight >= W/k is taken with
+    certainty; multiplicity > 1 records the certainty-overflow the way PPS
+    estimators expect).
+
+    Everything is exact BIGINT arithmetic: weights must be non-negative
+    integers (quantize upstream — cents, tokens, bytes), the running total
+    comes from :func:`~pagerank_spark.operators.cumsum.distributed_cumsum`
+    (two-phase prefix sum — no single-partition window), and the probe
+    count below a boundary ``x`` is the closed form
+    ``ceil((2kx - W) / 2W)`` clamped to ``[0, k]``, evaluated by integer
+    division — no floats anywhere, so the sample is bit-stable across
+    engines, partitionings and reruns. Overflow contract: ``2k * W``
+    must stay under 2^63.
+
+    Returns the sampled rows with ``multiplicity`` (>= 1) appended.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from .cumsum import distributed_cumsum
+
+    cum = distributed_cumsum(
+        df, order_cols, weight_col, out_col="__cum", num_partitions=num_partitions
+    )
+    total = cum.groupBy().agg(F.max("__cum").alias("__w")).filter(F.col("__w") > 0)
+    # probes below x: ceil((2kx - W) / 2W) = (2kx + W - 1) DIV 2W, clamped
+    # to [0, k]; the numerator is non-negative (x >= 0, W >= 1), so
+    # truncating and flooring division agree on both engines
+    out = (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn(
+            "multiplicity",
+            (
+                F.expr(
+                    f"greatest(0L, least(CAST({k} AS BIGINT), "
+                    f"(2 * {k} * __cum + __w - 1) DIV (2 * __w)))"
+                )
+                - F.expr(
+                    f"greatest(0L, least(CAST({k} AS BIGINT), "
+                    f"(2 * {k} * (__cum - {weight_col}) + __w - 1) DIV (2 * __w)))"
+                )
+            ).cast("long"),
+        )
+        .filter(F.col("multiplicity") >= 1)
+        .drop("__cum", "__w")
+    )
+    return out
