@@ -6035,6 +6035,16 @@ def q_pps_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_systematic_sample(t, ["o_orderkey"], "w", k=500)
 
 
+def q_shapley_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley data-source valuation under the vocabulary coverage
+    game (operators/trainprep.py::shapley_source_value) — closed-form
+    harmonic sharing, lcm-scaled integers. Oracle: the same distinct
+    explode + per-word source count + DIV sum."""
+    from pagerank_spark.operators.trainprep import shapley_source_value
+
+    return shapley_source_value(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6330,6 +6340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lz78_docs": q_lz78_docs,
         "girth_synth": q_girth_synth,
         "pps_sample_orders": q_pps_sample_orders,
+        "shapley_sources_docs": q_shapley_sources_docs,
     }
 
 
@@ -10445,5 +10456,19 @@ m AS (
       AS multiplicity
   FROM c CROSS JOIN tot)
 SELECT o_orderkey, w, multiplicity FROM m WHERE multiplicity >= 1"""
+
+    # Shapley coverage valuation: per-word harmonic share, lcm(1..20) scale
+    sqls["shapley_sources_docs"] = """
+WITH words AS MATERIALIZED (
+  SELECT DISTINCT source AS s, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS w
+  FROM documents),
+m AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS m FROM words GROUP BY 1)
+SELECT words.s AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN m.m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive,
+       CAST(SUM(232792560 // m.m) AS BIGINT) AS shapley_scaled,
+       CAST(MAX(m.m) AS BIGINT) AS max_m
+FROM words JOIN m ON m.w = words.w
+GROUP BY 1"""
 
     return sqls

@@ -508,3 +508,56 @@ def remove_repeated_spans(
             ).alias("text_clean"),
         )
     )
+
+
+def shapley_source_value(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    denom: int = 232792560,
+) -> DataFrame:
+    """Exact Shapley valuation of each corpus source under the vocabulary
+    coverage game — the standard data-valuation question ("how much unique
+    signal does each source actually contribute to the mix?") answered
+    with the game-theoretic attribution (Shapley 1953; coverage-game data
+    valuation as in Ghorbani & Zou 2019's framing, computed exactly).
+
+    The game: v(S) = number of distinct word types covered by the union of
+    sources in S. For coverage games the Shapley value collapses to a
+    closed form — in a uniformly random source ordering, a word's marginal
+    credit goes to whichever of the m sources containing it arrives first,
+    each equally likely — so ``phi(source) = sum over its words of 1/m``.
+    No subset enumeration, no sampling: ONE distinct (source, word)
+    explode, one per-word source count, one grouped sum. The per-word
+    share is emitted as the exact integer ``denom / m`` (``denom`` =
+    lcm(1..20) by default), so the valuation is pure BIGINT arithmetic;
+    ``max_m`` in the output certifies the precondition ``m <= 20`` (the
+    operator raises it via data, not silently — a corpus with more
+    overlapping sources passes a larger lcm).
+
+    Scale shape: the explode is the corpus tokenization pass every corpus
+    job already does; distinct + two grouped aggregates, all map-side
+    combinable. Output: one row per source — ``n_words`` (vocabulary
+    size), ``n_exclusive`` (words only it has), ``shapley_scaled``
+    (phi * denom, exact), ``max_m``.
+    """
+    words = (
+        docs.select(
+            F.col(source_col).alias("s"),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9]+', 0)")
+            ).alias("w"),
+        )
+        .dropDuplicates()
+    )
+    m = words.groupBy("w").agg(F.count(F.lit(1)).alias("m"))
+    return (
+        words.join(m.hint("shuffle_hash"), "w")
+        .groupBy(F.col("s").alias(source_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.when(F.col("m") == 1, 1).otherwise(0)).cast("long").alias("n_exclusive"),
+            F.sum(F.expr(f"CAST({int(denom)} AS BIGINT) DIV m")).alias("shapley_scaled"),
+            F.max("m").cast("long").alias("max_m"),
+        )
+    )
