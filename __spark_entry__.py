@@ -6045,6 +6045,25 @@ def q_shapley_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shapley_source_value(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_knn_curve_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-correlation curve knn(d) on the copurchase graph
+    (operators/graphstats.py::avg_neighbor_degree) — exact integer sums,
+    micro-scaled mean. Oracle: same symmetrized-edge join algebra."""
+    from pagerank_spark.operators.graphstats import avg_neighbor_degree
+
+    return avg_neighbor_degree(_graph_for(spark, sf_dir, "copurchase"))
+
+
+def q_burt_constraint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burt's structural-holes constraint per vertex on the events graph
+    (operators/graphstats.py::burt_constraint) — deterministic nano/pico
+    fixed-point BIGINT arithmetic. Oracle: the same wedge enumeration and
+    truncation points in SQL."""
+    from pagerank_spark.operators.graphstats import burt_constraint
+
+    return burt_constraint(_graph_for(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6341,6 +6360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "girth_synth": q_girth_synth,
         "pps_sample_orders": q_pps_sample_orders,
         "shapley_sources_docs": q_shapley_sources_docs,
+        "knn_curve_copurchase": q_knn_curve_copurchase,
+        "burt_constraint_events": q_burt_constraint_events,
     }
 
 
@@ -10470,5 +10491,42 @@ SELECT words.s AS source,
        CAST(MAX(m.m) AS BIGINT) AS max_m
 FROM words JOIN m ON m.w = words.w
 GROUP BY 1"""
+
+    # knn(d) curve: symmetrized undirected edges, exact integer mean
+    sqls["knn_curve_copurchase"] = f"""
+WITH {_materialize(COPURCHASE_EDGES_CTE.strip())},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e WHERE src <> dst),
+sym AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+deg AS MATERIALIZED (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+j AS (SELECT da.deg AS deg, db.deg AS nd
+      FROM sym JOIN deg da ON da.id = sym.a JOIN deg db ON db.id = sym.b)
+SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_edge_ends, CAST(SUM(nd) AS BIGINT) AS sum_nbr_deg,
+       (CAST(SUM(nd) AS BIGINT) * 1000000) // COUNT(*) AS knn_micro
+FROM j GROUP BY 1"""
+
+    # Burt constraint: same nano/pico truncation points
+    sqls["burt_constraint_events"] = f"""
+WITH {_materialize(EVENTS_EDGES_CTE.strip())},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e WHERE src <> dst),
+sym AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+deg AS MATERIALIZED (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+r AS MATERIALIZED (SELECT id, 1000000000 // deg AS rq FROM deg),
+w AS MATERIALIZED (
+  SELECT iq.a AS i, qj.b AS j, CAST(SUM(r.rq) AS BIGINT) AS s_ij
+  FROM sym iq JOIN sym qj ON qj.a = iq.b AND iq.a <> qj.b
+  JOIN r ON r.id = iq.b
+  WHERE EXISTS (SELECT 1 FROM sym x WHERE x.a = iq.a AND x.b = qj.b)
+  GROUP BY 1, 2),
+d2 AS (
+  SELECT sym.a AS i, deg.deg AS deg,
+         (1000000000 + COALESCE(w.s_ij, 0)) // deg.deg AS u
+  FROM sym
+  LEFT JOIN w ON w.i = sym.a AND w.j = sym.b
+  JOIN deg ON deg.id = sym.a)
+SELECT i AS id, CAST(deg AS BIGINT) AS deg,
+       CAST(SUM((u * u) // 1000000) AS BIGINT) AS constraint_pico
+FROM d2 GROUP BY 1, 2"""
 
     return sqls

@@ -630,3 +630,116 @@ def cocitation(
             ),
         )
     )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Degree-correlation curve knn(d) (Pastor-Satorras et al. 2001): for
+    each undirected degree class d, the mean degree of the neighbors of
+    degree-d vertices — THE summary that says whether hubs attach to hubs
+    (assortative, knn rising) or to leaves (disassortative, falling);
+    the curve form of :func:`degree_assortativity`'s single coefficient.
+
+    Exact integers end to end: one undirected-degree aggregate, two
+    V-sized joins onto the symmetrized edge list, one grouped sum; the
+    mean is emitted micro-scaled by integer division. Returns
+    ``(deg, n_edge_ends, sum_nbr_deg, knn_micro)``.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("__db"))
+    return (
+        sym.join(da.hint("shuffle_hash"), "a")
+        .join(db.hint("shuffle_hash"), "b")
+        .groupBy(F.col("__da").alias("deg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_edge_ends"),
+            F.sum("__db").alias("sum_nbr_deg"),
+        )
+        .select(
+            "deg",
+            "n_edge_ends",
+            "sum_nbr_deg",
+            F.expr("(sum_nbr_deg * 1000000) div n_edge_ends").alias("knn_micro"),
+        )
+    )
+
+
+def burt_constraint(edges: DataFrame) -> DataFrame:
+    """Burt's network constraint (Burt 1992, "Structural Holes") per
+    vertex over the undirected simple graph — the brokerage metric: low
+    constraint = the vertex bridges otherwise-disconnected neighbors
+    (spans structural holes), high = its contacts are redundant.
+
+    ``c_i = sum_{j in N(i)} (p_ij + sum_{q in N(i) cap N(j)} p_iq p_qj)^2``
+    with uniform proportional weights ``p_ij = 1/d_i``. Computed in
+    deterministic fixed point: per-vertex reciprocal ``r = 1e9 DIV d``
+    (nano), the indirect mass ``S_ij = sum_q r_q`` an exact integer sum,
+    the dyadic term ``u_ij = (1e9 + S_ij) DIV d_i`` (nano), and
+    ``c_i = sum_j (u_ij^2 DIV 1e6)`` (micro-of-squared-nano = pico);
+    every step is BIGINT with one fixed truncation point, so the output
+    is bit-stable across engines (same contract as the repo's other
+    micro-unit gates; u <= ~2e9 keeps u^2 under 2^62).
+
+    Plan shape: the indirect term is the wedge enumeration triangles use
+    (two co-partitioned joins on the middle vertex q, then a semi filter
+    to adjacent (i, j) pairs) — cost tracks closed wedges, the same
+    skew profile as triangle counting, so the same degree-ordering /
+    hub-cap mitigations apply upstream. Direct terms come from the edge
+    list itself; vertices with no triangles still pay ``d * (1/d)^2``.
+    Returns ``(id, deg, constraint_pico)``.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    nbr = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    deg = nbr.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    r = deg.select(F.col("id"), F.expr("1000000000 DIV deg").alias("rq"))
+    # wedges i-q-j (i != j), keep only adjacent (i, j): S_ij = sum_q rq
+    iq = nbr.select(F.col("a").alias("i"), F.col("b").alias("q"))
+    qj = nbr.select(F.col("a").alias("q"), F.col("b").alias("j"))
+    wedges = (
+        iq.join(qj.hint("shuffle_hash"), "q")
+        .filter(F.col("i") != F.col("j"))
+        .join(r.select(F.col("id").alias("q"), "rq"), "q")
+        .join(
+            nbr.select(F.col("a").alias("i"), F.col("b").alias("j")),
+            ["i", "j"],
+            "left_semi",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("rq").alias("s_ij"))
+    )
+    dyads = (
+        nbr.select(F.col("a").alias("i"), F.col("b").alias("j"))
+        .join(wedges, ["i", "j"], "left")
+        .join(deg.select(F.col("id").alias("i"), "deg"), "i")
+        .select(
+            "i",
+            "deg",
+            F.expr(
+                "((1000000000 + coalesce(s_ij, 0L)) DIV deg)"
+            ).alias("u"),
+        )
+    )
+    return (
+        dyads.groupBy(F.col("i").alias("id"), "deg")
+        .agg(F.sum(F.expr("(u * u) DIV 1000000")).alias("constraint_pico"))
+        .select("id", F.col("deg").cast("long").alias("deg"), "constraint_pico")
+    )
