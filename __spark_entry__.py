@@ -6064,6 +6064,32 @@ def q_burt_constraint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burt_constraint(_graph_for(spark, sf_dir, "events"))
 
 
+def q_phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase matching (operators/retrieval.py::phrase_search)
+    for a two-word phrase over the documents corpus — zero-shuffle sliding
+    window inside codegen. Oracle: the same token-array window scan via
+    list_filter(range)."""
+    from pagerank_spark.operators.retrieval import phrase_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phrase_search(docs, "the data")
+
+
+def q_did_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-by-two diff-in-differences (operators/causal.py::diff_in_diff)
+    over the events table: treated = odd user_id, post = day-of-month >
+    15, outcome = value cents — exact cell moments, one micro-rounded
+    combine. Oracle: the same pivoted CASE aggregation."""
+    from pagerank_spark.operators.causal import diff_in_diff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+        F.when(F.dayofmonth("ts") > 15, 1).otherwise(0).alias("post"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("y"),
+    )
+    return diff_in_diff(ev, "treat", "post", "y")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6362,6 +6388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapley_sources_docs": q_shapley_sources_docs,
         "knn_curve_copurchase": q_knn_curve_copurchase,
         "burt_constraint_events": q_burt_constraint_events,
+        "phrase_search_docs": q_phrase_search_docs,
+        "did_events": q_did_events,
     }
 
 
@@ -10528,5 +10556,44 @@ d2 AS (
 SELECT i AS id, CAST(deg AS BIGINT) AS deg,
        CAST(SUM((u * u) // 1000000) AS BIGINT) AS constraint_pico
 FROM d2 GROUP BY 1, 2"""
+
+    # phrase search: same sliding window over the token array
+    sqls["phrase_search_docs"] = """
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+  FROM documents)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(range(1, len(toks) - 2 + 2),
+                i -> toks[i] = 'the' AND toks[i + 1] = 'data')) AS BIGINT) AS n_hits
+FROM t
+WHERE len(toks) >= 2
+  AND len(list_filter(range(1, len(toks) - 2 + 2),
+          i -> toks[i] = 'the' AND toks[i + 1] = 'data')) > 0"""
+
+    # DiD: identical pivoted CASE cells + one micro-rounded combine
+    sqls["did_events"] = """
+WITH t AS MATERIALIZED (
+  SELECT CAST(user_id % 2 AS INT) AS treat,
+         CASE WHEN date_part('day', ts) > 15 THEN 1 ELSE 0 END AS post,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_00,
+    CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN y ELSE 0 END) AS BIGINT) AS s_00,
+    CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_01,
+    CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN y ELSE 0 END) AS BIGINT) AS s_01,
+    CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_10,
+    CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN y ELSE 0 END) AS BIGINT) AS s_10,
+    CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_11,
+    CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN y ELSE 0 END) AS BIGINT) AS s_11
+  FROM t)
+SELECT n_00, s_00, n_01, s_01, n_10, s_10, n_11, s_11,
+  CASE WHEN n_00 > 0 AND n_01 > 0 AND n_10 > 0 AND n_11 > 0 THEN
+    CAST(FLOOR((CAST(s_11 AS DOUBLE) / n_11 - CAST(s_10 AS DOUBLE) / n_10
+                - CAST(s_01 AS DOUBLE) / n_01 + CAST(s_00 AS DOUBLE) / n_00)
+               * 1000000 + 0.5) AS BIGINT) END AS did_micro
+FROM c"""
 
     return sqls

@@ -71,3 +71,55 @@ def cem_att(strata_table: DataFrame) -> DataFrame:
             6,
         ).alias("att"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Two-by-two difference-in-differences estimator (Card & Krueger 1994
+    canonical design): ``DiD = (ybar_T,post - ybar_T,pre) - (ybar_C,post -
+    ybar_C,pre)`` over integer-valued outcomes (quantize upstream — cents,
+    counts).
+
+    One grouped aggregation produces the four cell sums/counts as exact
+    BIGINTs; the estimate is four correctly-rounded IEEE divides combined
+    in one fixed literal expression and micro-rounded ONCE — the same
+    hash-stability contract as the repo's other test statistics. Output is
+    one row: the four cells (pivoted to columns, exact) +
+    ``did_micro``. Degenerate designs (an empty cell) yield NULL rather
+    than a misleading zero.
+
+    Scale shape: a single map-side-combined aggregation over the scan —
+    the 100-TB cost is the scan itself. ``treat_col`` / ``post_col`` must
+    be 0/1 integers.
+    """
+    cells = df.groupBy().agg(
+        *[
+            agg
+            for t in (0, 1)
+            for p in (0, 1)
+            for agg in (
+                F.sum(
+                    F.when((F.col(treat_col) == t) & (F.col(post_col) == p), 1).otherwise(0)
+                ).cast("long").alias(f"n_{t}{p}"),
+                F.sum(
+                    F.when(
+                        (F.col(treat_col) == t) & (F.col(post_col) == p),
+                        F.col(y_col).cast("long"),
+                    ).otherwise(0)
+                ).cast("long").alias(f"s_{t}{p}"),
+            )
+        ]
+    )
+    return cells.select(
+        "n_00", "s_00", "n_01", "s_01", "n_10", "s_10", "n_11", "s_11",
+        F.expr(
+            "CASE WHEN n_00 > 0 AND n_01 > 0 AND n_10 > 0 AND n_11 > 0 THEN "
+            "CAST(FLOOR((CAST(s_11 AS DOUBLE) / n_11 - CAST(s_10 AS DOUBLE) / n_10 "
+            "- CAST(s_01 AS DOUBLE) / n_01 + CAST(s_00 AS DOUBLE) / n_00) "
+            "* 1000000 + 0.5) AS BIGINT) END"
+        ).alias("did_micro"),
+    )

@@ -45,6 +45,8 @@ LLM-pipeline mandate breadth (SURVEY §2c).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -181,4 +183,51 @@ def rrf_fuse(
     return u.groupBy(F.col("id").alias(id_col)).agg(
         F.sum(F.expr(f"1000000000 DIV ({int(k)} + r)")).alias("rrf_scaled"),
         F.count(F.lit(1)).alias("n_rankers"),
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact positional phrase matching ("words adjacent, in order") — the
+    retrieval primitive BM25's bag-of-words scoring cannot express; the
+    classic implementation is a positional-postings self-join, but for a
+    phrase known at plan time the scalable shape is better: ONE zero-shuffle
+    projection that slides the k-word window over each document's token
+    array inside codegen (``filter(sequence(...))`` — per-row work is
+    O(tokens * k), no explode, no join, nothing leaves the row).
+
+    Tokenization matches the corpus-wide convention (lowercase
+    ``[a-z0-9]+`` runs). Returns matching docs only:
+    ``(id_col, n_tokens, n_hits)`` with ``n_hits`` = number of (possibly
+    overlapping) occurrences — exact integers.
+    """
+    words = re.findall(r"[a-z0-9]+", phrase.lower())
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    k = len(words)
+    conds = " AND ".join(
+        "element_at(__toks, CAST(i AS INT) + {off}) = '{w}'".format(off=off, w=w)
+        for off, w in enumerate(words)
+    )
+    hits = F.expr(
+        f"size(filter(sequence(1, size(__toks) - {k} + 1), i -> {conds}))"
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.expr(
+                f"regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9]+', 0)"
+            ).alias("__toks"),
+        )
+        .filter(F.size("__toks") >= k)
+        .select(
+            id_col,
+            F.size("__toks").cast("long").alias("n_tokens"),
+            hits.cast("long").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
     )
