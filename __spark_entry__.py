@@ -6090,6 +6090,30 @@ def q_did_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_in_diff(ev, "treat", "post", "y")
 
 
+def q_transcript_edges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full transcript ETL value-gated end to end: events ->
+    transcripts view (sources/transcripts.py::transcripts_from_events,
+    engine-neutral arithmetic) -> dense vertex ids (operators/ids.py) ->
+    reply + tool-invocation edges (operators/edges.py::derive_edges).
+    Oracle: the same two windows + lexicographic ROW_NUMBER ids in SQL."""
+    from pagerank_spark.operators.edges import derive_edges
+    from pagerank_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return derive_edges(transcripts_from_events(ev))
+
+
+def q_sft_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT (prompt, response) example mining over the transcripts view
+    (operators/sequences.py::sft_pairs): user turns immediately followed
+    by assistant turns. Oracle: the same lead window."""
+    from pagerank_spark.operators.sequences import sft_pairs
+    from pagerank_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sft_pairs(transcripts_from_events(ev))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6390,6 +6414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burt_constraint_events": q_burt_constraint_events,
         "phrase_search_docs": q_phrase_search_docs,
         "did_events": q_did_events,
+        "transcript_edges_events": q_transcript_edges_events,
+        "sft_pairs_events": q_sft_pairs_events,
     }
 
 
@@ -10595,5 +10621,55 @@ SELECT n_00, s_00, n_01, s_01, n_10, s_10, n_11, s_11,
                 - CAST(s_01 AS DOUBLE) / n_01 + CAST(s_00 AS DOUBLE) / n_00)
                * 1000000 + 0.5) AS BIGINT) END AS did_micro
 FROM c"""
+
+    # transcripts view over events: ROW_NUMBER turn order + modular roles
+    _tr_view = """
+b AS MATERIALIZED (
+  SELECT user_id, event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_et
+  FROM events),
+t AS MATERIALIZED (
+  SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id, turn_idx,
+    CASE WHEN turn_idx % 3 = 0 THEN 'user'
+         WHEN turn_idx % 3 = 1 THEN 'assistant'
+         WHEN (user_id + turn_idx - 1) % 3 = 0 THEN 'tool' ELSE 'user' END AS role,
+    't-' || CAST(user_id AS VARCHAR) || '-' || CAST(turn_idx AS VARCHAR) AS text,
+    CASE WHEN turn_idx % 3 = 1 AND (user_id + turn_idx) % 3 = 0 THEN event_type
+         WHEN turn_idx % 3 = 2 AND (user_id + turn_idx - 1) % 3 = 0 THEN prev_et
+         ELSE NULL END AS tool
+  FROM b)"""
+
+    sqls["transcript_edges_events"] = f"""
+WITH {_tr_view},
+ids AS MATERIALIZED (
+  SELECT conv_id, turn_idx,
+         CAST(ROW_NUMBER() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS vid
+  FROM t),
+ti AS MATERIALIZED (
+  SELECT t.conv_id, t.turn_idx, t.role, t.tool, ids.vid
+  FROM t JOIN ids USING (conv_id, turn_idx)),
+reply AS (
+  SELECT vid AS src, lag(vid) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst FROM ti),
+tl AS (
+  SELECT vid AS src, role,
+         last_value(CASE WHEN role = 'assistant' THEN vid END IGNORE NULLS)
+           OVER (PARTITION BY conv_id, tool ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dst
+  FROM ti WHERE tool IS NOT NULL)
+SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM reply WHERE dst IS NOT NULL
+  UNION ALL
+  SELECT src, dst FROM tl WHERE role = 'tool' AND dst IS NOT NULL)
+WHERE src <> dst"""
+
+    sqls["sft_pairs_events"] = f"""
+WITH {_tr_view}
+SELECT conv_id, turn_idx AS prompt_turn, text AS prompt, nt AS response FROM (
+  SELECT conv_id, turn_idx, role, text,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nr,
+         lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nt
+  FROM t)
+WHERE role = 'user' AND nr = 'assistant'"""
 
     return sqls

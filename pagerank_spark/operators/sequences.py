@@ -413,3 +413,34 @@ def bounded_balance(
         F.col("st.hi").alias("n_clip_hi"),
         F.col("st.lo").alias("n_clip_lo"),
     )
+
+
+def sft_pairs(transcripts: DataFrame) -> DataFrame:
+    """Extract supervised fine-tuning (prompt, response) examples from a
+    transcripts table: every user turn immediately followed (by turn
+    order) by an assistant turn in the same conversation — the standard
+    instruction-mining step a training-data pipeline runs over agent
+    transcripts before packing (operators/packing.py).
+
+    One keyed window (lead) over ``(conv_id) ORDER BY turn_idx`` — a
+    single hash shuffle on the conversation key; no joins, no Python.
+    Returns ``(conv_id, prompt_turn, prompt, response)``.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.lead("role").over(w).alias("__nr"),
+            F.lead("text").over(w).alias("__nt"),
+        )
+        .filter((F.col("role") == "user") & (F.col("__nr") == "assistant"))
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("prompt_turn"),
+            F.col("text").alias("prompt"),
+            F.col("__nt").alias("response"),
+        )
+    )

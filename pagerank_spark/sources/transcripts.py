@@ -26,7 +26,7 @@ graph structure is derived downstream (operators/edges.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -132,3 +132,50 @@ def transcripts_tiny(spark: SparkSession) -> DataFrame:
     )
     ts = F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(mins=F.col("turn_idx"))
     return df.select("conv_id", "turn_idx", "role", text.alias("text"), "tool", ts.alias("ts"))
+
+
+def transcripts_from_events(events: DataFrame) -> DataFrame:
+    """Deterministic transcripts-shaped view over the events gate table —
+    the oracle-replayable bridge between the driver's parquet fixtures and
+    the transcript operators (synth_transcripts hashes with xxhash64,
+    which DuckDB cannot replay; this view uses only ROW_NUMBER + modular
+    arithmetic, so cross-engine value gates can exercise the REAL
+    transcript ETL end to end).
+
+    Mapping: conversation = user, turn order = (ts, event_id); roles cycle
+    user/assistant/(tool|user) exactly like the synthetic generator, with
+    the "assistant invoked a tool" rule the integer form
+    ``(user_id + turn_idx) % 3 == 0`` and the tool name = that turn's
+    event_type (the tool-result turn inherits the invoker's tool). Text
+    keeps the generator's ``t-{conv}-{turn}`` shape — the per-turn text
+    equality invariant is checkable on it.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lag("event_type").over(w).alias("__prev_et"),
+    )
+    phase = F.pmod(F.col("turn_idx"), F.lit(3))
+    invokes = F.pmod(F.col("user_id") + F.col("turn_idx"), F.lit(3)) == 0
+    prev_invokes = F.pmod(F.col("user_id") + F.col("turn_idx") - 1, F.lit(3)) == 0
+    role = (
+        F.when(phase == 0, F.lit("user"))
+        .when(phase == 1, F.lit("assistant"))
+        .otherwise(F.when(prev_invokes, F.lit("tool")).otherwise(F.lit("user")))
+    )
+    tool = (
+        F.when((phase == 1) & invokes, F.col("event_type"))
+        .when((phase == 2) & prev_invokes, F.col("__prev_et"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return b.select(
+        F.format_string("conv-%d", F.col("user_id")).alias("conv_id"),
+        "turn_idx",
+        role.alias("role"),
+        F.format_string("t-%d-%d", F.col("user_id"), F.col("turn_idx")).alias("text"),
+        tool.alias("tool"),
+        F.col("ts"),
+    )
