@@ -46,6 +46,52 @@ e AS (
   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 )"""
 
+# transcripts view over events (ROW_NUMBER turn order + modular roles) and
+# the derived reply+tool edge graph — mirrors
+# sources/transcripts.py::transcripts_from_events + operators/edges.py
+TRANSCRIPT_VIEW_CTES = """
+b AS MATERIALIZED (
+  SELECT user_id, event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_et
+  FROM events),
+t AS MATERIALIZED (
+  SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id, turn_idx,
+    CASE WHEN turn_idx % 3 = 0 THEN 'user'
+         WHEN turn_idx % 3 = 1 THEN 'assistant'
+         WHEN (user_id + turn_idx - 1) % 3 = 0 THEN 'tool' ELSE 'user' END AS role,
+    't-' || CAST(user_id AS VARCHAR) || '-' || CAST(turn_idx AS VARCHAR) AS text,
+    CASE WHEN turn_idx % 3 = 1 AND (user_id + turn_idx) % 3 = 0 THEN event_type
+         WHEN turn_idx % 3 = 2 AND (user_id + turn_idx - 1) % 3 = 0 THEN prev_et
+         ELSE NULL END AS tool
+  FROM b)"""
+
+TRANSCRIPT_EDGES_CTE = (
+    TRANSCRIPT_VIEW_CTES
+    + """,
+ids AS MATERIALIZED (
+  SELECT conv_id, turn_idx,
+         CAST(ROW_NUMBER() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS vid
+  FROM t),
+ti AS MATERIALIZED (
+  SELECT t.conv_id, t.turn_idx, t.role, t.tool, ids.vid
+  FROM t JOIN ids USING (conv_id, turn_idx)),
+reply AS MATERIALIZED (
+  SELECT vid AS src, lag(vid) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst FROM ti),
+tl AS MATERIALIZED (
+  SELECT vid AS src, role,
+         last_value(CASE WHEN role = 'assistant' THEN vid END IGNORE NULLS)
+           OVER (PARTITION BY conv_id, tool ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dst
+  FROM ti WHERE tool IS NOT NULL),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM reply WHERE dst IS NOT NULL
+    UNION ALL
+    SELECT src, dst FROM tl WHERE role = 'tool' AND dst IS NOT NULL)
+  WHERE src <> dst)"""
+)
+
 GRAPH_BASE_CTES = """
 v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
 o AS (SELECT src AS id, COUNT(*) AS c FROM e GROUP BY 1),
@@ -6103,6 +6149,33 @@ def q_transcript_edges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_edges(transcripts_from_events(ev))
 
 
+def q_pagerank_transcript_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composition value-gated: damped PageRank (k=3) over
+    the transcript-derived reply+tool edge graph (transcripts view ->
+    vertex ids -> derive_edges -> algos/pagerank.py). Oracle: the
+    transcript edge CTE piped into the unrolled PageRank SQL."""
+    from pagerank_spark.algos.pagerank import pagerank
+    from pagerank_spark.operators.edges import derive_edges
+    from pagerank_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = pagerank(derive_edges(transcripts_from_events(ev)), max_iters=3, tol=0.0)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_cc_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the transcript graph — the conversation
+    closure golden (all edges intra-conversation, reply chains connect each
+    conversation), so the oracle is the exact closed form min-vid-per-conv
+    with no iteration."""
+    from pagerank_spark.algos.components import connected_components
+    from pagerank_spark.operators.edges import derive_edges
+    from pagerank_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return connected_components(derive_edges(transcripts_from_events(ev)))
+
+
 def q_sft_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT (prompt, response) example mining over the transcripts view
     (operators/sequences.py::sft_pairs): user turns immediately followed
@@ -6416,6 +6489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_events": q_did_events,
         "transcript_edges_events": q_transcript_edges_events,
         "sft_pairs_events": q_sft_pairs_events,
+        "pagerank_transcript_k3": q_pagerank_transcript_k3,
+        "cc_transcript": q_cc_transcript,
     }
 
 
@@ -10622,54 +10697,29 @@ SELECT n_00, s_00, n_01, s_01, n_10, s_10, n_11, s_11,
                * 1000000 + 0.5) AS BIGINT) END AS did_micro
 FROM c"""
 
-    # transcripts view over events: ROW_NUMBER turn order + modular roles
-    _tr_view = """
-b AS MATERIALIZED (
-  SELECT user_id, event_type,
-         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_et
-  FROM events),
-t AS MATERIALIZED (
-  SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id, turn_idx,
-    CASE WHEN turn_idx % 3 = 0 THEN 'user'
-         WHEN turn_idx % 3 = 1 THEN 'assistant'
-         WHEN (user_id + turn_idx - 1) % 3 = 0 THEN 'tool' ELSE 'user' END AS role,
-    't-' || CAST(user_id AS VARCHAR) || '-' || CAST(turn_idx AS VARCHAR) AS text,
-    CASE WHEN turn_idx % 3 = 1 AND (user_id + turn_idx) % 3 = 0 THEN event_type
-         WHEN turn_idx % 3 = 2 AND (user_id + turn_idx - 1) % 3 = 0 THEN prev_et
-         ELSE NULL END AS tool
-  FROM b)"""
-
     sqls["transcript_edges_events"] = f"""
-WITH {_tr_view},
-ids AS MATERIALIZED (
-  SELECT conv_id, turn_idx,
-         CAST(ROW_NUMBER() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS vid
-  FROM t),
-ti AS MATERIALIZED (
-  SELECT t.conv_id, t.turn_idx, t.role, t.tool, ids.vid
-  FROM t JOIN ids USING (conv_id, turn_idx)),
-reply AS (
-  SELECT vid AS src, lag(vid) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst FROM ti),
-tl AS (
-  SELECT vid AS src, role,
-         last_value(CASE WHEN role = 'assistant' THEN vid END IGNORE NULLS)
-           OVER (PARTITION BY conv_id, tool ORDER BY turn_idx
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dst
-  FROM ti WHERE tool IS NOT NULL)
-SELECT DISTINCT src, dst FROM (
-  SELECT src, dst FROM reply WHERE dst IS NOT NULL
-  UNION ALL
-  SELECT src, dst FROM tl WHERE role = 'tool' AND dst IS NOT NULL)
-WHERE src <> dst"""
+WITH {TRANSCRIPT_EDGES_CTE.strip()}
+SELECT src, dst FROM e"""
 
     sqls["sft_pairs_events"] = f"""
-WITH {_tr_view}
+WITH {TRANSCRIPT_VIEW_CTES.strip()}
 SELECT conv_id, turn_idx AS prompt_turn, text AS prompt, nt AS response FROM (
   SELECT conv_id, turn_idx, role, text,
          lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nr,
          lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nt
   FROM t)
 WHERE role = 'user' AND nr = 'assistant'"""
+
+    # PageRank over the transcript-derived graph: the flagship composition
+    sqls["pagerank_transcript_k3"] = _pagerank_sql(TRANSCRIPT_EDGES_CTE, 3)
+
+    # CC over the transcript graph: all edges are intra-conversation and
+    # every conversation is reply-chain connected, so component(v) = min
+    # vid of its conversation — an exact closed form, no iteration
+    sqls["cc_transcript"] = f"""
+WITH {TRANSCRIPT_EDGES_CTE.strip()},
+v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)
+SELECT v.id, MIN(v.id) OVER (PARTITION BY ti.conv_id) AS component
+FROM v JOIN ti ON ti.vid = v.id"""
 
     return sqls
