@@ -294,6 +294,34 @@ def run_bench(spark, sf_dir: str) -> dict:
         .agg(F.sum("cp")).collect())
     dag.unpersist()
 
+    # round-4 session-10 addition (appended): the north-star composition at
+    # volume — synthetic multi-turn transcripts (200k conversations, ~1.3M
+    # turns) through the FULL ETL (dense vertex ids -> reply+tool edge
+    # derivation) into 5 PageRank supersteps. Timed as one composition (the
+    # ETL is part of the workload a transcript-analytics user pays every
+    # refresh); edge count and edges/sec recorded as extras.
+    from pagerank_spark.operators.edges import transcripts_to_graph
+    from pagerank_spark.sources.transcripts import synth_transcripts
+
+    tr = synth_transcripts(spark, 200_000).persist()
+    tr.count()
+    _ids, _te = transcripts_to_graph(tr)
+    n_tr_edges = _te.count()
+
+    def _etl_pr():
+        _, e = transcripts_to_graph(tr)
+        return (
+            pagerank(e, max_iters=5, tol=0.0, check_every=2)
+            .ranks.agg(F.sum("rank")).collect()
+        )
+
+    timed("transcript_etl_pagerank_200k", _etl_pr)
+    extras["transcript_graph_edges"] = n_tr_edges
+    extras["transcript_pr_edges_per_sec"] = round(
+        n_tr_edges * 5 / timings["transcript_etl_pagerank_200k"], 1
+    )
+    tr.unpersist()
+
     edges.unpersist()
     return {"timings": timings, "samples": samples, "extras": extras, "n_edges": n_edges}
 
