@@ -6187,6 +6187,29 @@ def q_sft_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft_pairs(transcripts_from_events(ev))
 
 
+def q_transcript_lint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation structural QA (operators/sequences.py::
+    transcript_lint) over the transcripts view — turn gaps, same-role
+    runs, orphan tool turns, role tallies; exact integers. Oracle: the
+    same lag/last windows."""
+    from pagerank_spark.operators.sequences import transcript_lint
+    from pagerank_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transcript_lint(transcripts_from_events(ev))
+
+
+def q_role_mixing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman role mixing matrix of the transcript reply relation
+    (operators/sequences.py::role_mixing). Oracle: one lag window +
+    grouped count."""
+    from pagerank_spark.operators.sequences import role_mixing
+    from pagerank_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return role_mixing(transcripts_from_events(ev))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6491,6 +6514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs_events": q_sft_pairs_events,
         "pagerank_transcript_k3": q_pagerank_transcript_k3,
         "cc_transcript": q_cc_transcript,
+        "transcript_lint_events": q_transcript_lint_events,
+        "role_mixing_events": q_role_mixing_events,
     }
 
 
@@ -10721,5 +10746,35 @@ WITH {TRANSCRIPT_EDGES_CTE.strip()},
 v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)
 SELECT v.id, MIN(v.id) OVER (PARTITION BY ti.conv_id) AS component
 FROM v JOIN ti ON ti.vid = v.id"""
+
+    # transcript lint: same lag/last windows, exact integer tallies
+    sqls["transcript_lint_events"] = f"""
+WITH {TRANSCRIPT_VIEW_CTES.strip()},
+l AS (
+  SELECT conv_id, turn_idx, role, tool,
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pi,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pr,
+         last_value(CASE WHEN role = 'assistant' THEN 1 END IGNORE NULLS)
+           OVER (PARTITION BY conv_id, tool ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_inv
+  FROM t)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+       CAST(SUM(CASE WHEN pi IS NOT NULL AND turn_idx <> pi + 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_idx_gaps,
+       CAST(SUM(CASE WHEN pr IS NOT NULL AND role = pr THEN 1 ELSE 0 END) AS BIGINT) AS n_same_role_adjacent,
+       CAST(SUM(CASE WHEN role = 'tool' AND seen_inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_tools
+FROM l GROUP BY 1"""
+
+    sqls["role_mixing_events"] = f"""
+WITH {TRANSCRIPT_VIEW_CTES.strip()}
+SELECT role_src, role_dst, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
+  SELECT role AS role_src,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS role_dst
+  FROM t)
+WHERE role_dst IS NOT NULL
+GROUP BY 1, 2"""
 
     return sqls

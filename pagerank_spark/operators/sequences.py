@@ -444,3 +444,70 @@ def sft_pairs(transcripts: DataFrame) -> DataFrame:
             F.col("__nt").alias("response"),
         )
     )
+
+
+def transcript_lint(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation structural QA over a transcripts table — the data
+    contract a transcript-analytics pipeline checks before deriving edges
+    (operators/edges.py): turn-index gaps break reply derivation, orphan
+    tool turns break invocation linking, same-role runs flag merge/split
+    bugs upstream.
+
+    One keyed window pass (lag over ``(conv_id) ORDER BY turn_idx``) + one
+    grouped aggregate; all outputs exact integers. Returns per conversation:
+    ``(conv_id, n_turns, n_user, n_assistant, n_tool, n_idx_gaps,
+    n_same_role_adjacent, n_orphan_tools)`` where an orphan tool turn is a
+    ``role='tool'`` row with no earlier assistant turn carrying the same
+    tool name in its conversation.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_tool = (
+        Window.partitionBy("conv_id", "tool")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        F.lag("turn_idx").over(w).alias("__pi"),
+        F.lag("role").over(w).alias("__pr"),
+        F.last(
+            F.when(F.col("role") == "assistant", F.lit(1)), ignorenulls=True
+        ).over(w_tool).alias("__seen_inv"),
+    )
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).cast("long").alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).cast("long").alias("n_assistant"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).cast("long").alias("n_tool"),
+        F.sum(
+            F.when(F.col("__pi").isNotNull() & (F.col("turn_idx") != F.col("__pi") + 1), 1).otherwise(0)
+        ).cast("long").alias("n_idx_gaps"),
+        F.sum(
+            F.when(F.col("__pr").isNotNull() & (F.col("role") == F.col("__pr")), 1).otherwise(0)
+        ).cast("long").alias("n_same_role_adjacent"),
+        F.sum(
+            F.when((F.col("role") == "tool") & F.col("__seen_inv").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_orphan_tools"),
+    )
+
+
+def role_mixing(transcripts: DataFrame) -> DataFrame:
+    """Newman mixing matrix over the transcript reply relation: counts of
+    (replier role -> replied-to role) adjacent-turn pairs — the categorical
+    assortativity summary ("who talks after whom") of the conversation
+    graph. One lag window + one grouped count, exact integers. Returns
+    ``(role_src, role_dst, n_pairs)``.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.select(
+            F.col("role").alias("role_src"),
+            F.lag("role").over(w).alias("role_dst"),
+        )
+        .filter(F.col("role_dst").isNotNull())
+        .groupBy("role_src", "role_dst")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
