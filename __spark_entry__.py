@@ -6210,6 +6210,16 @@ def q_role_mixing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return role_mixing(transcripts_from_events(ev))
 
 
+def q_hubness_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-kNN hubness histogram (operators/similarity.py::hubness,
+    k=5) over the embeddings corpus — the ANN-quality screen. Oracle: the
+    exact quantized-cosine kNN CTE with an incoming-degree histogram."""
+    from pagerank_spark.operators.similarity import hubness
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hubness(emb, k=5)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6516,6 +6526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_transcript": q_cc_transcript,
         "transcript_lint_events": q_transcript_lint_events,
         "role_mixing_events": q_role_mixing_events,
+        "hubness_embeddings": q_hubness_embeddings,
     }
 
 
@@ -10776,5 +10787,32 @@ SELECT role_src, role_dst, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
   FROM t)
 WHERE role_dst IS NOT NULL
 GROUP BY 1, 2"""
+
+    # hubness: the exact kNN CTE at k=5 + reverse-degree histogram
+    sqls["hubness_embeddings"] = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+n AS MATERIALIZED (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM q),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+         CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE a.n2 > 0 AND b.n2 > 0),
+r AS MATERIALIZED (
+  SELECT vec_id, neighbor,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor ASC) AS rank
+  FROM p),
+d AS (SELECT neighbor AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_rknn
+      FROM r WHERE rank <= 5 GROUP BY 1),
+allv AS (SELECT vec_id FROM n WHERE n2 > 0),
+per AS (SELECT allv.vec_id, COALESCE(d.n_rknn, 0) AS n_rknn
+        FROM allv LEFT JOIN d USING (vec_id))
+SELECT n_rknn, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM per GROUP BY 1"""
 
     return sqls

@@ -384,3 +384,33 @@ def mutual_knn(emb: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str 
         .where(F.col("a") < F.col("b"))
         .select("a", "b", "rank_ab", "rank_ba", F.round("cos_ab", 6).alias("cos"))
     )
+
+
+def hubness(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reverse-kNN in-degree histogram — the hubness diagnostic for an
+    embedding space (Radovanovic et al. 2010): in high dimension a few
+    "hub" vectors appear in everyone's top-k while "antihubs" appear in
+    nobody's, which silently degrades ANN retrieval and kNN-based dedup.
+    The distribution of N_k (how many vectors count v among their k
+    nearest) is THE screen to run before trusting the kNN graph.
+
+    Built on :func:`knn_graph`'s exact integer-quantized cosine kNN
+    (same N^2-baseline / bucketed-at-scale contract): one grouped count of
+    incoming edges, a left join back to the vector set (antihubs = zero),
+    one histogram aggregate. Returns ``(n_rknn, n_vectors)`` — exact
+    integers, rows sum to the number of non-zero-norm vectors.
+    """
+    g = knn_graph(emb, k=k, id_col=id_col, vec_col=vec_col)
+    indeg = g.groupBy(F.col("neighbor").alias("__id")).agg(
+        F.count(F.lit(1)).alias("n_rknn")
+    )
+    allv = g.select(F.col(id_col).alias("__id")).dropDuplicates()
+    per = allv.join(indeg, "__id", "left").select(
+        F.coalesce(F.col("n_rknn"), F.lit(0)).cast("long").alias("n_rknn")
+    )
+    return per.groupBy("n_rknn").agg(F.count(F.lit(1)).alias("n_vectors"))
