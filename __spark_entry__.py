@@ -6220,6 +6220,33 @@ def q_hubness_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hubness(emb, k=5)
 
 
+def q_partition_quality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-partitioning placement report at p=32 for the events graph
+    (operators/graphstats.py::partition_quality): edge cut, balance,
+    vertex-cut communication volume — all exact integers. Oracle: the
+    same Knuth-hash assignment and three aggregates."""
+    from pagerank_spark.operators.graphstats import partition_quality
+
+    return partition_quality(_graph_for(spark, sf_dir, "events"), p=32)
+
+
+def q_graph_growth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densification tracking (operators/graphstats.py::graph_growth):
+    per-day first-seen edges/vertices + cumulative totals over the
+    timestamped events reply edges. Oracle: the same min-first-seen +
+    window cumsum."""
+    from pagerank_spark.operators.graphstats import graph_growth
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tedges = ev.select(
+        F.col("event_id").alias("src"),
+        F.lag("event_id").over(w).alias("dst"),
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) DIV 86400").alias("t"),
+    ).filter(F.col("dst").isNotNull())
+    return graph_growth(tedges)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6527,6 +6554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_lint_events": q_transcript_lint_events,
         "role_mixing_events": q_role_mixing_events,
         "hubness_embeddings": q_hubness_embeddings,
+        "partition_quality_events": q_partition_quality_events,
+        "graph_growth_events": q_graph_growth_events,
     }
 
 
@@ -10814,5 +10843,61 @@ allv AS (SELECT vec_id FROM n WHERE n2 > 0),
 per AS (SELECT allv.vec_id, COALESCE(d.n_rknn, 0) AS n_rknn
         FROM allv LEFT JOIN d USING (vec_id))
 SELECT n_rknn, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM per GROUP BY 1"""
+
+    # partition quality: same pre-modded Knuth hash + three aggregates
+    sqls["partition_quality_events"] = f"""
+WITH {_materialize(EVENTS_EDGES_CTE.strip())},
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+ep AS MATERIALIZED (
+  SELECT src, dst,
+         ((src % 2147483648) * 2654435761) % 32 AS ps,
+         ((dst % 2147483648) * 2654435761) % 32 AS pd
+  FROM de),
+v AS MATERIALIZED (
+  SELECT DISTINCT id, part FROM (
+    SELECT src AS id, ps AS part FROM ep
+    UNION ALL SELECT dst, pd FROM ep)),
+parts AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+bal AS (SELECT CAST(MAX(n) AS BIGINT) AS mx, CAST(SUM(n) AS BIGINT) AS nv,
+               CAST(COUNT(*) AS BIGINT) AS np FROM parts),
+cut AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne,
+               CAST(SUM(CASE WHEN ps <> pd THEN 1 ELSE 0 END) AS BIGINT) AS c FROM ep),
+cv AS (SELECT CAST(COUNT(*) AS BIGINT) AS cv FROM (
+  SELECT DISTINCT id, rp FROM (
+    SELECT src AS id, pd AS rp FROM ep WHERE ps <> pd
+    UNION ALL SELECT dst, ps FROM ep WHERE ps <> pd)))
+SELECT CAST(32 AS BIGINT) AS p, bal.nv AS n_vertices, cut.ne AS n_edges,
+       cut.c AS edge_cut, (cut.c * 1000000) // cut.ne AS cut_micro,
+       bal.mx AS max_part, (bal.mx * bal.np * 1000000) // bal.nv AS balance_micro,
+       cv.cv AS comm_volume
+FROM cut CROSS JOIN bal CROSS JOIN cv"""
+
+    # graph growth: min first-seen + full-join day grid + window cumsum
+    sqls["graph_growth_events"] = """
+WITH te AS MATERIALIZED (
+  SELECT event_id AS src, prev AS dst, d AS t FROM (
+    SELECT event_id,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d
+    FROM events
+  ) WHERE prev IS NOT NULL),
+ef AS MATERIALIZED (
+  SELECT src, dst, CAST(MIN(t) AS BIGINT) AS ft FROM te
+  WHERE src <> dst GROUP BY 1, 2),
+vf AS MATERIALIZED (
+  SELECT id, CAST(MIN(ft) AS BIGINT) AS ft FROM (
+    SELECT src AS id, ft FROM ef UNION ALL SELECT dst, ft FROM ef)
+  GROUP BY 1),
+pe AS (SELECT ft AS t, CAST(COUNT(*) AS BIGINT) AS new_edges FROM ef GROUP BY 1),
+pv AS (SELECT ft AS t, CAST(COUNT(*) AS BIGINT) AS new_vertices FROM vf GROUP BY 1),
+days AS (
+  SELECT COALESCE(pe.t, pv.t) AS t,
+         COALESCE(new_edges, 0) AS new_edges,
+         COALESCE(new_vertices, 0) AS new_vertices
+  FROM pe FULL OUTER JOIN pv ON pe.t = pv.t)
+SELECT t, new_edges, new_vertices,
+       CAST(SUM(new_edges) OVER (ORDER BY t) AS BIGINT) AS cum_edges,
+       CAST(SUM(new_vertices) OVER (ORDER BY t) AS BIGINT) AS cum_vertices
+FROM days"""
 
     return sqls

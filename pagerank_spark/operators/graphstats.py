@@ -11,7 +11,7 @@ single row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -742,4 +742,129 @@ def burt_constraint(edges: DataFrame) -> DataFrame:
         dyads.groupBy(F.col("i").alias("id"), "deg")
         .agg(F.sum(F.expr("(u * u) DIV 1000000")).alias("constraint_pico"))
         .select("id", F.col("deg").cast("long").alias("deg"), "constraint_pico")
+    )
+
+
+def partition_quality(
+    edges: DataFrame, p: int = 32, salt: int = 0
+) -> DataFrame:
+    """Edge-cut / balance / communication-volume report for a hash vertex
+    partitioning ``part(v) = (v * KNUTH + salt) mod p`` — the diagnostic a
+    100-TB graph job runs BEFORE committing to a layout (the reference
+    pins this decision in hardware: pagerank.v streams a fixed CSR block
+    split; here placement is a knob and this operator scores it).
+
+    Three exact-integer aggregates over one derived edge projection:
+
+    - ``edge_cut``: edges whose endpoints land in different parts — each
+      is one remote message per PageRank superstep;
+    - ``balance_micro``: max part vertex-count over mean (x1e6) — the
+      straggler bound;
+    - ``comm_volume``: sum over vertices of (distinct remote parts its
+      edges touch) — the vertex-cut replication cost (Gonzalez et al.
+      2012's metric), what a broadcast/mirror scheme would ship.
+
+    Returns one row ``(p, n_vertices, n_edges, edge_cut, cut_micro,
+    max_part, balance_micro, comm_volume)``.
+    """
+    knuth = 2654435761
+    e = edges.select("src", "dst").dropDuplicates().localCheckpoint()
+    # pre-mod to 31 bits before the Knuth multiply: keeps the product under
+    # 2^62 for u64 vertex ids (ANSI mode makes BIGINT overflow an error)
+    part = lambda c: F.pmod(  # noqa: E731
+        F.pmod(F.col(c), F.lit(1 << 31)) * knuth + salt, F.lit(p)
+    )
+    ep = e.select(
+        "src", "dst", part("src").alias("ps"), part("dst").alias("pd")
+    ).localCheckpoint()
+    v = (
+        ep.select(F.col("src").alias("id"), F.col("ps").alias("part"))
+        .unionByName(ep.select(F.col("dst").alias("id"), F.col("pd").alias("part")))
+        .dropDuplicates()
+    )
+    parts = v.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    bal = parts.groupBy().agg(
+        F.max("n").alias("__mx"), F.sum("n").alias("__nv"), F.count(F.lit(1)).alias("__np")
+    )
+    cut = ep.groupBy().agg(
+        F.count(F.lit(1)).alias("__ne"),
+        F.sum(F.when(F.col("ps") != F.col("pd"), 1).otherwise(0)).alias("__cut"),
+    )
+    # vertex-cut comm volume: distinct remote parts each vertex's edges touch
+    remote = (
+        ep.filter(F.col("ps") != F.col("pd"))
+        .select(F.col("src").alias("id"), F.col("pd").alias("rp"))
+        .unionByName(
+            ep.filter(F.col("ps") != F.col("pd")).select(
+                F.col("dst").alias("id"), F.col("ps").alias("rp")
+            )
+        )
+        .dropDuplicates()
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("__cv"))
+    )
+    return (
+        cut.crossJoin(F.broadcast(bal))
+        .crossJoin(F.broadcast(remote))
+        .select(
+            F.lit(p).cast("long").alias("p"),
+            F.col("__nv").cast("long").alias("n_vertices"),
+            F.col("__ne").cast("long").alias("n_edges"),
+            F.col("__cut").cast("long").alias("edge_cut"),
+            F.expr("(__cut * 1000000) div __ne").alias("cut_micro"),
+            F.col("__mx").cast("long").alias("max_part"),
+            F.expr("(__mx * __np * 1000000) div __nv").alias("balance_micro"),
+            F.col("__cv").cast("long").alias("comm_volume"),
+        )
+    )
+
+
+def graph_growth(tedges: DataFrame, t_col: str = "t") -> DataFrame:
+    """Graph evolution profile over a timestamped edge stream: per period
+    ``t``, how many never-seen-before edges and vertices appear, and the
+    cumulative totals — the densification/"forest fire" tracking curve
+    (Leskovec et al. 2005: E(t) vs V(t) slopes reveal superlinear edge
+    growth), and operationally the capacity forecast for an incrementally
+    refreshed link graph (plans/checkpoint.py's warm-start path).
+
+    Exact integers: first-seen period per distinct edge = one min-agg,
+    per vertex = min over both endpoints; per-period news are grouped
+    counts; cumulatives are a window over the PERIOD table — a
+    single-partition window by construction, bounded by the number of
+    periods (days/weeks), not the data, so it is scale-safe where a
+    row-level global window would not be.
+
+    Returns ``(t, new_edges, new_vertices, cum_edges, cum_vertices)``.
+    """
+    t = F.col(t_col).cast("long")
+    e_first = (
+        tedges.select("src", "dst", t.alias("__t"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("__t").alias("__ft"))
+    ).localCheckpoint()
+    v_first = (
+        e_first.select(F.col("src").alias("id"), "__ft")
+        .unionByName(e_first.select(F.col("dst").alias("id"), "__ft"))
+        .groupBy("id")
+        .agg(F.min("__ft").alias("__ft"))
+    )
+    per_e = e_first.groupBy(F.col("__ft").alias("t")).agg(
+        F.count(F.lit(1)).alias("new_edges")
+    )
+    per_v = v_first.groupBy(F.col("__ft").alias("t")).agg(
+        F.count(F.lit(1)).alias("new_vertices")
+    )
+    days = per_e.join(per_v, "t", "full").select(
+        "t",
+        F.coalesce("new_edges", F.lit(0)).cast("long").alias("new_edges"),
+        F.coalesce("new_vertices", F.lit(0)).cast("long").alias("new_vertices"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return days.select(
+        "t",
+        "new_edges",
+        "new_vertices",
+        F.sum("new_edges").over(w).cast("long").alias("cum_edges"),
+        F.sum("new_vertices").over(w).cast("long").alias("cum_vertices"),
     )
