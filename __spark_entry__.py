@@ -6247,6 +6247,18 @@ def q_graph_growth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_growth(tedges)
 
 
+def q_source_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs weighted Jaccard between corpus sources over token
+    frequency profiles (operators/trainprep.py::source_weighted_jaccard)
+    — the mixture-redundancy matrix, exact integers. Oracle: the same
+    token-keyed min-sum + totals identity."""
+    from pagerank_spark.operators.trainprep import source_weighted_jaccard
+
+    return source_weighted_jaccard(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6556,6 +6568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hubness_embeddings": q_hubness_embeddings,
         "partition_quality_events": q_partition_quality_events,
         "graph_growth_events": q_graph_growth_events,
+        "source_jaccard_docs": q_source_jaccard_docs,
     }
 
 
@@ -10899,5 +10912,24 @@ SELECT t, new_edges, new_vertices,
        CAST(SUM(new_edges) OVER (ORDER BY t) AS BIGINT) AS cum_edges,
        CAST(SUM(new_vertices) OVER (ORDER BY t) AS BIGINT) AS cum_vertices
 FROM days"""
+
+    # weighted Jaccard matrix: min-sum join + totals identity
+    sqls["source_jaccard_docs"] = """
+WITH toks AS MATERIALIZED (
+  SELECT source AS s, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS w
+  FROM documents),
+counts AS MATERIALIZED (SELECT s, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+tot AS MATERIALIZED (SELECT s, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY 1),
+mins AS (
+  SELECT a.s AS sa, b.s AS sb, CAST(SUM(least(a.c, b.c)) AS BIGINT) AS sum_min
+  FROM counts a JOIN counts b ON a.w = b.w AND a.s < b.s
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT ta.s AS sa, tb.s AS sb, ta.tot AS tot_a, tb.tot AS tot_b
+  FROM tot ta CROSS JOIN tot tb WHERE ta.s < tb.s)
+SELECT pairs.sa AS source_a, pairs.sb AS source_b, tot_a, tot_b,
+       COALESCE(mins.sum_min, 0) AS sum_min,
+       (COALESCE(mins.sum_min, 0) * 1000000) // (tot_a + tot_b - COALESCE(mins.sum_min, 0)) AS jaccard_micro
+FROM pairs LEFT JOIN mins ON mins.sa = pairs.sa AND mins.sb = pairs.sb"""
 
     return sqls

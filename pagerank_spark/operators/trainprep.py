@@ -561,3 +561,62 @@ def shapley_source_value(
             F.max("m").cast("long").alias("max_m"),
         )
     )
+
+
+def source_weighted_jaccard(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs weighted (multiset) Jaccard similarity between corpus
+    sources over token frequency profiles: ``J(A, B) = sum_w min(f_A(w),
+    f_B(w)) / sum_w max(f_A(w), f_B(w))`` — the mixture-design diagnostic
+    ("which sources are near-duplicates of each other at the
+    distribution level?") that complements the per-document dedup
+    operators; used to de-weight redundant sources before blending
+    (blend_corpora above).
+
+    Exact integers end to end: per-(source, token) counts, per-source
+    totals, one token-keyed self-join for ``sum min`` (the identity
+    ``sum max = tot_a + tot_b - sum min`` avoids a full-outer join — only
+    co-occurring tokens ever meet), a totals cross for the zero-overlap
+    pairs, and ``jaccard_micro`` by integer division. Scale shape: the
+    token self-join is keyed on the token with #sources² fan-out per
+    token (sources are few by construction — this is a per-SOURCE matrix,
+    n_pairs = s(s-1)/2); one shuffle for the counts, one for the join.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("s"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9]+', 0)")
+        ).alias("w"),
+    )
+    counts = toks.groupBy("s", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("s").agg(F.sum("c").alias("tot"))
+    a = counts.select(F.col("s").alias("sa"), "w", F.col("c").alias("ca"))
+    b = counts.select(F.col("s").alias("sb"), "w", F.col("c").alias("cb"))
+    mins = (
+        a.join(b, "w")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.sum(F.least("ca", "cb")).alias("sum_min"))
+    )
+    pairs = (
+        tot.select(F.col("s").alias("sa"), F.col("tot").alias("tot_a"))
+        .crossJoin(tot.select(F.col("s").alias("sb"), F.col("tot").alias("tot_b")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    return (
+        pairs.join(mins, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "tot_a",
+            "tot_b",
+            F.coalesce("sum_min", F.lit(0)).cast("long").alias("sum_min"),
+        )
+        .withColumn(
+            "jaccard_micro",
+            F.expr("(sum_min * 1000000) div (tot_a + tot_b - sum_min)"),
+        )
+    )
