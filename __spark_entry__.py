@@ -6259,6 +6259,15 @@ def q_source_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_corruption_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption batch prep (operators/trainprep.py::
+    span_corruption): deterministic integer-mix masking, sentinel-collapsed
+    inputs, span targets. Oracle: the same list pipeline in DuckDB."""
+    from pagerank_spark.operators.trainprep import span_corruption
+
+    return span_corruption(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6569,6 +6578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_quality_events": q_partition_quality_events,
         "graph_growth_events": q_graph_growth_events,
         "source_jaccard_docs": q_source_jaccard_docs,
+        "span_corruption_docs": q_span_corruption_docs,
     }
 
 
@@ -10931,5 +10941,36 @@ SELECT pairs.sa AS source_a, pairs.sb AS source_b, tot_a, tot_b,
        COALESCE(mins.sum_min, 0) AS sum_min,
        (COALESCE(mins.sum_min, 0) * 1000000) // (tot_a + tot_b - COALESCE(mins.sum_min, 0)) AS jaccard_micro
 FROM pairs LEFT JOIN mins ON mins.sa = pairs.sa AND mins.sb = pairs.sb"""
+
+    # span corruption: identical mask rule + run-start sentinel numbering
+    sqls["span_corruption_docs"] = """
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+  FROM documents
+  WHERE len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) > 0),
+m AS MATERIALIZED (
+  SELECT doc_id, toks,
+    list_transform(range(1, len(toks) + 1),
+      i -> (((doc_id % 2147483648) * 31 + i) * 2654435761) % 5 = 0) AS mk
+  FROM t)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(mk, x -> x)) AS BIGINT) AS n_masked,
+  array_to_string(list_filter(
+    list_transform(range(1, len(toks) + 1), i ->
+      CASE WHEN NOT mk[i] THEN toks[i]
+           WHEN i = 1 OR NOT mk[i-1] THEN
+             '<extra_id_' || CAST(len(list_filter(range(1, i+1), j -> mk[j] AND (j = 1 OR NOT mk[j-1]))) - 1 AS VARCHAR) || '>'
+           ELSE NULL END),
+    x -> x IS NOT NULL), ' ') AS input_text,
+  array_to_string(list_filter(
+    list_transform(range(1, len(toks) + 1), i ->
+      CASE WHEN mk[i] AND (i = 1 OR NOT mk[i-1]) THEN
+             '<extra_id_' || CAST(len(list_filter(range(1, i+1), j -> mk[j] AND (j = 1 OR NOT mk[j-1]))) - 1 AS VARCHAR) || '> ' || toks[i]
+           WHEN mk[i] THEN toks[i]
+           ELSE NULL END),
+    x -> x IS NOT NULL), ' ') AS target_text
+FROM m"""
 
     return sqls

@@ -620,3 +620,72 @@ def source_weighted_jaccard(
             F.expr("(sum_min * 1000000) div (tot_a + tot_b - sum_min)"),
         )
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_mod: int = 5,
+) -> DataFrame:
+    """T5-style span-corruption example prep (Raffel et al. 2020): mask a
+    deterministic ~1/``mask_mod`` of each document's tokens, collapse each
+    contiguous masked run to one ``<extra_id_K>`` sentinel in the input,
+    and emit the masked spans behind their sentinels as the target — the
+    denoising-objective batch the training pipeline materializes after
+    packing.
+
+    Determinism contract: the mask bit for position ``i`` is pure integer
+    mixing ``(((doc_id % 2^31) * 31 + i) * KNUTH) % mask_mod == 0`` — no
+    RNG, replayable by the DuckDB oracle and stable under repartitioning
+    (the hash_split property, applied per token position). All string
+    assembly is JVM array expressions; sentinel numbering is the
+    prefix count of run starts (an O(n^2) in-row scan — bounded by doc
+    length, zero shuffles, nothing leaves the row).
+
+    Returns ``(id_col, n_tokens, n_masked, input_text, target_text)``.
+    """
+    knuth = 2654435761
+    toks = F.expr(
+        f"regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9]+', 0)"
+    )
+    mk = (
+        f"transform(sequence(1, size(__toks)), i -> "
+        f"((({id_col} % 2147483648) * 31 + i) * {knuth}) % {mask_mod} = 0)"
+    )
+    # run start at i: masked AND (i = 1 OR previous unmasked); ANSI-safe
+    start = (
+        "(element_at(__mk, CAST(i AS INT)) AND (CASE WHEN i = 1 THEN true "
+        "ELSE NOT element_at(__mk, CAST(i - 1 AS INT)) END))"
+    )
+    start_j = start.replace("i", "j")
+    sent_k = (
+        f"concat('<extra_id_', CAST(size(filter(sequence(1, i), j -> {start_j})) - 1 "
+        "AS STRING), '>')"
+    )
+    input_expr = (
+        f"array_join(filter(transform(sequence(1, size(__toks)), i -> "
+        f"CASE WHEN NOT element_at(__mk, CAST(i AS INT)) THEN element_at(__toks, CAST(i AS INT)) "
+        f"WHEN {start} THEN {sent_k} "
+        f"ELSE NULL END), x -> x IS NOT NULL), ' ')"
+    )
+    target_expr = (
+        f"array_join(filter(transform(sequence(1, size(__toks)), i -> "
+        f"CASE WHEN {start} THEN concat({sent_k}, ' ', element_at(__toks, CAST(i AS INT))) "
+        f"WHEN element_at(__mk, CAST(i AS INT)) THEN element_at(__toks, CAST(i AS INT)) "
+        f"ELSE NULL END), x -> x IS NOT NULL), ' ')"
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__mk", F.expr(mk))
+        .filter(F.size("__toks") > 0)
+        .select(
+            id_col,
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(size(filter(__mk, x -> x)) AS BIGINT)"
+            ).alias("n_masked"),
+            F.expr(input_expr).alias("input_text"),
+            F.expr(target_expr).alias("target_text"),
+        )
+    )
