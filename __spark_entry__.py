@@ -6268,6 +6268,18 @@ def q_span_corruption_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_corruption(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_pagerank_sweep_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-damping PageRank sweep (algos/pagerank.py::
+    pagerank_damping_sweep, d in {0.5, 0.85}, k=3) — one superstep loop
+    serves every sweep point. Oracle: the d-dimensioned unrolled
+    iteration SQL."""
+    from pagerank_spark.algos.pagerank import pagerank_damping_sweep
+
+    g = _graph_for(spark, sf_dir, "events")
+    res = pagerank_damping_sweep(g, [0.5, 0.85], iters=3)
+    return res.select("dval", "id", F.round("rank", 6).alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6579,6 +6591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_growth_events": q_graph_growth_events,
         "source_jaccard_docs": q_source_jaccard_docs,
         "span_corruption_docs": q_span_corruption_docs,
+        "pagerank_sweep_events": q_pagerank_sweep_events,
     }
 
 
@@ -10972,5 +10985,33 @@ SELECT doc_id,
            ELSE NULL END),
     x -> x IS NOT NULL), ' ') AS target_text
 FROM m"""
+
+    # damping sweep: the PageRank unroll with the d dimension riding along
+    _sw_ctes = [
+        _materialize(EVENTS_EDGES_CTE.strip()),
+        _materialize(GRAPH_BASE_CTES.strip()),
+        "dv AS MATERIALIZED (SELECT unnest([0.5, 0.85]) AS dval)",
+        "r0 AS MATERIALIZED (SELECT dv.dval, v.id, 1.0 / n.c AS rank "
+        "FROM v CROSS JOIN n CROSS JOIN dv)",
+    ]
+    for _it in range(1, 4):
+        _pv, _cu = f"r{_it - 1}", f"r{_it}"
+        _sw_ctes.append(f"""{_cu} AS MATERIALIZED (
+  SELECT dv.dval, v.id,
+         (1 - dv.dval) / n.c
+         + dv.dval * COALESCE(s.contrib, 0)
+         + dv.dval * COALESCE(d.m, 0) / n.c AS rank
+  FROM v CROSS JOIN n CROSS JOIN dv
+  LEFT JOIN (SELECT r.dval, COALESCE(SUM(r.rank), 0) AS m
+             FROM {_pv} r JOIN deg ON deg.id = r.id AND deg.out_degree = 0
+             GROUP BY r.dval) d ON d.dval = dv.dval
+  LEFT JOIN (SELECT r.dval, e.dst AS id, SUM(r.rank * (1.0 / deg.out_degree)) AS contrib
+             FROM e JOIN {_pv} r ON e.src = r.id JOIN deg ON deg.id = e.src
+             GROUP BY r.dval, e.dst) s ON s.dval = dv.dval AND s.id = v.id
+)""")
+    sqls["pagerank_sweep_events"] = (
+        "WITH " + ",\n".join(_sw_ctes)
+        + "\nSELECT dval, id, ROUND(rank, 6) AS rank FROM r3"
+    )
 
     return sqls
