@@ -6280,6 +6280,16 @@ def q_pagerank_sweep_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("dval", "id", F.round("rank", 6).alias("rank"))
 
 
+def q_compress_chains_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unary-chain compression of the events reply graph
+    (operators/graphstats.py::compress_chains, pointer doubling x8 — user
+    chains at sf0.01 are ~70 turns, well under the 256 bound). Oracle:
+    the same unrolled jumps."""
+    from pagerank_spark.operators.graphstats import compress_chains
+
+    return compress_chains(_graph_for(spark, sf_dir, "events"), rounds=8)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6592,6 +6602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_jaccard_docs": q_source_jaccard_docs,
         "span_corruption_docs": q_span_corruption_docs,
         "pagerank_sweep_events": q_pagerank_sweep_events,
+        "compress_chains_events": q_compress_chains_events,
     }
 
 
@@ -11012,6 +11023,29 @@ FROM m"""
     sqls["pagerank_sweep_events"] = (
         "WITH " + ",\n".join(_sw_ctes)
         + "\nSELECT dval, id, ROUND(rank, 6) AS rank FROM r3"
+    )
+
+    # chain compression: unrolled pointer-doubling jumps
+    _cc_ctes = [
+        _materialize(EVENTS_EDGES_CTE.strip()),
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst)",
+        "outd AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS o, MAX(dst) AS succ FROM de GROUP BY 1)",
+        "ind AS MATERIALIZED (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS i FROM de GROUP BY 1)",
+        "chain AS MATERIALIZED (SELECT outd.id, succ FROM outd JOIN ind USING (id) WHERE o = 1 AND i = 1)",
+        "t0 AS MATERIALIZED (SELECT id, succ AS t FROM chain)",
+    ]
+    for _jk in range(1, 9):
+        _cc_ctes.append(
+            f"t{_jk} AS MATERIALIZED (SELECT a.id, COALESCE(b.t, a.t) AS t "
+            f"FROM t{_jk - 1} a LEFT JOIN t{_jk - 1} b ON b.id = a.t)"
+        )
+    sqls["compress_chains_events"] = (
+        "WITH "
+        + ",\n".join(_cc_ctes)
+        + """,
+entry AS (SELECT de.src, de.dst FROM de LEFT JOIN chain c ON c.id = de.src WHERE c.id IS NULL)
+SELECT DISTINCT entry.src, COALESCE(t8.t, entry.dst) AS dst
+FROM entry LEFT JOIN t8 ON t8.id = entry.dst"""
     )
 
     return sqls

@@ -868,3 +868,59 @@ def graph_growth(tedges: DataFrame, t_col: str = "t") -> DataFrame:
         F.sum("new_edges").over(w).cast("long").alias("cum_edges"),
         F.sum("new_vertices").over(w).cast("long").alias("cum_vertices"),
     )
+
+
+def compress_chains(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Chain (unary-path) compression of a directed simple graph: every
+    maximal run of degree-(1,1) vertices collapses to a single edge from
+    the run's entry vertex to its terminal — the structure-preserving
+    shrink step web-graph and transcript-graph pipelines run before
+    expensive algorithms (a reply chain IS a unary path; compressing it
+    leaves the branching skeleton).
+
+    Synchronous pointer doubling (the Wyllie list-ranking jump): chain
+    vertices start pointing at their unique successor; each round jumps
+    ``t(v) <- t(t(v))`` while the target is still a chain vertex, so a
+    chain of length L resolves in ceil(log2 L) rounds — ``rounds=8``
+    covers length 256; longer chains stop early and keep a partial hop
+    (documented, not silent: callers size ``rounds`` to their diameter).
+    Each round is one self-join on the pointer key + localCheckpoint —
+    the same superstep contract as the engine's other fixpoints.
+
+    Semantics: non-chain vertices keep their edges, with targets rewritten
+    to the chain terminal; intra-chain edges disappear; a pure 2-regular
+    ring (every vertex degree-(1,1), no external entry) has no entry edge
+    and is dropped whole — it carries no connection to the rest of the
+    graph. Returns the compressed ``(src, dst)`` edge list. A cycle that
+    runs through one branching vertex ``a`` collapses to the self-loop
+    ``(a, a)`` — cycle existence is preserved, by design. Input self-loops
+    are dropped before degree counting (they would corrupt chain status).
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).dropDuplicates().localCheckpoint()
+    outd = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("o"), F.max("dst").alias("succ")
+    )
+    ind = e.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("i"))
+    chain = (
+        outd.join(ind, "id")
+        .filter((F.col("o") == 1) & (F.col("i") == 1))
+        .select("id", "succ")
+        .localCheckpoint()
+    )
+    # t(v): current resolved target for chain vertices; non-chain absent
+    t = chain.select("id", F.col("succ").alias("t"))
+    cset = chain.select(F.col("id").alias("__c"))
+    for _ in range(rounds):
+        nxt = t.select(F.col("id").alias("__tid"), F.col("t").alias("__tt"))
+        t = (
+            t.join(nxt, t["t"] == nxt["__tid"], "left")
+            .select("id", F.coalesce("__tt", "t").alias("t"))
+            .localCheckpoint()
+        )
+    entry = e.join(cset, e["src"] == cset["__c"], "left_anti")
+    rewritten = (
+        entry.join(t.select(F.col("id").alias("dst"), "t"), "dst", "left")
+        .select("src", F.coalesce("t", F.col("dst")).alias("dst"))
+        .dropDuplicates()
+    )
+    return rewritten
