@@ -6290,6 +6290,18 @@ def q_compress_chains_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compress_chains(_graph_for(spark, sf_dir, "events"), rounds=8)
 
 
+def q_spam_mass_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + relative spam mass (algos/trust.py::spam_mass, k=3):
+    trusted seeds = vertex ids % 101 == 0; both rank chains run in ONE
+    amortized superstep loop. Oracle: the run-dimensioned unrolled
+    PageRank/PPR recurrence."""
+    from pagerank_spark.algos.trust import spam_mass
+
+    edges = _graph_for(spark, sf_dir, "events")
+    verts = edges.select(F.col("src").alias("id")).union(edges.select(F.col("dst").alias("id"))).distinct()
+    return spam_mass(edges, verts.filter(F.col("id") % 101 == 0), iters=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6603,6 +6615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption_docs": q_span_corruption_docs,
         "pagerank_sweep_events": q_pagerank_sweep_events,
         "compress_chains_events": q_compress_chains_events,
+        "spam_mass_events": q_spam_mass_events,
     }
 
 
@@ -11046,6 +11059,44 @@ FROM m"""
 entry AS (SELECT de.src, de.dst FROM de LEFT JOIN chain c ON c.id = de.src WHERE c.id IS NULL)
 SELECT DISTINCT entry.src, COALESCE(t8.t, entry.dst) AS dst
 FROM entry LEFT JOIN t8 ON t8.id = entry.dst"""
+    )
+
+    # TrustRank + spam mass: two rank chains over one run dimension
+    _sm_ctes = [
+        _materialize(EVENTS_EDGES_CTE.strip()),
+        _materialize(GRAPH_BASE_CTES.strip()),
+        "ns AS MATERIALIZED (SELECT COUNT(*) AS c FROM v WHERE id % 101 = 0)",
+        """tp AS MATERIALIZED (
+  SELECT 'pr' AS run, v.id, CAST(1.0 AS DOUBLE) / n.c AS tele FROM v CROSS JOIN n
+  UNION ALL
+  SELECT 'tr' AS run, v.id,
+         CASE WHEN v.id % 101 = 0 THEN CAST(1.0 AS DOUBLE) / ns.c
+              ELSE CAST(0.0 AS DOUBLE) END AS tele
+  FROM v CROSS JOIN ns)""",
+        "sm0 AS MATERIALIZED (SELECT run, id, tele AS rank FROM tp)",
+    ]
+    for _it in range(1, 4):
+        _pv, _cu = f"sm{_it - 1}", f"sm{_it}"
+        _sm_ctes.append(f"""{_cu} AS MATERIALIZED (
+  SELECT tp.run, tp.id,
+         (1 - 0.85) * tp.tele
+         + 0.85 * COALESCE(s.contrib, 0)
+         + 0.85 * COALESCE(d.m, 0) * tp.tele AS rank
+  FROM tp
+  LEFT JOIN (SELECT r.run, COALESCE(SUM(r.rank), 0) AS m
+             FROM {_pv} r JOIN deg ON deg.id = r.id AND deg.out_degree = 0
+             GROUP BY r.run) d ON d.run = tp.run
+  LEFT JOIN (SELECT r.run, e.dst AS id, SUM(r.rank * (1.0 / deg.out_degree)) AS contrib
+             FROM e JOIN {_pv} r ON e.src = r.id JOIN deg ON deg.id = e.src
+             GROUP BY r.run, e.dst) s ON s.run = tp.run AND s.id = tp.id
+)""")
+    sqls["spam_mass_events"] = (
+        "WITH " + ",\n".join(_sm_ctes)
+        + """
+SELECT p.id, ROUND(p.rank, 6) AS pr, ROUND(t.rank, 6) AS tr,
+       ROUND((p.rank - t.rank) / p.rank, 6) AS spam_mass
+FROM sm3 p JOIN sm3 t ON t.id = p.id AND t.run = 'tr'
+WHERE p.run = 'pr'"""
     )
 
     return sqls
