@@ -6210,6 +6210,40 @@ def q_role_mixing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return role_mixing(transcripts_from_events(ev))
 
 
+def q_tool_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool response-latency profile (operators/sequences.py::
+    tool_latency) over the transcripts view — exact BIGINT microseconds.
+    Oracle: the same lag window on epoch_us."""
+    from pagerank_spark.operators.sequences import tool_latency
+    from pagerank_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tool_latency(transcripts_from_events(ev))
+
+
+def q_agent_loops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-agent retry-loop runs (operators/sequences.py::agent_loops,
+    min_len=2): maximal same-tool consecutive-invocation runs per
+    conversation via gaps-and-islands. Oracle: the same double
+    row_number grouping."""
+    from pagerank_spark.operators.sequences import agent_loops
+    from pagerank_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return agent_loops(transcripts_from_events(ev), min_len=2)
+
+
+def q_conv_shapes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-shape fingerprint groups (operators/sequences.py::
+    conv_shapes): turn-ordered role:tool template per conversation,
+    counted per template. Oracle: string_agg ORDER BY turn_idx."""
+    from pagerank_spark.operators.sequences import conv_shapes
+    from pagerank_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return conv_shapes(transcripts_from_events(ev))
+
+
 def q_hubness_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse-kNN hubness histogram (operators/similarity.py::hubness,
     k=5) over the embeddings corpus — the ANN-quality screen. Oracle: the
@@ -6616,6 +6650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_sweep_events": q_pagerank_sweep_events,
         "compress_chains_events": q_compress_chains_events,
         "spam_mass_events": q_spam_mass_events,
+        "tool_latency_events": q_tool_latency_events,
+        "agent_loops_events": q_agent_loops_events,
+        "conv_shapes_events": q_conv_shapes_events,
     }
 
 
@@ -10876,6 +10913,52 @@ SELECT role_src, role_dst, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
   FROM t)
 WHERE role_dst IS NOT NULL
 GROUP BY 1, 2"""
+
+    # tool latency: the transcripts view re-derived WITH ts (the shared
+    # view CTE drops it), then one lag window on epoch_us
+    sqls["tool_latency_events"] = """
+WITH bt AS MATERIALIZED (
+  SELECT user_id, event_type, ts,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_et
+  FROM events),
+tt AS MATERIALIZED (
+  SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id, turn_idx, ts,
+    CASE WHEN turn_idx % 3 = 0 THEN 'user'
+         WHEN turn_idx % 3 = 1 THEN 'assistant'
+         WHEN (user_id + turn_idx - 1) % 3 = 0 THEN 'tool' ELSE 'user' END AS role,
+    CASE WHEN turn_idx % 3 = 1 AND (user_id + turn_idx) % 3 = 0 THEN event_type
+         WHEN turn_idx % 3 = 2 AND (user_id + turn_idx - 1) % 3 = 0 THEN prev_et
+         ELSE NULL END AS tool
+  FROM bt),
+l AS (
+  SELECT conv_id, role, tool,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS lat
+  FROM tt)
+SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_results,
+       CAST(SUM(lat) AS BIGINT) AS total_latency_us,
+       CAST(MAX(lat) AS BIGINT) AS max_latency_us
+FROM l WHERE role = 'tool' AND lat IS NOT NULL GROUP BY 1"""
+
+    # agent loops: gaps-and-islands via the double row_number difference
+    sqls["agent_loops_events"] = f"""
+WITH {TRANSCRIPT_VIEW_CTES.strip()},
+inv AS (SELECT conv_id, tool, turn_idx FROM t WHERE role = 'assistant' AND tool IS NOT NULL),
+g AS (SELECT conv_id, tool, turn_idx,
+        ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+        - ROW_NUMBER() OVER (PARTITION BY conv_id, tool ORDER BY turn_idx) AS grp
+      FROM inv)
+SELECT conv_id, tool, CAST(COUNT(*) AS BIGINT) AS run_len, MIN(turn_idx) AS start_turn
+FROM g GROUP BY conv_id, tool, grp HAVING COUNT(*) >= 2"""
+
+    # conversation shapes: order carried by ORDER BY inside string_agg
+    sqls["conv_shapes_events"] = f"""
+WITH {TRANSCRIPT_VIEW_CTES.strip()},
+s AS (SELECT conv_id,
+             string_agg(role || ':' || COALESCE(tool, '-'), ',' ORDER BY turn_idx) AS shape
+      FROM t GROUP BY conv_id)
+SELECT shape, CAST(COUNT(*) AS BIGINT) AS n_convs, MIN(conv_id) AS rep_conv
+FROM s GROUP BY shape"""
 
     # hubness: the exact kNN CTE at k=5 + reverse-degree histogram
     sqls["hubness_embeddings"] = """

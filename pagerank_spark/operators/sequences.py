@@ -511,3 +511,99 @@ def role_mixing(transcripts: DataFrame) -> DataFrame:
         .groupBy("role_src", "role_dst")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def tool_latency(transcripts: DataFrame) -> DataFrame:
+    """Per-tool response-latency profile over a transcripts table: for every
+    tool-result turn (``role='tool'``), latency = its timestamp minus the
+    immediately preceding turn's (the invoking assistant). The SLO summary
+    an agent-platform pipeline computes before deciding which tool traces
+    to keep (slow tools correlate with truncated / retried trajectories).
+
+    One lag window on the conversation key + one grouped aggregate; all
+    outputs exact BIGINT microseconds (``unix_micros`` both engines — no
+    float seconds anywhere). Returns per tool:
+    ``(tool, n_results, total_latency_us, max_latency_us)``.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+        ).alias("__lat"),
+    )
+    return (
+        t.filter((F.col("role") == "tool") & F.col("__lat").isNotNull())
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_results"),
+            F.sum("__lat").cast("long").alias("total_latency_us"),
+            F.max("__lat").cast("long").alias("max_latency_us"),
+        )
+    )
+
+
+def agent_loops(transcripts: DataFrame, min_len: int = 2) -> DataFrame:
+    """Stuck-agent detection: maximal runs of CONSECUTIVE tool invocations
+    of the same tool within a conversation (assistant turns carrying a tool
+    name, ordered by turn). An agent re-invoking the same tool k times in a
+    row is the classic retry-loop signature — curation pipelines drop or
+    down-weight such trajectories before SFT mining.
+
+    Gaps-and-islands with two row_number windows on the conversation key
+    (``rn_all - rn_per_tool`` is constant within a run) + one grouped
+    aggregate — no joins, no Python. Returns runs with length >=
+    ``min_len``: ``(conv_id, tool, run_len, start_turn)``.
+    """
+    inv = transcripts.filter((F.col("role") == "assistant") & F.col("tool").isNotNull())
+    w_all = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_tool = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    grp = inv.select(
+        "conv_id",
+        "tool",
+        "turn_idx",
+        (F.row_number().over(w_all) - F.row_number().over(w_tool)).alias("__g"),
+    )
+    return (
+        grp.groupBy("conv_id", "tool", "__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.min("turn_idx").alias("start_turn"),
+        )
+        .filter(F.col("run_len") >= min_len)
+        .select("conv_id", "tool", "run_len", "start_turn")
+    )
+
+
+def conv_shapes(transcripts: DataFrame) -> DataFrame:
+    """Conversation-shape fingerprinting: the interaction template of a
+    conversation is the turn-ordered string of ``role[:tool]`` tokens;
+    conversations sharing a template are structurally identical
+    trajectories — the conversation-level analogue of exact text dedup
+    (operators/dedup.py), used to cap over-represented agent flows before
+    sampling.
+
+    One grouped array_sort-of-structs aggregate builds the fingerprint
+    (order carried by ``turn_idx`` inside the struct — NOT collect order,
+    which is partitioning-dependent), then one count per shape. Returns
+    ``(shape, n_convs, rep_conv)`` with the lexicographically smallest
+    conversation id as the deterministic group representative.
+    """
+    tok = F.concat_ws(":", F.col("role"), F.coalesce(F.col("tool"), F.lit("-")))
+    shapes = transcripts.groupBy("conv_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), tok.alias("tok")))),
+                lambda s: s["tok"],
+            ),
+        ).alias("shape")
+    )
+    return shapes.groupBy("shape").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.min("conv_id").alias("rep_conv"),
+    )

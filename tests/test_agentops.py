@@ -1,0 +1,82 @@
+"""tool_latency / agent_loops / conv_shapes — hand fixtures."""
+
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.sequences import agent_loops, conv_shapes, tool_latency
+from pagerank_spark.sources.transcripts import transcripts_tiny
+
+
+def _tr(spark, rows):
+    # (conv_id, turn_idx, role, tool, ts_offset_seconds)
+    df = spark.createDataFrame(
+        [(c, i, r, t, s) for c, i, r, t, s in rows],
+        "conv_id string, turn_idx int, role string, tool string, off long",
+    )
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lit("x").alias("text"),
+        "tool",
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(secs=F.col("off"))).alias("ts"),
+    )
+
+
+def test_tool_latency_tiny_fixture(spark):
+    # transcripts_tiny: one search result and one python result, each one
+    # minute after the invoking assistant turn
+    rows = {r["tool"]: r for r in tool_latency(transcripts_tiny(spark)).collect()}
+    assert rows["search"]["n_results"] == 1
+    assert rows["search"]["total_latency_us"] == 60_000_000
+    assert rows["python"]["max_latency_us"] == 60_000_000
+
+
+def test_tool_latency_aggregates(spark):
+    rows_in = [
+        ("a", 0, "user", None, 0),
+        ("a", 1, "assistant", "sql", 10),
+        ("a", 2, "tool", "sql", 25),      # 15s
+        ("b", 0, "user", None, 0),
+        ("b", 1, "assistant", "sql", 5),
+        ("b", 2, "tool", "sql", 40),      # 35s
+    ]
+    got = {r["tool"]: r for r in tool_latency(_tr(spark, rows_in)).collect()}
+    assert got["sql"]["n_results"] == 2
+    assert got["sql"]["total_latency_us"] == 50_000_000
+    assert got["sql"]["max_latency_us"] == 35_000_000
+
+
+def test_agent_loops_runs_and_breaks(spark):
+    # conv a: search, search, python, search -> one run (search, len 2, start 1)
+    rows_in = [
+        ("a", 1, "assistant", "search", 0),
+        ("a", 4, "assistant", "search", 0),
+        ("a", 7, "assistant", "python", 0),
+        ("a", 10, "assistant", "search", 0),
+        # conv b: three pythons in a row -> run len 3
+        ("b", 1, "assistant", "python", 0),
+        ("b", 4, "assistant", "python", 0),
+        ("b", 7, "assistant", "python", 0),
+        # tool-result rows must not count as invocations
+        ("b", 8, "tool", "python", 0),
+    ]
+    got = {(r["conv_id"], r["tool"]): r for r in agent_loops(_tr(spark, rows_in), min_len=2).collect()}
+    assert got[("a", "search")]["run_len"] == 2
+    assert got[("a", "search")]["start_turn"] == 1
+    assert got[("b", "python")]["run_len"] == 3
+    assert ("a", "python") not in got
+
+
+def test_conv_shapes_groups_identical_templates(spark):
+    rows_in = [
+        ("a", 0, "user", None, 0),
+        ("a", 1, "assistant", "sql", 0),
+        ("b", 0, "user", None, 0),
+        ("b", 1, "assistant", "sql", 0),
+        ("c", 0, "user", None, 0),
+        ("c", 1, "assistant", None, 0),
+    ]
+    got = {r["shape"]: r for r in conv_shapes(_tr(spark, rows_in)).collect()}
+    assert got["user:-,assistant:sql"]["n_convs"] == 2
+    assert got["user:-,assistant:sql"]["rep_conv"] == "a"
+    assert got["user:-,assistant:-"]["n_convs"] == 1
