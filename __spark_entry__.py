@@ -3443,6 +3443,72 @@ def q_walks_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pseudorandom_walks(_graph_for(spark, sf_dir, "copurchase"), walk_len=4)
 
 
+def _edge_betweenness_sql(edges_cte: str, k: int, seed_mod: int) -> str:
+    """Unrolled landmark k-bounded Brandes EDGE betweenness mirroring
+    algos/betweenness.py::edge_betweenness_landmark: same forward sigma
+    levels as _betweenness_sql; backward phase materializes per-level
+    DAG-edge terms x{t} (sigma_u/sigma_w * (1 + delta_w)) and derives the
+    vertex delta by grouping them."""
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM e)",
+        "vv AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst AS id FROM de)",
+        f"f0 AS MATERIALIZED (SELECT id AS seed, id, CAST(1 AS DOUBLE) AS sigma "
+        f"FROM vv WHERE id % {seed_mod} = 0)",
+        "r0 AS MATERIALIZED (SELECT seed, id FROM f0)",
+    ]
+    for t in range(1, k + 1):
+        ctes.append(f"""f{t} AS MATERIALIZED (
+  SELECT c.seed, c.id, c.sigma FROM (
+    SELECT p.seed, de.dst AS id, SUM(p.sigma) AS sigma
+    FROM de JOIN f{t - 1} p ON de.src = p.id GROUP BY 1, 2
+  ) c LEFT JOIN r{t - 1} r ON r.seed = c.seed AND r.id = c.id
+  WHERE r.id IS NULL
+)""")
+        ctes.append(
+            f"r{t} AS MATERIALIZED (SELECT seed, id FROM r{t - 1} "
+            f"UNION ALL SELECT seed, id FROM f{t})"
+        )
+    ctes.append(f"d{k} AS MATERIALIZED (SELECT seed, id, CAST(0 AS DOUBLE) AS delta FROM f{k})")
+    for t in range(k - 1, -1, -1):
+        ctes.append(f"""x{t} AS MATERIALIZED (
+  SELECT u.seed, u.id AS src, w.id AS dst, (u.sigma / w.sigma) * (1 + w.delta) AS term
+  FROM f{t} u
+  JOIN de ON de.src = u.id
+  JOIN (SELECT f.seed, f.id, f.sigma, dn.delta
+        FROM f{t + 1} f JOIN d{t + 1} dn ON dn.seed = f.seed AND dn.id = f.id) w
+    ON w.seed = u.seed AND w.id = de.dst
+)""")
+        ctes.append(f"""d{t} AS MATERIALIZED (
+  SELECT u.seed, u.id, COALESCE(SUM(x.term), 0) AS delta
+  FROM f{t} u LEFT JOIN x{t} x ON x.seed = u.seed AND x.src = u.id
+  GROUP BY 1, 2
+)""")
+    union = "\nUNION ALL\n".join(f"SELECT src, dst, term FROM x{t}" for t in range(k))
+    return (
+        "WITH " + ",\n".join(ctes) + f",\nxx AS MATERIALIZED ({union})"
+        + """
+SELECT de.src, de.dst, ROUND(COALESCE(b.s, 0), 6) AS edge_betweenness
+FROM de LEFT JOIN (SELECT src, dst, SUM(term) AS s FROM xx GROUP BY 1, 2) b
+  ON b.src = de.src AND b.dst = de.dst"""
+    )
+
+
+def q_edge_betweenness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark 4-bounded Brandes EDGE betweenness on the events graph,
+    seeds = ids % 97 == 0 (algos/betweenness.py::edge_betweenness_landmark)
+    — the Girvan-Newman splitting signal. Oracle: per-level DAG-edge terms
+    unrolled (_edge_betweenness_sql)."""
+    from pagerank_spark.algos.betweenness import edge_betweenness_landmark
+
+    edges = _graph_for(spark, sf_dir, "events")
+    verts = edges.select(F.col("src").alias("id")).union(edges.select(F.col("dst").alias("id"))).distinct()
+    seeds = verts.filter(F.col("id") % 97 == 0)
+    return edge_betweenness_landmark(edges, seeds, max_depth=4).select(
+        "src", "dst", F.round("edge_betweenness", 6).alias("edge_betweenness")
+    )
+
+
 def q_betweenness_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark 4-bounded Brandes betweenness on the copurchase graph,
     seeds = ids % 50 == 0. Oracle: forward sigma + backward delta levels
@@ -6653,6 +6719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency_events": q_tool_latency_events,
         "agent_loops_events": q_agent_loops_events,
         "conv_shapes_events": q_conv_shapes_events,
+        "edge_betweenness_events": q_edge_betweenness_events,
     }
 
 
@@ -8844,6 +8911,7 @@ GROUP BY 1, 2"""
     sqls["skipgram_copurchase"] = _skipgram_sql(COPURCHASE_EDGES_CTE, 4, 2)
     sqls["pmi_copurchase"] = _pmi_sql(COPURCHASE_EDGES_CTE, 4, 2, 2)
     sqls["betweenness_copurchase"] = _betweenness_sql(COPURCHASE_EDGES_CTE, 4, 50)
+    sqls["edge_betweenness_events"] = _edge_betweenness_sql(EVENTS_EDGES_CTE, 4, 97)
     sqls["assortativity_copurchase"] = f"""
 WITH {COPURCHASE_EDGES_CTE.strip()},
 und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

@@ -123,3 +123,96 @@ def betweenness_landmark(
     return verts.join(bc.hint("shuffle_hash"), "id", "left").select(
         "id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
     )
+
+
+def edge_betweenness_landmark(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """k-hop-bounded Brandes EDGE betweenness from ``seeds``: per seed s,
+    every shortest-path-DAG edge (u, v) accumulates
+    ``sigma(s,u)/sigma(s,v) * (1 + delta(s,v))`` — the per-edge form of the
+    dependency recursion (Brandes 2001 §4; the Girvan-Newman splitting
+    signal). Returns ``(src, dst, edge_betweenness)`` for every distinct
+    edge (0.0 where no bounded shortest path from the landmark set uses it).
+
+    Same forward phase as :func:`betweenness_landmark`; the backward phase
+    materializes the per-level DAG-edge terms BEFORE the vertex grouping,
+    so the vertex recursion and the edge credit come out of the same join
+    (no second pass over the levels).
+    """
+    p = num_partitions or _num_partitions(edges)
+    e = edges.select("src", "dst").dropDuplicates().repartition(p, "src").localCheckpoint()
+
+    lvl0 = (
+        seeds.select(F.col("id").alias("seed"), F.col("id").alias("id"), F.lit(1.0).alias("sigma"))
+        .repartition(p, "id")
+        .localCheckpoint()
+    )
+    levels = [lvl0]
+    reached = lvl0.select("seed", "id").localCheckpoint(eager=False)
+    for _t in range(1, max_depth + 1):
+        prev = levels[-1]
+        cand = (
+            e.join(prev.withColumnRenamed("id", "src"), "src")
+            .groupBy("seed", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = (
+            cand.join(reached.hint("shuffle_hash"), ["seed", "id"], "left_anti")
+            .repartition(p, "id")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        levels.append(nxt)
+        reached = reached.unionByName(nxt.select("seed", "id")).localCheckpoint(eager=False)
+
+    depth = len(levels) - 1
+    delta_next = levels[depth].select("seed", "id", F.lit(0.0).alias("delta"))
+    edge_parts = []
+    for t in range(depth - 1, -1, -1):
+        w = delta_next.join(
+            levels[t + 1].hint("shuffle_hash"), ["seed", "id"], "inner"
+        ).select("seed", F.col("id").alias("__wid"), F.col("sigma").alias("__sw"), "delta")
+        cand = e.join(w.hint("shuffle_hash"), e.dst == w.__wid, "inner").select(
+            "seed", "src", "dst", "__sw", "delta"
+        )
+        terms = (
+            levels[t]
+            .select("seed", F.col("id").alias("src"), F.col("sigma").alias("__su"))
+            .join(cand.hint("shuffle_hash"), ["seed", "src"], "inner")
+            .select(
+                "seed",
+                "src",
+                "dst",
+                ((F.col("__su") / F.col("__sw")) * (1.0 + F.col("delta"))).alias("term"),
+            )
+            .localCheckpoint()
+        )
+        edge_parts.append(terms)
+        delta_next = (
+            levels[t]
+            .select("seed", "id")
+            .join(
+                terms.groupBy("seed", F.col("src").alias("id")).agg(F.sum("term").alias("delta")),
+                ["seed", "id"],
+                "left",
+            )
+            .select("seed", "id", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .repartition(p, "id")
+            .localCheckpoint()
+        )
+
+    if edge_parts:
+        allt = edge_parts[0]
+        for part in edge_parts[1:]:
+            allt = allt.unionByName(part)
+        eb = allt.groupBy("src", "dst").agg(F.sum("term").alias("edge_betweenness"))
+    else:
+        eb = e.select("src", "dst", F.lit(0.0).alias("edge_betweenness")).limit(0)
+    return e.join(eb.hint("shuffle_hash"), ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("edge_betweenness", F.lit(0.0)).alias("edge_betweenness")
+    )
