@@ -3494,6 +3494,64 @@ FROM de LEFT JOIN (SELECT src, dst, SUM(term) AS s FROM xx GROUP BY 1, 2) b
     )
 
 
+def _fiedler_sql(edges_cte: str, k: int) -> str:
+    """Unrolled k-step deflated power iteration mirroring
+    algos/spectral.py::fiedler_vector: undirected normalized adjacency,
+    half-shift (x + gather)/2, per-step deflation against sqrt(deg) with
+    the EXACT integer degree total as divisor, end-normalized."""
+    from pagerank_spark.algos.spectral import hash_init_expr
+
+    ctes = [
+        _materialize(edges_cte.strip()),
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM e WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und)",
+        "dg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg, SQRT(COUNT(*)) AS sd "
+        "FROM adj GROUP BY 1)",
+        "ce AS MATERIALIZED (SELECT adj.src, adj.dst, 1.0 / SQRT(ds.deg * dd.deg) AS coef "
+        "FROM adj JOIN dg ds ON ds.id = adj.src JOIN dg dd ON dd.id = adj.dst)",
+        "dt AS (SELECT CAST(SUM(deg) AS DOUBLE) AS dtot FROM dg)",
+        f"x0 AS MATERIALIZED (SELECT id, sd, {hash_init_expr('id')} AS x FROM dg)",
+    ]
+    for t in range(1, k + 1):
+        prev, cur = f"x{t - 1}", f"x{t}"
+        ctes.append(f"""y{t} AS MATERIALIZED (
+  SELECT p.id, p.sd, (p.x + COALESCE(g.s, 0)) / 2 AS y
+  FROM {prev} p LEFT JOIN (
+    SELECT ce.dst AS id, SUM(ce.coef * x.x) AS s FROM ce JOIN {prev} x ON ce.src = x.id GROUP BY 1
+  ) g ON g.id = p.id
+)""")
+        ctes.append(
+            f"c{t} AS (SELECT SUM(sd * y) / (SELECT dtot FROM dt) AS c FROM y{t})"
+        )
+        ctes.append(
+            f"{cur} AS MATERIALIZED (SELECT id, sd, y - (SELECT c FROM c{t}) * sd AS x FROM y{t})"
+        )
+    ctes.append(f"n2 AS (SELECT SQRT(SUM(x * x)) AS n FROM x{k})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(ROUND(x * (1.0 / n) * 1000000.0) AS BIGINT)"
+        f" AS fiedler_e6 FROM x{k}, n2"
+    )
+
+
+def q_fiedler_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiedler vector (spectral bisection direction) on the events graph:
+    8 deflated power-iteration steps on (I + D^-1/2 A D^-1/2)/2 with
+    deterministic hash init (algos/spectral.py). Oracle: unrolled 8-step
+    SQL (_fiedler_sql)."""
+    from pagerank_spark.algos.spectral import fiedler_vector
+
+    edges = _graph_for(spark, sf_dir, "events")
+    res = fiedler_vector(edges, max_iters=8)
+    return res.scores.select(
+        "id",
+        F.round(F.col("fiedler") * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("fiedler_e6"),
+    )
+
+
 def q_edge_betweenness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark 4-bounded Brandes EDGE betweenness on the events graph,
     seeds = ids % 97 == 0 (algos/betweenness.py::edge_betweenness_landmark)
@@ -6720,6 +6778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_loops_events": q_agent_loops_events,
         "conv_shapes_events": q_conv_shapes_events,
         "edge_betweenness_events": q_edge_betweenness_events,
+        "fiedler_events_k8": q_fiedler_events,
     }
 
 
@@ -8912,6 +8971,7 @@ GROUP BY 1, 2"""
     sqls["pmi_copurchase"] = _pmi_sql(COPURCHASE_EDGES_CTE, 4, 2, 2)
     sqls["betweenness_copurchase"] = _betweenness_sql(COPURCHASE_EDGES_CTE, 4, 50)
     sqls["edge_betweenness_events"] = _edge_betweenness_sql(EVENTS_EDGES_CTE, 4, 97)
+    sqls["fiedler_events_k8"] = _fiedler_sql(EVENTS_EDGES_CTE, 8)
     sqls["assortativity_copurchase"] = f"""
 WITH {COPURCHASE_EDGES_CTE.strip()},
 und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
