@@ -3494,11 +3494,13 @@ FROM de LEFT JOIN (SELECT src, dst, SUM(term) AS s FROM xx GROUP BY 1, 2) b
     )
 
 
-def _fiedler_sql(edges_cte: str, k: int) -> str:
-    """Unrolled k-step deflated power iteration mirroring
-    algos/spectral.py::fiedler_vector: undirected normalized adjacency,
-    half-shift (x + gather)/2, per-step deflation against sqrt(deg) with
-    the EXACT integer degree total as divisor, end-normalized."""
+def _fiedler_ctes(edges_cte: str, k: int) -> list:
+    """Shared CTE chain for the Fiedler-vector family: unrolled k-step
+    deflated power iteration mirroring algos/spectral.py::fiedler_vector —
+    undirected normalized adjacency, half-shift (x + gather)/2, per-step
+    deflation against sqrt(deg) with the EXACT integer degree total as
+    divisor. Ends with ``x{k}`` (the raw iterate) and ``n2`` (its L2
+    norm); also exposes ``und``/``dg`` for downstream consumers."""
     from pagerank_spark.algos.spectral import hash_init_expr
 
     ctes = [
@@ -3528,10 +3530,52 @@ def _fiedler_sql(edges_cte: str, k: int) -> str:
             f"{cur} AS MATERIALIZED (SELECT id, sd, y - (SELECT c FROM c{t}) * sd AS x FROM y{t})"
         )
     ctes.append(f"n2 AS (SELECT SQRT(SUM(x * x)) AS n FROM x{k})")
+    return ctes
+
+
+def _fiedler_sql(edges_cte: str, k: int) -> str:
+    """Micro-quantized Fiedler vector (see _fiedler_ctes)."""
+    ctes = _fiedler_ctes(edges_cte, k)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, CAST(ROUND(x * (1.0 / n) * 1000000.0) AS BIGINT)"
         f" AS fiedler_e6 FROM x{k}, n2"
+    )
+
+
+def _sweepcut_sql(edges_cte: str, k: int) -> str:
+    """Sweep-cut curve over the micro-quantized Fiedler order, mirroring
+    algos/sweepcut.py::sweep_cut: rank + volume prefix sums in (score, id)
+    order, cut(k) via the difference-array identity (+1 at the lower
+    endpoint rank, -1 at the upper), conductance micro-scaled by integer
+    division."""
+    ctes = _fiedler_ctes(edges_cte, k)
+    ctes += [
+        f"qs AS MATERIALIZED (SELECT id, CAST(ROUND(x * (1.0 / n) * 1000000.0) AS BIGINT)"
+        f" AS score FROM x{k}, n2)",
+        "rk AS MATERIALIZED (SELECT dg.id, dg.deg, qs.score, "
+        "ROW_NUMBER() OVER (ORDER BY qs.score, dg.id) AS k, "
+        "SUM(dg.deg) OVER (ORDER BY qs.score, dg.id) AS vol "
+        "FROM dg JOIN qs ON qs.id = dg.id)",
+        "m2 AS (SELECT SUM(deg) AS m2 FROM dg)",
+        "er AS MATERIALIZED (SELECT LEAST(ra.k, rb.k) AS lo, GREATEST(ra.k, rb.k) AS hi "
+        "FROM und JOIN rk ra ON ra.id = und.a JOIN rk rb ON rb.id = und.b)",
+        "dl AS (SELECT pos, SUM(d) AS d FROM ("
+        "SELECT lo AS pos, 1 AS d FROM er UNION ALL SELECT hi, -1 FROM er) GROUP BY 1)",
+        "cv AS (SELECT rk.k, rk.id, rk.vol, "
+        "SUM(COALESCE(dl.d, 0)) OVER (ORDER BY rk.k) AS cut "
+        "FROM rk LEFT JOIN dl ON dl.pos = rk.k)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT CAST(k AS BIGINT) AS k, id, CAST(cut AS BIGINT) AS cut,
+       CAST(vol AS BIGINT) AS vol,
+       CAST((CAST(cut AS BIGINT) * 1000000)
+         // LEAST(CAST(vol AS BIGINT),
+                  CAST((SELECT m2 FROM m2) AS BIGINT) - CAST(vol AS BIGINT))
+         AS BIGINT) AS phi_micro
+FROM cv WHERE (SELECT m2 FROM m2) - vol > 0"""
     )
 
 
@@ -3550,6 +3594,23 @@ def q_fiedler_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fiedler_e6"),
     )
+
+
+def q_spectral_sweepcut_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral bisection end-to-end on the events graph: micro-quantized
+    Fiedler order (8 deflated power steps) swept for the min-conductance
+    prefix cut (algos/sweepcut.py::sweep_cut — three distributed prefix
+    sums + the difference-array cut identity, all-BIGINT outputs).
+    Oracle: _sweepcut_sql composed over the shared Fiedler CTE chain."""
+    from pagerank_spark.algos.spectral import fiedler_vector
+    from pagerank_spark.algos.sweepcut import sweep_cut
+
+    edges = _graph_for(spark, sf_dir, "events")
+    scores = fiedler_vector(edges, max_iters=8).scores.select(
+        "id",
+        F.round(F.col("fiedler") * F.lit(1000000.0), 0).cast("long").alias("score"),
+    )
+    return sweep_cut(edges, scores)
 
 
 def q_edge_betweenness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6779,6 +6840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_shapes_events": q_conv_shapes_events,
         "edge_betweenness_events": q_edge_betweenness_events,
         "fiedler_events_k8": q_fiedler_events,
+        "spectral_sweepcut_events": q_spectral_sweepcut_events,
     }
 
 
@@ -8972,6 +9034,7 @@ GROUP BY 1, 2"""
     sqls["betweenness_copurchase"] = _betweenness_sql(COPURCHASE_EDGES_CTE, 4, 50)
     sqls["edge_betweenness_events"] = _edge_betweenness_sql(EVENTS_EDGES_CTE, 4, 97)
     sqls["fiedler_events_k8"] = _fiedler_sql(EVENTS_EDGES_CTE, 8)
+    sqls["spectral_sweepcut_events"] = _sweepcut_sql(EVENTS_EDGES_CTE, 8)
     sqls["assortativity_copurchase"] = f"""
 WITH {COPURCHASE_EDGES_CTE.strip()},
 und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
