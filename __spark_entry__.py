@@ -6372,6 +6372,22 @@ def q_sft_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft_pairs(transcripts_from_events(ev))
 
 
+def q_sft_context_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted-history SFT context planning over the transcripts view
+    (operators/trainprep.py::sft_context_window): per assistant turn, the
+    longest preceding-turn suffix whose total text length fits a 25-char
+    budget. Oracle: keyed-window prefix sum + the same monotone fit
+    filter. All-BIGINT outputs."""
+    from pagerank_spark.operators.trainprep import sft_context_window
+    from pagerank_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tr = transcripts_from_events(ev).withColumn(
+        "__cost", F.length("text").cast("long")
+    )
+    return sft_context_window(tr, budget=25)
+
+
 def q_transcript_lint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation structural QA (operators/sequences.py::
     transcript_lint) over the transcripts view — turn gaps, same-role
@@ -6823,6 +6839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_events": q_did_events,
         "transcript_edges_events": q_transcript_edges_events,
         "sft_pairs_events": q_sft_pairs_events,
+        "sft_context_events": q_sft_context_events,
         "pagerank_transcript_k3": q_pagerank_transcript_k3,
         "cc_transcript": q_cc_transcript,
         "transcript_lint_events": q_transcript_lint_events,
@@ -11062,6 +11079,32 @@ SELECT conv_id, turn_idx AS prompt_turn, text AS prompt, nt AS response FROM (
          lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nt
   FROM t)
 WHERE role = 'user' AND nr = 'assistant'"""
+
+    # budgeted SFT context windows: prefix sum + monotone fit filter
+    sqls["sft_context_events"] = f"""
+WITH {TRANSCRIPT_VIEW_CTES.strip()},
+c AS MATERIALIZED (
+  SELECT conv_id, turn_idx, role, CAST(LENGTH(text) AS BIGINT) AS cst,
+         CAST(SUM(LENGTH(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              AS BIGINT) AS cum
+  FROM t),
+tg AS (SELECT conv_id, turn_idx AS target_turn, cum - cst AS cum_before
+       FROM c WHERE role = 'assistant'),
+inc AS (
+  SELECT tg.conv_id, tg.target_turn, tg.cum_before,
+         s.turn_idx AS s, s.cum - s.cst AS prev_cum
+  FROM tg JOIN c s ON s.conv_id = tg.conv_id
+  WHERE s.turn_idx < tg.target_turn AND tg.cum_before - (s.cum - s.cst) <= 25),
+fit AS (
+  SELECT conv_id, target_turn, MIN(s) AS ctx_start_turn,
+         COUNT(*) AS n_ctx_turns,
+         ANY_VALUE(cum_before) - MIN(prev_cum) AS ctx_cost
+  FROM inc GROUP BY 1, 2)
+SELECT tg.conv_id, tg.target_turn,
+       CAST(COALESCE(fit.ctx_start_turn, tg.target_turn) AS BIGINT) AS ctx_start_turn,
+       CAST(COALESCE(fit.n_ctx_turns, 0) AS BIGINT) AS n_ctx_turns,
+       CAST(COALESCE(fit.ctx_cost, 0) AS BIGINT) AS ctx_cost
+FROM tg LEFT JOIN fit ON fit.conv_id = tg.conv_id AND fit.target_turn = tg.target_turn"""
 
     # PageRank over the transcript-derived graph: the flagship composition
     sqls["pagerank_transcript_k3"] = _pagerank_sql(TRANSCRIPT_EDGES_CTE, 3)

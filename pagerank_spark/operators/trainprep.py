@@ -689,3 +689,76 @@ def span_corruption(
             F.expr(target_expr).alias("target_text"),
         )
     )
+
+
+def sft_context_window(
+    transcripts: DataFrame,
+    budget: int,
+    cost_col: str = "__cost",
+    target_role: str = "assistant",
+) -> DataFrame:
+    """Budgeted-history SFT example planning over a transcripts table: for
+    every ``target_role`` turn, select the LONGEST contiguous suffix of the
+    preceding turns whose total cost fits ``budget`` — the left-truncation
+    an SFT pipeline applies so each training example ends at an assistant
+    turn and starts wherever the context budget allows (the multi-turn
+    generalization of :func:`~.sequences.sft_pairs`).
+
+    ``transcripts`` must already carry an integer per-turn cost column
+    ``cost_col`` (token count, byte length — caller's tokenizer). Returns
+    one row per target turn:
+
+        (conv_id, target_turn, ctx_start_turn, n_ctx_turns, ctx_cost)
+
+    with ``ctx_start_turn = target_turn`` and zero counts when not even the
+    immediately preceding turn fits. All outputs exact BIGINTs.
+
+    Plan: one keyed-window prefix sum ``C(i)`` per conversation, then an
+    intra-conversation (target, candidate) equi-join on ``conv_id`` kept
+    NON-quadratic by the budget filter itself — a turn ``s`` joins a target
+    ``t`` iff ``C(t-1) - C(s-1) <= budget``, i.e. each target matches only
+    the turns inside its own context window (output rows = sum of window
+    lengths, the same cardinality the packer must emit anyway). Suffix
+    contiguity makes the fit test monotone in ``s``, so the filter IS the
+    selection — no argmin pass. Long-conversation skew is bounded by
+    ``budget`` per target, not by conversation length.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    c = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col(cost_col).cast("long").alias("__c"),
+    ).withColumn("__cum", F.sum("__c").over(w))
+
+    targets = c.filter(F.col("role") == target_role).select(
+        "conv_id",
+        F.col("turn_idx").alias("target_turn"),
+        (F.col("__cum") - F.col("__c")).alias("__cum_before"),
+    )
+    cands = c.select(
+        "conv_id",
+        F.col("turn_idx").alias("__s"),
+        (F.col("__cum") - F.col("__c")).alias("__prev_cum"),
+    )
+    included = targets.join(cands, "conv_id").filter(
+        (F.col("__s") < F.col("target_turn"))
+        & (F.col("__cum_before") - F.col("__prev_cum") <= F.lit(budget))
+    )
+    fit = included.groupBy("conv_id", "target_turn").agg(
+        F.min("__s").alias("ctx_start_turn"),
+        F.count(F.lit(1)).alias("n_ctx_turns"),
+        (F.first("__cum_before") - F.min("__prev_cum")).alias("ctx_cost"),
+    )
+    return (
+        targets.join(fit, ["conv_id", "target_turn"], "left")
+        .select(
+            "conv_id",
+            "target_turn",
+            F.coalesce("ctx_start_turn", F.col("target_turn"))
+            .cast("long")
+            .alias("ctx_start_turn"),
+            F.coalesce("n_ctx_turns", F.lit(0).cast("long")).alias("n_ctx_turns"),
+            F.coalesce("ctx_cost", F.lit(0).cast("long")).alias("ctx_cost"),
+        )
+    )
