@@ -6512,7 +6512,11 @@ def q_pagerank_sweep_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _graph_for(spark, sf_dir, "events")
     res = pagerank_damping_sweep(g, [0.5, 0.85], iters=3)
-    return res.select("dval", "id", F.round("rank", 6).alias("rank"))
+    return res.select(
+        F.round(F.col("dval") * 100, 0).cast("long").alias("dval_pct"),
+        "id",
+        F.round("rank", 6).alias("rank"),
+    )
 
 
 def q_compress_chains_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11352,7 +11356,8 @@ FROM m"""
 )""")
     sqls["pagerank_sweep_events"] = (
         "WITH " + ",\n".join(_sw_ctes)
-        + "\nSELECT dval, id, ROUND(rank, 6) AS rank FROM r3"
+        + "\nSELECT CAST(ROUND(dval * 100) AS BIGINT) AS dval_pct, id,"
+        " ROUND(rank, 6) AS rank FROM r3"
     )
 
     # chain compression: unrolled pointer-doubling jumps
