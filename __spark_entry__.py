@@ -1160,6 +1160,63 @@ def q_gram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_matrix(q, "qvec")
 
 
+def q_pca1_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component projection of the scale-128 quantized
+    embeddings (operators/linalg.py::pca_project): exact BIGINT centered
+    covariance N*X^TX - mm^T from Arrow-batched partials, driver D x D
+    power iteration (12 steps, all-ones start), codegen'd zip_with
+    projection. Oracle: the same pipeline unrolled in SQL (_pca1_sql)."""
+    from pagerank_spark.operators.clustering import quantize_vectors
+    from pagerank_spark.operators.linalg import pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_project(quantize_vectors(emb, scale=128), iters=12)
+
+
+def _pca1_sql(d: int, iters: int) -> str:
+    """Unrolled PCA power iteration mirroring linalg.py::pca_project:
+    integer Gram + column sums, scaled-centered covariance as DOUBLE,
+    v0 = 1/sqrt(d) (exact for d=64), per-step matvec + L2 normalize,
+    milli-scaled centered projection."""
+    v0 = 1.0 / (d ** 0.5)
+    ctes = [
+        """q AS MATERIALIZED (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * 128.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings)""",
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM q)",
+        f"mm AS MATERIALIZED (SELECT CAST(i.range AS INT) AS i, "
+        f"CAST(SUM(qv[CAST(i.range AS INT) + 1]) AS BIGINT) AS m "
+        f"FROM q, range({d}) i GROUP BY 1)",
+        f"s AS MATERIALIZED (SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j, "
+        f"CAST(SUM(qv[CAST(i.range AS INT) + 1] * qv[CAST(j.range AS INT) + 1]) AS BIGINT) AS s "
+        f"FROM q, range({d}) i, range({d}) j GROUP BY 1, 2)",
+        "cc AS MATERIALIZED (SELECT s.i, s.j, "
+        "CAST((SELECT c FROM n) * s.s - mi.m * mj.m AS DOUBLE) AS cv "
+        "FROM s JOIN mm mi ON mi.i = s.i JOIN mm mj ON mj.i = s.j)",
+        f"v0 AS (SELECT i, CAST({v0!r} AS DOUBLE) AS v FROM mm)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT cc.i, SUM(cc.cv * v{t - 1}.v) AS w "
+            f"FROM cc JOIN v{t - 1} ON v{t - 1}.i = cc.j GROUP BY 1)"
+        )
+        ctes.append(f"nr{t} AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w{t})")
+        ctes.append(
+            f"v{t} AS MATERIALIZED (SELECT i, w / (SELECT nrm FROM nr{t}) AS v FROM w{t})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT q.vec_id,
+       CAST(ROUND(SUM(((SELECT c FROM n) * qv[i.i + 1] - mm.m) * v{iters}.v)
+                  / (SELECT c FROM n) * 1000.0) AS BIGINT) AS pc1_milli
+FROM q, (SELECT CAST(range AS INT) AS i FROM range({d})) i
+JOIN mm ON mm.i = i.i JOIN v{iters} ON v{iters}.i = i.i
+GROUP BY q.vec_id"""
+    )
+
+
 def q_seqpats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GSP-style sequential patterns (operators/mining.py::
     frequent_sequences): subsequence supports for lengths 2-3 over per-user
@@ -6696,6 +6753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matmul_synth": q_matmul_synth,
         "seqpats_events": q_seqpats_events,
         "gram_embeddings": q_gram_embeddings,
+        "pca1_embeddings": q_pca1_embeddings,
         "feature_hash_docs": q_feature_hash_docs,
         "k_truss_copurchase": q_k_truss_copurchase,
         "gnn_agg_events": q_gnn_agg_events,
@@ -8327,6 +8385,10 @@ cells AS (
   FROM q, range(64) i, range(64) j WHERE i.range <= j.range)
 SELECT i, j, CAST(SUM(p) AS BIGINT) AS s FROM cells GROUP BY 1, 2
 """
+
+    # PCA-1 projection: unrolled 12-step power iteration on the exact
+    # integer centered covariance (see _pca1_sql)
+    sqls["pca1_embeddings"] = _pca1_sql(64, 12)
 
     # sequential patterns: same existence algebra, levels 2 and 3
     sqls["seqpats_events"] = """

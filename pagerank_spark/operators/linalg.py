@@ -235,3 +235,76 @@ def randne_embedding(edges: DataFrame, d: int = 8) -> DataFrame:
             F.coalesce("e2", F.lit(0)).alias("e2"),
         )
     )
+
+
+def column_moments(emb: DataFrame, vec_col: str = "qvec") -> DataFrame:
+    """Exact per-dimension column sums of an integer-vector column:
+    ``(i, m)`` with ``m = sum over rows of v[i]`` (BIGINT). Same partial-
+    aggregation shape as :func:`gram_matrix` — one NumPy colsum per Arrow
+    batch, ``p * D`` partial rows reach the shuffle."""
+    d = int(emb.select(F.size(vec_col)).first()[0])
+
+    def part(it):
+        import numpy as np
+
+        acc = np.zeros(d, dtype="int64")
+        seen = False
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            acc += np.stack(pdf[vec_col].to_numpy()).astype("int64").sum(axis=0)
+            seen = True
+        if seen:
+            yield pd.DataFrame({"i": range(d), "m": acc})
+
+    partials = emb.select(vec_col).mapInPandas(part, "i int, m long")
+    return partials.groupBy("i").agg(F.sum("m").alias("m"))
+
+
+def pca_project(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    iters: int = 12,
+) -> DataFrame:
+    """First principal component of an integer-vector column, end to end:
+    project every row onto the top eigenvector of the (scaled, exact)
+    centered covariance ``C = N * X^T X - m m^T`` where ``m`` is the
+    column-sum vector — the rank-1 centering correction applied in exact
+    BIGINT arithmetic, never materializing centered rows.
+
+    Physical split mirrors the 100-TB contract of :func:`gram_matrix`:
+    the data-sized passes (Gram, column sums) are Arrow-batched NumPy
+    partials with p * O(D^2) shuffle rows; the eigensolve is a D x D
+    driver micro-task (:func:`power_iteration`, deterministic all-ones
+    start, fixed ``iters`` so it is SQL-replayable); the projection is one
+    codegen'd ``zip_with``/``aggregate`` scan with the eigenvector and
+    ``m`` inlined as literals. Returns ``(id_col, pc1_milli)`` where
+    ``pc1_milli = round(1000 * ((N x - m) . v) / N)`` — the centered
+    first-PC coordinate in quantized units, milli-scaled BIGINT (milli,
+    not micro: the two engines' float reorderings agree to ~1e-11, so a
+    1e-3 grid leaves no boundary exposure; see the fiedler gate note).
+    """
+    gram = {(r["i"], r["j"]): r["s"] for r in gram_matrix(emb, vec_col).collect()}
+    moms = {r["i"]: r["m"] for r in column_moments(emb, vec_col).collect()}
+    n = emb.count()
+    d = max(i for i, _ in gram) + 1
+    cells = []
+    for (i, j), s in gram.items():
+        cells.append((i, j, n * s - moms[i] * moms[j]))
+    _, v = power_iteration(cells, d, iters=iters)
+
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    mlit = F.array(*[F.lit(int(moms[i])) for i in range(d)])
+    centered = F.zip_with(
+        F.col(vec_col), mlit, lambda x, m: x * F.lit(int(n)) - m
+    )
+    score = F.aggregate(
+        F.zip_with(centered, vlit, lambda c, w: c.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        id_col,
+        F.round(score / F.lit(float(n)) * 1000.0, 0).cast("long").alias("pc1_milli"),
+    )
