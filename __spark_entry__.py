@@ -524,15 +524,18 @@ def _truss_sql(edges_cte: str, k: int, rounds: int) -> str:
     )
 
 
-def _multi_ppr_sql(edges_cte: str, iters: int, seed_mod: int, d: float = 0.85) -> str:
-    """Unrolled batched PPR mirroring algos/ppr.py: sparse (seed, id, rank)
-    state, r0 = e_seed; per iteration gather + per-seed dangling mass folded
-    back onto the seed row."""
+def _multi_ppr_ctes(
+    edges_cte: str, iters: int, seed_mod: int, d: float = 0.85, seed_where: str | None = None
+) -> list:
+    """Unrolled batched PPR CTE chain mirroring algos/ppr.py: sparse
+    (seed, id, rank) state, r0 = e_seed; per iteration gather + per-seed
+    dangling mass folded back onto the seed row. Ends with ``x{iters}``."""
     ctes = [
         _materialize(edges_cte.strip()),
         "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
         "odeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS c FROM e GROUP BY 1)",
-        f"sds AS MATERIALIZED (SELECT id AS seed FROM v WHERE id % {seed_mod} = 0)",
+        f"sds AS MATERIALIZED (SELECT id AS seed FROM v WHERE "
+        f"{seed_where or f'id % {seed_mod} = 0'})",
         "x0 AS MATERIALIZED (SELECT seed, seed AS id, CAST(1 AS DOUBLE) AS r FROM sds)",
     ]
     for t in range(1, iters + 1):
@@ -554,10 +557,33 @@ def _multi_ppr_sql(edges_cte: str, iters: int, seed_mod: int, d: float = 0.85) -
     FROM sds s LEFT JOIN dm{t} dm ON dm.seed = s.seed
   ) GROUP BY 1, 2
 )""")
+    return ctes
+
+
+def _multi_ppr_sql(edges_cte: str, iters: int, seed_mod: int, d: float = 0.85) -> str:
+    """Final-select form of _multi_ppr_ctes."""
+    ctes = _multi_ppr_ctes(edges_cte, iters, seed_mod, d)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT seed, id, ROUND(r, 6) AS rank FROM x{iters}"
     )
+
+
+def _ppr_sweepcut_sql(edges_cte: str, iters: int, seed_id: int) -> str:
+    """ACL local clustering (Andersen-Chung-Lang 2006): sweep cut over the
+    degree-normalized PPR order from one seed — PPR CTE chain + undirected
+    degrees + nano-quantized -rank/deg score into _sweep_tail_sql."""
+    ctes = _multi_ppr_ctes(edges_cte, iters, 0, seed_where=f"id = {seed_id}")
+    ctes += [
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM e WHERE src <> dst)",
+        "dg AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM ("
+        "SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1)",
+        f"qs AS MATERIALIZED (SELECT dg.id, "
+        f"CAST(-ROUND(COALESCE(x{iters}.r, 0) / dg.deg * 1000000000.0) AS BIGINT) AS score "
+        f"FROM dg LEFT JOIN x{iters} ON x{iters}.id = dg.id)",
+    ]
+    return _sweep_tail_sql(ctes)
 
 
 def _mis_sql(edges_cte: str, rounds: int) -> str:
@@ -3600,16 +3626,15 @@ def _fiedler_sql(edges_cte: str, k: int) -> str:
     )
 
 
-def _sweepcut_sql(edges_cte: str, k: int) -> str:
-    """Sweep-cut curve over the micro-quantized Fiedler order, mirroring
-    algos/sweepcut.py::sweep_cut: rank + volume prefix sums in (score, id)
-    order, cut(k) via the difference-array identity (+1 at the lower
-    endpoint rank, -1 at the upper), conductance micro-scaled by integer
-    division."""
-    ctes = _fiedler_ctes(edges_cte, k)
-    ctes += [
-        f"qs AS MATERIALIZED (SELECT id, CAST(ROUND(x * (1.0 / n) * 1000000.0) AS BIGINT)"
-        f" AS score FROM x{k}, n2)",
+def _sweep_tail_sql(ctes: list) -> str:
+    """Sweep-cut curve tail mirroring algos/sweepcut.py::sweep_cut: rank +
+    volume prefix sums in (score, id) order, cut(k) via the
+    difference-array identity (+1 at the lower endpoint rank, -1 at the
+    upper), conductance micro-scaled by integer division. ``ctes`` must
+    already define ``und(a, b)`` (canonical simple undirected edges),
+    ``dg(id, deg)`` (undirected degrees) and ``qs(id, score)`` (an
+    integer total-order score per vertex)."""
+    ctes = ctes + [
         "rk AS MATERIALIZED (SELECT dg.id, dg.deg, qs.score, "
         "ROW_NUMBER() OVER (ORDER BY qs.score, dg.id) AS k, "
         "SUM(dg.deg) OVER (ORDER BY qs.score, dg.id) AS vol "
@@ -3634,6 +3659,18 @@ SELECT CAST(k AS BIGINT) AS k, id, CAST(cut AS BIGINT) AS cut,
          AS BIGINT) AS phi_micro
 FROM cv WHERE (SELECT m2 FROM m2) - vol > 0"""
     )
+
+
+def _sweepcut_sql(edges_cte: str, k: int) -> str:
+    """Sweep-cut over the micro-quantized Fiedler order (_sweep_tail_sql
+    composed over the shared Fiedler CTE chain, which already defines
+    und/dg)."""
+    ctes = _fiedler_ctes(edges_cte, k)
+    ctes.append(
+        f"qs AS MATERIALIZED (SELECT id, CAST(ROUND(x * (1.0 / n) * 1000000.0) AS BIGINT)"
+        f" AS score FROM x{k}, n2)"
+    )
+    return _sweep_tail_sql(ctes)
 
 
 def q_fiedler_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3668,6 +3705,46 @@ def q_spectral_sweepcut_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("fiedler") * F.lit(1000000.0), 0).cast("long").alias("score"),
     )
     return sweep_cut(edges, scores)
+
+
+def q_ppr_sweepcut_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACL local clustering on the events graph: 4-step PPR from seed 0
+    (algos/ppr.py::multi_ppr), vertices swept in descending
+    degree-normalized rank order (nano-quantized) for the min-conductance
+    local cut (algos/sweepcut.py::sweep_cut). Oracle: _ppr_sweepcut_sql —
+    the PPR chain piped into the shared sweep tail."""
+    from pagerank_spark.algos.ppr import multi_ppr
+    from pagerank_spark.algos.sweepcut import sweep_cut
+
+    g = _graph_for(spark, sf_dir, "events")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    ranks = multi_ppr(g, seeds, iters=4).ranks.select("id", "rank")
+
+    und = (
+        g.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    scores = deg.join(ranks, "id", "left").select(
+        "id",
+        (
+            -F.round(
+                F.coalesce(F.col("rank"), F.lit(0.0))
+                / F.col("deg")
+                * F.lit(1000000000.0),
+                0,
+            )
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    return sweep_cut(g, scores)
 
 
 def q_edge_betweenness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6920,6 +6997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_betweenness_events": q_edge_betweenness_events,
         "fiedler_events_k8": q_fiedler_events,
         "spectral_sweepcut_events": q_spectral_sweepcut_events,
+        "ppr_sweepcut_events": q_ppr_sweepcut_events,
     }
 
 
@@ -9118,6 +9196,7 @@ GROUP BY 1, 2"""
     sqls["edge_betweenness_events"] = _edge_betweenness_sql(EVENTS_EDGES_CTE, 4, 97)
     sqls["fiedler_events_k8"] = _fiedler_sql(EVENTS_EDGES_CTE, 8)
     sqls["spectral_sweepcut_events"] = _sweepcut_sql(EVENTS_EDGES_CTE, 8)
+    sqls["ppr_sweepcut_events"] = _ppr_sweepcut_sql(EVENTS_EDGES_CTE, 4, 0)
     sqls["assortativity_copurchase"] = f"""
 WITH {COPURCHASE_EDGES_CTE.strip()},
 und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
