@@ -5264,6 +5264,21 @@ def q_cumsum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "cum_cents")
 
 
+def q_wasserstein_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein distance between the F- and O-status order
+    price distributions (integer cents), emitted as the exact BIGINT
+    numerator (operators/ranktests.py::wasserstein1 — count LUT + two
+    distributed cumsums + a distributed lead, no global window). Oracle:
+    the same identity with plain SQL windows."""
+    from pagerank_spark.operators.ranktests import wasserstein1
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return wasserstein1(orders, "o_orderstatus", "cents", "F", "O")
+
+
 def q_temporal_reach_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-respecting reachability with a 2h max waiting time over the
     forward event-succession graph (algos/paths.py::temporal_reachability),
@@ -6791,6 +6806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_estimate_copurchase": q_triangles_estimate_copurchase,
         "temporal_reach_events": q_temporal_reach_events,
         "cumsum_orders": q_cumsum_orders,
+        "wasserstein_orders": q_wasserstein_orders,
         "stratified_sample_docs": q_stratified_sample_docs,
         "priority_sample_docs": q_priority_sample_docs,
         "top_bigrams_docs": q_top_bigrams_docs,
@@ -9612,6 +9628,28 @@ FROM embeddings WHERE vec_id < 25"""
     # CAST the window SUM back to BIGINT: DuckDB's SUM(BIGINT) returns
     # HUGEINT, which pandas-side fetches render as float — the driver then
     # hashes "2.2e+11"-style strings against Spark's exact integer strings
+    sqls["wasserstein_orders"] = """
+WITH f AS (
+  SELECT o_orderstatus AS g, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+per AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM f GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM per),
+c AS (
+  SELECT v,
+         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+         LEAD(v) OVER (ORDER BY v) AS nxt
+  FROM per)
+SELECT CAST(SUM(ABS(cum_a * tot.n_b - cum_b * tot.n_a)
+             * (COALESCE(nxt, v) - v)) AS BIGINT) AS w1_scaled,
+       tot.n_a, tot.n_b
+FROM c, tot GROUP BY tot.n_a, tot.n_b"""
+
     sqls["cumsum_orders"] = """
 SELECT o_orderkey,
        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))

@@ -97,3 +97,84 @@ def distributed_cumsum(
         .drop("__pid", "__local", "__off")
     )
     return out
+
+
+def distributed_lead(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "lead",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = the NEXT row's ``value_col`` in the total order
+    given by ``order_cols`` (NULL on the last row) — ``LEAD(x) OVER (ORDER
+    BY k)`` without the single-partition window.
+
+    Same two-phase shape as :func:`distributed_cumsum`: range partition on
+    the ordering key, per-partition pandas ``shift(-1)``, then the ONLY
+    cross-partition dependency — each partition's last row needs the FIRST
+    value of the next non-empty partition — is served by collecting one
+    (pid, first_value) row per partition (p rows of driver traffic) and
+    broadcasting the successor map back. ``order_cols`` must be a total
+    order (add a tiebreak column otherwise).
+    """
+    p = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = df.repartitionByRange(p, *[F.col(c) for c in order_cols]).sortWithinPartitions(
+        *[F.col(c) for c in order_cols]
+    )
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+
+    from pyspark.sql.types import StructField, StructType
+
+    vfield = next(f for f in df.schema.fields if f.name == value_col)
+    schema_local = StructType(
+        list(ranged.schema.fields) + [StructField("__shift", vfield.dataType)]
+    )
+
+    def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # carry across Arrow batches: a batch's last row leads into the
+        # next batch's first row, so buffer one batch at a time
+        prev = None
+        for b in batches:
+            if len(b) == 0:
+                continue
+            b = b.assign(__shift=b[value_col].shift(-1))
+            if prev is not None:
+                prev.iloc[-1, prev.columns.get_loc("__shift")] = b[value_col].iloc[0]
+                yield prev
+            prev = b
+        if prev is not None:
+            yield prev
+
+    local = ranged.mapInPandas(_local, schema=schema_local).localCheckpoint(eager=False)
+
+    firsts = (
+        local.groupBy("__pid")
+        .agg(
+            F.min(
+                F.struct(
+                    *[F.col(c) for c in order_cols], F.col(value_col).alias("__val")
+                )
+            ).alias("__f")
+        )
+        .select("__pid", F.col("__f.__val").alias("__first"))
+        .orderBy("__pid")
+        .collect()
+    )
+    # successor map: partition pid's boundary row takes the first value of
+    # the next NON-EMPTY partition (empty ranges simply don't appear)
+    succ = []
+    for i, r in enumerate(firsts):
+        nxt = firsts[i + 1]["__first"] if i + 1 < len(firsts) else None
+        succ.append((int(r["__pid"]), nxt))
+    typ = vfield.dataType.simpleString()
+    succ_df = df.sparkSession.createDataFrame(succ, f"__pid int, __succ {typ}")
+
+    # the boundary row of each partition is the one whose __shift is null;
+    # a genuine global-last row gets the final NULL successor
+    out = (
+        local.join(F.broadcast(succ_df), "__pid", "left")
+        .withColumn(out_col, F.coalesce(F.col("__shift"), F.col("__succ")))
+        .drop("__pid", "__shift", "__succ")
+    )
+    return out
