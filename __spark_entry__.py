@@ -5408,6 +5408,20 @@ def q_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, uni, bi, v)
 
 
+def q_kn_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (operators/lm.py): absolute
+    discount D=3/4 cleared to exact integer rationals, continuation-count
+    backoff (the smoothing KenLM/CCNet actually use), trained on the
+    English subset and scored over every document as exact nano-surprisal
+    BIGINTs. Complements lm_score_docs (add-1): KN separates frequent-but-
+    context-bound tokens from genuinely productive ones."""
+    from pagerank_spark.operators.lm import kneser_ney_score, train_kneser_ney
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs, ctx, cont, b = train_kneser_ney(docs.filter(F.col("lang") == "en"))
+    return kneser_ney_score(docs, pairs, ctx, cont, b)
+
+
 def q_nbayes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes corpus routing (operators/classify.py):
     trained on the documents table's lang labels, every document re-scored
@@ -6769,6 +6783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_fn_events": q_neighborhood_fn_events,
         "repetition_docs": q_repetition_docs,
         "lm_score_docs": q_lm_score_docs,
+        "kn_score_docs": q_kn_score_docs,
         "nbayes_docs": q_nbayes_docs,
         "mad_outliers_orders": q_mad_outliers_orders,
         "profile_events": q_profile_events,
@@ -10128,6 +10143,49 @@ FROM (SELECT doc_id, cls, cost_micro,
              ROW_NUMBER() OVER (PARTITION BY doc_id
                                 ORDER BY cost_micro ASC, cls ASC) AS rn
       FROM sc) WHERE rn = 1"""
+
+    # interpolated Kneser-Ney: D=3/4 as exact integer rationals; per-term
+    # surprisal = LN(den)-LN(num), each LN nano-rounded on the exact BIGINT
+    sqls["kn_score_docs"] = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+ref AS (SELECT toks FROM t WHERE lang = 'en'),
+pairs AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12
+          FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM ref)
+          GROUP BY 1),
+sw AS (SELECT string_split(bigram, ' ')[1] AS w1,
+              string_split(bigram, ' ')[2] AS w2, c12 FROM pairs),
+ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1f FROM sw GROUP BY 1),
+cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM sw GROUP BY 1),
+bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM pairs),
+bdoc AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
+                toks[i] || ' ' || toks[i+1] AS bigram
+         FROM t, unnest(range(1, len(toks))) AS r(i)),
+j AS (SELECT doc_id,
+             COALESCE(c12, 0) AS c12n, COALESCE(c1, 0) AS c1n,
+             COALESCE(n1f, 0) AS n1fn,
+             GREATEST(COALESCE(n1b, 0), 1) AS n1b1, b
+      FROM bdoc LEFT JOIN pairs USING (bigram)
+                LEFT JOIN ctx USING (w1)
+                LEFT JOIN cont USING (w2), bt),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND(LN(CASE WHEN c1n > 0 THEN 4 * c1n * b ELSE 4 * b END)
+                    * 1000000000) AS BIGINT)
+       - CAST(ROUND(LN(CASE WHEN c1n > 0
+                       THEN GREATEST(4 * c12n - 3, 0) * b + 3 * n1fn * n1b1
+                       ELSE 4 * n1b1 END) * 1000000000) AS BIGINT) AS sp
+  FROM j),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(sp) AS BIGINT) AS kn_nano
+        FROM scored GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.kn_nano, 0) AS kn_nano,
+       CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
+            ELSE a.kn_nano // a.n_bigrams END AS avg_kn_nano
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
     sqls["lm_score_docs"] = """
 WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["train_bigram_lm", "lm_score"]
+__all__ = ["train_bigram_lm", "lm_score", "train_kneser_ney", "kneser_ney_score"]
 
 
 def _bigrams_expr(text_col: str) -> str:
@@ -131,5 +131,136 @@ def lm_score(
             F.expr("IF(n_bigrams = 0, 0L, surprisal_micro div n_bigrams)").alias(
                 "avg_surprisal_micro"
             ),
+        )
+    )
+
+
+def train_kneser_ney(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Interpolated Kneser-Ney bigram statistics (Kneser & Ney 1995; Chen &
+    Goodman 1999 — public methodology; the smoothing KenLM implements and
+    CCNet scores with).
+
+    Returns ``(pairs, ctx, cont, b_types)``:
+
+    * ``pairs``  = ``(bigram, c12)`` — bigram occurrence counts,
+    * ``ctx``    = ``(w1, c1, n1f)`` — per-context total count and distinct
+      successor-type count ``N1+(w1, ·)``,
+    * ``cont``   = ``(w2, n1b)`` — distinct predecessor-type count
+      ``N1+(·, w2)`` (the continuation counts — KN's insight is that a
+      word's probability mass under backoff should track in how many
+      CONTEXTS it appears, not how often),
+    * ``b_types`` = total distinct bigram types ``N1+(·, ·)``.
+
+    Scale shape: three map-side-combined aggregates over ONE exploded
+    bigram stream (``ctx``/``cont``/``b_types`` all derive from ``pairs``,
+    which is localCheckpointed so the corpus is scanned once). All count
+    tables are vocabulary-sized. One small driver action (``b_types``).
+    """
+    pairs = (
+        docs.select(F.explode(F.expr(_bigrams_expr(text_col))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()
+    )
+    split_w = pairs.select(
+        F.expr("split(bigram, ' ')[0]").alias("w1"),
+        F.expr("split(bigram, ' ')[1]").alias("w2"),
+        "c12",
+    )
+    ctx = (
+        split_w.groupBy("w1")
+        .agg(F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f"))
+        .localCheckpoint()
+    )
+    cont = (
+        split_w.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b")).localCheckpoint()
+    )
+    b_types = pairs.count()
+    return pairs, ctx, cont, b_types
+
+
+def kneser_ney_score(
+    docs: DataFrame,
+    pairs: DataFrame,
+    ctx: DataFrame,
+    cont: DataFrame,
+    b_types: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document surprisal under the interpolated KN bigram model with
+    absolute discount ``D = 3/4``:
+
+    ``P(w2|w1) = (max(c12 - D, 0) + D · N1f(w1) · Pcont(w2)) / c1``,
+    ``Pcont(w2) = N1b(w2) / B``.
+
+    Every probability is the exact rational ``num / den`` with
+
+    ``num = max(4·c12 − 3, 0)·B + 3·N1f·max(N1b, 1)``, ``den = 4·c1·B``
+
+    (the 3/4 discount cleared to integers — no float constants), and the
+    fallback for an unseen context is the continuation unigram
+    ``max(N1b, 1) / B``. Since interpolated KN is a proper distribution,
+    ``num ≤ den`` and surprisal is non-negative. Per-term surprisal
+    ``LN(den) − LN(num)`` is computed as two LNs of exactly-representable
+    BIGINTs, each rounded to integer NANOunits before the subtraction and
+    the per-document sum — the document score is an exact,
+    reduction-order-independent BIGINT (repo-wide hash-stability
+    discipline).
+
+    Returns ``(id_col, n_bigrams, kn_nano, avg_kn_nano)``. Scale shape:
+    the corpus is exploded once; three co-partitioned (or AQE-broadcast)
+    left joins against vocabulary-sized stats tables; no Python.
+    """
+    terms = (
+        docs.select(
+            F.col(id_col), F.explode_outer(F.expr(_bigrams_expr(text_col))).alias("bigram")
+        )
+        .withColumn("w1", F.expr("split(bigram, ' ')[0]"))
+        .withColumn("w2", F.expr("split(bigram, ' ')[1]"))
+    )
+    B = F.lit(int(b_types))
+    joined = (
+        terms.join(pairs, "bigram", "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .select(
+            F.col(id_col),
+            F.col("bigram"),
+            F.coalesce(F.col("c12"), F.lit(0)).alias("c12n"),
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1n"),
+            F.coalesce(F.col("n1f"), F.lit(0)).alias("n1fn"),
+            F.greatest(F.coalesce(F.col("n1b"), F.lit(0)), F.lit(1)).alias("n1b1"),
+        )
+    )
+    num = F.when(
+        F.col("c1n") > 0,
+        F.greatest(F.lit(4) * F.col("c12n") - F.lit(3), F.lit(0)) * B
+        + F.lit(3) * F.col("n1fn") * F.col("n1b1"),
+    ).otherwise(F.lit(4) * F.col("n1b1"))
+    den = F.when(F.col("c1n") > 0, F.lit(4) * F.col("c1n") * B).otherwise(F.lit(4) * B)
+    sp = (
+        F.round(F.log(den.cast("double")) * F.lit(1000000000.0)).cast("bigint")
+        - F.round(F.log(num.cast("double")) * F.lit(1000000000.0)).cast("bigint")
+    )
+    scored = joined.select(
+        F.col(id_col),
+        F.when(F.col("bigram").isNull(), F.lit(None).cast("bigint")).otherwise(sp).alias(
+            "sp_nano"
+        ),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("sp_nano").alias("n_bigrams"),
+            F.coalesce(F.sum("sp_nano"), F.lit(0)).alias("kn_nano"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "kn_nano",
+            F.expr("IF(n_bigrams = 0, 0L, kn_nano div n_bigrams)").alias("avg_kn_nano"),
         )
     )
