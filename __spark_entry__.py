@@ -6067,6 +6067,21 @@ def q_scc_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(edges, num_partitions=8).labels
 
 
+def q_clique_comm_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 clique percolation (algos/percolation.py) over the planted
+    triangle-strip graph (sources/graphs.py::synth_strips): each strip is
+    one overlapping community; pendant edges and vertex-sharing decoy
+    triangles must NOT merge. Star pairing through the per-edge minimum
+    triangle keeps adjacency O(g) per shared edge. Oracle: generic SQL
+    triangle enumeration + the same star pairs + recursive-CTE min-label
+    closure."""
+    from pagerank_spark.algos.percolation import clique_percolation3
+    from pagerank_spark.sources.graphs import synth_strips
+
+    edges = synth_strips(spark, 60)
+    return clique_percolation3(edges, num_partitions=8)
+
+
 def q_bowtie_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder bow-tie decomposition (algos/scc.py::bowtie_decomposition) of
     the planted cyclic graph relative to its largest SCC: per-vertex region
@@ -6745,6 +6760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_orders": q_ivm_orders,
         "brandrank_copurchase": q_brandrank_copurchase,
         "scc_synth": q_scc_synth,
+        "clique_comm_synth": q_clique_comm_synth,
         "bowtie_synth": q_bowtie_synth,
         "condensation_synth": q_condensation_synth,
         "wl_colors_synth": q_wl_colors_synth,
@@ -8682,6 +8698,60 @@ WHERE ga.vec_id < ga.neighbor"""
     sqls["changepoint_orders"] = _CHANGEPOINT_ORDERS_SQL
     sqls["trend_users_events"] = _TREND_USERS_EVENTS_SQL
     sqls["gapfill_orders"] = _GAPFILL_ORDERS_SQL
+    # k=3 clique percolation on the planted strips: generic triangle
+    # enumeration (a<b<c), star pairs through the per-edge min triangle,
+    # recursive min-label closure (communities are strip-sized, so the
+    # closure is tiny); membership = distinct (vertex, community)
+    sqls["clique_comm_synth"] = """
+WITH RECURSIVE
+ch AS (SELECT c, c * 1000 AS base, 8 + (c % 3) * 4 AS t
+       FROM (SELECT unnest(range(0, 60)) AS c)),
+pos AS (SELECT base, c, t, unnest(range(0, t + 2)) AS i FROM ch),
+e0 AS (
+  SELECT base + i AS src, base + i + 1 AS dst FROM pos WHERE i <= t
+  UNION ALL
+  SELECT base + i, base + i + 2 FROM pos WHERE i <= t - 1
+  UNION ALL
+  SELECT base, base + 500 FROM ch
+  UNION ALL
+  SELECT base, base + 600 FROM ch WHERE c % 4 = 0
+  UNION ALL
+  SELECT base, base + 601 FROM ch WHERE c % 4 = 0
+  UNION ALL
+  SELECT base + 600, base + 601 FROM ch WHERE c % 4 = 0),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e0 WHERE src <> dst),
+tt AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z,
+         lpad(CAST(e1.a AS VARCHAR), 12, '0') || '_' ||
+         lpad(CAST(e1.b AS VARCHAR), 12, '0') || '_' ||
+         lpad(CAST(e2.b AS VARCHAR), 12, '0') AS tid
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+inc AS (
+  SELECT tid, lpad(CAST(x AS VARCHAR), 12, '0') || '_' ||
+              lpad(CAST(y AS VARCHAR), 12, '0') AS ek FROM tt
+  UNION ALL
+  SELECT tid, lpad(CAST(x AS VARCHAR), 12, '0') || '_' ||
+              lpad(CAST(z AS VARCHAR), 12, '0') FROM tt
+  UNION ALL
+  SELECT tid, lpad(CAST(y AS VARCHAR), 12, '0') || '_' ||
+              lpad(CAST(z AS VARCHAR), 12, '0') FROM tt),
+hub AS (SELECT ek, MIN(tid) AS h FROM inc GROUP BY 1),
+pr AS (SELECT hub.h AS s, inc.tid AS d
+       FROM inc JOIN hub USING (ek) WHERE inc.tid <> hub.h),
+sym AS (SELECT s, d FROM pr UNION SELECT d, s FROM pr),
+lbl AS (
+  SELECT tid, tid AS l FROM tt
+  UNION
+  SELECT sym.d AS tid, lbl.l FROM lbl JOIN sym ON sym.s = lbl.tid),
+comm AS (SELECT tid, MIN(l) AS community FROM lbl GROUP BY 1),
+mem AS (
+  SELECT x AS id, tid FROM tt
+  UNION SELECT y, tid FROM tt
+  UNION SELECT z, tid FROM tt)
+SELECT DISTINCT m.id, c.community FROM mem m JOIN comm c USING (tid)"""
+
     sqls["percolation_copurchase"] = _percolation_copurchase_sql()
     sqls["randne_copurchase"] = _RANDNE_COPURCHASE_SQL_TMPL.format(
         edges=_materialize(COPURCHASE_EDGES_CTE.strip())

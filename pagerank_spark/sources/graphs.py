@@ -377,3 +377,65 @@ def temporal_stream(spark: SparkSession, n_events: int = 5000, n_vertices: int =
         )
         .where(F.col("src") != F.col("dst"))
     )
+
+
+def synth_strips(spark: SparkSession, chains: int = 60) -> DataFrame:
+    """Deterministic undirected triangle-strip graph — the planted input for
+    clique-percolation gates (the gate graphs are either triangle-free
+    (events succession is a path forest) or percolation-dense (copurchase
+    collapses to one giant community), so k-clique community structure
+    needs its own planted input, same policy as :func:`synth_cyclic`).
+
+    Chain ``c`` (0..chains-1) lives at base ``c * 1000`` and is a strip of
+    ``T = 8 + (c % 3) * 4`` triangles over vertices ``base..base+T+1``:
+    edges ``(v_i, v_{i+1})`` and ``(v_i, v_{i+2})``. Consecutive strip
+    triangles share an edge, so each chain is exactly ONE k=3 percolation
+    community. Decoys that must NOT merge communities:
+
+    - every chain gets a pendant edge ``(base, base+500)`` (member of no
+      triangle — exercises triangle-free edge handling);
+    - chains with ``c % 4 == 0`` get a detached triangle
+      ``(base, base+600, base+601)`` sharing only the VERTEX ``base`` with
+      triangle 0 — vertex-sharing without edge-sharing keeps communities
+      separate under k=3 percolation (the semantics decoys test).
+
+    All rules are closed-form integer arithmetic over ``range`` so a DuckDB
+    oracle reproduces the table exactly. Columnar generation.
+    """
+    ch = spark.range(chains).select(
+        (F.col("id") * 1000).alias("base"),
+        (F.lit(8) + (F.col("id") % 3) * 4).alias("t"),
+        F.col("id").alias("c"),
+    )
+    pos = ch.select(
+        "base", "c", F.explode(F.expr("sequence(0, t + 1)")).alias("i"), "t"
+    )
+    succ = pos.filter(F.col("i") <= F.col("t")).select(
+        (F.col("base") + F.col("i")).alias("src"),
+        (F.col("base") + F.col("i") + 1).alias("dst"),
+    )
+    skip = pos.filter(F.col("i") <= F.col("t") - 1).select(
+        (F.col("base") + F.col("i")).alias("src"),
+        (F.col("base") + F.col("i") + 2).alias("dst"),
+    )
+    pendant = ch.select(
+        F.col("base").alias("src"), (F.col("base") + 500).alias("dst")
+    )
+    extra = ch.filter(F.col("c") % 4 == 0)
+    detached = (
+        extra.select(F.col("base").alias("src"), (F.col("base") + 600).alias("dst"))
+        .unionByName(
+            extra.select(F.col("base").alias("src"), (F.col("base") + 601).alias("dst"))
+        )
+        .unionByName(
+            extra.select(
+                (F.col("base") + 600).alias("src"), (F.col("base") + 601).alias("dst")
+            )
+        )
+    )
+    return (
+        succ.unionByName(skip)
+        .unionByName(pendant)
+        .unionByName(detached)
+        .dropDuplicates(["src", "dst"])
+    )
