@@ -3860,6 +3860,19 @@ def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-shape length-bucketed batching
+    (operators/packing.py::length_bucket_batches): power-of-two buckets,
+    engine-neutral mix31 sharding, longest-first per-cell order, batch =
+    (rank-1) div batch_size. The only window is keyed by (bucket, shard) —
+    shards are independent batch streams, so no single-partition cliff.
+    Oracle: same bucket CASE, same mixer, same keyed ROW_NUMBER."""
+    from pagerank_spark.operators.packing import length_bucket_batches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_bucket_batches(docs, batch_size=8, n_shards=4)
+
+
 def q_pack_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing placement (operators/packing.py),
     budget 256 tokens, doc_id order: window cumsum + floor division — the
@@ -6980,6 +6993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": q_cube_orders,
         "pii_scrub_docs": q_pii_scrub_docs,
         "pack_chunks_docs": q_pack_chunks_docs,
+        "length_batches_docs": q_length_batches_docs,
         "hash_split_docs": q_hash_split_docs,
         "quantile_bins_docs": q_quantile_bins_docs,
         "decontam_docs": q_decontam_docs,
@@ -9260,6 +9274,25 @@ SELECT doc_id,
        '{_em}', '<email>', 'g'), '{_ph}', '<phone>', 'g'), '{_ip}', '<ipv4>', 'g')) AS INT)
     AS scrubbed_len
 FROM d"""
+
+    # length-bucketed batching: same bucket CASE ladder, same mix31 shard,
+    # same longest-first keyed ROW_NUMBER
+    sqls["length_batches_docs"] = f"""
+WITH t AS (SELECT doc_id, CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens FROM documents),
+b AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+              WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+              WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+              ELSE 1024 END AS bucket,
+         ({_mix31_sql('doc_id', 0)}) % 4 AS shard
+  FROM t)
+SELECT doc_id, n_tokens, bucket, shard,
+       CAST((ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                                ORDER BY n_tokens DESC, doc_id) - 1) // 8
+            AS BIGINT) AS batch,
+       CAST(LEAST(n_tokens, bucket) AS BIGINT) AS tok_padded
+FROM b"""
 
     sqls["pack_chunks_docs"] = f"""
 WITH t AS (

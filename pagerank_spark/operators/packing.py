@@ -448,3 +448,65 @@ def pps_systematic_sample(
         .drop("__cum", "__w")
     )
     return out
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    batch_size: int,
+    bucket_edges: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024),
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: int = 0,
+) -> DataFrame:
+    """Static-shape batch assignment by length bucket — the standard
+    accelerator-side batching discipline (pad every example in a batch to
+    the bucket width, so batch tensors have a fixed shape per bucket and
+    padding waste is bounded by the bucket geometry, not the corpus).
+
+    Each document goes to the smallest ``bucket_edges`` entry >= its
+    whitespace token count (documents longer than the last edge are
+    truncated to it — the overflow bucket). Within a (bucket, shard) cell
+    documents are ordered longest-first with ``id_col`` as the tiebreak
+    (longest-first minimizes intra-batch waste when a tail batch is
+    underfull), and assigned ``batch = (rank - 1) div batch_size``.
+
+    ``shard`` comes from the engine-neutral :func:`_mix31` hash of the id —
+    NOT from partitioning — so the assignment is deterministic across
+    engines, runs, and repartitioning. Scale shape: the only ordered
+    structure is a window PARTITIONED BY (bucket, shard); ``n_shards``
+    scales with the cluster (each shard is an independent batch stream,
+    exactly like ``pack_chunks``' shard streams), so no single-partition
+    window ever appears — the per-cell row count is corpus / (buckets ×
+    shards).
+
+    Returns per-document placement ``(doc_id, n_tokens, bucket, shard,
+    batch, tok_padded)`` where ``tok_padded = least(n_tokens, bucket)`` is
+    the example's contribution to its batch tensor.
+    """
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    if list(bucket_edges) != sorted(set(bucket_edges)) or not bucket_edges:
+        raise ValueError("bucket_edges must be strictly increasing and non-empty")
+    toks = token_count(text_col)
+    bucket = F.lit(int(bucket_edges[-1]))
+    for edge in reversed(bucket_edges[:-1]):
+        bucket = F.when(toks <= edge, F.lit(int(edge))).otherwise(bucket)
+    shard = F.pmod(_mix31(F.col(id_col), salt), F.lit(int(n_shards)))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("n_tokens"),
+        bucket.alias("bucket"),
+        shard.cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        "shard",
+        ((F.row_number().over(w) - 1) / batch_size).cast("bigint").alias("batch"),
+        F.least(F.col("n_tokens"), F.col("bucket")).alias("tok_padded"),
+    )
