@@ -3908,6 +3908,18 @@ def q_quantile_bins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bins(docs, "n_chars", 10)
 
 
+def q_dsir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/trainprep.py::dsir_weights):
+    hashed unigram+bigram bag-of-words log-likelihood ratio of the English
+    target distribution vs the raw corpus, poly31->mix31 bucket hashing
+    (engine-neutral), nano-exact BIGINT weights. English docs should score
+    high; the resampling signal of Xie et al. 2023."""
+    from pagerank_spark.operators.trainprep import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(docs, F.col("lang") == "en", n_buckets=1024)
+
+
 def q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (operators/trainprep.py:decontaminate):
     flag training docs sharing any 13-token-gram with the evaluation set
@@ -6997,6 +7009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_docs": q_hash_split_docs,
         "quantile_bins_docs": q_quantile_bins_docs,
         "decontam_docs": q_decontam_docs,
+        "dsir_docs": q_dsir_docs,
         "tfidf_docs": q_tfidf_docs,
         "blend_docs": q_blend_docs,
         "heaps_docs": q_heaps_docs,
@@ -9407,6 +9420,42 @@ FROM pairs p JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b"""
 
     sqls["quantile_bins_docs"] = """
 SELECT doc_id, n_chars, NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bin FROM documents"""
+
+    # DSIR: same feature stream (unigrams + word bigrams of the trimmed
+    # whitespace split), same poly31->mix31 bucket hash, add-1 over buckets,
+    # every LN nano-rounded on an exact integer before subtraction
+    sqls["dsir_docs"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+f0 AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         unnest(toks || list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS tok
+  FROM t),
+f AS (SELECT doc_id, tgt, ({_mix31_sql(_POLY31_TOK_SQL, 0)}) % 1024 AS h FROM f0),
+tc AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS ct FROM f WHERE tgt GROUP BY 1),
+rc AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cr FROM f GROUP BY 1),
+tot AS (SELECT (SELECT COUNT(*) FROM f WHERE tgt) AS tt,
+               (SELECT COUNT(*) FROM f) AS tr),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND(LN(COALESCE(ct, 0) + 1) * 1000000000) AS BIGINT)
+       - CAST(ROUND(LN(tt + 1024) * 1000000000) AS BIGINT)
+       - CAST(ROUND(LN(COALESCE(cr, 0) + 1) * 1000000000) AS BIGINT)
+       + CAST(ROUND(LN(tr + 1024) * 1000000000) AS BIGINT) AS lr
+  FROM f LEFT JOIN tc USING (h) LEFT JOIN rc USING (h), tot),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               CAST(SUM(lr) AS BIGINT) AS dsir_nano
+        FROM scored GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.n_feats, 0) AS n_feats,
+       COALESCE(a.dsir_nano, 0) AS dsir_nano,
+       CASE WHEN COALESCE(a.n_feats, 0) = 0 THEN 0
+            ELSE a.dsir_nano // a.n_feats END AS avg_dsir_nano
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
     sqls["decontam_docs"] = """
 WITH toks AS MATERIALIZED (

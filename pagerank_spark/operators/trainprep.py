@@ -762,3 +762,105 @@ def sft_context_window(
             F.coalesce("ctx_cost", F.lit(0).cast("long")).alias("ctx_cost"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_flag,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: int = 0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public methodology):
+    hashed n-gram bag-of-words models of the TARGET distribution (the
+    trusted/domain subset, selected by the boolean column expression
+    ``target_flag``) and the RAW distribution (the whole corpus); each
+    document's weight is its feature-wise log-likelihood ratio
+    ``sum_f [ log p_target(f) − log p_raw(f) ]``, the quantity DSIR
+    resamples by. High weight ⇒ looks like the target domain.
+
+    Features are unigrams + word bigrams hashed into ``n_buckets`` via the
+    engine-neutral poly31→mix31 chain (no xxhash — the DuckDB oracle
+    replays it exactly). Probabilities are add-1 smoothed over buckets:
+    ``p = (c + 1) / (T + n_buckets)``. Every LN is taken on an
+    exactly-representable BIGINT and rounded to NANOunits before any
+    subtraction or sum, so document weights are exact BIGINTs
+    (hash-stability discipline).
+
+    Scale shape: the corpus is exploded ONCE into hashed features and
+    localCheckpointed; both count tables (bucket-sized, i.e. tiny) and the
+    scoring join reuse that frame. Two map-side-combined aggregates, two
+    scalar totals to the driver, one co-partitioned (AQE-broadcastable)
+    join pair. No Python anywhere.
+
+    Returns ``(id_col, n_feats, dsir_nano, avg_dsir_nano)``.
+    """
+    from .sketches import _mix31, _poly31
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(toks)
+    bigrams = F.expr(
+        f"IF(size(split(trim({text_col}), '\\\\s+')) < 2 OR trim({text_col}) = '', "
+        f"array(), transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - 1), "
+        f"i -> concat(element_at(split(trim({text_col}), '\\\\s+'), i), ' ', "
+        f"element_at(split(trim({text_col}), '\\\\s+'), i + 1))))"
+    )
+    feats = (
+        docs.select(
+            F.col(id_col),
+            target_flag.alias("__tgt"),
+            F.explode_outer(F.concat(toks, bigrams)).alias("f"),
+        )
+        .select(
+            F.col(id_col),
+            "__tgt",
+            F.when(
+                F.col("f").isNull(), F.lit(None).cast("long")
+            ).otherwise(F.pmod(_mix31(_poly31(F.col("f")), salt), F.lit(int(n_buckets)))).alias("h"),
+        )
+        .localCheckpoint()
+    )
+    present = feats.filter(F.col("h").isNotNull())
+    tgt = present.filter(F.col("__tgt")).groupBy("h").agg(F.count(F.lit(1)).alias("ct"))
+    raw = present.groupBy("h").agg(F.count(F.lit(1)).alias("cr"))
+    t_t, t_r = (
+        present.agg(
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tt"),
+            F.count(F.lit(1)).alias("tr"),
+        )
+        .collect()[0]
+    )
+    nano = 1000000000.0
+    den_t = F.round(F.log(F.lit(float(int(t_t) + n_buckets))) * F.lit(nano)).cast("bigint")
+    den_r = F.round(F.log(F.lit(float(int(t_r) + n_buckets))) * F.lit(nano)).cast("bigint")
+    term = (
+        F.round(F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")) * F.lit(nano)).cast("bigint")
+        - den_t
+        - F.round(F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")) * F.lit(nano)).cast("bigint")
+        + den_r
+    )
+    scored = (
+        feats.join(tgt, "h", "left")
+        .join(raw, "h", "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("h").isNull(), F.lit(None).cast("bigint")).otherwise(term).alias(
+                "lr_nano"
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("lr_nano").alias("n_feats"),
+            F.coalesce(F.sum("lr_nano"), F.lit(0)).alias("dsir_nano"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            "dsir_nano",
+            F.expr("IF(n_feats = 0, 0L, dsir_nano div n_feats)").alias("avg_dsir_nano"),
+        )
+    )
