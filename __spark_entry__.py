@@ -3908,6 +3908,25 @@ def q_quantile_bins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bins(docs, "n_chars", 10)
 
 
+def q_bleu_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-BLEU statistics (operators/mleval.py::bleu_pairs) over a
+    deterministic candidate/reference pairing (even docs self-pair => the
+    m_n == t_n ceiling; odd docs pair with their predecessor): clipped
+    n-gram matches n=1..4 as exact BIGINTs and the combined score in log
+    space (brevity penalty + add-1-smoothed order mean, nano-rounded)."""
+    from pagerank_spark.operators.mleval import bleu_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = docs.select(F.col("doc_id").alias("pair_id"), F.col("text").alias("cand"))
+    ref = docs.select(
+        F.col("doc_id").alias("__rid"), F.col("text").alias("ref")
+    )
+    pairs = cand.join(
+        ref, cand.pair_id - cand.pair_id % 2 == F.col("__rid")
+    ).select("pair_id", "cand", "ref")
+    return bleu_pairs(pairs)
+
+
 def q_dsir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/trainprep.py::dsir_weights):
     hashed unigram+bigram bag-of-words log-likelihood ratio of the English
@@ -7010,6 +7029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins_docs": q_quantile_bins_docs,
         "decontam_docs": q_decontam_docs,
         "dsir_docs": q_dsir_docs,
+        "bleu_docs": q_bleu_docs,
         "tfidf_docs": q_tfidf_docs,
         "blend_docs": q_blend_docs,
         "heaps_docs": q_heaps_docs,
@@ -9420,6 +9440,71 @@ FROM pairs p JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b"""
 
     sqls["quantile_bins_docs"] = """
 SELECT doc_id, n_chars, NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bin FROM documents"""
+
+    # BLEU: same n-gram branches (n = 1..4), clipped min-join, add-1
+    # smoothed log terms nano-rounded, brevity penalty on the exact ratio
+    sqls["bleu_docs"] = """
+WITH p AS (SELECT c.doc_id AS pair_id, c.text AS cand, r.text AS ref
+           FROM documents c JOIN documents r
+             ON r.doc_id = c.doc_id - (c.doc_id % 2)),
+ct AS (SELECT pair_id, CASE WHEN trim(cand) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(cand), '\\s+') END AS tk
+       FROM p),
+rt AS (SELECT pair_id, CASE WHEN trim(ref) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(ref), '\\s+') END AS tk
+       FROM p),
+cg AS (SELECT pair_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cc FROM (
+  SELECT pair_id, 1 AS n, unnest(tk) AS gram FROM ct
+  UNION ALL SELECT pair_id, 2, unnest(list_transform(range(1, len(tk)),
+    i -> tk[i] || ' ' || tk[i+1])) FROM ct
+  UNION ALL SELECT pair_id, 3, unnest(list_transform(range(1, len(tk) - 1),
+    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) FROM ct
+  UNION ALL SELECT pair_id, 4, unnest(list_transform(range(1, len(tk) - 2),
+    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) FROM ct
+) GROUP BY 1, 2, 3),
+rg AS (SELECT pair_id, n, gram, CAST(COUNT(*) AS BIGINT) AS rc FROM (
+  SELECT pair_id, 1 AS n, unnest(tk) AS gram FROM rt
+  UNION ALL SELECT pair_id, 2, unnest(list_transform(range(1, len(tk)),
+    i -> tk[i] || ' ' || tk[i+1])) FROM rt
+  UNION ALL SELECT pair_id, 3, unnest(list_transform(range(1, len(tk) - 1),
+    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) FROM rt
+  UNION ALL SELECT pair_id, 4, unnest(list_transform(range(1, len(tk) - 2),
+    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) FROM rt
+) GROUP BY 1, 2, 3),
+pn AS (SELECT pair_id, n,
+              CAST(SUM(LEAST(cc, COALESCE(rc, 0))) AS BIGINT) AS m,
+              CAST(SUM(cc) AS BIGINT) AS t
+       FROM cg LEFT JOIN rg USING (pair_id, n, gram) GROUP BY 1, 2),
+plg AS (SELECT pair_id, n, m, t,
+               CAST(ROUND(LN(m + 1) * 1000000000) AS BIGINT)
+             - CAST(ROUND(LN(t + 1) * 1000000000) AS BIGINT) AS plog
+        FROM pn),
+st AS (SELECT pair_id,
+              CAST(SUM(CASE WHEN n = 1 THEN t ELSE 0 END) AS BIGINT) AS cand_len,
+              CAST(SUM(CASE WHEN n = 1 THEN m ELSE 0 END) AS BIGINT) AS m1,
+              CAST(SUM(CASE WHEN n = 1 THEN t ELSE 0 END) AS BIGINT) AS t1,
+              CAST(SUM(CASE WHEN n = 2 THEN m ELSE 0 END) AS BIGINT) AS m2,
+              CAST(SUM(CASE WHEN n = 2 THEN t ELSE 0 END) AS BIGINT) AS t2,
+              CAST(SUM(CASE WHEN n = 3 THEN m ELSE 0 END) AS BIGINT) AS m3,
+              CAST(SUM(CASE WHEN n = 3 THEN t ELSE 0 END) AS BIGINT) AS t3,
+              CAST(SUM(CASE WHEN n = 4 THEN m ELSE 0 END) AS BIGINT) AS m4,
+              CAST(SUM(CASE WHEN n = 4 THEN t ELSE 0 END) AS BIGINT) AS t4,
+              CAST(SUM(plog) AS BIGINT) AS psum
+       FROM plg GROUP BY 1),
+rl AS (SELECT pair_id, CAST(len(tk) AS BIGINT) AS ref_len FROM rt)
+SELECT p.pair_id,
+       COALESCE(st.cand_len, 0) AS cand_len,
+       rl.ref_len,
+       COALESCE(m1, 0) AS m1, COALESCE(t1, 0) AS t1,
+       COALESCE(m2, 0) AS m2, COALESCE(t2, 0) AS t2,
+       COALESCE(m3, 0) AS m3, COALESCE(t3, 0) AS t3,
+       COALESCE(m4, 0) AS m4, COALESCE(t4, 0) AS t4,
+       (CASE WHEN COALESCE(st.cand_len, 0) >= rl.ref_len
+                  OR COALESCE(st.cand_len, 0) = 0 THEN 0
+             ELSE CAST(ROUND((1 - CAST(rl.ref_len AS DOUBLE) / st.cand_len)
+                             * 1000000000) AS BIGINT) END)
+       + COALESCE(st.psum, 0) // 4 AS log_bleu_nano
+FROM p LEFT JOIN st USING (pair_id) LEFT JOIN rl USING (pair_id)"""
 
     # DSIR: same feature stream (unigrams + word bigrams of the trimmed
     # whitespace split), same poly31->mix31 bucket hash, add-1 over buckets,

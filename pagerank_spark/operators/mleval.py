@@ -318,3 +318,115 @@ def ndcg_at_k(
         .cast("long")
         .alias("ndcg_micro"),
     )
+
+
+def bleu_pairs(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    max_n: int = 4,
+) -> DataFrame:
+    """Sentence-level BLEU statistics (Papineni et al. 2002 — public
+    methodology) for (candidate, reference) text pairs — the standard
+    generation-eval metric a training pipeline runs over model outputs.
+
+    Per pair and per order ``n = 1..max_n``: clipped n-gram matches
+    ``m_n = Σ_g min(count_cand(g), count_ref(g))`` and candidate totals
+    ``t_n`` — exact BIGINTs. The combined score is emitted in LOG space
+    (no exp — keeps the output an exact integer):
+
+    ``log_bleu_nano = bp_nano + (Σ_n [R9(LN(m_n+1)) − R9(LN(t_n+1))]) div max_n``
+
+    with brevity penalty ``bp_nano = R9(1 − ref_len/cand_len)`` when the
+    candidate is shorter (else 0; empty candidates score the defined 0 with
+    all-zero counts). All orders are add-1 smoothed (the Lin & Och 2004
+    smoothing-1 flavor) so zero-match orders stay finite; every LN is
+    nano-rounded on an exact BIGINT before any arithmetic (hash-stability
+    discipline). ``BLEU = exp(log_bleu_nano / 1e9)`` when a float is wanted.
+
+    Scale shape: ONE explode producing (pair, n, gram) rows for both sides
+    (the flattened per-order transform — no UDFs), two map-side-combined
+    group-counts, one co-partitioned left join on (pair, n, gram), one
+    final per-pair aggregate. Never an all-pairs join: the pairing is the
+    caller's input.
+    """
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+
+    def _toks(col: str) -> str:
+        return (
+            f"CASE WHEN trim({col}) = '' THEN CAST(array() AS ARRAY<STRING>) "
+            f"ELSE split(trim({col}), '\\\\s+') END"
+        )
+
+    def _grams(col: str) -> str:
+        # flattened [(n, gram)] structs for n = 1..max_n
+        return (
+            f"flatten(transform(sequence(1, {max_n}), n -> "
+            f"IF(size({_toks(col)}) < n, array(), "
+            f"transform(sequence(1, size({_toks(col)}) - n + 1), "
+            f"i -> struct(n AS n, array_join(slice({_toks(col)}, i, n), ' ') AS gram)))))"
+        )
+
+    def _side_counts(col: str, cname: str) -> DataFrame:
+        return (
+            pairs.select(F.col(id_col), F.explode(F.expr(_grams(col))).alias("g"))
+            .select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+            .groupBy(id_col, "n", "gram")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    cand = _side_counts(cand_col, "cc")
+    ref = _side_counts(ref_col, "rc")
+    per_n = (
+        cand.join(ref, [id_col, "n", "gram"], "left")
+        .groupBy(id_col, "n")
+        .agg(
+            F.sum(F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0)))).alias("m"),
+            F.sum("cc").alias("t"),
+        )
+    )
+    nano = 1000000000.0
+    plog = F.round(F.log((F.col("m") + 1).cast("double")) * F.lit(nano)).cast(
+        "bigint"
+    ) - F.round(F.log((F.col("t") + 1).cast("double")) * F.lit(nano)).cast("bigint")
+    stats = per_n.groupBy(id_col).agg(
+        F.sum(F.when(F.col("n") == 1, F.col("t")).otherwise(0)).alias("cand_len"),
+        *[
+            F.sum(F.when(F.col("n") == i, F.col("m")).otherwise(0)).alias(f"m{i}")
+            for i in range(1, max_n + 1)
+        ],
+        *[
+            F.sum(F.when(F.col("n") == i, F.col("t")).otherwise(0)).alias(f"t{i}")
+            for i in range(1, max_n + 1)
+        ],
+        F.coalesce(F.sum(plog), F.lit(0)).alias("__psum_partial"),
+    )
+    # orders with no candidate n-grams produced no per_n row; their smoothed
+    # plog is LN(1)-LN(1) = 0, so the partial sum IS the full sum
+    rlen = pairs.select(
+        F.col(id_col), F.expr(f"size({_toks(ref_col)})").cast("long").alias("ref_len")
+    )
+    out = (
+        pairs.select(F.col(id_col))
+        .join(stats, id_col, "left")
+        .join(rlen, id_col, "left")
+    )
+    cand_len = F.coalesce(F.col("cand_len"), F.lit(0))
+    bp = F.when(
+        (cand_len >= F.col("ref_len")) | (cand_len == 0), F.lit(0).cast("bigint")
+    ).otherwise(
+        F.round(
+            (F.lit(1.0) - F.col("ref_len").cast("double") / cand_len.cast("double"))
+            * F.lit(nano)
+        ).cast("bigint")
+    )
+    cols = [F.col(id_col), cand_len.alias("cand_len"), F.col("ref_len")]
+    for i in range(1, max_n + 1):
+        cols.append(F.coalesce(F.col(f"m{i}"), F.lit(0)).alias(f"m{i}"))
+        cols.append(F.coalesce(F.col(f"t{i}"), F.lit(0)).alias(f"t{i}"))
+    cols.append(
+        (bp + F.expr(f"coalesce(__psum_partial, 0L) div {max_n}")).alias("log_bleu_nano")
+    )
+    return out.select(*cols)
