@@ -3927,6 +3927,23 @@ def q_bleu_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bleu_pairs(pairs)
 
 
+def q_rouge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (operators/mleval.py::rouge_l_pairs) over the same
+    candidate/reference pairing as bleu_docs: the m x n LCS DP as one
+    codegen'd nested fold over poly31 token codes, F1 as exact micro
+    BIGINT. Oracle: the same DP replayed with DuckDB list_reduce (inner
+    elements pre-packed as [eq, diag, up] triples, the DTW trick)."""
+    from pagerank_spark.operators.mleval import rouge_l_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = docs.select(F.col("doc_id").alias("pair_id"), F.col("text").alias("cand"))
+    ref = docs.select(F.col("doc_id").alias("__rid"), F.col("text").alias("ref"))
+    pairs = cand.join(
+        ref, cand.pair_id - cand.pair_id % 2 == F.col("__rid")
+    ).select("pair_id", "cand", "ref")
+    return rouge_l_pairs(pairs)
+
+
 def q_dsir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/trainprep.py::dsir_weights):
     hashed unigram+bigram bag-of-words log-likelihood ratio of the English
@@ -7030,6 +7047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_docs": q_decontam_docs,
         "dsir_docs": q_dsir_docs,
         "bleu_docs": q_bleu_docs,
+        "rouge_docs": q_rouge_docs,
         "tfidf_docs": q_tfidf_docs,
         "blend_docs": q_blend_docs,
         "heaps_docs": q_heaps_docs,
@@ -9505,6 +9523,55 @@ SELECT p.pair_id,
                              * 1000000000) AS BIGINT) END)
        + COALESCE(st.psum, 0) // 4 AS log_bleu_nano
 FROM p LEFT JOIN st USING (pair_id) LEFT JOIN rl USING (pair_id)"""
+
+    # ROUGE-L: same poly31 token codes, same LCS DP; DuckDB list_reduce
+    # needs acc type == element type, so outer elements are single-item
+    # BIGINT[] and inner elements are pre-packed [eq, diag, up] triples
+    sqls["rouge_docs"] = """
+WITH p AS (SELECT c.doc_id AS pair_id, c.text AS cand, r.text AS ref
+           FROM documents c JOIN documents r
+             ON r.doc_id = c.doc_id - (c.doc_id % 2)),
+tk AS MATERIALIZED (
+  SELECT pair_id,
+    list_transform(
+      CASE WHEN trim(cand) = '' THEN CAST([] AS VARCHAR[])
+           ELSE regexp_split_to_array(trim(cand), '\\s+') END,
+      tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_to_array(tok, ''),
+                              c -> CAST(unicode(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483648)) AS cc,
+    list_transform(
+      CASE WHEN trim(ref) = '' THEN CAST([] AS VARCHAR[])
+           ELSE regexp_split_to_array(trim(ref), '\\s+') END,
+      tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_to_array(tok, ''),
+                              c -> CAST(unicode(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483648)) AS rc
+  FROM p),
+dp AS (
+  SELECT pair_id, CAST(len(cc) AS BIGINT) AS cand_len,
+         CAST(len(rc) AS BIGINT) AS ref_len,
+         CASE WHEN len(cc) = 0 OR len(rc) = 0 THEN CAST(0 AS BIGINT) ELSE
+           list_reduce(
+             list_prepend(list_transform(range(0, len(rc) + 1),
+                                         z -> CAST(0 AS BIGINT)),
+                          list_transform(cc, e -> [e])),
+             (acc, x) -> list_reduce(
+               list_prepend([CAST(0 AS BIGINT)],
+                 list_transform(range(1, len(rc) + 1),
+                   j -> [CASE WHEN x[1] = rc[j] THEN CAST(1 AS BIGINT)
+                              ELSE CAST(0 AS BIGINT) END,
+                         acc[j], acc[j + 1]])),
+               (racc, t) -> list_append(racc,
+                 CASE WHEN t[1] = 1 THEN t[2] + 1
+                      ELSE GREATEST(t[3], racc[-1]) END))
+           )[len(rc) + 1] END AS lcs
+  FROM tk)
+SELECT pair_id, cand_len, ref_len, lcs,
+       CASE WHEN cand_len + ref_len = 0 THEN 0
+            ELSE (2 * lcs * 1000000) // (cand_len + ref_len) END
+       AS rouge_l_f_micro
+FROM dp"""
 
     # DSIR: same feature stream (unigrams + word bigrams of the trimmed
     # whitespace split), same poly31->mix31 bucket hash, add-1 over buckets,

@@ -430,3 +430,74 @@ def bleu_pairs(
         (bp + F.expr(f"coalesce(__psum_partial, 0L) div {max_n}")).alias("log_bleu_nano")
     )
     return out.select(*cols)
+
+
+def rouge_l_pairs(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+) -> DataFrame:
+    """ROUGE-L (Lin 2004 — public methodology): longest-common-subsequence
+    recall/precision between candidate and reference token streams — the
+    summarization-eval companion to :func:`bleu_pairs`.
+
+    The m×n LCS DP runs as ONE codegen'd nested array fold per pair (the
+    third instance of the sequential-DP-in-aggregate pattern after DTW and
+    LZ78): outer fold over candidate tokens, state = the previous DP row
+    (``array<bigint>`` of length m+1), inner fold builds the new row left
+    to right. Tokens are compared via their engine-neutral poly31 codes,
+    NOT raw strings — a (vanishingly rare) hash collision merges two
+    tokens identically on every engine, keeping the output bit-stable
+    cross-engine (the DuckDB oracle replays the same codes; exact parity
+    beats cosmetic exactness that diverges).
+
+    Returns ``(id_col, cand_len, ref_len, lcs, rouge_l_f_micro)`` with
+    ``rouge_l_f_micro = 2·lcs·10^6 div (cand_len + ref_len)`` (the LCS F1
+    identity; 0 when both sides are empty) — all exact BIGINTs.
+
+    Scale: zero shuffles (per-row expression work only); cost is
+    O(|cand|·|ref|) per pair, the exact-DP baseline — truncate upstream if
+    pairing books instead of messages.
+    """
+    poly = (
+        "aggregate(transform(split({t}, ''), ch -> CAST(ascii(ch) AS BIGINT)), "
+        "0L, (a, c) -> pmod(a * 31 + c, 2147483648L))"
+    )
+
+    def _codes(col: str) -> str:
+        toks = (
+            f"CASE WHEN trim({col}) = '' THEN CAST(array() AS ARRAY<STRING>) "
+            f"ELSE split(trim({col}), '\\\\s+') END"
+        )
+        return f"transform({toks}, t -> {poly.format(t='t')})"
+
+    lcs = (
+        "IF(size(__cc) = 0 OR size(__rc) = 0, 0L, "
+        "element_at(aggregate(__cc, array_repeat(0L, size(__rc) + 1), "
+        "(acc, e) -> aggregate(sequence(1, size(__rc)), array(0L), "
+        "(racc, j) -> concat(racc, array(IF(e = element_at(__rc, CAST(j AS INT)), "
+        "element_at(acc, CAST(j AS INT)) + 1L, "
+        "greatest(element_at(acc, CAST(j AS INT) + 1), "
+        "element_at(racc, size(racc)))))))), size(__rc) + 1))"
+    )
+    base = pairs.select(
+        F.col(id_col),
+        F.expr(_codes(cand_col)).alias("__cc"),
+        F.expr(_codes(ref_col)).alias("__rc"),
+    ).select(
+        F.col(id_col),
+        F.size("__cc").cast("long").alias("cand_len"),
+        F.size("__rc").cast("long").alias("ref_len"),
+        F.expr(lcs).alias("lcs"),
+    )
+    return base.select(
+        id_col,
+        "cand_len",
+        "ref_len",
+        "lcs",
+        F.expr(
+            "IF(cand_len + ref_len = 0, 0L, "
+            "(2 * lcs * 1000000) div (cand_len + ref_len))"
+        ).alias("rouge_l_f_micro"),
+    )
