@@ -3452,6 +3452,57 @@ def _node2vec_sql(edges_cte: str, k: int, rc: int, ec: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+def _bradley_terry_sql(iters: int) -> str:
+    """Unrolled MM iterations; every double division mirrors the engine's
+    operand order exactly (term = n*1e12/(si+sj); s = w*1e12/denom*1e9;
+    rescale = s*K/total with K = n_items*1e9 formed as one exact product)."""
+    head = """
+WITH o AS MATERIALIZED (
+  SELECT event_type AS winner, prev AS loser FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events)
+  WHERE prev IS NOT NULL AND prev <> event_type),
+op AS (SELECT LEAST(winner, loser) AS i, GREATEST(winner, loser) AS j,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM o GROUP BY 1, 2),
+sym AS MATERIALIZED (SELECT i, j, n FROM op UNION ALL SELECT j, i, n FROM op),
+wn AS (SELECT winner AS item, CAST(COUNT(*) + 1 AS BIGINT) AS w FROM o GROUP BY 1),
+it AS (SELECT DISTINCT winner AS item FROM o
+       UNION SELECT DISTINCT loser FROM o),
+k AS (SELECT CAST(COUNT(*) * 1000000000 AS DOUBLE) AS kk FROM it),
+s0 AS MATERIALIZED (SELECT it.item, COALESCE(wn.w, 1) AS w,
+              CAST(1000000000 AS BIGINT) AS s
+       FROM it LEFT JOIN wn USING (item))"""
+    parts = [head]
+    for t in range(1, iters + 1):
+        prev = f"s{t - 1}"
+        parts.append(f""",
+d{t} AS MATERIALIZED (SELECT sym.i AS item,
+              CAST(SUM(CAST(ROUND(CAST(sym.n AS DOUBLE) * 1000000000000
+                   / CAST(si.s + sj.s AS DOUBLE)) AS BIGINT)) AS BIGINT) AS denom
+       FROM sym JOIN {prev} si ON si.item = sym.i
+                JOIN {prev} sj ON sj.item = sym.j GROUP BY 1),
+r{t} AS MATERIALIZED (SELECT p.item, p.w,
+              GREATEST(CASE WHEN d{t}.denom IS NULL THEN p.s
+                   ELSE CAST(ROUND(CAST(p.w AS DOUBLE) * 1000000000000
+                        / CAST(d{t}.denom AS DOUBLE) * 1000000000) AS BIGINT)
+                   END, 1) AS s
+       FROM {prev} p LEFT JOIN d{t} USING (item)),
+s{t} AS MATERIALIZED (SELECT item, w,
+              GREATEST(CAST(ROUND(CAST(s AS DOUBLE) * (SELECT kk FROM k)
+                   / CAST((SELECT SUM(s) FROM r{t}) AS DOUBLE)) AS BIGINT),
+                       1) AS s
+       FROM r{t})""")
+    parts.append(f"""
+SELECT s{iters}.item, s{iters}.w - 1 AS wins,
+       COALESCE(g.games, 0) AS games, s{iters}.s AS strength_nano
+FROM s{iters} LEFT JOIN (SELECT i AS item, CAST(SUM(n) AS BIGINT) AS games
+                         FROM sym GROUP BY 1) g USING (item)""")
+    return "".join(parts)
+
+
+
 def _mix31_sql(v: str, salt: int) -> str:
     """DuckDB replay of sketches._mix31 / neighborhood._h31: two-round
     multiplicative + xor-shift mixer mod 2^31."""
@@ -3925,6 +3976,27 @@ def q_bleu_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref, cand.pair_id - cand.pair_id % 2 == F.col("__rid")
     ).select("pair_id", "cand", "ref")
     return bleu_pairs(pairs)
+
+
+def q_bradley_terry_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths
+    (operators/mleval.py::bradley_terry) over event-type succession pairs
+    (cur type "beats" prev type per user step — the transitions relation
+    as head-to-head outcomes): 6 MM supersteps, nano-integer strengths,
+    rescaled each round. Oracle: the same six iterations unrolled as
+    chained CTEs with identical double-division rounding."""
+    from pagerank_spark.operators.mleval import bradley_terry
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = (
+        events.select(
+            F.col("event_type").alias("winner"),
+            F.lag("event_type").over(w).alias("loser"),
+        )
+        .filter(F.col("loser").isNotNull())
+    )
+    return bradley_terry(out, iters=6)
 
 
 def q_rouge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7048,6 +7120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_docs": q_dsir_docs,
         "bleu_docs": q_bleu_docs,
         "rouge_docs": q_rouge_docs,
+        "bradley_terry_events": q_bradley_terry_events,
         "tfidf_docs": q_tfidf_docs,
         "blend_docs": q_blend_docs,
         "heaps_docs": q_heaps_docs,
@@ -9523,6 +9596,8 @@ SELECT p.pair_id,
                              * 1000000000) AS BIGINT) END)
        + COALESCE(st.psum, 0) // 4 AS log_bleu_nano
 FROM p LEFT JOIN st USING (pair_id) LEFT JOIN rl USING (pair_id)"""
+
+    sqls["bradley_terry_events"] = _bradley_terry_sql(6)
 
     # ROUGE-L: same poly31 token codes, same LCS DP; DuckDB list_reduce
     # needs acc type == element type, so outer elements are single-item

@@ -501,3 +501,129 @@ def rouge_l_pairs(
             "(2 * lcs * 1000000) div (cand_len + ref_len))"
         ).alias("rouge_l_f_micro"),
     )
+
+
+def bradley_terry(
+    outcomes: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 8,
+) -> DataFrame:
+    """Bradley-Terry preference strengths (Bradley & Terry 1952; the MM
+    fixed point of Hunter 2004 — public methodology): the model behind
+    pairwise-preference ranking (RLHF reward-model data, "which tool/policy
+    wins head-to-head" leaderboards).
+
+    MM update, run ``iters`` supersteps: ``s_i ← W_i / Σ_j n_ij/(s_i+s_j)``
+    then rescale so ``Σ s = n_items · 10^9``. Determinism discipline:
+    strengths live as NANO-scaled BIGINTs; each pair term is
+    ``round(n_ij · 10^12 / (s_i + s_j))`` (one double division of two exact
+    integers — bit-identical on any engine), the denominator sum is an
+    exact BIGINT (never a float reduction), and the rescale is one
+    multiply + one divide on exact integers. Wins are +1 smoothed and
+    strengths floored at 1, so items that never win stay finite.
+
+    Scale shape: one shuffle to the per-pair count table; per superstep the
+    strength table joins the (item-keyed) pair table twice and aggregates —
+    the same join-propagate-aggregate shape as a PageRank superstep, with
+    per-superstep ``localCheckpoint`` lineage truncation. No collect of
+    anything larger than one scalar.
+
+    Returns ``(item, wins, games, strength_nano)``.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    # self-games carry no preference information (and would double-count
+    # through the symmetric pair closure) — dropped up front
+    outcomes = outcomes.filter(F.col(winner_col) != F.col(loser_col))
+    w = F.col(winner_col).alias("a")
+    l = F.col(loser_col).alias("b")
+    # unordered pair totals + per-item win counts (one pass each)
+    ordered = outcomes.select(
+        F.least(w, l).alias("i"), F.greatest(w, l).alias("j")
+    )
+    pairs = (
+        ordered.groupBy("i", "j").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    )
+    wins = (
+        outcomes.select(F.col(winner_col).alias("item"))
+        .groupBy("item")
+        .agg((F.count(F.lit(1)) + 1).alias("wins_s"))
+    )
+    items = (
+        outcomes.select(F.col(winner_col).alias("item"))
+        .unionByName(outcomes.select(F.col(loser_col).alias("item")))
+        .dropDuplicates()
+    )
+    n_items = items.count()
+    state = (
+        items.join(wins, "item", "left")
+        .select(
+            "item",
+            F.coalesce(F.col("wins_s"), F.lit(1)).alias("w"),
+            F.lit(1000000000).cast("bigint").alias("s"),
+        )
+        .localCheckpoint()
+    )
+    sym = pairs.select("i", "j", "n").unionByName(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "n")
+    ).localCheckpoint()
+    for _ in range(iters):
+        si = state.select(F.col("item").alias("i"), F.col("s").alias("s_i"))
+        sj = state.select(F.col("item").alias("j"), F.col("s").alias("s_j"))
+        denom = (
+            sym.join(si, "i")
+            .join(sj, "j")
+            .select(
+                F.col("i").alias("item"),
+                F.round(
+                    F.col("n").cast("double")
+                    * F.lit(1e12)
+                    / (F.col("s_i") + F.col("s_j")).cast("double")
+                )
+                .cast("bigint")
+                .alias("term_pico"),
+            )
+            .groupBy("item")
+            .agg(F.sum("term_pico").alias("denom_pico"))
+        )
+        raw = state.join(denom, "item", "left").select(
+            "item",
+            "w",
+            F.greatest(
+                F.when(
+                    F.col("denom_pico").isNull(), F.col("s")
+                ).otherwise(
+                    F.round(
+                        F.col("w").cast("double")
+                        * F.lit(1e12)
+                        / F.col("denom_pico").cast("double")
+                        * F.lit(1e9)
+                    ).cast("bigint")
+                ),
+                F.lit(1).cast("bigint"),
+            ).alias("s"),
+        )
+        total = raw.agg(F.sum("s")).collect()[0][0]
+        state = raw.select(
+            "item",
+            "w",
+            F.greatest(
+                F.round(
+                    F.col("s").cast("double")
+                    * F.lit(float(n_items) * 1e9)
+                    / F.lit(float(total))
+                ).cast("bigint"),
+                F.lit(1).cast("bigint"),
+            ).alias("s"),
+        ).localCheckpoint()
+    games = sym.groupBy(F.col("i").alias("item")).agg(F.sum("n").alias("games"))
+    return (
+        state.join(games, "item", "left")
+        .select(
+            "item",
+            (F.col("w") - 1).alias("wins"),
+            F.coalesce(F.col("games"), F.lit(0)).alias("games"),
+            F.col("s").alias("strength_nano"),
+        )
+    )
