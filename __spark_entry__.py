@@ -3978,6 +3978,19 @@ def q_bleu_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bleu_pairs(pairs)
 
 
+def q_template_prefix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix template mining
+    (operators/sequences.py::template_prefixes) over the oracle-replayable
+    transcripts bridge: each conversation's longest role[:tool] prefix
+    shared by >= 5 conversations, depth-capped at 8 (the quadratic-blowup
+    guard). The prefix analogue of conv_shapes_events."""
+    from pagerank_spark.operators.sequences import template_prefixes
+    from pagerank_spark.sources.transcripts import transcripts_from_events
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return template_prefixes(transcripts_from_events(events), min_support=5, max_depth=8)
+
+
 def q_bradley_terry_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry preference strengths
     (operators/mleval.py::bradley_terry) over event-type succession pairs
@@ -7121,6 +7134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_docs": q_bleu_docs,
         "rouge_docs": q_rouge_docs,
         "bradley_terry_events": q_bradley_terry_events,
+        "template_prefix_events": q_template_prefix_events,
         "tfidf_docs": q_tfidf_docs,
         "blend_docs": q_blend_docs,
         "heaps_docs": q_heaps_docs,
@@ -9596,6 +9610,28 @@ SELECT p.pair_id,
                              * 1000000000) AS BIGINT) END)
        + COALESCE(st.psum, 0) // 4 AS log_bleu_nano
 FROM p LEFT JOIN st USING (pair_id) LEFT JOIN rl USING (pair_id)"""
+
+    # shared-prefix templates: same token, same depth cap, max_by argmax
+    sqls["template_prefix_events"] = f"""
+WITH {TRANSCRIPT_VIEW_CTES.strip()},
+arrs AS MATERIALIZED (
+  SELECT conv_id, list(tok ORDER BY turn_idx) AS arr,
+         CAST(COUNT(*) AS BIGINT) AS n_turns
+  FROM (SELECT conv_id, turn_idx,
+               role || ':' || COALESCE(tool, '-') AS tok FROM t)
+  GROUP BY conv_id),
+pref AS MATERIALIZED (
+  SELECT conv_id, n_turns, CAST(L AS BIGINT) AS l,
+         array_to_string(arr[1:L], ',') AS p
+  FROM arrs, unnest(range(1, LEAST(len(arr), 8) + 1)) AS r(L)),
+sup AS (SELECT l, p, CAST(COUNT(*) AS BIGINT) AS sup FROM pref GROUP BY 1, 2),
+best AS (SELECT pref.conv_id, CAST(MAX(pref.l) AS BIGINT) AS tpl_len,
+                max_by(pref.p, pref.l) AS template
+         FROM pref JOIN sup USING (l, p) WHERE sup.sup >= 5 GROUP BY 1)
+SELECT arrs.conv_id, arrs.n_turns,
+       COALESCE(best.tpl_len, 0) AS tpl_len,
+       COALESCE(best.template, '') AS template
+FROM arrs LEFT JOIN best USING (conv_id)"""
 
     sqls["bradley_terry_events"] = _bradley_terry_sql(6)
 

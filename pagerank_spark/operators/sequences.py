@@ -607,3 +607,64 @@ def conv_shapes(transcripts: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_convs"),
         F.min("conv_id").alias("rep_conv"),
     )
+
+
+def template_prefixes(
+    transcripts: DataFrame, min_support: int = 2, max_depth: int = 16
+) -> DataFrame:
+    """Shared-prefix template mining: for each conversation, the LONGEST
+    turn-ordered ``role[:tool]`` prefix that at least ``min_support``
+    conversations share — the agent-ops signal behind "these 400
+    conversations all start with the same templated greeting/tool dance"
+    (boilerplate-flow detection; the prefix analogue of
+    :func:`conv_shapes`, which needs the WHOLE trajectory to match).
+
+    Shape: one grouped order-carried aggregate builds each conversation's
+    token array (same discipline as conv_shapes — order from ``turn_idx``
+    structs, never collect order); one explode emits the conversation's
+    prefixes at depths 1..``max_depth``; one map-side-combined count gives
+    per-prefix support; one keyed struct-max picks each conversation's
+    deepest qualifying prefix. ``max_depth`` bounds the explode at
+    O(depth²) chars per conversation — templates are short by nature, and
+    an unbounded prefix lattice over million-turn transcripts is exactly
+    the quadratic blowup the cap exists to refuse.
+
+    Returns ``(conv_id, n_turns, tpl_len, template)``; conversations whose
+    every prefix is rarer than ``min_support`` get ``(0, '')``.
+    """
+    if min_support < 1 or max_depth < 1:
+        raise ValueError("min_support and max_depth must be >= 1")
+    tok = F.concat_ws(":", F.col("role"), F.coalesce(F.col("tool"), F.lit("-")))
+    arrs = transcripts.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("turn_idx"), tok.alias("tok")))),
+            lambda s: s["tok"],
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    pref = arrs.select(
+        "conv_id",
+        "n_turns",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, least(size(arr), {int(max_depth)})), "
+                f"L -> struct(L AS l, array_join(slice(arr, 1, L), ',') AS p))"
+            )
+        ).alias("x"),
+    ).select("conv_id", "n_turns", F.col("x.l").alias("l"), F.col("x.p").alias("p"))
+    support = pref.groupBy("l", "p").agg(F.count(F.lit(1)).alias("sup"))
+    best = (
+        pref.join(support, ["l", "p"])
+        .filter(F.col("sup") >= min_support)
+        .groupBy("conv_id")
+        .agg(F.max(F.struct(F.col("l"), F.col("p"))).alias("b"))
+    )
+    return (
+        arrs.join(best, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.coalesce(F.col("b.l"), F.lit(0)).cast("long").alias("tpl_len"),
+            F.coalesce(F.col("b.p"), F.lit("")).alias("template"),
+        )
+    )
