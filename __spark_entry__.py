@@ -6213,6 +6213,21 @@ def q_scc_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(edges, num_partitions=8).labels
 
 
+def q_maxflow_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum s-t flow (algos/flow.py::max_flow — Edmonds-Karp with
+    level-synchronous distributed BFS, deterministic min-parent rule) on
+    the planted layered network (sources/graphs.py::synth_layered_flow).
+    Oracle: the layered-complete-bipartite min-cut identity — max-flow =
+    min over layer-boundary capacity sums, evaluated from the same
+    closed-form capacity rules. Augmentation count is pytest-checked (not
+    SQL-expressible)."""
+    from pagerank_spark.algos.flow import max_flow
+    from pagerank_spark.sources.graphs import synth_layered_flow
+
+    edges = synth_layered_flow(spark)
+    return max_flow(edges, source=0, sink=9).select("max_flow")
+
+
 def q_clique_comm_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=3 clique percolation (algos/percolation.py) over the planted
     triangle-strip graph (sources/graphs.py::synth_strips): each strip is
@@ -6907,6 +6922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brandrank_copurchase": q_brandrank_copurchase,
         "scc_synth": q_scc_synth,
         "clique_comm_synth": q_clique_comm_synth,
+        "maxflow_synth": q_maxflow_synth,
         "bowtie_synth": q_bowtie_synth,
         "condensation_synth": q_condensation_synth,
         "wl_colors_synth": q_wl_colors_synth,
@@ -8850,6 +8866,17 @@ WHERE ga.vec_id < ga.neighbor"""
     sqls["changepoint_orders"] = _CHANGEPOINT_ORDERS_SQL
     sqls["trend_users_events"] = _TREND_USERS_EVENTS_SQL
     sqls["gapfill_orders"] = _GAPFILL_ORDERS_SQL
+    # max-flow on the planted layered network: min over the three
+    # boundary sums (exact because each boundary is complete bipartite),
+    # capacities from the same closed-form rules as the generator
+    sqls["maxflow_synth"] = """
+SELECT CAST(LEAST(
+  (SELECT SUM(10 + (a * 7) % 5) FROM unnest(range(1, 5)) r(a)),
+  (SELECT SUM(2 + ((a + b) * 3) % 4)
+   FROM unnest(range(1, 5)) r(a), unnest(range(5, 9)) s(b)),
+  (SELECT SUM(6 + (b * 5) % 7) FROM unnest(range(5, 9)) s(b))
+) AS BIGINT) AS max_flow"""
+
     # k=3 clique percolation on the planted strips: generic triangle
     # enumeration (a<b<c), star pairs through the per-edge min triangle,
     # recursive min-label closure (communities are strip-sized, so the

@@ -439,3 +439,43 @@ def synth_strips(spark: SparkSession, chains: int = 60) -> DataFrame:
         .unionByName(detached)
         .dropDuplicates(["src", "dst"])
     )
+
+
+def synth_layered_flow(spark: SparkSession) -> DataFrame:
+    """Deterministic layered flow network — the planted input for the
+    max-flow gate (same policy as :func:`synth_cyclic`: the gate tables
+    carry no capacities, so the flow family gets its own closed-form
+    input).
+
+    Vertices: source 0; layer A = 1..4; layer B = 5..8; sink 9. Edges
+    (src, dst, cap), all rules closed-form integer arithmetic:
+
+    - ``0 -> a``  with cap ``10 + (a*7) % 5``          (sum 50)
+    - ``a -> b``  complete bipartite, cap ``2 + ((a+b)*3) % 4``  (sum 56)
+    - ``b -> 9``  with cap ``6 + (b*5) % 7``           (sum 35)
+
+    Because every A->B boundary is COMPLETE bipartite, flow can be
+    rerouted freely inside a layer, so max-flow = min over the three
+    layer-boundary capacity sums = **35** — the closed-form identity the
+    DuckDB oracle evaluates from the same formulas (a layered graph with
+    sparse middles would not satisfy it; completeness is what makes the
+    planted answer exact).
+    """
+    a = spark.range(1, 5).select(F.col("id").alias("a"))
+    b = spark.range(5, 9).select(F.col("id").alias("b"))
+    sa = a.select(
+        F.lit(0).cast("long").alias("src"),
+        F.col("a").alias("dst"),
+        (F.lit(10) + (F.col("a") * 7) % 5).cast("long").alias("cap"),
+    )
+    ab = a.crossJoin(b).select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        (F.lit(2) + ((F.col("a") + F.col("b")) * 3) % 4).cast("long").alias("cap"),
+    )
+    bt = b.select(
+        F.col("b").alias("src"),
+        F.lit(9).cast("long").alias("dst"),
+        (F.lit(6) + (F.col("b") * 5) % 7).cast("long").alias("cap"),
+    )
+    return sa.unionByName(ab).unionByName(bt)
