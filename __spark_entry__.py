@@ -6213,6 +6213,20 @@ def q_scc_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(edges, num_partitions=8).labels
 
 
+def q_mincut_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical minimum s-t cut (algos/flow.py::min_cut): source-reachable
+    BFS over the final residual, original edges crossing out. On the
+    planted layered network the unique canonical cut IS the sink boundary
+    (its sum 35 is strictly the smallest, and every mid-layer vertex keeps
+    residual slack, so reachability stops exactly at the b->t arcs).
+    Oracle: those four edges from the generator's closed-form capacity
+    rule; duality (sum == max_flow) is pytest-asserted."""
+    from pagerank_spark.algos.flow import min_cut
+    from pagerank_spark.sources.graphs import synth_layered_flow
+
+    return min_cut(synth_layered_flow(spark), source=0, sink=9)
+
+
 def q_maxflow_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum s-t flow (algos/flow.py::max_flow — Edmonds-Karp with
     level-synchronous distributed BFS, deterministic min-parent rule) on
@@ -6923,6 +6937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_synth": q_scc_synth,
         "clique_comm_synth": q_clique_comm_synth,
         "maxflow_synth": q_maxflow_synth,
+        "mincut_synth": q_mincut_synth,
         "bowtie_synth": q_bowtie_synth,
         "condensation_synth": q_condensation_synth,
         "wl_colors_synth": q_wl_colors_synth,
@@ -8876,6 +8891,13 @@ SELECT CAST(LEAST(
    FROM unnest(range(1, 5)) r(a), unnest(range(5, 9)) s(b)),
   (SELECT SUM(6 + (b * 5) % 7) FROM unnest(range(5, 9)) s(b))
 ) AS BIGINT) AS max_flow"""
+
+    # canonical min cut of the planted layered network: the sink boundary
+    # with the generator's capacity rule
+    sqls["mincut_synth"] = """
+SELECT CAST(b AS BIGINT) AS src, CAST(9 AS BIGINT) AS dst,
+       CAST(6 + (b * 5) % 7 AS BIGINT) AS cap
+FROM unnest(range(5, 9)) s(b)"""
 
     # k=3 clique percolation on the planted strips: generic triangle
     # enumeration (a<b<c), star pairs through the per-edge min triangle,

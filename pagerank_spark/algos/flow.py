@@ -31,29 +31,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["max_flow"]
+__all__ = ["max_flow", "min_cut"]
 
 
-def max_flow(
+def _max_flow_state(
     edges: DataFrame,
     source: int,
     sink: int,
-    max_augmentations: int = 64,
-    max_depth: int = 32,
-) -> DataFrame:
-    """One row ``(max_flow, augmentations)`` — exact integer maximum flow
-    from ``source`` to ``sink`` over ``(src, dst, cap)`` edges (BIGINT
-    capacities; antiparallel edge pairs are fine, self-loops and
-    duplicate edges are rejected).
-
-    Residual graph state lives as a DataFrame ``(u, v, cap)`` including
-    zero-capacity reverse arcs; each augmentation BFSes source→sink over
-    positive-capacity arcs (shortest path — the Edmonds-Karp O(VE²)
-    termination guarantee), walks the parent chain back (O(depth) tiny
-    driver actions), and applies the bottleneck update with one join.
-    ``localCheckpoint`` truncates lineage per augmentation (superstep
-    discipline).
-    """
+    max_augmentations: int,
+    max_depth: int,
+):
+    """Shared Edmonds-Karp core: returns ``(total, n_aug, e, res)`` with
+    ``e`` the validated forward edges and ``res`` the FINAL residual —
+    :func:`max_flow` reports the value, :func:`min_cut` BFSes the residual
+    once more for the canonical source-side cut."""
     spark: SparkSession = edges.sparkSession
     if source == sink:
         raise ValueError("source and sink must differ")
@@ -137,6 +128,75 @@ def max_flow(
             )
             .localCheckpoint()
         )
+    return total, n_aug, e, res
+
+
+def max_flow(
+    edges: DataFrame,
+    source: int,
+    sink: int,
+    max_augmentations: int = 64,
+    max_depth: int = 32,
+) -> DataFrame:
+    """One row ``(max_flow, augmentations)`` — exact integer maximum flow
+    from ``source`` to ``sink`` over ``(src, dst, cap)`` edges (BIGINT
+    capacities; antiparallel edge pairs are fine, self-loops and
+    duplicate edges are rejected).
+
+    Residual graph state lives as a DataFrame ``(u, v, cap)`` including
+    zero-capacity reverse arcs; each augmentation BFSes source→sink over
+    positive-capacity arcs (shortest path — the Edmonds-Karp O(VE²)
+    termination guarantee), walks the parent chain back (O(depth) tiny
+    driver actions), and applies the bottleneck update with one join.
+    ``localCheckpoint`` truncates lineage per augmentation (superstep
+    discipline).
+    """
+    spark = edges.sparkSession
+    total, n_aug, _, _ = _max_flow_state(
+        edges, source, sink, max_augmentations, max_depth
+    )
     return spark.createDataFrame(
         [(total, n_aug)], "max_flow long, augmentations long"
+    )
+
+
+def min_cut(
+    edges: DataFrame,
+    source: int,
+    sink: int,
+    max_augmentations: int = 64,
+    max_depth: int = 32,
+) -> DataFrame:
+    """The CANONICAL minimum s-t edge cut ``(src, dst, cap)``: run
+    Edmonds-Karp to completion, BFS the final residual's positive arcs
+    from the source (one more level-synchronous pass), and return every
+    original edge crossing from the reachable side to the unreachable
+    side. By max-flow/min-cut duality the returned capacities sum to the
+    max flow, and because the source-reachable set of the FINAL residual
+    is unique (not a property of augmentation order), the cut is
+    deterministic — gate-able row for row.
+    """
+    spark = edges.sparkSession
+    _, _, e, res = _max_flow_state(edges, source, sink, max_augmentations, max_depth)
+    pos = res.filter(F.col("cap") > 0).localCheckpoint(eager=False)
+    reach = spark.createDataFrame([(source,)], "id long").localCheckpoint()
+    frontier = reach
+    for _ in range(max_depth):
+        nxt = (
+            pos.join(frontier, pos.u == frontier.id)
+            .select(F.col("v").alias("id"))
+            .dropDuplicates()
+            .join(reach.select(F.col("id").alias("__seen")), F.col("id") == F.col("__seen"), "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        reach = reach.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    src_side = reach.select(F.col("id").alias("u"))
+    dst_side = reach.select(F.col("id").alias("v"))
+    return (
+        e.join(src_side, "u")
+        .join(dst_side, "v", "left_anti")
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"), "cap")
     )

@@ -81,3 +81,30 @@ def test_disconnected_and_validation(spark):
     )
     with pytest.raises(ValueError):
         max_flow(dup, 0, 1)
+
+
+def test_min_cut_duality_and_canonicality(spark):
+    from pagerank_spark.algos.flow import max_flow, min_cut
+    from pagerank_spark.sources.graphs import synth_layered_flow
+
+    edges = synth_layered_flow(spark)
+    cut = sorted(tuple(r) for r in min_cut(edges, 0, 9).collect())
+    # duality: cut capacities sum to the max flow
+    assert sum(c for _, _, c in cut) == 35
+    # canonical cut = the sink boundary, caps from the generator rule
+    assert cut == [(b, 9, 6 + (b * 5) % 7) for b in range(5, 9)]
+
+
+def test_min_cut_backflow_graph(spark):
+    from pagerank_spark.algos.flow import min_cut
+
+    edges = [
+        (0, 1, 10), (0, 2, 10),
+        (1, 3, 4), (1, 2, 2), (2, 4, 9),
+        (3, 5, 10), (4, 3, 6), (4, 5, 10),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, cap long")
+    cut = sorted(tuple(r) for r in min_cut(df, 0, 5).collect())
+    assert sum(c for _, _, c in cut) == 13
+    # reachable side after saturation is {0, 1, 2}: cut = (1,3) and (2,4)
+    assert cut == [(1, 3, 4), (2, 4, 9)]
