@@ -5554,6 +5554,18 @@ def q_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, uni, bi, v)
 
 
+def q_mink_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% Prob memorization signal (operators/lm.py::min_k_surprisal):
+    mean micro-surprisal of each document's top-20% highest-surprisal
+    bigrams under the English-trained add-1 LM — the membership-inference
+    statistic of Shi et al. 2023, as exact BIGINTs."""
+    from pagerank_spark.operators.lm import min_k_surprisal, train_bigram_lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uni, bi, v = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    return min_k_surprisal(docs, uni, bi, v, k_pct=20)
+
+
 def q_kn_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (operators/lm.py): absolute
     discount D=3/4 cleared to exact integer rationals, continuation-count
@@ -6977,6 +6989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "lm_score_docs": q_lm_score_docs,
         "kn_score_docs": q_kn_score_docs,
+        "mink_docs": q_mink_docs,
         "nbayes_docs": q_nbayes_docs,
         "mad_outliers_orders": q_mad_outliers_orders,
         "profile_events": q_profile_events,
@@ -10607,6 +10620,42 @@ FROM (SELECT doc_id, cls, cost_micro,
              ROW_NUMBER() OVER (PARTITION BY doc_id
                                 ORDER BY cost_micro ASC, cls ASC) AS rn
       FROM sc) WHERE rn = 1"""
+
+    # Min-K%: same LM surprisal terms as lm_score_docs, per-doc ordered
+    # list, top ceil(n*20/100) summed; DuckDB list slicing is inclusive so
+    # arr[1:m] is exactly the first m
+    sqls["mink_docs"] = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+ref AS (SELECT toks FROM t WHERE lang = 'en'),
+uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(toks) AS w1 FROM ref) GROUP BY 1),
+v AS (SELECT COUNT(*) AS vs FROM uni),
+bref AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12
+         FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM ref)
+         GROUP BY 1),
+bdoc AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bigram
+         FROM t, unnest(range(1, len(toks))) AS r(i)),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND(-LN((COALESCE(c12, 0) + 1) * 1.0
+                        / (COALESCE(c1, 0) + 1 * vs)) * 1000000) AS BIGINT) AS sp
+  FROM bdoc LEFT JOIN bref USING (bigram) LEFT JOIN uni USING (w1), v),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               list(sp ORDER BY sp DESC) AS arr
+        FROM scored GROUP BY 1),
+cut AS (SELECT doc_id, n_bigrams,
+               (n_bigrams * 20 + 99) // 100 AS m_topk,
+               CAST(COALESCE(list_sum(arr[1:CAST((n_bigrams * 20 + 99) // 100 AS INT)]), 0)
+                    AS BIGINT) AS mink_sum_micro
+        FROM agg)
+SELECT d.doc_id,
+       COALESCE(c.n_bigrams, 0) AS n_bigrams,
+       COALESCE(c.m_topk, 0) AS m_topk,
+       COALESCE(c.mink_sum_micro, 0) AS mink_sum_micro,
+       CASE WHEN COALESCE(c.n_bigrams, 0) = 0 THEN 0
+            ELSE c.mink_sum_micro // c.m_topk END AS mink_avg_micro
+FROM documents d LEFT JOIN cut c USING (doc_id)"""
 
     # interpolated Kneser-Ney: D=3/4 as exact integer rationals; per-term
     # surprisal = LN(den)-LN(num), each LN nano-rounded on the exact BIGINT

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["train_bigram_lm", "lm_score", "train_kneser_ney", "kneser_ney_score"]
+__all__ = ["train_bigram_lm", "lm_score", "train_kneser_ney", "kneser_ney_score", "min_k_surprisal"]
 
 
 def _bigrams_expr(text_col: str) -> str:
@@ -263,4 +263,73 @@ def kneser_ney_score(
             "kn_nano",
             F.expr("IF(n_bigrams = 0, 0L, kn_nano div n_bigrams)").alias("avg_kn_nano"),
         )
+    )
+
+
+def min_k_surprisal(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    vocab_size: int,
+    k_pct: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: int = 1,
+) -> DataFrame:
+    """Min-K% Prob membership-inference signal (Shi et al. 2023,
+    "Detecting Pretraining Data from Large Language Models" — public
+    methodology): a document the model has memorized has NO
+    low-probability outlier tokens, so the mean log-likelihood of its k%
+    LEAST-probable tokens (= highest-surprisal, under this engine's
+    bigram LM) separates trained-on from unseen text better than full-doc
+    perplexity. The deduplication/decontamination counterpart to
+    :func:`lm_score`: run it over candidate training docs against an
+    eval-set-trained LM to flag leakage.
+
+    Per document: the same add-k bigram micro-surprisals as
+    :func:`lm_score`, sorted descending inside one grouped
+    ``sort_array(collect_list(...))``, the top ``m = ceil(n·k/100)``
+    summed with a codegen'd fold. Exact BIGINTs end to end.
+
+    Scale shape: identical to lm_score (one explode, two co-partitioned
+    joins) plus one grouped sort whose per-key state is the document's own
+    bigram count — the sessionization bound. Returns
+    ``(id_col, n_bigrams, m_topk, mink_sum_micro, mink_avg_micro)``.
+    """
+    if not (0 < k_pct <= 100):
+        raise ValueError("k_pct must be in (0, 100]")
+    terms = docs.select(
+        F.col(id_col), F.explode_outer(F.expr(_bigrams_expr(text_col))).alias("bigram")
+    ).withColumn("w1", F.expr("split(bigram, ' ')[0]"))
+    sp = F.when(F.col("bigram").isNull(), F.lit(None).cast("bigint")).otherwise(
+        F.round(
+            -F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k)).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(add_k) * F.lit(vocab_size))
+            )
+            * F.lit(1000000.0)
+        ).cast("bigint")
+    )
+    scored = (
+        terms.join(bigrams, "bigram", "left")
+        .join(unigrams, "w1", "left")
+        .select(F.col(id_col), sp.alias("sp_micro"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("sp_micro").alias("n_bigrams"),
+        F.reverse(F.sort_array(F.collect_list("sp_micro"))).alias("__arr"),
+    )
+    m = F.expr(f"(n_bigrams * {int(k_pct)} + 99) div 100")
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        m.alias("m_topk"),
+        F.expr(
+            "aggregate(slice(__arr, 1, CAST(m_topk AS INT)), 0L, (a, x) -> a + x)"
+        ).alias("mink_sum_micro"),
+        F.expr(
+            f"IF(n_bigrams = 0, 0L, "
+            f"aggregate(slice(__arr, 1, CAST(m_topk AS INT)), 0L, (a, x) -> a + x) "
+            f"div ((n_bigrams * {int(k_pct)} + 99) div 100))"
+        ).alias("mink_avg_micro"),
     )

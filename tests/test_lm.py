@@ -95,3 +95,43 @@ def test_plan_no_python(spark, corpus):
     plan = lm_score(score_df, uni, bi, v)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_min_k_surprisal_replay(spark, corpus):
+    """Min-K% (operators/lm.py::min_k_surprisal) vs pure-Python: top-20%
+    surprisal mean, OOV docs dominated by their worst bigrams."""
+    from pagerank_spark.operators.lm import min_k_surprisal, train_bigram_lm
+
+    train, score = corpus
+    train_df = spark.createDataFrame([(t,) for t in train], "text string")
+    score_df = spark.createDataFrame(score, "doc_id long, text string")
+    uni, bi, v = train_bigram_lm(train_df)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["m_topk"], r["mink_sum_micro"], r["mink_avg_micro"])
+        for r in min_k_surprisal(score_df, uni, bi, v, k_pct=50).collect()
+    }
+    full = _python_lm_scores(train, score)
+    # python replay: rebuild per-term surprisals, take top ceil(n*50/100)
+    uni_c, bi_c = {}, {}
+    for t in train:
+        ws = t.split(" ")
+        for w in ws:
+            uni_c[w] = uni_c.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi_c[(a, b)] = bi_c.get((a, b), 0) + 1
+    vs = len(uni_c)
+    for doc_id, text in score:
+        ws = text.split(" ")
+        sps = []
+        for a, b in zip(ws, ws[1:]):
+            import math as _m
+
+            p = (bi_c.get((a, b), 0) + 1) / (uni_c.get(a, 0) + vs)
+            sps.append(_m.floor(-_m.log(p) * 1e6 + 0.5))
+        sps.sort(reverse=True)
+        n = len(sps)
+        m = (n * 50 + 99) // 100
+        s = sum(sps[:m])
+        assert got[doc_id] == (n, m, s, 0 if n == 0 else s // m)
+    # full-doc surprisal and top-k agree on ordering for the OOV doc
+    assert got[2][3] >= full[2][2] // max(full[2][0], 1)
