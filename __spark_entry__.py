@@ -3911,6 +3911,18 @@ def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk segment map (operators/packing.py::chunk_segments): the
+    cu_seqlens structure for varlen attention over pack_chunks placement —
+    doc spans intersected with each 256-token chunk window, segment order
+    = stream order. Oracle: the pack_chunks CTE + generate_series over the
+    chunk range + the same intersection arithmetic."""
+    from pagerank_spark.operators.packing import chunk_segments
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_segments(docs, budget=256)
+
+
 def q_length_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static-shape length-bucketed batching
     (operators/packing.py::length_bucket_batches): power-of-two buckets,
@@ -7171,6 +7183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_docs": q_pii_scrub_docs,
         "pack_chunks_docs": q_pack_chunks_docs,
         "length_batches_docs": q_length_batches_docs,
+        "chunk_segments_docs": q_chunk_segments_docs,
         "hash_split_docs": q_hash_split_docs,
         "quantile_bins_docs": q_quantile_bins_docs,
         "decontam_docs": q_decontam_docs,
@@ -9474,6 +9487,40 @@ SELECT doc_id,
        '{_em}', '<email>', 'g'), '{_ph}', '<phone>', 'g'), '{_ip}', '<ipv4>', 'g')) AS INT)
     AS scrubbed_len
 FROM d"""
+
+    # chunk segment map: pack placement + per-chunk explode + span
+    # intersection; seg order = doc order inside the chunk
+    sqls["chunk_segments_docs"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM t
+),
+placed AS (
+  SELECT doc_id, n_tokens, start_offset,
+         CAST(start_offset // 256 AS BIGINT) AS first_chunk,
+         CAST((start_offset + n_tokens - 1) // 256 AS BIGINT) AS last_chunk
+  FROM c WHERE n_tokens > 0
+),
+seg AS (
+  SELECT doc_id,
+         CAST(ch AS BIGINT) AS chunk,
+         GREATEST(start_offset - ch * 256, 0) AS seg_start,
+         LEAST(start_offset + n_tokens, (ch + 1) * 256) - ch * 256
+           - GREATEST(start_offset - ch * 256, 0) AS seg_len
+  FROM placed, unnest(generate_series(first_chunk, last_chunk)) AS r(ch)
+)
+SELECT chunk,
+       CAST(ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id) - 1
+            AS BIGINT) AS seg_idx,
+       doc_id,
+       CAST(seg_start AS BIGINT) AS seg_start,
+       CAST(seg_len AS BIGINT) AS seg_len
+FROM seg"""
 
     # length-bucketed batching: same bucket CASE ladder, same mix31 shard,
     # same longest-first keyed ROW_NUMBER

@@ -510,3 +510,61 @@ def length_bucket_batches(
         ((F.row_number().over(w) - 1) / batch_size).cast("bigint").alias("batch"),
         F.least(F.col("n_tokens"), F.col("bucket")).alias("tok_padded"),
     )
+
+
+def chunk_segments(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Per-chunk segment map for concat-and-chunk packing — the
+    ``cu_seqlens`` structure varlen/block-diagonal attention needs: for
+    every training chunk, which documents occupy it and at which offsets,
+    so attention never crosses a document boundary inside a packed
+    sequence.
+
+    Built on :func:`pack_chunks` placement: each document explodes into
+    its ``first_chunk..last_chunk`` range (guarded — zero-token docs emit
+    nothing) and the intersection of the document's token span with the
+    chunk's ``[c·B, (c+1)·B)`` window gives the in-chunk offsets. Segment
+    order inside a chunk is document order (the stream order), numbered
+    with a window keyed by the chunk — thousands of rows per key at most
+    (a chunk holds at most B documents), never a global window.
+
+    Returns ``([shard,] chunk, seg_idx, doc_id, seg_start, seg_len)``;
+    ``sum(seg_len) == B`` for every interior chunk (pytest-asserted), and
+    the cu_seqlens array for chunk c is ``[0, cumsum(seg_len)...]``.
+    """
+    placed = pack_chunks(docs, budget, id_col=id_col, text_col=text_col, shard_col=shard_col)
+    shard_cols = ["shard"] if shard_col else []
+    exploded = placed.filter(F.col("n_chunks") > 0).select(
+        *shard_cols,
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.explode(F.expr("sequence(first_chunk, last_chunk)")).alias("chunk"),
+    )
+    b = F.lit(int(budget))
+    lo = F.greatest(F.col("start_offset") - F.col("chunk") * b, F.lit(0))
+    hi = (
+        F.least(F.col("start_offset") + F.col("n_tokens"), (F.col("chunk") + 1) * b)
+        - F.col("chunk") * b
+    )
+    seg = exploded.select(
+        *shard_cols,
+        "chunk",
+        "doc_id",
+        lo.alias("seg_start"),
+        (hi - lo).alias("seg_len"),
+    )
+    w = Window.partitionBy(*shard_cols, "chunk").orderBy("doc_id")
+    return seg.select(
+        *shard_cols,
+        "chunk",
+        (F.row_number().over(w) - 1).cast("long").alias("seg_idx"),
+        "doc_id",
+        "seg_start",
+        "seg_len",
+    )

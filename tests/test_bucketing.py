@@ -72,3 +72,33 @@ def test_one_sided_bucketing_shuffles_once(spark, tmp_path, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_chunk_segments_cover_budget(spark):
+    """chunk_segments (operators/packing.py): interior chunks sum to the
+    budget, segments tile without overlap, cu_seqlens reconstructible."""
+    from pagerank_spark.operators.packing import chunk_segments
+
+    docs = [(i, " ".join(["w"] * ((i * 13) % 40 + 1))) for i in range(60)]
+    docs.append((100, ""))  # zero-token doc must emit no segment
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = chunk_segments(df, budget=64).collect()
+    assert all(r["doc_id"] != 100 for r in rows)
+    by_chunk = {}
+    for r in rows:
+        by_chunk.setdefault(r["chunk"], []).append(r)
+    total_tokens = sum((i * 13) % 40 + 1 for i in range(60))
+    n_chunks = max(by_chunk) + 1
+    for c, segs in by_chunk.items():
+        segs.sort(key=lambda r: r["seg_idx"])
+        # segments tile the chunk contiguously from 0
+        off = 0
+        for s in segs:
+            assert s["seg_start"] == off
+            assert s["seg_len"] > 0
+            off += s["seg_len"]
+        expected = 64 if c < n_chunks - 1 else total_tokens - 64 * (n_chunks - 1)
+        assert off == expected
+        # seg order is doc order
+        ids = [s["doc_id"] for s in segs]
+        assert ids == sorted(ids)
