@@ -4003,6 +4003,51 @@ def q_template_prefix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_prefixes(transcripts_from_events(events), min_support=5, max_depth=8)
 
 
+def q_ece_langconf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer ECE (operators/mleval.py::ece_exact) of the marker
+    English-confidence score (h_en * 1e6 div total marker hits; 500000
+    when no marker fires) against the lang == 'en' label: fixed-width
+    decile bins, per-bin |pos*1e6 - sum_conf| gaps, ece = sum div N —
+    every value BIGINT."""
+    from pagerank_spark.operators.mleval import ece_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    langs = ["de", "en", "es", "fr"]
+    markers = {
+        "en": ["the", "and", "of", "is"],
+        "de": ["der", "die", "und", "ist"],
+        "fr": ["le", "la", "et", "est"],
+        "es": ["el", "los", "y", "es"],
+    }
+    hits = {
+        l: F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")),
+                F.lit(r"\b(" + "|".join(markers[l]) + r")\b"),
+                F.lit(0),
+            )
+        ).cast("long")
+        for l in langs
+    }
+    scored = docs.select(
+        *[hits[l].alias(f"h_{l}") for l in langs],
+        (F.col("lang") == "en").cast("long").alias("y"),
+    ).select(
+        F.when(
+            (F.col("h_de") + F.col("h_en") + F.col("h_es") + F.col("h_fr")) == 0,
+            F.lit(500000).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                "h_en * 1000000 div (h_de + h_en + h_es + h_fr)"
+            )
+        )
+        .alias("conf_micro"),
+        "y",
+    )
+    return ece_exact(scored, "conf_micro", "y")
+
+
 def q_bradley_terry_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry preference strengths
     (operators/mleval.py::bradley_terry) over event-type succession pairs
@@ -7191,6 +7236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_docs": q_bleu_docs,
         "rouge_docs": q_rouge_docs,
         "bradley_terry_events": q_bradley_terry_events,
+        "ece_langconf_docs": q_ece_langconf_docs,
         "template_prefix_events": q_template_prefix_events,
         "tfidf_docs": q_tfidf_docs,
         "blend_docs": q_blend_docs,
@@ -9741,6 +9787,30 @@ SELECT arrs.conv_id, arrs.n_turns,
        COALESCE(best.tpl_len, 0) AS tpl_len,
        COALESCE(best.template, '') AS template
 FROM arrs LEFT JOIN best USING (conv_id)"""
+
+    # exact ECE of the marker-confidence score: same hit regexes, same
+    # fixed-width micro bins, all-BIGINT gaps
+    sqls["ece_langconf_docs"] = f"""
+WITH s AS (
+  SELECT CASE WHEN ({_hits['de']}) + ({_hits['en']}) + ({_hits['es']})
+                   + ({_hits['fr']}) = 0 THEN CAST(500000 AS BIGINT)
+              ELSE CAST(({_hits['en']}) * 1000000
+                   // (({_hits['de']}) + ({_hits['en']}) + ({_hits['es']})
+                       + ({_hits['fr']})) AS BIGINT) END AS conf_micro,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+per AS (
+  SELECT conf_micro * 10 // 1000001 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(conf_micro) AS BIGINT) AS sum_score
+  FROM s GROUP BY 1),
+g AS (SELECT bin, n, pos, sum_score,
+             ABS(pos * 1000000 - sum_score) AS gap FROM per),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(gap) AS BIGINT) AS tg FROM g)
+SELECT g.bin, g.n, g.pos, g.sum_score, CAST(g.gap AS BIGINT) AS gap,
+       t.tg // t.tn AS ece_micro
+FROM g, t"""
 
     sqls["bradley_terry_events"] = _bradley_terry_sql(6)
 

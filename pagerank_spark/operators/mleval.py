@@ -627,3 +627,48 @@ def bradley_terry(
             F.col("s").alias("strength_nano"),
         )
     )
+
+
+def ece_exact(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Exact-integer Expected Calibration Error (Naeini et al. 2015 —
+    public methodology) over a MICRO-scaled probability score
+    (``score_col`` in ``[0, 10^6]``, e.g. a classifier confidence):
+    fixed-width bins ``bin = score·n_bins div (10^6 + 1)``, per-bin
+    calibration gap as the exact BIGINT ``|pos·10^6 − Σ score|`` (the
+    common |accuracy − confidence| numerator cleared of divisions), and
+    ``ece_micro = Σ gaps div N`` — every value an exact integer, no float
+    reduction anywhere (the quantile-binned float sibling is
+    :func:`reliability_curve`).
+
+    Returns per-bin rows ``(bin, n, pos, sum_score, gap)`` plus the
+    constant ``ece_micro`` column. One map-side-combined shuffle on the
+    bin id; the total rides in via a broadcast single-row cross join.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    binned = scored.select(
+        F.expr(f"CAST({score_col} AS BIGINT) * {int(n_bins)} div 1000001").alias("bin"),
+        F.col(score_col).cast("long").alias("__s"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("pos"),
+        F.sum("__s").alias("sum_score"),
+    )
+    per = per.select(
+        "bin", "n", "pos", "sum_score",
+        F.abs(F.col("pos") * F.lit(1000000) - F.col("sum_score")).alias("gap"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("__total_n"), F.sum("gap").alias("__total_gap")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin", "n", "pos", "sum_score", "gap",
+        F.expr("__total_gap div __total_n").alias("ece_micro"),
+    )

@@ -35,3 +35,34 @@ def test_ari_singletons_vs_one_block_zero(spark):
     b = {i: 0 for i in range(8)}
     r = partition_agreement(_mk(spark, a), _mk(spark, b)).collect()[0]
     assert r.ari_micro == 0
+
+
+def test_ece_exact_replay(spark):
+    """ece_exact (operators/mleval.py): pure-Python replay + the
+    perfectly-calibrated-degenerate and maximally-miscalibrated cases."""
+    from pagerank_spark.operators.mleval import ece_exact
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    rows = [(i, (i * 97) % 1000001, 1 if (i * 31) % 100 < (i * 97) % 1000001 // 10000 else 0)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, conf long, y long")
+    got = {r["bin"]: (r["n"], r["pos"], r["sum_score"], r["gap"], r["ece_micro"])
+           for r in ece_exact(df, "conf", "y").collect()}
+    bins = {}
+    for _, c, y in rows:
+        b = c * 10 // 1000001
+        n, p, s = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, p + y, s + c)
+    tg = sum(abs(p * 1000000 - s) for n, p, s in bins.values())
+    tn = sum(n for n, _, _ in bins.values())
+    for b, (n, p, s) in bins.items():
+        assert got[b] == (n, p, s, abs(p * 1000000 - s), tg // tn)
+    # all-confident, all-correct => zero ECE
+    perfect = spark.createDataFrame([(1000000, 1)] * 10, "conf long, y long")
+    assert ece_exact(perfect, "conf", "y").collect()[0]["ece_micro"] == 0
+    # all-confident, all-wrong => ECE = 1e6
+    wrong = spark.createDataFrame([(1000000, 0)] * 10, "conf long, y long")
+    assert ece_exact(wrong, "conf", "y").collect()[0]["ece_micro"] == 1000000
+    with _pt.raises(ValueError):
+        ece_exact(df, "conf", "y", n_bins=0)
