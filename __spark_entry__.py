@@ -4069,6 +4069,22 @@ def q_bradley_terry_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry(out, iters=6)
 
 
+def q_chrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF (operators/mleval.py::chrf_pairs) over the same pairing as
+    bleu_docs/rouge_docs: whitespace-stripped char n-grams n=1..6,
+    effective-order micro precision/recall means, integral F-beta=2
+    combine. Self-pairs hit the 1e6 ceiling."""
+    from pagerank_spark.operators.mleval import chrf_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = docs.select(F.col("doc_id").alias("pair_id"), F.col("text").alias("cand"))
+    ref = docs.select(F.col("doc_id").alias("__rid"), F.col("text").alias("ref"))
+    pairs = cand.join(
+        ref, cand.pair_id - cand.pair_id % 2 == F.col("__rid")
+    ).select("pair_id", "cand", "ref")
+    return chrf_pairs(pairs)
+
+
 def q_rouge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-L (operators/mleval.py::rouge_l_pairs) over the same
     candidate/reference pairing as bleu_docs: the m x n LCS DP as one
@@ -7235,6 +7251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_docs": q_dsir_docs,
         "bleu_docs": q_bleu_docs,
         "rouge_docs": q_rouge_docs,
+        "chrf_docs": q_chrf_docs,
         "bradley_terry_events": q_bradley_terry_events,
         "ece_langconf_docs": q_ece_langconf_docs,
         "template_prefix_events": q_template_prefix_events,
@@ -9813,6 +9830,58 @@ SELECT g.bin, g.n, g.pos, g.sum_score, CAST(g.gap AS BIGINT) AS gap,
 FROM g, t"""
 
     sqls["bradley_terry_events"] = _bradley_terry_sql(6)
+
+    # chrF: same stripped char stream, same order branches, FULL join so
+    # ref-only grams feed recall totals, integral F-beta combine
+    sqls["chrf_docs"] = """
+WITH p AS (SELECT c.doc_id AS pair_id, c.text AS cand, r.text AS ref
+           FROM documents c JOIN documents r
+             ON r.doc_id = c.doc_id - (c.doc_id % 2)),
+cs AS (SELECT pair_id, regexp_replace(coalesce(cand, ''), '\\s+', '', 'g') AS s FROM p),
+rs AS (SELECT pair_id, regexp_replace(coalesce(ref, ''), '\\s+', '', 'g') AS s FROM p),
+cg AS (SELECT pair_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cc FROM (
+  SELECT pair_id, 1 AS n, unnest(list_transform(range(1, length(s) - 1 + 2), i -> substr(s, i, 1))) AS gram FROM cs
+  UNION ALL SELECT pair_id, 2 AS n, unnest(list_transform(range(1, length(s) - 2 + 2), i -> substr(s, i, 2))) AS gram FROM cs
+  UNION ALL SELECT pair_id, 3 AS n, unnest(list_transform(range(1, length(s) - 3 + 2), i -> substr(s, i, 3))) AS gram FROM cs
+  UNION ALL SELECT pair_id, 4 AS n, unnest(list_transform(range(1, length(s) - 4 + 2), i -> substr(s, i, 4))) AS gram FROM cs
+  UNION ALL SELECT pair_id, 5 AS n, unnest(list_transform(range(1, length(s) - 5 + 2), i -> substr(s, i, 5))) AS gram FROM cs
+  UNION ALL SELECT pair_id, 6 AS n, unnest(list_transform(range(1, length(s) - 6 + 2), i -> substr(s, i, 6))) AS gram FROM cs
+) GROUP BY 1, 2, 3),
+rg AS (SELECT pair_id, n, gram, CAST(COUNT(*) AS BIGINT) AS rc FROM (
+  SELECT pair_id, 1 AS n, unnest(list_transform(range(1, length(s) - 1 + 2), i -> substr(s, i, 1))) AS gram FROM rs
+  UNION ALL SELECT pair_id, 2 AS n, unnest(list_transform(range(1, length(s) - 2 + 2), i -> substr(s, i, 2))) AS gram FROM rs
+  UNION ALL SELECT pair_id, 3 AS n, unnest(list_transform(range(1, length(s) - 3 + 2), i -> substr(s, i, 3))) AS gram FROM rs
+  UNION ALL SELECT pair_id, 4 AS n, unnest(list_transform(range(1, length(s) - 4 + 2), i -> substr(s, i, 4))) AS gram FROM rs
+  UNION ALL SELECT pair_id, 5 AS n, unnest(list_transform(range(1, length(s) - 5 + 2), i -> substr(s, i, 5))) AS gram FROM rs
+  UNION ALL SELECT pair_id, 6 AS n, unnest(list_transform(range(1, length(s) - 6 + 2), i -> substr(s, i, 6))) AS gram FROM rs
+) GROUP BY 1, 2, 3),
+pn AS (SELECT pair_id, n,
+              CAST(SUM(LEAST(COALESCE(cc, 0), COALESCE(rc, 0))) AS BIGINT) AS m,
+              CAST(SUM(COALESCE(cc, 0)) AS BIGINT) AS ct,
+              CAST(SUM(COALESCE(rc, 0)) AS BIGINT) AS rt
+       FROM cg FULL JOIN rg USING (pair_id, n, gram) GROUP BY 1, 2),
+st AS (SELECT pair_id,
+              CAST(SUM(CASE WHEN ct > 0 THEN m * 1000000 // ct ELSE 0 END) AS BIGINT) AS psum,
+              CAST(SUM(CASE WHEN ct > 0 THEN 1 ELSE 0 END) AS BIGINT) AS po,
+              CAST(SUM(CASE WHEN rt > 0 THEN m * 1000000 // rt ELSE 0 END) AS BIGINT) AS rsum,
+              CAST(SUM(CASE WHEN rt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ro
+       FROM pn GROUP BY 1),
+pr AS (SELECT p.pair_id,
+              CAST(length(cs.s) AS BIGINT) AS cand_chars,
+              CAST(length(rs.s) AS BIGINT) AS ref_chars,
+              CASE WHEN COALESCE(st.po, 0) = 0 THEN 0
+                   ELSE st.psum // st.po END AS p_avg_micro,
+              CASE WHEN COALESCE(st.ro, 0) = 0 THEN 0
+                   ELSE st.rsum // st.ro END AS r_avg_micro
+       FROM p JOIN cs USING (pair_id) JOIN rs USING (pair_id)
+              LEFT JOIN st USING (pair_id))
+SELECT pair_id, cand_chars, ref_chars,
+       CAST(p_avg_micro AS BIGINT) AS p_avg_micro,
+       CAST(r_avg_micro AS BIGINT) AS r_avg_micro,
+       CAST(CASE WHEN p_avg_micro = 0 OR r_avg_micro = 0 THEN 0
+            ELSE (5 * p_avg_micro * r_avg_micro)
+                 // (4 * p_avg_micro + r_avg_micro) END AS BIGINT) AS chrf_micro
+FROM pr"""
 
     # ROUGE-L: same poly31 token codes, same LCS DP; DuckDB list_reduce
     # needs acc type == element type, so outer elements are single-item

@@ -672,3 +672,111 @@ def ece_exact(
         "bin", "n", "pos", "sum_score", "gap",
         F.expr("__total_gap div __total_n").alias("ece_micro"),
     )
+
+
+def chrf_pairs(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    max_n: int = 6,
+    beta: int = 2,
+) -> DataFrame:
+    """chrF (Popović 2015 — public methodology): character n-gram F-score,
+    the tokenization-free third member of the eval trio (BLEU / ROUGE-L /
+    chrF). Whitespace is stripped (the standard preprocessing), n-grams
+    run n = 1..``max_n`` over the remaining character stream.
+
+    Per order: clipped matches ``m_n`` against candidate totals ``ct_n``
+    and reference totals ``rt_n`` — exact BIGINTs. Precision/recall per
+    order are micro-scaled integer divisions; their means run over the
+    orders where the respective side HAS n-grams (the effective-order
+    rule); the F-β combine stays integral:
+
+    ``chrf_micro = (1+β²)·P·R div (β²·P + R)``  (0 when either mean is 0).
+
+    Returns ``(id_col, cand_chars, ref_chars, p_avg_micro, r_avg_micro,
+    chrf_micro)``. Scale shape identical to :func:`bleu_pairs`: one
+    flattened explode per side, two map-side-combined counts, one
+    co-partitioned join, one per-pair aggregate — no Python.
+    """
+    if max_n < 1 or beta < 1:
+        raise ValueError("max_n and beta must be >= 1")
+
+    def _chars(col: str) -> str:
+        return f"regexp_replace(coalesce({col}, ''), '\\\\s+', '')"
+
+    def _grams(col: str) -> str:
+        s = _chars(col)
+        return (
+            f"flatten(transform(sequence(1, {max_n}), n -> "
+            f"IF(length({s}) < n, array(), "
+            f"transform(sequence(1, length({s}) - n + 1), "
+            f"i -> struct(n AS n, substring({s}, i, n) AS gram)))))"
+        )
+
+    def _side(col: str, cname: str) -> DataFrame:
+        return (
+            pairs.select(F.col(id_col), F.explode(F.expr(_grams(col))).alias("g"))
+            .select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+            .groupBy(id_col, "n", "gram")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    cand = _side(cand_col, "cc")
+    ref = _side(ref_col, "rc")
+    per_n = (
+        cand.join(ref, [id_col, "n", "gram"], "full")
+        .groupBy(id_col, "n")
+        .agg(
+            F.sum(
+                F.least(
+                    F.coalesce(F.col("cc"), F.lit(0)), F.coalesce(F.col("rc"), F.lit(0))
+                )
+            ).alias("m"),
+            F.sum(F.coalesce(F.col("cc"), F.lit(0))).alias("ct"),
+            F.sum(F.coalesce(F.col("rc"), F.lit(0))).alias("rt"),
+        )
+    )
+    stats = per_n.groupBy(id_col).agg(
+        F.sum(F.when(F.col("ct") > 0, F.expr("m * 1000000 div ct")).otherwise(0)).alias(
+            "__psum"
+        ),
+        F.sum(F.when(F.col("ct") > 0, 1).otherwise(0)).alias("__po"),
+        F.sum(F.when(F.col("rt") > 0, F.expr("m * 1000000 div rt")).otherwise(0)).alias(
+            "__rsum"
+        ),
+        F.sum(F.when(F.col("rt") > 0, 1).otherwise(0)).alias("__ro"),
+    )
+    lens = pairs.select(
+        F.col(id_col),
+        F.length(F.expr(_chars(cand_col))).cast("long").alias("cand_chars"),
+        F.length(F.expr(_chars(ref_col))).cast("long").alias("ref_chars"),
+    )
+    b2 = beta * beta
+    return (
+        lens.join(stats, id_col, "left")
+        .select(
+            id_col,
+            "cand_chars",
+            "ref_chars",
+            F.expr("IF(coalesce(__po, 0L) = 0, 0L, __psum div __po)").alias(
+                "p_avg_micro"
+            ),
+            F.expr("IF(coalesce(__ro, 0L) = 0, 0L, __rsum div __ro)").alias(
+                "r_avg_micro"
+            ),
+        )
+        .select(
+            id_col,
+            "cand_chars",
+            "ref_chars",
+            "p_avg_micro",
+            "r_avg_micro",
+            F.expr(
+                f"IF(p_avg_micro = 0 OR r_avg_micro = 0, 0L, "
+                f"({1 + b2} * p_avg_micro * r_avg_micro) div "
+                f"({b2} * p_avg_micro + r_avg_micro))"
+            ).alias("chrf_micro"),
+        )
+    )

@@ -100,3 +100,48 @@ def test_plan_no_python(spark, rows):
     plan = bleu_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chrf_replay_and_ceiling(spark, rows):
+    """chrf_pairs (operators/mleval.py) vs a pure-Python replay; identity
+    pair hits the 1e6 ceiling, disjoint strings score 0."""
+    import re as _re
+
+    from pagerank_spark.operators.mleval import chrf_pairs
+
+    def _chrf(cand, ref, max_n=6, beta=2):
+        cs = _re.sub(r"\s+", "", cand or "")
+        rs = _re.sub(r"\s+", "", ref or "")
+        psum = po = rsum = ro = 0
+        for n in range(1, max_n + 1):
+            cg, rg = {}, {}
+            for i in range(len(cs) - n + 1):
+                cg[cs[i : i + n]] = cg.get(cs[i : i + n], 0) + 1
+            for i in range(len(rs) - n + 1):
+                rg[rs[i : i + n]] = rg.get(rs[i : i + n], 0) + 1
+            m = sum(min(c, rg.get(g, 0)) for g, c in cg.items())
+            ct, rt = sum(cg.values()), sum(rg.values())
+            if ct > 0:
+                psum += m * 1000000 // ct
+                po += 1
+            if rt > 0:
+                rsum += m * 1000000 // rt
+                ro += 1
+        p = 0 if po == 0 else psum // po
+        r = 0 if ro == 0 else rsum // ro
+        b2 = beta * beta
+        f = 0 if p == 0 or r == 0 else ((1 + b2) * p * r) // (b2 * p + r)
+        return (len(cs), len(rs), p, r, f)
+
+    df = spark.createDataFrame(rows, "pair_id long, cand string, ref string")
+    got = {
+        x["pair_id"]: (
+            x["cand_chars"], x["ref_chars"], x["p_avg_micro"],
+            x["r_avg_micro"], x["chrf_micro"],
+        )
+        for x in chrf_pairs(df).collect()
+    }
+    for pid, cand, ref in rows:
+        assert got[pid] == _chrf(cand, ref), pid
+    assert got[0][4] == 1000000  # identity ceiling
+    assert got[3][4] == 0  # empty candidate
