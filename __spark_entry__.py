@@ -3452,6 +3452,76 @@ def _node2vec_sql(edges_cte: str, k: int, rc: int, ec: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+def _adaboost_sql(rounds: int) -> str:
+    """Unrolled AdaBoost rounds; every double (two sqrt factors, the alpha
+    LN) mirrors the engine's exact operand order; MATERIALIZED per round
+    (the bradley_terry CTE-inlining lesson)."""
+    head = """
+WITH w0 AS MATERIALIZED (
+  SELECT event_id AS id,
+         CAST(ROUND(value * 100) AS BIGINT) // 200 AS x,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CAST(1000000 AS BIGINT) AS w
+  FROM events)"""
+    parts = [head]
+    for k in range(rounds):
+        parts.append(f""",
+h{k} AS MATERIALIZED (SELECT x, CAST(SUM(w) AS BIGINT) AS tw,
+                             CAST(SUM(w * y) AS BIGINT) AS pw
+                      FROM w{k} GROUP BY 1),
+c{k} AS MATERIALIZED (SELECT x AS thr,
+        CAST(SUM(tw) OVER (ORDER BY x) AS BIGINT) AS cum_t,
+        CAST(SUM(pw) OVER (ORDER BY x) AS BIGINT) AS cum_p FROM h{k}),
+t{k} AS MATERIALIZED (SELECT CAST(SUM(tw) AS BIGINT) AS tot,
+                             CAST(SUM(pw) AS BIGINT) AS totp FROM h{k}),
+b{k} AS MATERIALIZED (
+  SELECT thr, pol, e,
+         LEAST(GREATEST(e, 1), tot - 1) AS err, tot
+  FROM (
+    SELECT thr, e, pol, t.tot FROM (
+      SELECT thr, (cum_t - cum_p) + (t0.totp - cum_p) AS e, 1 AS pol
+      FROM c{k}, t{k} t0
+      UNION ALL
+      SELECT thr, t0.tot - ((cum_t - cum_p) + (t0.totp - cum_p)), -1
+      FROM c{k}, t{k} t0), t{k} t
+    ORDER BY e ASC, thr ASC, pol DESC LIMIT 1)),
+w{k + 1} AS MATERIALIZED (
+  SELECT id, x, y,
+    GREATEST(CAST(ROUND(CAST(w AS DOUBLE) *
+      CASE WHEN (CASE WHEN b.pol = 1
+                      THEN CASE WHEN x <= b.thr THEN 1 ELSE 0 END
+                      ELSE CASE WHEN x <= b.thr THEN 0 ELSE 1 END END) = y
+        THEN sqrt(CAST(b.err AS DOUBLE) / CAST(b.tot - b.err AS DOUBLE))
+        ELSE sqrt(CAST(b.tot - b.err AS DOUBLE) / CAST(b.err AS DOUBLE)) END
+      ) AS BIGINT), 1) AS w
+  FROM w{k}, b{k} b)""")
+    vote = " + ".join(
+        f"""(CAST(ROUND(LN(CAST(b{k}.tot - b{k}.err AS DOUBLE)
+             / CAST(b{k}.err AS DOUBLE)) * 500000) AS BIGINT)
+          * (CASE WHEN b{k}.pol = 1
+                  THEN CASE WHEN w0.x <= b{k}.thr THEN 1 ELSE -1 END
+                  ELSE CASE WHEN w0.x <= b{k}.thr THEN -1 ELSE 1 END END))"""
+        for k in range(rounds)
+    )
+    froms = ", ".join(f"b{k}" for k in range(rounds))
+    parts.append(f""",
+acc AS MATERIALIZED (
+  SELECT CAST(SUM(CASE WHEN (v > 0) = (w0.y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT w0.y, {vote} AS v FROM w0, {froms}) w0)""")
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS round, b{k}.thr, CAST(b{k}.pol AS BIGINT) AS polarity,
+       b{k}.e AS err_w, b{k}.tot AS tot_w,
+       CAST(ROUND(LN(CAST(b{k}.tot - b{k}.err AS DOUBLE)
+            / CAST(b{k}.err AS DOUBLE)) * 500000) AS BIGINT) AS alpha_micro,
+       acc.c AS ensemble_correct, acc.n AS ensemble_total
+FROM b{k}, acc"""
+        for k in range(rounds)
+    )
+    return "".join(parts) + "\n" + rows
+
+
+
 def _bradley_terry_sql(iters: int) -> str:
     """Unrolled MM iterations; every double division mirrors the engine's
     operand order exactly (term = n*1e12/(si+sj); s = w*1e12/denom*1e9;
@@ -4001,6 +4071,23 @@ def q_template_prefix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return template_prefixes(transcripts_from_events(events), min_support=5, max_depth=8)
+
+
+def q_adaboost_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost threshold stumps (operators/trees.py::adaboost_stumps):
+    3 boosting rounds on the binned price signal vs the purchase label —
+    micro-integer weights, clamped weighted error, one-sqrt-per-factor
+    determinism, final weighted-vote accuracy. Oracle: 3 unrolled rounds
+    with identical operand trees."""
+    from pagerank_spark.operators.trees import adaboost_stumps
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return adaboost_stumps(
+        events,
+        label_expr="event_type = 'purchase'",
+        feature_expr="CAST(ROUND(value * 100) AS BIGINT) div 200",
+        rounds=3,
+    )
 
 
 def q_ece_langconf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7254,6 +7341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chrf_docs": q_chrf_docs,
         "bradley_terry_events": q_bradley_terry_events,
         "ece_langconf_docs": q_ece_langconf_docs,
+        "adaboost_events": q_adaboost_events,
         "template_prefix_events": q_template_prefix_events,
         "tfidf_docs": q_tfidf_docs,
         "blend_docs": q_blend_docs,
@@ -9830,6 +9918,7 @@ SELECT g.bin, g.n, g.pos, g.sum_score, CAST(g.gap AS BIGINT) AS gap,
 FROM g, t"""
 
     sqls["bradley_terry_events"] = _bradley_terry_sql(6)
+    sqls["adaboost_events"] = _adaboost_sql(3)
 
     # chrF: same stripped char stream, same order branches, FULL join so
     # ref-only grams feed recall totals, integral F-beta combine

@@ -39,6 +39,8 @@ router training over corpus-derived features.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["stump_candidates", "best_stump"]
@@ -133,3 +135,133 @@ def best_stump(
     return cand.orderBy(
         F.col("gain_micro").desc(), F.col("feature").asc(), F.col("thr").asc()
     ).limit(1)
+
+
+def adaboost_stumps(
+    df: DataFrame,
+    label_expr: str,
+    feature_expr: str,
+    id_col: str = "event_id",
+    rounds: int = 3,
+) -> DataFrame:
+    """AdaBoost over threshold stumps (Freund & Schapire 1997 — public
+    methodology): the boosting family. Each round fits the weighted-error-
+    minimal stump ``h(x) = [x <= thr]`` (either polarity) on integer
+    micro-weights, reweights multiplicatively, and records the stump with
+    its ``alpha``.
+
+    Determinism discipline: weights are micro-scaled BIGINTs (init 10^6,
+    floored at 1); the per-round error/total are exact BIGINT sums; the
+    two reweight factors are each ONE sqrt of ONE double division of the
+    exact integers (``sqrt((tot−err)/err)`` and ``sqrt(err/(tot−err))`` —
+    computed as separate expressions, never as reciprocals, so both
+    engines evaluate identical operand trees); per-row reweights are
+    rounded back to micro BIGINTs before the next round's sums. Error is
+    clamped to ``[1, tot−1]`` so a perfect stump stays finite.
+
+    Scale shape per round: one map-side-combined weighted histogram over
+    the (caller-binned) feature, cumulative sums on the bin-count-sized
+    table, a one-row collect of the argmin stump, one codegen'd reweight
+    projection with ``localCheckpoint`` (superstep discipline).
+
+    Returns one row per round: ``(round, thr, polarity, err_w, tot_w,
+    alpha_micro, ensemble_correct, ensemble_total)`` — the last two are
+    the FINAL weighted-vote training accuracy, constant across rows.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(feature_expr).cast("long").alias("x"),
+        F.expr(label_expr).cast("boolean").cast("long").alias("y"),
+    ).filter(F.col("x").isNotNull())
+    state = base.withColumn("w", F.lit(1000000).cast("bigint")).localCheckpoint()
+
+    stumps = []
+    for r in range(rounds):
+        hist = state.groupBy("x").agg(
+            F.sum("w").alias("tw"),
+            F.sum(F.col("w") * F.col("y")).alias("pw"),
+        )
+        wb = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.select(
+            F.col("x").alias("thr"),
+            F.sum("tw").over(wb).alias("cum_t"),
+            F.sum("pw").over(wb).alias("cum_p"),
+        )
+        tots = hist.agg(
+            F.sum("tw").alias("tot"), F.sum("pw").alias("tot_p")
+        ).collect()[0]
+        tot, tot_p = int(tots["tot"]), int(tots["tot_p"])
+        # polarity +1: predict y=1 iff x <= thr  ->  err = neg_left + pos_right
+        cand = cum.select(
+            "thr",
+            ((F.col("cum_t") - F.col("cum_p")) + (F.lit(tot_p) - F.col("cum_p"))).alias(
+                "err_pos"
+            ),
+        ).select(
+            "thr",
+            F.col("err_pos"),
+            (F.lit(tot) - F.col("err_pos")).alias("err_neg"),
+        )
+        best = (
+            cand.select(
+                "thr",
+                F.explode(
+                    F.array(
+                        F.struct(F.col("err_pos").alias("e"), F.lit(1).alias("pol")),
+                        F.struct(F.col("err_neg").alias("e"), F.lit(-1).alias("pol")),
+                    )
+                ).alias("c"),
+            )
+            .select("thr", F.col("c.e").alias("e"), F.col("c.pol").alias("pol"))
+            .orderBy(F.col("e").asc(), F.col("thr").asc(), F.col("pol").desc())
+            .limit(1)
+            .collect()[0]
+        )
+        thr, pol = int(best["thr"]), int(best["pol"])
+        err = min(max(int(best["e"]), 1), tot - 1)
+        fac_wrong = math.sqrt((tot - err) / err)
+        fac_right = math.sqrt(err / (tot - err))
+        alpha_micro = math.floor(math.log((tot - err) / err) * 500000 + 0.5)
+        stumps.append((r, thr, pol, int(best["e"]), tot, alpha_micro))
+        pred = (
+            F.when(F.col("x") <= F.lit(thr), F.lit(1)).otherwise(F.lit(0))
+            if pol == 1
+            else F.when(F.col("x") <= F.lit(thr), F.lit(0)).otherwise(F.lit(1))
+        )
+        correct = pred == F.col("y")
+        state = state.select(
+            "__id",
+            "x",
+            "y",
+            F.greatest(
+                F.round(
+                    F.col("w").cast("double")
+                    * F.when(correct, F.lit(fac_right)).otherwise(F.lit(fac_wrong))
+                ).cast("bigint"),
+                F.lit(1).cast("bigint"),
+            ).alias("w"),
+        ).localCheckpoint()
+
+    # final weighted-vote accuracy: sign of sum(alpha * (2h-1))
+    vote = F.lit(0).cast("bigint")
+    for r, thr, pol, _e, _t, am in stumps:
+        h = (
+            F.when(F.col("x") <= F.lit(thr), F.lit(1)).otherwise(F.lit(-1))
+            if pol == 1
+            else F.when(F.col("x") <= F.lit(thr), F.lit(-1)).otherwise(F.lit(1))
+        )
+        vote = vote + F.lit(am) * h
+    acc = base.select(
+        F.when((vote > 0) == (F.col("y") == 1), 1).otherwise(0).alias("ok")
+    ).agg(F.sum("ok").alias("c"), F.count(F.lit(1)).alias("n")).collect()[0]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (r, thr, pol, e, t, am, int(acc["c"]), int(acc["n"]))
+            for r, thr, pol, e, t, am in stumps
+        ],
+        "round long, thr long, polarity long, err_w long, tot_w long, "
+        "alpha_micro long, ensemble_correct long, ensemble_total long",
+    )
