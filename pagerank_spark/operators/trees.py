@@ -183,12 +183,17 @@ def adaboost_stumps(
             F.sum("w").alias("tw"),
             F.sum(F.col("w") * F.col("y")).alias("pw"),
         )
-        wb = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-        cum = hist.select(
-            F.col("x").alias("thr"),
-            F.sum("tw").over(wb).alias("cum_t"),
-            F.sum("pw").over(wb).alias("cum_p"),
-        )
+        # two distributed prefix sums over the bin-sized histogram — the
+        # repo's no-global-window discipline (same as auc_exact), even
+        # though the table is tiny
+        from .cumsum import distributed_cumsum
+
+        cum = distributed_cumsum(
+            distributed_cumsum(hist, ["x"], "tw", out_col="cum_t"),
+            ["x"],
+            "pw",
+            out_col="cum_p",
+        ).select(F.col("x").alias("thr"), "cum_t", "cum_p")
         tots = hist.agg(
             F.sum("tw").alias("tot"), F.sum("pw").alias("tot_p")
         ).collect()[0]
