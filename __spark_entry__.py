@@ -3452,6 +3452,56 @@ def _node2vec_sql(edges_cte: str, k: int, rc: int, ec: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+def _gbm_sql(rounds: int) -> str:
+    """Unrolled GBM rounds; leaf values / shrinkage are //-truncations
+    (DuckDB // truncates toward zero exactly like Spark div), the split
+    gain mirrors the engine's double operand tree."""
+    head = """
+WITH gb AS MATERIALIZED (
+  SELECT event_id AS id, user_id % 50 AS x,
+         CAST(ROUND(value * 1000) AS BIGINT) AS y
+  FROM events),
+t0m AS MATERIALIZED (SELECT CAST(SUM(y) AS BIGINT) AS s,
+                            CAST(COUNT(*) AS BIGINT) AS n FROM gb),
+w0 AS MATERIALIZED (SELECT id, x, y - (t.s // t.n) AS r FROM gb, t0m t)"""
+    parts = [head]
+    for k in range(rounds):
+        parts.append(f""",
+h{k} AS MATERIALIZED (SELECT x, CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST(SUM(r) AS BIGINT) AS s
+                      FROM w{k} GROUP BY 1),
+c{k} AS MATERIALIZED (SELECT x,
+        CAST(SUM(n) OVER (ORDER BY x) AS BIGINT) AS cum_n,
+        CAST(SUM(s) OVER (ORDER BY x) AS BIGINT) AS cum_s FROM h{k}),
+t{k} AS MATERIALIZED (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                             CAST(SUM(s) AS BIGINT) AS s FROM h{k}),
+b{k} AS MATERIALIZED (
+  SELECT x AS thr, cum_n AS n_l, cum_s AS s_l,
+         t.n - cum_n AS n_r, t.s - cum_s AS s_r
+  FROM c{k}, t{k} t WHERE t.n - cum_n > 0
+  ORDER BY (CAST(cum_s * cum_s AS DOUBLE) / CAST(cum_n AS DOUBLE)
+            + CAST((t.s - cum_s) * (t.s - cum_s) AS DOUBLE)
+              / CAST(t.n - cum_n AS DOUBLE)) DESC, x ASC LIMIT 1),
+v{k} AS MATERIALIZED (
+  SELECT thr, n_l, (s_l // n_l) // 2 AS vl, (s_r // n_r) // 2 AS vr
+  FROM b{k}),
+w{k + 1} AS MATERIALIZED (
+  SELECT id, x,
+         r - CASE WHEN x <= v.thr THEN v.vl ELSE v.vr END AS r
+  FROM w{k}, v{k} v)""")
+    parts.append(f""",
+fin AS MATERIALIZED (SELECT CAST(SUM(r * r) AS BIGINT) AS sse FROM w{rounds})""")
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS round, v{k}.thr, v{k}.n_l AS n_left,
+       v{k}.vl AS v_left_milli, v{k}.vr AS v_right_milli,
+       (t.s // t.n) AS f0_milli, fin.sse AS sse_after
+FROM v{k}, t0m t, fin"""
+        for k in range(rounds)
+    )
+    return "".join(parts) + "\n" + rows
+
+
+
 def _adaboost_sql(rounds: int) -> str:
     """Unrolled AdaBoost rounds; every double (two sqrt factors, the alpha
     LN) mirrors the engine's exact operand order; MATERIALIZED per round
@@ -4071,6 +4121,23 @@ def q_template_prefix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return template_prefixes(transcripts_from_events(events), min_support=5, max_depth=8)
+
+
+def q_gbm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted regression stumps (operators/trees.py::gbm_stumps):
+    3 squared-loss rounds predicting the milli-scaled price from the
+    user-id bin — milli-integer residuals, double-parity split gain,
+    truncated leaf/shrinkage divisions, final-model SSE. Oracle: 3
+    unrolled rounds."""
+    from pagerank_spark.operators.trees import gbm_stumps
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gbm_stumps(
+        events,
+        target_expr="CAST(ROUND(value * 1000) AS BIGINT)",
+        feature_expr="user_id % 50",
+        rounds=3,
+    )
 
 
 def q_adaboost_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7342,6 +7409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bradley_terry_events": q_bradley_terry_events,
         "ece_langconf_docs": q_ece_langconf_docs,
         "adaboost_events": q_adaboost_events,
+        "gbm_events": q_gbm_events,
         "template_prefix_events": q_template_prefix_events,
         "tfidf_docs": q_tfidf_docs,
         "blend_docs": q_blend_docs,
@@ -9919,6 +9987,7 @@ FROM g, t"""
 
     sqls["bradley_terry_events"] = _bradley_terry_sql(6)
     sqls["adaboost_events"] = _adaboost_sql(3)
+    sqls["gbm_events"] = _gbm_sql(3)
 
     # chrF: same stripped char stream, same order branches, FULL join so
     # ref-only grams feed recall totals, integral F-beta combine

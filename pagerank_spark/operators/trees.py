@@ -270,3 +270,113 @@ def adaboost_stumps(
         "round long, thr long, polarity long, err_w long, tot_w long, "
         "alpha_micro long, ensemble_correct long, ensemble_total long",
     )
+
+
+def gbm_stumps(
+    df: DataFrame,
+    target_expr: str,
+    feature_expr: str,
+    id_col: str = "event_id",
+    rounds: int = 3,
+) -> DataFrame:
+    """Gradient-boosted regression stumps, squared loss (Friedman 2001 —
+    public methodology): the regression sibling of
+    :func:`adaboost_stumps`. ``F_0`` = truncated mean; each round fits the
+    variance-gain-maximal threshold split of the current residuals, steps
+    with shrinkage 1/2, and the residuals carry to the next round.
+
+    Determinism discipline: targets live as MILLI-scaled BIGINTs (the
+    milli grid keeps the final Σr² under 2^63 with headroom); per-round
+    split statistics (n, Σr per bin + prefix sums via
+    :func:`..cumsum.distributed_cumsum` — no global window) are exact; the
+    split criterion ``S_l²/n_l + S_r²/n_r`` is evaluated as two double
+    divisions of exact integers (identical operand trees cross-engine) and
+    the argmax is ordered (gain DESC, thr ASC); leaf values and the
+    shrinkage step are truncated integer divisions. Every residual stays
+    an exact BIGINT between rounds.
+
+    Returns one row per round: ``(round, thr, n_left, v_left_milli,
+    v_right_milli, f0_milli, sse_after)`` — ``f0_milli`` and the
+    final-model training SSE (milli², exact) are constant across rows.
+    """
+    from .cumsum import distributed_cumsum
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(feature_expr).cast("long").alias("x"),
+        F.expr(target_expr).cast("long").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    t0 = base.agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+    f0 = _trunc_div(int(t0["s"]), int(t0["n"]))
+    state = base.select(
+        "__id", "x", (F.col("y") - F.lit(f0)).alias("r")
+    ).localCheckpoint()
+
+    out_rows = []
+    for k in range(rounds):
+        hist = state.groupBy("x").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("r").alias("s")
+        )
+        cum = distributed_cumsum(
+            distributed_cumsum(hist, ["x"], "n", out_col="n_l"),
+            ["x"],
+            "s",
+            out_col="s_l",
+        )
+        tot = hist.agg(F.sum("n").alias("n"), F.sum("s").alias("s")).collect()[0]
+        tn, ts = int(tot["n"]), int(tot["s"])
+        best = (
+            cum.select(
+                F.col("x").alias("thr"),
+                "n_l",
+                "s_l",
+                (F.lit(tn) - F.col("n_l")).alias("n_r"),
+                (F.lit(ts) - F.col("s_l")).alias("s_r"),
+            )
+            .filter(F.col("n_r") > 0)
+            .select(
+                "thr",
+                "n_l",
+                "s_l",
+                "n_r",
+                "s_r",
+                (
+                    (F.col("s_l") * F.col("s_l")).cast("double") / F.col("n_l").cast("double")
+                    + (F.col("s_r") * F.col("s_r")).cast("double") / F.col("n_r").cast("double")
+                ).alias("gain"),
+            )
+            .orderBy(F.col("gain").desc(), F.col("thr").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        thr = int(best["thr"])
+        v_l = _trunc_div(_trunc_div(int(best["s_l"]), int(best["n_l"])), 2)
+        v_r = _trunc_div(_trunc_div(int(best["s_r"]), int(best["n_r"])), 2)
+        out_rows.append((k, thr, int(best["n_l"]), v_l, v_r))
+        state = state.select(
+            "__id",
+            "x",
+            (
+                F.col("r")
+                - F.when(F.col("x") <= F.lit(thr), F.lit(v_l)).otherwise(F.lit(v_r))
+            ).alias("r"),
+        ).localCheckpoint()
+
+    sse = int(
+        state.agg(F.sum(F.col("r") * F.col("r")).alias("q")).collect()[0]["q"]
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(k, thr, nl, vl, vr, f0, sse) for k, thr, nl, vl, vr in out_rows],
+        "round long, thr long, n_left long, v_left_milli long, "
+        "v_right_milli long, f0_milli long, sse_after long",
+    )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncation-toward-zero integer division — the semantics Spark's
+    ``div`` and DuckDB's ``//`` share (Python ``//`` floors)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q

@@ -95,3 +95,55 @@ def test_adaboost_stumps_replay(spark):
     single = n - min(s[2] for s in stumps[:1]) // 1000000
     assert out[0]["ensemble_total"] == n
     assert out[0]["ensemble_correct"] >= single - n // 20
+
+
+def test_gbm_stumps_replay(spark):
+    """gbm_stumps (operators/trees.py) vs a pure-Python replay on a
+    planted piecewise signal; SSE must shrink monotonically."""
+    from pagerank_spark.operators.trees import _trunc_div, gbm_stumps
+
+    # piecewise target: low plateau, high plateau, middle ramp
+    rows = [
+        (i, float(i % 60), 5.0 if i % 60 < 20 else (15.0 if i % 60 >= 40 else 10.0))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, value double, target double")
+    out = gbm_stumps(
+        df,
+        target_expr="CAST(ROUND(target * 1000) AS BIGINT)",
+        feature_expr="CAST(value AS BIGINT)",
+        rounds=3,
+    ).collect()
+
+    data = [(int(v), int(round(t * 1000))) for _, v, t in rows]
+    n = len(data)
+    f0 = _trunc_div(sum(y for _, y in data), n)
+    r = {i: y - f0 for i, (_, y) in enumerate(data)}
+    exp = []
+    for k in range(3):
+        xs = sorted({x for x, _ in data})
+        tot_n, tot_s = n, sum(r.values())
+        best = None
+        for thr in xs[:-1]:
+            n_l = sum(1 for x, _ in data if x <= thr)
+            s_l = sum(r[i] for i, (x, _) in enumerate(data) if x <= thr)
+            n_r, s_r = tot_n - n_l, tot_s - s_l
+            gain = (s_l * s_l) / n_l + (s_r * s_r) / n_r
+            if best is None or (gain, -thr) > (best[0], -best[1]):
+                best = (gain, thr, n_l, s_l, n_r, s_r)
+        _, thr, n_l, s_l, n_r, s_r = best
+        v_l = _trunc_div(_trunc_div(s_l, n_l), 2)
+        v_r = _trunc_div(_trunc_div(s_r, n_r), 2)
+        exp.append((k, thr, n_l, v_l, v_r))
+        for i, (x, _) in enumerate(data):
+            r[i] -= v_l if x <= thr else v_r
+    sse = sum(v * v for v in r.values())
+    got = sorted(
+        (x["round"], x["thr"], x["n_left"], x["v_left_milli"], x["v_right_milli"])
+        for x in out
+    )
+    assert got == exp
+    assert all(x["f0_milli"] == f0 and x["sse_after"] == sse for x in out)
+    # boosting reduced training SSE below the constant-model SSE
+    sse0 = sum((y - f0) ** 2 for _, y in data)
+    assert sse < sse0
