@@ -4123,6 +4123,22 @@ def q_template_prefix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_prefixes(transcripts_from_events(events), min_support=5, max_depth=8)
 
 
+def q_ipw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPW average treatment effect (operators/causal.py::ipw_ate):
+    treatment = click events, outcome = milli price, propensity = the
+    exact per-user-bin treated fraction; non-overlap bins excluded and
+    counted. All truncated integer divisions — one BIGINT row."""
+    from pagerank_spark.operators.causal import ipw_ate
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ipw_ate(
+        events,
+        treat_expr="event_type = 'click'",
+        outcome_expr="CAST(ROUND(value * 1000) AS BIGINT)",
+        bin_expr="user_id % 20",
+    )
+
+
 def q_gbm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gradient-boosted regression stumps (operators/trees.py::gbm_stumps):
     3 squared-loss rounds predicting the milli-scaled price from the
@@ -7410,6 +7426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ece_langconf_docs": q_ece_langconf_docs,
         "adaboost_events": q_adaboost_events,
         "gbm_events": q_gbm_events,
+        "ipw_events": q_ipw_events,
         "template_prefix_events": q_template_prefix_events,
         "tfidf_docs": q_tfidf_docs,
         "blend_docs": q_blend_docs,
@@ -9988,6 +10005,31 @@ FROM g, t"""
     sqls["bradley_terry_events"] = _bradley_terry_sql(6)
     sqls["adaboost_events"] = _adaboost_sql(3)
     sqls["gbm_events"] = _gbm_sql(3)
+    # IPW: same exact rational propensities, same truncated divisions
+    sqls["ipw_events"] = """
+WITH base AS (
+  SELECT user_id % 20 AS b,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS t,
+         CAST(ROUND(value * 1000) AS BIGINT) AS y
+  FROM events),
+bins AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b,
+                CAST(SUM(t) AS BIGINT) AS t_b FROM base GROUP BY 1),
+j AS (SELECT base.*, bins.n_b, bins.t_b FROM base JOIN bins USING (b)),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN t_b > 0 AND t_b < n_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overlap,
+         CAST(SUM(CASE WHEN t_b > 0 AND t_b < n_b THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_excluded,
+         CAST(COALESCE(SUM(CASE WHEN t_b > 0 AND t_b < n_b THEN
+              CASE WHEN t = 1 THEN y * n_b // t_b
+                   ELSE -(y * n_b // (n_b - t_b)) END END), 0) AS BIGINT)
+           AS sum_term_milli
+  FROM j)
+SELECT n_rows, n_overlap, n_excluded, sum_term_milli,
+       CASE WHEN n_overlap = 0 THEN 0
+            ELSE sum_term_milli // n_overlap END AS ate_milli
+FROM agg"""
 
     # chrF: same stripped char stream, same order branches, FULL join so
     # ref-only grams feed recall totals, integral F-beta combine

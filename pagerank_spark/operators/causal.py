@@ -123,3 +123,57 @@ def diff_in_diff(
             "* 1000000 + 0.5) AS BIGINT) END"
         ).alias("did_micro"),
     )
+
+
+def ipw_ate(
+    df: DataFrame,
+    treat_expr: str,
+    outcome_expr: str,
+    bin_expr: str,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Horvitz &
+    Thompson 1952; Rosenbaum & Rubin 1983 — public methodology): the
+    third causal estimator next to CEM matching and diff-in-diff.
+
+    Propensities are the EXACT rationals ``e(b) = treated_b / n_b`` of the
+    caller-binned covariate (``bin_expr`` owns the discretization, same
+    contract as the stump/quantile operators) — never a fitted float
+    model, so each row's weighted term is one truncated integer division:
+    ``y_milli · n_b div treated_b`` for treated rows, minus
+    ``y_milli · n_b div (n_b − treated_b)`` for controls. Rows in bins
+    without overlap (no treated or no control — the positivity
+    requirement) are EXCLUDED and counted, never silently imputed.
+
+    ``ate_milli = Σ terms div n_overlap`` — every output an exact BIGINT.
+    Scale shape: one map-side-combined bin aggregate (broadcastable), one
+    join back, one total. Returns one row
+    ``(n_rows, n_overlap, n_excluded, sum_term_milli, ate_milli)``.
+    """
+    base = df.select(
+        F.expr(bin_expr).cast("long").alias("b"),
+        F.expr(treat_expr).cast("boolean").cast("long").alias("t"),
+        F.expr(outcome_expr).cast("long").alias("y"),
+    ).filter(F.col("b").isNotNull() & F.col("y").isNotNull())
+    bins = base.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_b"), F.sum("t").alias("t_b")
+    )
+    j = base.join(F.broadcast(bins), "b")
+    overlap = (F.col("t_b") > 0) & (F.col("t_b") < F.col("n_b"))
+    term = F.when(
+        F.col("t") == 1, F.expr("y * n_b div t_b")
+    ).otherwise(-F.expr("y * n_b div (n_b - t_b)"))
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(overlap, 1).otherwise(0)).alias("n_overlap"),
+        F.sum(F.when(~overlap, 1).otherwise(0)).alias("n_excluded"),
+        F.coalesce(F.sum(F.when(overlap, term)), F.lit(0)).alias("sum_term_milli"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_overlap",
+        "n_excluded",
+        "sum_term_milli",
+        F.expr(
+            "IF(n_overlap = 0, 0L, sum_term_milli div n_overlap)"
+        ).alias("ate_milli"),
+    )
