@@ -6969,6 +6969,24 @@ def q_cc_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(derive_edges(transcripts_from_events(ev)))
 
 
+def q_toolrank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool centrality over agent transcripts: consecutive tool invocations
+    per conversation form the tool-transition graph
+    (operators/sequences.py::tool_graph — one lag window + one count), and
+    the SAME weighted PageRank kernel the reference accelerates
+    (pagerank.v rank-propagation core) ranks tools by workflow centrality
+    — vertex ids are tool-name strings, the kernel is id-type-agnostic.
+    Oracle: the transition-count edge CTE fed to _pagerank_weighted_sql."""
+    from pagerank_spark.algos.pagerank import pagerank
+    from pagerank_spark.operators.sequences import tool_graph
+    from pagerank_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = tool_graph(transcripts_from_events(ev))
+    res = pagerank(edges, max_iters=3, tol=0.0, weight_col="weight")
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_sft_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT (prompt, response) example mining over the transcripts view
     (operators/sequences.py::sft_pairs): user turns immediately followed
@@ -7473,6 +7491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_context_events": q_sft_context_events,
         "pagerank_transcript_k3": q_pagerank_transcript_k3,
         "cc_transcript": q_cc_transcript,
+        "toolrank_events": q_toolrank_events,
         "transcript_lint_events": q_transcript_lint_events,
         "role_mixing_events": q_role_mixing_events,
         "hubness_embeddings": q_hubness_embeddings,
@@ -12257,6 +12276,26 @@ WITH {TRANSCRIPT_EDGES_CTE.strip()},
 v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)
 SELECT v.id, MIN(v.id) OVER (PARTITION BY ti.conv_id) AS component
 FROM v JOIN ti ON ti.vid = v.id"""
+
+    # tool-transition graph -> weighted PageRank (string vertex ids, same
+    # kernel + same unrolled oracle family as textrank/brandrank)
+    toolrank_edges_cte = (
+        TRANSCRIPT_VIEW_CTES
+        + """,
+inv AS MATERIALIZED (
+  SELECT conv_id, turn_idx, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM t WHERE role = 'assistant' AND tool IS NOT NULL),
+tc AS MATERIALIZED (
+  SELECT prev_tool AS src, tool AS dst, COUNT(*) AS c
+  FROM inv WHERE prev_tool IS NOT NULL AND prev_tool <> tool
+  GROUP BY 1, 2),
+e AS (SELECT src, dst FROM tc)"""
+    )
+    sqls["toolrank_events"] = _pagerank_weighted_sql(
+        toolrank_edges_cte, 3,
+        ew_cte="ew AS MATERIALIZED (SELECT src, dst, CAST(c AS DOUBLE) AS w FROM tc)",
+    )
 
     # transcript lint: same lag/last windows, exact integer tallies
     sqls["transcript_lint_events"] = f"""

@@ -668,3 +668,37 @@ def template_prefixes(
             F.coalesce(F.col("b.p"), F.lit("")).alias("template"),
         )
     )
+
+
+def tool_graph(transcripts: DataFrame) -> DataFrame:
+    """Tool-transition graph over agent transcripts: for every conversation,
+    take the turn-ordered sequence of tool INVOCATIONS (assistant turns
+    carrying a tool name) and emit one directed edge per consecutive pair
+    — ``weight`` = how many times the workflow "tool a, then tool b"
+    occurs across the corpus. This is the standard workflow-mining view of
+    an agent platform's traces: feeding it to PageRank ranks tools by how
+    central they are to multi-step trajectories (the reference's
+    rank-propagation core, pagerank.v:1045-1140, re-targeted at the tool
+    graph exactly like textrank re-targets it at a word graph).
+
+    One lag window on the conversation key + one map-side-combined count —
+    no joins, no Python. Self-transitions (retry loops) are excluded: they
+    are the ``agent_loops`` signal, and the rank kernel's graph
+    conventions are loop-free. Returns ``(src, dst, weight)`` with string
+    tool ids; the output is vocabulary-sized (number of distinct tools
+    squared at most), so downstream rank supersteps are tiny regardless of
+    corpus scale — the cost is the ONE transcript scan.
+    """
+    inv = transcripts.filter(
+        (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = inv.select(
+        F.col("tool").alias("dst"),
+        F.lag("tool").over(w).alias("src"),
+    )
+    return (
+        seq.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )

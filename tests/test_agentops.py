@@ -80,3 +80,30 @@ def test_conv_shapes_groups_identical_templates(spark):
     assert got["user:-,assistant:sql"]["n_convs"] == 2
     assert got["user:-,assistant:sql"]["rep_conv"] == "a"
     assert got["user:-,assistant:-"]["n_convs"] == 1
+
+
+def test_tool_graph_transitions(spark):
+    from pagerank_spark.operators.sequences import tool_graph
+
+    rows_in = [
+        # conv a: search -> python -> python -> search
+        ("a", 1, "assistant", "search", 0),
+        ("a", 4, "assistant", "python", 0),
+        ("a", 7, "assistant", "python", 0),   # self-transition: excluded
+        ("a", 10, "assistant", "search", 0),
+        # conv b: search -> python (again)
+        ("b", 1, "assistant", "search", 0),
+        ("b", 4, "assistant", "python", 0),
+        # tool-result rows and plain turns never contribute
+        ("b", 5, "tool", "python", 0),
+        ("b", 6, "user", None, 0),
+    ]
+    got = {(r["src"], r["dst"]): r["weight"] for r in tool_graph(_tr(spark, rows_in)).collect()}
+    assert got == {("search", "python"): 2.0, ("python", "search"): 1.0}
+
+
+def test_tool_graph_single_invocation_conv_empty(spark):
+    from pagerank_spark.operators.sequences import tool_graph
+
+    rows_in = [("a", 1, "assistant", "sql", 0)]
+    assert tool_graph(_tr(spark, rows_in)).count() == 0
