@@ -5877,6 +5877,19 @@ def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma(ev, "user_id", "value", "ts", "event_id", halvings=1)
 
 
+def q_kalman_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1-D Kalman filter (operators/smoothing.py::kalman1d):
+    random-walk-state recursive smoother with q=0.25, r=1.0 folded over
+    the totally (ts, event_id)-ordered values. Accumulator is the
+    2-element DOUBLE list [x, P] (the cross-engine-safe fold state), every
+    step +,-,*,/ in an identical expression tree — bit-equal both engines,
+    ONE final micro-rounding per output."""
+    from pagerank_spark.operators.smoothing import kalman1d
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kalman1d(ev, "user_id", "value", "ts", "event_id", q=0.25, r=1.0)
+
+
 def q_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution divergence (operators/infotheory.py): add-1
     smoothed unigram entropy/KL/JS between the en and de slices of the
@@ -7256,6 +7269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": q_profile_events,
         "itemsim_lineitem": q_itemsim_lineitem,
         "ewma_events": q_ewma_events,
+        "kalman_events": q_kalman_events,
         "kaplan_meier_events": q_kaplan_meier_events,
         "skyline_lineitem": q_skyline_lineitem,
         "divergence_docs": q_divergence_docs,
@@ -10813,6 +10827,30 @@ SELECT user_id, n_events,
             AS BIGINT) AS ewma_micro,
        last_s
 FROM seq"""
+
+    # kalman: identical [x, P] list fold; K restated as its quotient at
+    # every use so both engines execute the same correctly-rounded IEEE tree
+    sqls["kalman_events"] = """
+WITH seq AS MATERIALIZED (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE)
+              ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS vs,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+st AS (
+  SELECT user_id, n_events,
+    list_reduce(
+      list_prepend([CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)],
+                   list_transform(vs, v -> [v, CAST(0.0 AS DOUBLE)])),
+      (acc, e) -> [
+        acc[1] + ((acc[2] + 0.25) / ((acc[2] + 0.25) + 1.0)) * (e[1] - acc[1]),
+        (acc[2] + 0.25) - ((acc[2] + 0.25) / ((acc[2] + 0.25) + 1.0)) * (acc[2] + 0.25)
+      ]) AS s
+  FROM seq)
+SELECT user_id, n_events,
+       CAST(ROUND(s[1] * 1000000) AS BIGINT) AS kalman_micro,
+       CAST(ROUND(s[2] * 1000000) AS BIGINT) AS p_micro
+FROM st"""
 
     # divergence: same smoothed ratios, same LN terms, each nano-rounded
     # before the exact BIGINT sums (reduction-order independent)

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["ewma", "cusum", "holt"]
+__all__ = ["ewma", "cusum", "holt", "kalman1d"]
 
 _SCALE = 1_000_000
 
@@ -326,3 +326,76 @@ def holt_winters(
         micro("st.b").alias("trend_micro"),
     ] + [micro(f"element_at(st.seas, {j})").alias(f"s{j}_micro") for j in range(1, m + 1)]
     return out.select(*cols)
+
+
+def kalman1d(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    q: float = 0.25,
+    r: float = 1.0,
+) -> DataFrame:
+    """Per-key scalar Kalman filter (random-walk state, Kalman 1960 —
+    public methodology): the optimal recursive smoother
+    ``P' = P + q; K = P'/(P' + r); x' = x + K (z - x); P'' = (1-K) P'``
+    over each key's totally ``(ts, tiebreak)``-ordered observations.
+    The adaptive-gain upgrade of :func:`ewma` — early observations move
+    the state aggressively (P large), later ones settle to the
+    steady-state gain — and the standard pre-processing smoother for
+    noisy per-entity telemetry.
+
+    Same architecture and determinism contract as :func:`ewma`: ONE
+    map-side-combined ``sort_array(collect_list(...))`` shuffle, then a
+    codegen'd ``aggregate`` fold whose accumulator is the 2-element
+    DOUBLE array ``[x, P]`` (the cross-engine-safe state shape — struct
+    accumulators mutate sequentially in DuckDB lambdas, lists don't; the
+    DTW/LZ78 precedent). Every step is +,-,*,/ on doubles — correctly
+    rounded IEEE ops in an identical expression tree on both engines, so
+    the fold is bit-equal; ``K`` is spelled as its defining quotient at
+    every use (recomputation of correctly-rounded ops is exact). Init is
+    the textbook diffuse-toward-zero ``x0 = 0, P0 = 1``.
+
+    ``q``/``r`` should be dyadic rationals so the literals render
+    identically on both engines. Returns
+    ``(key_col, n_events, kalman_micro, p_micro)`` — final state and
+    variance, each micro-rounded ONCE.
+
+    Scale notes: one shuffle, bounded per-key state (the ewma contract);
+    unbounded keys belong to streaming/metrics.py's stateful path.
+    """
+    if q <= 0 or r <= 0:
+        raise ValueError("q and r must be positive")
+    ql, rl = repr(float(q)), repr(float(r))
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    rows = events.select(
+        F.col(key_col).alias("k"),
+        F.struct(
+            sec.alias("s"),
+            F.col(tiebreak_col).cast("long").alias("tb"),
+            F.col(value_col).cast("double").alias("v"),
+        ).alias("o"),
+    )
+    per_key = rows.groupBy("k").agg(
+        F.sort_array(F.collect_list("o")).alias("arr"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # P' = acc[1] + q appears only as the literal subexpression below; the
+    # gain K = P'/(P' + r) is restated at each use (exact recomputation)
+    fold = F.expr(
+        "aggregate(arr, array(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)), "
+        "(acc, x) -> array("
+        f"acc[0] + ((acc[1] + {ql}) / ((acc[1] + {ql}) + {rl})) * (x.v - acc[0]), "
+        f"(acc[1] + {ql}) - ((acc[1] + {ql}) / ((acc[1] + {ql}) + {rl})) * (acc[1] + {ql})"
+        "))"
+    )
+    st = per_key.select(
+        F.col("k").alias(key_col), "n_events", fold.alias("__st")
+    )
+    return st.select(
+        key_col,
+        "n_events",
+        F.round(F.col("__st")[0] * _SCALE).cast("long").alias("kalman_micro"),
+        F.round(F.col("__st")[1] * _SCALE).cast("long").alias("p_micro"),
+    )

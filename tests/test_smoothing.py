@@ -95,3 +95,72 @@ def test_ewma_plan_single_aggregation_no_window(spark):
     )
     plan = ewma(ev)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # fold lives inside the grouped array
+
+
+def _kalman_replay(values, q=0.25, r=1.0):
+    x, p = 0.0, 1.0
+    for z in values:
+        pp = p + q
+        k = pp / (pp + r)
+        x = x + k * (z - x)
+        p = pp - k * pp
+    return round(x * 1_000_000), round(p * 1_000_000)
+
+
+def test_kalman_matches_python_replay(spark):
+    from datetime import datetime
+
+    from pagerank_spark.operators.smoothing import kalman1d
+
+    rows = [
+        (3, datetime(2024, 1, 1, 0, 0, 30), 1, "view", 6.0, ""),
+        (1, datetime(2024, 1, 1, 0, 0, 10), 1, "view", 1.0, ""),
+        (2, datetime(2024, 1, 1, 0, 0, 20), 1, "view", 2.0, ""),
+        # equal timestamps -> event_id tiebreak
+        (5, datetime(2024, 1, 1, 0, 1, 0), 2, "view", 0.25, ""),
+        (4, datetime(2024, 1, 1, 0, 1, 0), 2, "view", 10.5, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.user_id: (r.n_events, r.kalman_micro, r.p_micro) for r in kalman1d(ev).collect()}
+    assert got[1] == (3, *_kalman_replay([1.0, 2.0, 6.0]))
+    assert got[2] == (2, *_kalman_replay([10.5, 0.25]))
+    # variance converges regardless of data: both keys share the P path by n
+    assert got[2][2] == _kalman_replay([0.0, 0.0])[1]
+
+
+def test_kalman_gain_settles_toward_steady_state(spark):
+    from datetime import datetime, timedelta
+
+    from pagerank_spark.operators.smoothing import kalman1d
+
+    # constant signal: estimate approaches it monotonically from x0=0
+    vals = [4.0] * 12
+    rows = [
+        (i, datetime(2024, 1, 1) + timedelta(seconds=10 * i), 1, "view", v, "")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    row = kalman1d(ev).collect()[0]
+    x, p = _kalman_replay(vals)
+    assert (row.kalman_micro, row.p_micro) == (x, p)
+    assert 3_900_000 < row.kalman_micro < 4_000_001
+    # steady-state variance for q=.25, r=1: P* solves P = (P+q)r/(P+q+r)
+    assert abs(row.p_micro - 390_388) < 2_000
+
+
+def test_kalman_plan_single_aggregation_no_window(spark):
+    from datetime import datetime
+
+    from pagerank_spark.operators.smoothing import kalman1d
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "view", 1.0, "")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    plan = kalman1d(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
