@@ -5931,6 +5931,19 @@ def q_kaplan_meier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(subjects_from_events(ev))
 
 
+def q_logrank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (operators/survival.py::logrank) comparing
+    even vs odd users' time-to-purchase over the same subjects table as
+    the Kaplan-Meier gate. Per-time E/V terms are exact-BIGINT rationals
+    nano-rounded before the order-free integer sums; chi2 is one fixed
+    double expression over those integers — representation-stable."""
+    from pagerank_spark.operators.survival import logrank, subjects_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    subj = subjects_from_events(ev).withColumn("g", (F.col("id") % 2).cast("long"))
+    return logrank(subj, group_col="g")
+
+
 def q_itemsim_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-to-item collaborative filtering (operators/recsys.py): basket
     co-occurrence cosine over (order, part) memberships, per-item top-3 by
@@ -7271,6 +7284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_events": q_ewma_events,
         "kalman_events": q_kalman_events,
         "kaplan_meier_events": q_kaplan_meier_events,
+        "logrank_events": q_logrank_events,
         "skyline_lineitem": q_skyline_lineitem,
         "divergence_docs": q_divergence_docs,
         "kappa_nbayes_docs": q_kappa_nbayes_docs,
@@ -10952,6 +10966,49 @@ SELECT p.t AS t, p.d AS d, p.n AS n_risk,
                for y in list_slice(a2, 1, i)]),
               (a, b) -> a + b) * 1000000) AS BIGINT) AS hazard_micro
 FROM ex WHERE p.d > 0"""
+
+    # log-rank: exact BIGINT at-risk prefix sums (window form is fine here —
+    # the per-time terms are nano-rounded integers, so reduction order never
+    # matters), identical E/V double trees, chi2 from the integer sums
+    sqls["logrank_events"] = """
+WITH subj AS MATERIALIZED (
+  SELECT user_id,
+         MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+           - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS dur,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS evt,
+         CAST(user_id % 2 AS BIGINT) AS g
+  FROM events GROUP BY 1),
+per_t AS (
+  SELECT dur AS t, CAST(SUM(evt) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(evt * g) AS BIGINT) AS d1, CAST(SUM(g) AS BIGINT) AS c1
+  FROM subj GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(SUM(c1) AS BIGINT) AS total1 FROM per_t),
+pts AS (
+  SELECT d, d1,
+         total - (CAST(SUM(c) OVER (ORDER BY t) AS BIGINT) - c) AS n,
+         total1 - (CAST(SUM(c1) OVER (ORDER BY t) AS BIGINT) - c1) AS n1
+  FROM per_t CROSS JOIN tot),
+terms AS (
+  SELECT d, d1,
+    CAST(ROUND((CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)) / CAST(n AS DOUBLE)
+               * 1000000000.0) AS BIGINT) AS e1n,
+    CASE WHEN n > 1 THEN CAST(ROUND(
+      (((CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        * ((CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) / CAST(n AS DOUBLE)))
+        * ((CAST(n AS DOUBLE) - CAST(d AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))
+      * 1000000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS vn
+  FROM pts),
+agg AS (
+  SELECT CAST(SUM(d) AS BIGINT) AS dt, CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(e1n) AS BIGINT) AS e1_nano, CAST(SUM(vn) AS BIGINT) AS v_nano
+  FROM terms)
+SELECT total1 AS n1, total - total1 AS n2, o1, dt - o1 AS o2, e1_nano, v_nano,
+  CASE WHEN v_nano > 0 THEN CAST(ROUND(
+    ((CAST(o1 * 1000000000 - e1_nano AS DOUBLE) / 1000000000.0)
+     * (CAST(o1 * 1000000000 - e1_nano AS DOUBLE) / 1000000000.0))
+    / (CAST(v_nano AS DOUBLE) / 1000000000.0) * 1000000.0) AS BIGINT)
+  ELSE CAST(0 AS BIGINT) END AS chi2_micro
+FROM agg CROSS JOIN tot"""
 
     # item-item CF: set-semantics memberships, a<b pair counts, exact
     # integer cosine^2 order key, per-item top-3 window

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["subjects_from_events", "kaplan_meier"]
+__all__ = ["subjects_from_events", "kaplan_meier", "logrank"]
 
 _SCALE = 1_000_000
 
@@ -131,3 +131,103 @@ def kaplan_meier(
     if events_only:
         curve = curve.filter(F.col("d") > 0)
     return curve
+
+
+def logrank(
+    subjects: DataFrame,
+    duration_col: str = "duration_s",
+    event_col: str = "event",
+    group_col: str = "g",
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966, public methodology): does
+    group 1's time-to-event distribution differ from group 0's? At each
+    distinct pooled event time ``t_i`` with ``d_i`` events, ``n_i`` at
+    risk and ``n1_i``/``d1_i`` the group-1 shares, the statistic is
+
+        chi2 = (O1 - E1)^2 / V,   O1 = sum d1_i,
+        E1 = sum d_i * n1_i / n_i,
+        V  = sum d_i (n1_i/n_i) ((n_i-n1_i)/n_i) ((n_i-d_i)/(n_i-1))
+
+    — the standard A/B survival comparison (retention experiments, churn
+    cohorts). ``group_col`` must be 0/1.
+
+    Same distributed shape as :func:`kaplan_meier`: subjects collapse to
+    the plot-sized per-time curve in one map-side-combined aggregation;
+    at-risk counts are exact BIGINT prefix sums inside the ordered curve
+    array; subjects never sort globally. Hash-stability follows the
+    hyptest.py discipline: every per-time E/V term is an exact-BIGINT
+    rational evaluated in an identical double expression tree and
+    nano-rounded BEFORE the (order-free, integer) sums; chi2 is then one
+    fixed expression over those integers. Returns ONE row:
+    ``(n1, n2, o1, o2, e1_nano, v_nano, chi2_micro)``.
+    """
+    t = F.col(duration_col).cast("long")
+    per_t = (
+        subjects.select(
+            t.alias("t"),
+            F.col(event_col).cast("long").alias("e"),
+            F.col(group_col).cast("long").alias("g"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("e").alias("d"),
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("e") * F.col("g")).alias("d1"),
+            F.sum("g").alias("c1"),
+        )
+    )
+    one = per_t.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c", "d1", "c1"))).alias("arr"),
+        F.sum("c").alias("total"),
+        F.sum("c1").alias("total1"),
+    )
+    # at-risk = total minus subjects gone strictly earlier (transform's i is
+    # 0-based, so slice(arr, 1, i) is exactly the earlier points)
+    with_n = F.expr(
+        "transform(arr, (x, i) -> struct("
+        "  x.t AS t, x.d AS d, x.d1 AS d1,"
+        "  total - aggregate(slice(arr, 1, i), CAST(0 AS BIGINT),"
+        "                    (a, y) -> a + y.c) AS n,"
+        "  total1 - aggregate(slice(arr, 1, i), CAST(0 AS BIGINT),"
+        "                     (a, y) -> a + y.c1) AS n1))"
+    )
+    pts = one.select(F.explode(with_n).alias("p"), "total", "total1")
+    e1 = "(CAST(p.d AS DOUBLE) * CAST(p.n1 AS DOUBLE)) / CAST(p.n AS DOUBLE)"
+    vt = (
+        "(((CAST(p.d AS DOUBLE) * (CAST(p.n1 AS DOUBLE) / CAST(p.n AS DOUBLE)))"
+        " * ((CAST(p.n AS DOUBLE) - CAST(p.n1 AS DOUBLE)) / CAST(p.n AS DOUBLE)))"
+        " * ((CAST(p.n AS DOUBLE) - CAST(p.d AS DOUBLE)) / (CAST(p.n AS DOUBLE) - 1.0)))"
+    )
+    terms = pts.select(
+        "total",
+        "total1",
+        F.col("p.d").alias("d"),
+        F.col("p.d1").alias("d1"),
+        F.expr(f"CAST(ROUND({e1} * 1000000000.0) AS BIGINT)").alias("e1n"),
+        F.expr(
+            f"CASE WHEN p.n > 1 THEN CAST(ROUND({vt} * 1000000000.0) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("vn"),
+    )
+    agg = terms.groupBy("total", "total1").agg(
+        F.sum("d").alias("dt"),
+        F.sum("d1").alias("o1"),
+        F.sum("e1n").alias("e1_nano"),
+        F.sum("vn").alias("v_nano"),
+    )
+    chi2 = (
+        "CASE WHEN v_nano > 0 THEN CAST(ROUND("
+        "((CAST(o1 * 1000000000 - e1_nano AS DOUBLE) / 1000000000.0)"
+        " * (CAST(o1 * 1000000000 - e1_nano AS DOUBLE) / 1000000000.0))"
+        " / (CAST(v_nano AS DOUBLE) / 1000000000.0) * 1000000.0) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    return agg.select(
+        F.col("total1").alias("n1"),
+        (F.col("total") - F.col("total1")).alias("n2"),
+        F.col("o1"),
+        (F.col("dt") - F.col("o1")).alias("o2"),
+        "e1_nano",
+        "v_nano",
+        F.expr(chi2).alias("chi2_micro"),
+    )

@@ -75,3 +75,52 @@ def test_subjects_from_events_span_and_flag(spark):
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
     got = {r.id: (r.duration_s, r.event) for r in subjects_from_events(ev).collect()}
     assert got == {1: (90, 1), 2: (30, 0), 3: (0, 1)}
+
+
+def _logrank_replay(rows):
+    # rows: (duration, event, group) -> (o1, e1_nano, v_nano, chi2_micro)
+    times = sorted({t for t, e, g in rows if e})
+    o1 = sum(e * g for _, e, g in rows)
+    e1n = vn = 0
+    for t in sorted({t for t, _, _ in rows}):
+        n = sum(1 for d, _, _ in rows if d >= t)
+        n1 = sum(1 for d, _, g in rows if d >= t and g)
+        d = sum(e for dd, e, _ in rows if dd == t)
+        e1n += round((d * n1) / n * 1e9)
+        if n > 1:
+            vn += round(((d * (n1 / n)) * ((n - n1) / n)) * ((n - d) / (n - 1)) * 1e9)
+    diff = (o1 * 10**9 - e1n) / 1e9
+    chi2 = round(diff * diff / (vn / 1e9) * 1e6) if vn > 0 else 0
+    return o1, e1n, vn, chi2
+
+
+def test_logrank_matches_python_replay(spark):
+    from pagerank_spark.operators.survival import logrank
+
+    rows = [
+        # (duration, event, group): group 1 dies systematically earlier
+        (2, 1, 1), (3, 1, 1), (4, 1, 1), (9, 0, 1), (5, 1, 1),
+        (7, 1, 0), (8, 1, 0), (10, 0, 0), (12, 1, 0), (12, 0, 0),
+    ]
+    subj = spark.createDataFrame(rows, "duration_s long, event long, g long")
+    got = logrank(subj).collect()[0]
+    o1, e1n, vn, chi2 = _logrank_replay(rows)
+    assert (got.n1, got.n2) == (5, 5)
+    assert got.o1 == o1 and got.o2 == sum(e for _, e, g in rows if not g)
+    assert got.e1_nano == e1n
+    assert got.v_nano == vn
+    assert got.chi2_micro == chi2
+    # the early-death arm separates (chi2 well away from 0)
+    assert got.chi2_micro > 3_000_000
+
+
+def test_logrank_identical_groups_null(spark):
+    from pagerank_spark.operators.survival import logrank
+
+    # two identical copies of one arm -> O1 == E1 exactly, chi2 == 0
+    arm = [(2, 1), (5, 1), (7, 0), (11, 1)]
+    rows = [(d, e, g) for g in (0, 1) for d, e in arm]
+    subj = spark.createDataFrame(rows, "duration_s long, event long, g long")
+    got = logrank(subj).collect()[0]
+    assert got.o1 * 10**9 == got.e1_nano
+    assert got.chi2_micro == 0
