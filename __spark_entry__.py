@@ -5931,6 +5931,24 @@ def q_kaplan_meier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(subjects_from_events(ev))
 
 
+def q_rdd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity (operators/causal.py::rdd_sharp):
+    local-linear fits on each side of the cutoff 500 over the running
+    variable o_orderkey % 1000 (bandwidth 200), outcome = exact order
+    cents. One moment aggregation; closed-form side fits in identical
+    double trees; micro-rounded once per output."""
+    from pagerank_spark.operators.causal import rdd_sharp
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return rdd_sharp(
+        o,
+        running=F.pmod(F.col("o_orderkey"), F.lit(1000)),
+        outcome=F.round(F.col("o_totalprice") * 100).cast("long"),
+        cutoff=500,
+        bandwidth=200,
+    )
+
+
 def q_logrank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample log-rank test (operators/survival.py::logrank) comparing
     even vs odd users' time-to-purchase over the same subjects table as
@@ -7285,6 +7303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kalman_events": q_kalman_events,
         "kaplan_meier_events": q_kaplan_meier_events,
         "logrank_events": q_logrank_events,
+        "rdd_orders": q_rdd_orders,
         "skyline_lineitem": q_skyline_lineitem,
         "divergence_docs": q_divergence_docs,
         "kappa_nbayes_docs": q_kappa_nbayes_docs,
@@ -11009,6 +11028,53 @@ SELECT total1 AS n1, total - total1 AS n2, o1, dt - o1 AS o2, e1_nano, v_nano,
     / (CAST(v_nano AS DOUBLE) / 1000000000.0) * 1000000.0) AS BIGINT)
   ELSE CAST(0 AS BIGINT) END AS chi2_micro
 FROM agg CROSS JOIN tot"""
+
+    # sharp RD: the same ten exact BIGINT moments, the same closed-form
+    # double trees (slope spelled as its quotient at every use)
+    _rd_b = {}
+    for _s in ("l", "r"):
+        _rd_b[_s] = (
+            f"((CAST(n_{_s} AS DOUBLE) * CAST(suy_{_s} AS DOUBLE)"
+            f" - CAST(su_{_s} AS DOUBLE) * CAST(sy_{_s} AS DOUBLE))"
+            f" / (CAST(n_{_s} AS DOUBLE) * CAST(suu_{_s} AS DOUBLE)"
+            f" - CAST(su_{_s} AS DOUBLE) * CAST(su_{_s} AS DOUBLE)))"
+        )
+    _rd_a = {
+        _s: (
+            f"((CAST(sy_{_s} AS DOUBLE) - {_rd_b[_s]} * CAST(su_{_s} AS DOUBLE))"
+            f" / CAST(n_{_s} AS DOUBLE))"
+        )
+        for _s in ("l", "r")
+    }
+    _rd_ok = ("(n_l >= 2 AND n_r >= 2"
+              " AND n_l * suu_l - su_l * su_l <> 0"
+              " AND n_r * suu_r - su_r * su_r <> 0)")
+    sqls["rdd_orders"] = f"""
+WITH rows_in AS MATERIALIZED (
+  SELECT CAST(o_orderkey % 1000 AS BIGINT) - 500 AS u,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+  WHERE CAST(o_orderkey % 1000 AS BIGINT) - 500 BETWEEN -200 AND 200),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN u >= 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_l,
+    CAST(SUM(CASE WHEN u >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+    CAST(SUM(CASE WHEN u >= 0 THEN 0 ELSE u END) AS BIGINT) AS su_l,
+    CAST(SUM(CASE WHEN u >= 0 THEN u ELSE 0 END) AS BIGINT) AS su_r,
+    CAST(SUM(CASE WHEN u >= 0 THEN 0 ELSE y END) AS BIGINT) AS sy_l,
+    CAST(SUM(CASE WHEN u >= 0 THEN y ELSE 0 END) AS BIGINT) AS sy_r,
+    CAST(SUM(CASE WHEN u >= 0 THEN 0 ELSE u * u END) AS BIGINT) AS suu_l,
+    CAST(SUM(CASE WHEN u >= 0 THEN u * u ELSE 0 END) AS BIGINT) AS suu_r,
+    CAST(SUM(CASE WHEN u >= 0 THEN 0 ELSE u * y END) AS BIGINT) AS suy_l,
+    CAST(SUM(CASE WHEN u >= 0 THEN u * y ELSE 0 END) AS BIGINT) AS suy_r
+  FROM rows_in)
+SELECT n_l, n_r,
+  CASE WHEN {_rd_ok} THEN CAST(ROUND({_rd_a["l"]} * 1000000.0) AS BIGINT) ELSE 0 END AS yhat_l_micro,
+  CASE WHEN {_rd_ok} THEN CAST(ROUND({_rd_a["r"]} * 1000000.0) AS BIGINT) ELSE 0 END AS yhat_r_micro,
+  CASE WHEN {_rd_ok} THEN CAST(ROUND(({_rd_a["r"]} - {_rd_a["l"]}) * 1000000.0) AS BIGINT) ELSE 0 END AS tau_micro,
+  CASE WHEN {_rd_ok} THEN CAST(ROUND({_rd_b["l"]} * 1000000.0) AS BIGINT) ELSE 0 END AS slope_l_micro,
+  CASE WHEN {_rd_ok} THEN CAST(ROUND({_rd_b["r"]} * 1000000.0) AS BIGINT) ELSE 0 END AS slope_r_micro
+FROM m"""
 
     # item-item CF: set-semantics memberships, a<b pair counts, exact
     # integer cosine^2 order key, per-item top-3 window

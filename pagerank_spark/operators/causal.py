@@ -177,3 +177,98 @@ def ipw_ate(
             "IF(n_overlap = 0, 0L, sum_term_milli div n_overlap)"
         ).alias("ate_milli"),
     )
+
+
+def rdd_sharp(
+    units: DataFrame,
+    running: Column,
+    outcome: Column,
+    cutoff: int,
+    bandwidth: int,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate (Thistlethwaite & Campbell
+    1960; Imbens & Lemieux 2008 — public methodology): fit a separate
+    local-linear regression on each side of ``cutoff`` within
+    ``bandwidth`` of it, and report the jump between the two fitted values
+    AT the cutoff — the standard quasi-experimental estimator when
+    treatment flips deterministically at a threshold (spend tiers, score
+    cutoffs, rollout cohorts).
+
+    ``running`` must be an exact integer column; ``outcome`` an exact
+    integer column (pre-scale currency to cents). The whole estimator is
+    ONE map-side-combined aggregation producing the ten per-side OLS
+    moments (n, Su, Sy, Suu, Suy over ``u = running - cutoff``) as exact
+    BIGINTs — no joins, no window, no second scan — then the closed-form
+    slope/intercept in an identical double expression tree on both
+    engines, micro-rounded once per output (the regress.py discipline).
+    Left side is ``u in [-bandwidth, 0)``, right is ``u in [0, bandwidth]``
+    (treatment starts AT the cutoff).
+
+    Returns ONE row: ``(n_l, n_r, yhat_l_micro, yhat_r_micro, tau_micro,
+    slope_l_micro, slope_r_micro)`` — fitted values at the cutoff per
+    side, their difference (the RD effect), and the side slopes. If either
+    side is degenerate (fewer than 2 points, or zero running-variable
+    variance — checked in exact integers: ``n*Suu - Su^2 = 0``), every
+    fitted output is the 0 sentinel (the repo-wide never-NULL gate rule;
+    ANSI mode makes the division a hard error otherwise) and callers must
+    check ``n_l``/``n_r``.
+    """
+    if bandwidth < 1:
+        raise ValueError("bandwidth must be >= 1")
+    u = (running.cast("long") - F.lit(int(cutoff))).alias("u")
+    y = outcome.cast("long").alias("y")
+    rows = units.select(u, y).filter(
+        (F.col("u") >= -int(bandwidth)) & (F.col("u") <= int(bandwidth))
+    )
+    side = (F.col("u") >= 0).cast("long")
+    m = rows.select(F.col("u"), F.col("y"), side.alias("r")).agg(
+        F.sum(F.lit(1) - F.col("r")).alias("n_l"),
+        F.sum("r").alias("n_r"),
+        F.sum((1 - F.col("r")) * F.col("u")).alias("su_l"),
+        F.sum(F.col("r") * F.col("u")).alias("su_r"),
+        F.sum((1 - F.col("r")) * F.col("y")).alias("sy_l"),
+        F.sum(F.col("r") * F.col("y")).alias("sy_r"),
+        F.sum((1 - F.col("r")) * F.col("u") * F.col("u")).alias("suu_l"),
+        F.sum(F.col("r") * F.col("u") * F.col("u")).alias("suu_r"),
+        F.sum((1 - F.col("r")) * F.col("u") * F.col("y")).alias("suy_l"),
+        F.sum(F.col("r") * F.col("u") * F.col("y")).alias("suy_r"),
+    )
+
+    def _fit(s: str) -> tuple[str, str]:
+        # slope = (n*Suy - Su*Sy) / (n*Suu - Su^2); intercept AT u=0 =
+        # (Sy - slope*Su) / n — identical double trees both engines
+        b = (
+            f"((CAST(n_{s} AS DOUBLE) * CAST(suy_{s} AS DOUBLE)"
+            f" - CAST(su_{s} AS DOUBLE) * CAST(sy_{s} AS DOUBLE))"
+            f" / (CAST(n_{s} AS DOUBLE) * CAST(suu_{s} AS DOUBLE)"
+            f" - CAST(su_{s} AS DOUBLE) * CAST(su_{s} AS DOUBLE)))"
+        )
+        a = (
+            f"((CAST(sy_{s} AS DOUBLE) - {b} * CAST(su_{s} AS DOUBLE))"
+            f" / CAST(n_{s} AS DOUBLE))"
+        )
+        return a, b
+
+    a_l, b_l = _fit("l")
+    a_r, b_r = _fit("r")
+    ok = (
+        "(n_l >= 2 AND n_r >= 2"
+        " AND n_l * suu_l - su_l * su_l <> 0"
+        " AND n_r * suu_r - su_r * su_r <> 0)"
+    )
+
+    def _g(expr: str, name: str) -> Column:
+        return F.expr(
+            f"CASE WHEN {ok} THEN CAST(ROUND({expr} * 1000000.0) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias(name)
+
+    return m.select(
+        F.col("n_l"),
+        F.col("n_r"),
+        _g(a_l, "yhat_l_micro"),
+        _g(a_r, "yhat_r_micro"),
+        _g(f"({a_r} - {a_l})", "tau_micro"),
+        _g(b_l, "slope_l_micro"),
+        _g(b_r, "slope_r_micro"),
+    )

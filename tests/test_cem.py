@@ -100,3 +100,50 @@ def test_ipw_ate_replay(spark):
     assert got["ate_milli"] == trunc(s, n_over)
     # the planted +2000 effect is recovered (integer-truncation slack only)
     assert abs(got["ate_milli"] - 2000) <= 5
+
+
+def test_rdd_sharp_recovers_planted_jump(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.causal import rdd_sharp
+
+    # planted: y = 10*x below the cutoff, y = 10*x + 5000 at/above it —
+    # local-linear fits are exact on exactly-linear data, tau = 5000
+    rows = [(x, 10 * x + (5000 if x >= 50 else 0)) for x in range(20, 81)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = rdd_sharp(df, F.col("x"), F.col("y"), cutoff=50, bandwidth=30).collect()[0]
+    assert (got.n_l, got.n_r) == (30, 31)
+    assert got.tau_micro == 5000 * 1_000_000
+    assert got.slope_l_micro == 10 * 1_000_000
+    assert got.slope_r_micro == 10 * 1_000_000
+    # fitted value AT the cutoff from the left is the counterfactual 500
+    assert got.yhat_l_micro == 500 * 1_000_000
+    assert got.yhat_r_micro == 5500 * 1_000_000
+
+
+def test_rdd_sharp_boundary_membership(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.causal import rdd_sharp
+
+    # u = -bw and u = +bw are both inside; cutoff row is on the right
+    rows = [(x, 7) for x in (10, 20, 30, 40, 50)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = rdd_sharp(df, F.col("x"), F.col("y"), cutoff=30, bandwidth=10).collect()[0]
+    # u = -10 and u = +10 are both inside the band; cutoff row sits right
+    assert (got.n_l, got.n_r) == (1, 2)
+    # n_l < 2 -> degenerate side -> every fitted output is the 0 sentinel
+    assert (got.yhat_l_micro, got.yhat_r_micro, got.tau_micro) == (0, 0, 0)
+
+
+def test_rdd_sharp_zero_variance_side_sentinel(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.causal import rdd_sharp
+
+    # left side has two points but a single distinct u -> n*Suu - Su^2 = 0
+    rows = [(29, 5), (29, 9), (31, 1), (35, 2), (39, 3)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = rdd_sharp(df, F.col("x"), F.col("y"), cutoff=30, bandwidth=10).collect()[0]
+    assert (got.n_l, got.n_r) == (2, 3)
+    assert (got.tau_micro, got.slope_l_micro) == (0, 0)
