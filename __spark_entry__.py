@@ -5931,6 +5931,25 @@ def q_kaplan_meier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(subjects_from_events(ev))
 
 
+def q_logreg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch gradient-descent logistic regression
+    (operators/classify.py::logreg_gd): 3 rounds predicting
+    event_type='purchase' from dyadically scaled (value/128, (user_id%7)/8)
+    features, eta=0.125. Each round = ONE map-side-combined aggregation of
+    nano-rounded gradient terms; driver update restated verbatim by the
+    chained-CTE oracle; coefficients + accuracy + predicted mass out."""
+    from pagerank_spark.operators.classify import logreg_gd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return logreg_gd(
+        ev,
+        label=(F.col("event_type") == "purchase").cast("long"),
+        features=[F.col("value") / 128.0, F.pmod(F.col("user_id"), F.lit(7)).cast("double") / 8.0],
+        iters=3,
+        eta=0.125,
+    )
+
+
 def q_rdd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharp regression discontinuity (operators/causal.py::rdd_sharp):
     local-linear fits on each side of the cutoff 500 over the running
@@ -7304,6 +7323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_events": q_kaplan_meier_events,
         "logrank_events": q_logrank_events,
         "rdd_orders": q_rdd_orders,
+        "logreg_events": q_logreg_events,
         "skyline_lineitem": q_skyline_lineitem,
         "divergence_docs": q_divergence_docs,
         "kappa_nbayes_docs": q_kappa_nbayes_docs,
@@ -11075,6 +11095,53 @@ SELECT n_l, n_r,
   CASE WHEN {_rd_ok} THEN CAST(ROUND({_rd_b["l"]} * 1000000.0) AS BIGINT) ELSE 0 END AS slope_l_micro,
   CASE WHEN {_rd_ok} THEN CAST(ROUND({_rd_b["r"]} * 1000000.0) AS BIGINT) ELSE 0 END AS slope_r_micro
 FROM m"""
+
+    sqls["logreg_events"] = """
+WITH rows_in AS MATERIALIZED (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CAST(value AS DOUBLE) / 128.0 AS x1,
+         CAST(user_id % 7 AS DOUBLE) / 8.0 AS x2
+  FROM events),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rows_in),
+bt0 AS MATERIALIZED (SELECT CAST(0.0 AS DOUBLE) AS bt00, CAST(0.0 AS DOUBLE) AS bt01, CAST(0.0 AS DOUBLE) AS bt02),
+g1 AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-(((b.bt00 + b.bt01 * x1) + b.bt02 * x2))))) - CAST(y AS DOUBLE)) * 1.0) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-(((b.bt00 + b.bt01 * x1) + b.bt02 * x2))))) - CAST(y AS DOUBLE)) * x1) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g1,
+         CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-(((b.bt00 + b.bt01 * x1) + b.bt02 * x2))))) - CAST(y AS DOUBLE)) * x2) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g2
+  FROM rows_in CROSS JOIN bt0 b),
+bt1 AS MATERIALIZED (
+  SELECT b.bt00 - 0.125 * ((CAST(g.g0 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt10,
+         b.bt01 - 0.125 * ((CAST(g.g1 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt11,
+         b.bt02 - 0.125 * ((CAST(g.g2 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt12
+  FROM bt0 b CROSS JOIN g1 g CROSS JOIN nn),
+g2 AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-(((b.bt10 + b.bt11 * x1) + b.bt12 * x2))))) - CAST(y AS DOUBLE)) * 1.0) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-(((b.bt10 + b.bt11 * x1) + b.bt12 * x2))))) - CAST(y AS DOUBLE)) * x1) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g1,
+         CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-(((b.bt10 + b.bt11 * x1) + b.bt12 * x2))))) - CAST(y AS DOUBLE)) * x2) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g2
+  FROM rows_in CROSS JOIN bt1 b),
+bt2 AS MATERIALIZED (
+  SELECT b.bt10 - 0.125 * ((CAST(g.g0 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt20,
+         b.bt11 - 0.125 * ((CAST(g.g1 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt21,
+         b.bt12 - 0.125 * ((CAST(g.g2 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt22
+  FROM bt1 b CROSS JOIN g2 g CROSS JOIN nn),
+g3 AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-(((b.bt20 + b.bt21 * x1) + b.bt22 * x2))))) - CAST(y AS DOUBLE)) * 1.0) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-(((b.bt20 + b.bt21 * x1) + b.bt22 * x2))))) - CAST(y AS DOUBLE)) * x1) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g1,
+         CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-(((b.bt20 + b.bt21 * x1) + b.bt22 * x2))))) - CAST(y AS DOUBLE)) * x2) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g2
+  FROM rows_in CROSS JOIN bt2 b),
+bt3 AS MATERIALIZED (
+  SELECT b.bt20 - 0.125 * ((CAST(g.g0 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt30,
+         b.bt21 - 0.125 * ((CAST(g.g1 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt31,
+         b.bt22 - 0.125 * ((CAST(g.g2 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt32
+  FROM bt2 b CROSS JOIN g3 g CROSS JOIN nn)
+SELECT nn.n AS n,
+  CAST(ROUND(b.bt30 * 1000000000.0) AS BIGINT) AS beta0_nano,
+  CAST(ROUND(b.bt31 * 1000000000.0) AS BIGINT) AS beta1_nano,
+  CAST(ROUND(b.bt32 * 1000000000.0) AS BIGINT) AS beta2_nano,
+  CAST(SUM(CASE WHEN (((b.bt30 + b.bt31 * x1) + b.bt32 * x2) >= 0.0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+  CAST(SUM(CAST(ROUND((1.0 / (1.0 + EXP(-(((b.bt30 + b.bt31 * x1) + b.bt32 * x2))))) * 1000000000.0) AS BIGINT)) AS BIGINT) AS prob_sum_nano
+FROM rows_in CROSS JOIN bt3 b CROSS JOIN nn
+GROUP BY nn.n, b.bt30, b.bt31, b.bt32"""
 
     # item-item CF: set-semantics memberships, a<b pair counts, exact
     # integer cosine^2 order key, per-item top-3 window

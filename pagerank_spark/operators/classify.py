@@ -32,9 +32,9 @@ LLM-training-pipeline mandate breadth — corpus routing/labeling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["train_naive_bayes", "nb_predict"]
+__all__ = ["train_naive_bayes", "nb_predict", "logreg_gd"]
 
 _SCALE = 1_000_000
 
@@ -213,3 +213,82 @@ def nearest_centroid(
     )
     w = Window.partitionBy(id_col).orderBy("dist", "pred")
     return scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def logreg_gd(
+    units: DataFrame,
+    label: Column,
+    features: list[Column],
+    iters: int = 3,
+    eta: float = 0.125,
+) -> DataFrame:
+    """Distributed logistic regression by full-batch gradient descent —
+    the textbook convex-training loop (public methodology; the
+    data-parallel shape of every parameter-server/allreduce trainer):
+    each iteration is ONE map-side-combined aggregation producing the
+    d+1 gradient components, driver traffic is d+1 numbers, and the
+    coefficient update runs driver-side — the BPE/Bradley-Terry
+    "k scalar collects for k rounds" pattern. No per-row Python: the
+    sigmoid and gradient terms are codegen'd expressions.
+
+    Determinism/hash-stability: coefficients live as exact-integer-derived
+    doubles — every per-row gradient term ``(sigmoid(beta.x) - y) * x_j``
+    is nano-rounded BEFORE the (order-free) BIGINT sum, so the only
+    cross-engine risk is EXP's 1-ulp at a nano boundary (the lm.py
+    discipline); the driver update ``b - eta*((g/1e9)/n)`` is the same
+    IEEE tree the SQL oracle states, and Python shortest-repr literals
+    round-trip doubles exactly into both engines' parsers. ``eta`` should
+    be dyadic. Features should be pre-scaled to O(1) magnitudes (dyadic
+    divisors keep the scaling exact).
+
+    Returns ONE row: ``(n, beta0_nano..betaD_nano, n_correct,
+    prob_sum_nano)`` — trained coefficients (bias first), 0/1 accuracy
+    count at the 0.5 threshold, and the nano-summed predicted mass.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    d = len(features) + 1
+    el = repr(float(eta))
+    rows = units.select(
+        label.cast("long").alias("y"),
+        *[feat.cast("double").alias(f"x{j}") for j, feat in enumerate(features, start=1)],
+    ).localCheckpoint()
+    n = rows.count()
+    beta = [0.0] * d
+
+    def _z() -> str:
+        t = repr(beta[0])
+        for j in range(1, d):
+            t = f"({t} + {repr(beta[j])} * x{j})"
+        return t
+
+    for _ in range(int(iters)):
+        s = f"(1.0 / (1.0 + EXP(-({_z()}))))"
+        aggs = []
+        for j in range(d):
+            xj = "1.0" if j == 0 else f"x{j}"
+            aggs.append(
+                F.expr(
+                    f"SUM(CAST(ROUND((({s} - CAST(y AS DOUBLE)) * {xj})"
+                    f" * 1000000000.0) AS BIGINT))"
+                ).alias(f"g{j}")
+            )
+        g = rows.agg(*aggs).collect()[0]
+        beta = [
+            beta[j] - float(eta) * ((g[f"g{j}"] / 1e9) / n) for j in range(d)
+        ]
+    s = f"(1.0 / (1.0 + EXP(-({_z()}))))"
+    out = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"SUM(CASE WHEN ({_z()} >= 0.0) = (y = 1) THEN 1 ELSE 0 END)"
+        ).cast("long").alias("n_correct"),
+        F.expr(
+            f"SUM(CAST(ROUND({s} * 1000000000.0) AS BIGINT))"
+        ).alias("prob_sum_nano"),
+    )
+    for j in range(d):
+        out = out.withColumn(f"beta{j}_nano", F.lit(round(beta[j] * 1e9)).cast("long"))
+    return out.select(
+        "n", *[f"beta{j}_nano" for j in range(d)], "n_correct", "prob_sum_nano"
+    )

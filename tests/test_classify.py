@@ -68,3 +68,57 @@ def test_nb_all_rows_present(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
     tc, cs, v, n = train_naive_bayes(df, class_col="lang")
     assert nb_predict(df, tc, cs, v, n).count() == len(DOCS)
+
+
+def _logreg_replay(rows, iters=3, eta=0.125):
+    # rows: (y, x1, x2); replicates the engine's exact arithmetic
+    d = 3
+    beta = [0.0] * d
+    n = len(rows)
+    for _ in range(iters):
+        g = [0] * d
+        for y, x1, x2 in rows:
+            zv = (beta[0] + beta[1] * x1) + beta[2] * x2
+            s = 1.0 / (1.0 + __import__("math").exp(-zv))
+            for j, xj in enumerate((1.0, x1, x2)):
+                g[j] += _round_half_up(((s - float(y)) * xj) * 1e9)
+        beta = [beta[j] - eta * ((g[j] / 1e9) / n) for j in range(d)]
+    correct = 0
+    psum = 0
+    for y, x1, x2 in rows:
+        zv = (beta[0] + beta[1] * x1) + beta[2] * x2
+        s = 1.0 / (1.0 + __import__("math").exp(-zv))
+        correct += int((zv >= 0.0) == (y == 1))
+        psum += _round_half_up(s * 1e9)
+    return beta, correct, psum
+
+
+def _round_half_up(x):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+def test_logreg_matches_python_replay(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.classify import logreg_gd
+
+    # separable-ish planted data: y correlates with x1
+    rows = [
+        (1, 2.0, 0.5), (1, 1.5, 0.25), (1, 3.0, 0.0), (1, 2.5, 0.75),
+        (0, -1.0, 0.5), (0, -2.0, 0.25), (0, -0.5, 0.0), (0, -1.5, 0.75),
+        (1, 0.5, 0.5), (0, 0.25, 0.25),
+    ]
+    df = spark.createDataFrame(rows, "y long, x1 double, x2 double")
+    got = logreg_gd(df, F.col("y"), [F.col("x1"), F.col("x2")], iters=3, eta=0.125).collect()[0]
+    beta, correct, psum = _logreg_replay(rows)
+    assert got.n == 10
+    assert got.beta0_nano == round(beta[0] * 1e9)
+    assert got.beta1_nano == round(beta[1] * 1e9)
+    assert got.beta2_nano == round(beta[2] * 1e9)
+    assert got.n_correct == correct
+    assert got.prob_sum_nano == psum
+    # gradient descent moved the slope toward the label correlation
+    assert got.beta1_nano > 0
+    assert got.n_correct >= 8
