@@ -5931,6 +5931,32 @@ def q_kaplan_meier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(subjects_from_events(ev))
 
 
+def q_map_mrr_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 + MRR@10 of the BM25 ranking (operators/mleval.py::
+    map_mrr_at_k) against binary term-coverage relevance — the TREC metric
+    pair next to the NDCG gate, sharing its retrieval CTEs. Every division
+    is an exact non-negative integer truncation (DIV/\\//); no doubles."""
+    from pyspark.sql import Window
+
+    from pagerank_spark.operators.mleval import map_mrr_at_k
+    from pagerank_spark.operators.retrieval import bm25_topk
+
+    terms = ["spark", "shuffle", "join", "query"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = bm25_topk(docs, terms, k=10)
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: F.length(x) > 0)
+    rel_doc = docs.select(
+        "doc_id",
+        sum(
+            [F.when(F.array_contains(toks, t), 1).otherwise(0) for t in terms],
+            F.lit(0),
+        ).alias("rel"),
+    )
+    return map_mrr_at_k(ranked.join(rel_doc, "doc_id"), "rel", "rank", k=10)
+
+
 def q_logreg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-batch gradient-descent logistic regression
     (operators/classify.py::logreg_gd): 3 rounds predicting
@@ -7324,6 +7350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_events": q_logrank_events,
         "rdd_orders": q_rdd_orders,
         "logreg_events": q_logreg_events,
+        "map_mrr_bm25_docs": q_map_mrr_bm25_docs,
         "skyline_lineitem": q_skyline_lineitem,
         "divergence_docs": q_divergence_docs,
         "kappa_nbayes_docs": q_kappa_nbayes_docs,
@@ -11723,6 +11750,41 @@ a AS (
 SELECT CAST(10 AS BIGINT) AS k, n_ranked, dcg_micro, idcg_micro,
        CAST(CASE WHEN idcg_micro > 0 THEN dcg_micro * 1000000 // idcg_micro
                  ELSE 0 END AS BIGINT) AS ndcg_micro
+FROM a"""
+
+    # MAP/MRR: same retrieval + relevance CTEs as NDCG; cum-relevance
+    # prefix restated as a window (exact BIGINTs, order-free after the
+    # integer truncations)
+    sqls["map_mrr_bm25_docs"] = f"""
+WITH r AS MATERIALIZED (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rk
+  FROM ({sqls["bm25_docs"]})
+),
+tk AS MATERIALIZED (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> len(x) > 0) AS toks
+  FROM documents
+),
+t AS MATERIALIZED (
+  SELECT r.rk,
+         CASE WHEN (CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)
+                 + (CASE WHEN list_contains(toks, 'shuffle') THEN 1 ELSE 0 END)
+                 + (CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)
+                 + (CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) > 0
+              THEN 1 ELSE 0 END AS rel
+  FROM r JOIN tk USING (doc_id) WHERE r.rk <= 10
+),
+c AS (SELECT rk, rel, CAST(SUM(rel) OVER (ORDER BY rk) AS BIGINT) AS cum FROM t),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_ranked, CAST(SUM(rel) AS BIGINT) AS n_rel,
+         MIN(CASE WHEN rel = 1 THEN rk END) AS fr,
+         CAST(COALESCE(SUM(CASE WHEN rel = 1 THEN cum * 1000000000 // rk END), 0)
+              AS BIGINT) AS s
+  FROM c)
+SELECT CAST(10 AS BIGINT) AS k, n_ranked, n_rel,
+       CAST(COALESCE(fr, 0) AS BIGINT) AS first_rel_rank,
+       CAST(CASE WHEN fr IS NOT NULL THEN 1000000 // fr ELSE 0 END AS BIGINT) AS mrr_micro,
+       CAST(CASE WHEN n_rel > 0 THEN s // n_rel ELSE 0 END AS BIGINT) AS ap_nano
 FROM a"""
 
     # duplicated-window membership and interval union are pure set algebra

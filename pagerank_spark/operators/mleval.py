@@ -780,3 +780,62 @@ def chrf_pairs(
             ).alias("chrf_micro"),
         )
     )
+
+
+def map_mrr_at_k(
+    ranked: DataFrame,
+    rel_col: str = "rel",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """MAP@k and MRR@k of a ranking against binary relevance (rel > 0) —
+    the other two standard retrieval metrics next to :func:`ndcg_at_k`
+    (public methodology; TREC evaluation measures). All-integer:
+
+    * ``first_rel_rank`` — smallest rank with a relevant doc (0 if none)
+    * ``mrr_micro`` = 1e6 DIV first_rel_rank (exact truncated rational)
+    * per relevant rank i: precision term ``(cumrel_i * 1e9) DIV i``
+      (cumrel over the retrieved order, exact BIGINTs)
+    * ``ap_nano`` = sum(terms) DIV n_rel_in_k — average precision with
+      every division an exact non-negative integer truncation, so the
+      output is representation-stable by construction (no doubles at all).
+
+    The cum-relevance prefix is a fold inside the collected rank array —
+    the ranked input is top-k (constant-size by construction, the
+    ndcg_at_k contract), never a scale concern. Returns one row
+    ``(k, n_ranked, n_rel, first_rel_rank, mrr_micro, ap_nano)``.
+    """
+    d = ranked.where(F.col(rank_col) <= k).select(
+        F.col(rank_col).cast("long").alias("__rk"),
+        (F.col(rel_col).cast("long") > 0).cast("long").alias("__rel"),
+    )
+    one = d.agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.sum("__rel").alias("n_rel"),
+        F.min(F.when(F.col("__rel") == 1, F.col("__rk"))).alias("__fr"),
+        F.sort_array(F.collect_list(F.struct("__rk", "__rel"))).alias("arr"),
+    )
+    # sum over relevant positions of (cumrel_i * 1e9) DIV rank_i — the
+    # prefix count is an exact integer fold over the ordered array
+    terms = F.expr(
+        "aggregate(arr, named_struct('c', CAST(0 AS BIGINT), 's', CAST(0 AS BIGINT)),"
+        " (a, x) -> named_struct("
+        "   'c', a.c + x.__rel,"
+        "   's', a.s + CASE WHEN x.__rel = 1"
+        "        THEN (a.c + x.__rel) * 1000000000 DIV x.__rk ELSE 0 END),"
+        " a -> a.s)"
+    )
+    return one.withColumn("__s", terms).select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_ranked").cast("long").alias("n_ranked"),
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.coalesce(F.col("__fr"), F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.when(F.col("__fr").isNotNull(), F.expr("1000000 DIV __fr"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mrr_micro"),
+        F.when(F.col("n_rel") > 0, F.expr("__s DIV n_rel"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ap_nano"),
+    )
