@@ -2822,6 +2822,30 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_mst_clusters_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage MST-cut clustering (operators/clustering.py::
+    mst_cut_clusters, k=3) on the msf_synth planted ring+chords graph.
+    The MSF is the closed-form path (v, v+1, 100+v); its two heaviest
+    edges are (197,198) and (198,199), so the clusters are exactly
+    {0..197}, {198}, {199} — stated directly by the oracle while the
+    engine runs the full Borůvka + cut + min-label composition."""
+    from pagerank_spark.operators.clustering import mst_cut_clusters
+
+    n = 200
+    base = spark.range(n).select(F.col("id").cast("long").alias("v"))
+    ring = base.select(
+        F.col("v").alias("src"),
+        ((F.col("v") + 1) % n).alias("dst"),
+        (F.col("v") + 100).alias("weight"),
+    )
+    chords = base.select(
+        F.col("v").alias("src"),
+        ((F.col("v") + 83) % n).alias("dst"),
+        (F.col("v") + 10000).alias("weight"),
+    )
+    return mst_cut_clusters(ring.unionByName(chords), k=3)
+
+
 def q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 run compaction (operators/temporal.py:scd2_history): per-user
     event-type validity intervals — two windows + one aggregate on ONE
@@ -7327,6 +7351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe_docs": q_bloom_probe_docs,
         "chunk_windows_docs": q_chunk_windows_docs,
         "msf_synth": q_msf_synth,
+        "mst_clusters_synth": q_mst_clusters_synth,
         "scd2_events": q_scd2_events,
         "rich_club_copurchase": q_rich_club_copurchase,
         "funnel_events": q_funnel_events,
@@ -7937,6 +7962,11 @@ SELECT CAST(v AS BIGINT) AS a,
        CAST(v + 1 AS BIGINT) AS b,
        CAST(v + 100 AS BIGINT) AS weight
 FROM (SELECT unnest(range(0, 199)) AS v)"""
+
+    sqls["mst_clusters_synth"] = """
+SELECT CAST(v AS BIGINT) AS id,
+       CAST(CASE WHEN v <= 197 THEN 0 ELSE v END AS BIGINT) AS cluster
+FROM (SELECT unnest(range(0, 200)) AS v)"""
 
     sqls["dyad_census_synth"] = """
 WITH n AS (SELECT unnest(range(0, 300)) AS v),

@@ -223,3 +223,54 @@ def semdedup(
             F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
         )
     )
+
+
+def mst_cut_clusters(
+    edges: DataFrame,
+    k: int,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Single-linkage hierarchical clustering into ``k`` clusters by the
+    classic MST-cut construction (Zahn 1971; Gower & Ross 1969 — public
+    methodology): build the minimum spanning forest, delete its ``k-1``
+    heaviest edges, and the surviving trees ARE the k single-linkage
+    clusters. This is the scale-correct form of agglomerative clustering —
+    the O(n^2) dendrogram never materializes; the MSF (V-1 edges) is the
+    only state.
+
+    Composition of two existing kernels: Borůvka MSF (algos/msf.py) and
+    min-label connected components (algos/components.py — the reference's
+    propagation loop). The cut is deterministic under the total edge order
+    ``(weight, a, b) DESC`` (the Kruskal-equal total order msf.py already
+    uses), so ties never make the result partitioning-dependent. The cut
+    set is k-1 rows — a TakeOrderedAndProject + broadcast anti-join, never
+    a shuffle of the forest. Vertices isolated by the cut (or isolated in
+    the input) label themselves.
+
+    Returns ``(id, cluster)`` with cluster = min vertex id of the tree,
+    one row per distinct endpoint of ``edges``.
+    """
+    from ..algos.components import connected_components
+    from ..algos.msf import minimum_spanning_forest
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    msf = minimum_spanning_forest(edges, weight_col=weight_col)
+    if k > 1:
+        cut = msf.orderBy(
+            F.col(weight_col).desc(), F.col("a").desc(), F.col("b").desc()
+        ).limit(k - 1)
+        keep = msf.join(F.broadcast(cut), ["a", "b"], "left_anti")
+    else:
+        keep = msf
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(
+        keep.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return verts.join(cc, "id", "left").select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("cluster")
+    )

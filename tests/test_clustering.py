@@ -135,3 +135,66 @@ def test_semdedup_overflow_guard(spark):
     df = spark.createDataFrame([(0, 0, [1.0] * 64)], "vec_id long, cluster int, embedding array<double>")
     with pytest.raises(ValueError, match="overflow"):
         semdedup(df, threshold_num=99, threshold_den=10**6, scale=10**5)
+
+
+def _kruskal_clusters(edges, k):
+    # exact single-linkage replay: Kruskal under (w, a, b) asc, then cut
+    # the k-1 heaviest MST edges, then union-find the rest
+    import itertools
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    und = {}
+    for s, d, w in edges:
+        a, b = min(s, d), max(s, d)
+        if a == b:
+            continue
+        und[(a, b)] = min(und.get((a, b), w), w)
+    mst = []
+    for (a, b), w in sorted(und.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            mst.append((w, a, b))
+    keep = sorted(mst, reverse=True)[max(0, k - 1):]
+    parent = {}
+    for _, a, b in keep:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    verts = {v for s, d, _ in edges for v in (s, d)}
+    return {v: find(v) for v in verts}
+
+
+def test_mst_cut_matches_kruskal_replay(spark):
+    from pagerank_spark.operators.clustering import mst_cut_clusters
+
+    # two dense blobs bridged by one heavy edge + a dangling satellite
+    edges = (
+        [(a, b, 1 + ((a * 7 + b) % 5)) for a in range(0, 6) for b in range(a + 1, 6)]
+        + [(a, b, 1 + ((a * 5 + b) % 4)) for a in range(10, 15) for b in range(a + 1, 15)]
+        + [(5, 10, 90), (14, 20, 80)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    for k in (1, 2, 3):
+        got = {r.id: r.cluster for r in mst_cut_clusters(df, k=k).collect()}
+        assert got == _kruskal_clusters(edges, k)
+    # k=3 severs both bridges: blobs + satellite separate
+    got3 = {r.id: r.cluster for r in mst_cut_clusters(df, k=3).collect()}
+    assert len(set(got3.values())) == 3
+
+
+def test_mst_cut_k1_is_plain_components(spark):
+    from pagerank_spark.operators.clustering import mst_cut_clusters
+
+    df = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (7, 8, 2)], "src long, dst long, weight long"
+    )
+    got = {r.id: r.cluster for r in mst_cut_clusters(df, k=1).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
