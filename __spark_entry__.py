@@ -2822,6 +2822,25 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_birank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BiRank (algos/hits.py::birank, k=3) over the customer x part
+    purchase bipartite graph (edge weight = line count via orders):
+    symmetric sqrt-degree normalization (correctly-rounded SQRT), uniform
+    teleports, Jacobi updates — the bipartite sibling of the PR gates,
+    oracle = flat unrolled CTE chain."""
+    from pagerank_spark.algos.hits import birank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    res = birank(e, "u", "p", weight_col="w", alpha=0.85, iters=3)
+    return res.select("side", "id", F.round("r", 6).alias("rank"))
+
+
 def q_mst_clusters_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-linkage MST-cut clustering (operators/clustering.py::
     mst_cut_clusters, k=3) on the msf_synth planted ring+chords graph.
@@ -7352,6 +7371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows_docs": q_chunk_windows_docs,
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
+        "birank_orders": q_birank_orders,
         "scd2_events": q_scd2_events,
         "rich_club_copurchase": q_rich_club_copurchase,
         "funnel_events": q_funnel_events,
@@ -7962,6 +7982,48 @@ SELECT CAST(v AS BIGINT) AS a,
        CAST(v + 1 AS BIGINT) AS b,
        CAST(v + 100 AS BIGINT) AS weight
 FROM (SELECT unnest(range(0, 199)) AS v)"""
+
+    sqls["birank_orders"] = """
+WITH e0 AS MATERIALIZED (
+  SELECT o.o_custkey AS u, l.l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2),
+du AS MATERIALIZED (SELECT u, CAST(SUM(CAST(w AS DOUBLE)) AS DOUBLE) AS du FROM e0 GROUP BY 1),
+dp AS MATERIALIZED (SELECT p, CAST(SUM(CAST(w AS DOUBLE)) AS DOUBLE) AS dp FROM e0 GROUP BY 1),
+nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM du),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM dp),
+en AS MATERIALIZED (
+  SELECT e0.u, e0.p,
+         CAST(e0.w AS DOUBLE) / (SQRT(CAST(du.du AS DOUBLE)) * SQRT(CAST(dp.dp AS DOUBLE))) AS wn
+  FROM e0 JOIN du USING (u) JOIN dp USING (p)),
+ut0 AS MATERIALIZED (SELECT u AS id, (SELECT 1.0 / c FROM nu) AS r FROM du),
+pt0 AS MATERIALIZED (SELECT p AS id, (SELECT 1.0 / c FROM np) AS r FROM dp),
+pt1 AS MATERIALIZED (
+  SELECT en.p AS id,
+         0.85 * SUM(en.wn * s.r) + 0.15000000000000002 * (SELECT 1.0 / c FROM np) AS r
+  FROM en JOIN ut0 s ON s.id = en.u GROUP BY en.p),
+ut1 AS MATERIALIZED (
+  SELECT en.u AS id,
+         0.85 * SUM(en.wn * s.r) + 0.15000000000000002 * (SELECT 1.0 / c FROM nu) AS r
+  FROM en JOIN pt0 s ON s.id = en.p GROUP BY en.u),
+pt2 AS MATERIALIZED (
+  SELECT en.p AS id,
+         0.85 * SUM(en.wn * s.r) + 0.15000000000000002 * (SELECT 1.0 / c FROM np) AS r
+  FROM en JOIN ut1 s ON s.id = en.u GROUP BY en.p),
+ut2 AS MATERIALIZED (
+  SELECT en.u AS id,
+         0.85 * SUM(en.wn * s.r) + 0.15000000000000002 * (SELECT 1.0 / c FROM nu) AS r
+  FROM en JOIN pt1 s ON s.id = en.p GROUP BY en.u),
+pt3 AS MATERIALIZED (
+  SELECT en.p AS id,
+         0.85 * SUM(en.wn * s.r) + 0.15000000000000002 * (SELECT 1.0 / c FROM np) AS r
+  FROM en JOIN ut2 s ON s.id = en.u GROUP BY en.p),
+ut3 AS MATERIALIZED (
+  SELECT en.u AS id,
+         0.85 * SUM(en.wn * s.r) + 0.15000000000000002 * (SELECT 1.0 / c FROM nu) AS r
+  FROM en JOIN pt2 s ON s.id = en.p GROUP BY en.u)
+SELECT 'u' AS side, id, ROUND(r, 6) AS rank FROM ut3
+UNION ALL SELECT 'p' AS side, id, ROUND(r, 6) AS rank FROM pt3"""
 
     sqls["mst_clusters_synth"] = """
 SELECT CAST(v AS BIGINT) AS id,

@@ -313,3 +313,100 @@ def salsa(
     result.scores = scores
     result.iter_seconds = time.monotonic() - t_start  # type: ignore[attr-defined]
     return result
+
+
+def birank(
+    edges: DataFrame,
+    u_col: str = "u",
+    p_col: str = "p",
+    weight_col: str | None = None,
+    alpha: float = 0.85,
+    iters: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """BiRank (He, Gao, Kan & Wang 2017, TKDE — public methodology): joint
+    ranking of the two sides of a bipartite graph (users x items,
+    customers x parts, queries x docs) under the symmetrically normalized
+    mutual-reinforcement recurrence
+
+        p_k = alpha * W_n^T u_{k-1} + (1-alpha) * p_0
+        u_k = alpha * W_n   p_{k-1} + (1-alpha) * u_0
+
+    with ``W_n[u,p] = w / (sqrt(deg_w(u)) * sqrt(deg_w(p)))`` and uniform
+    teleports — the bipartite sibling of damped PageRank (same kernel
+    family as the reference's rank-propagation core; SQRT is a
+    correctly-rounded IEEE op, so the per-edge coefficient is
+    engine-stable). Updates are Jacobi (both sides from the previous
+    iterate), which keeps the unrolled SQL oracle a flat CTE chain.
+
+    Shuffle discipline mirrors :func:`salsa`: the normalized coefficient
+    is STATIC per edge (computed once, two one-time layouts keyed by each
+    side, localCheckpointed); per iteration only the two gather shuffles
+    move, each co-partitioned with its state (SHJ hint). Every vertex has
+    an edge by construction, so both gathers are inner joins.
+
+    Returns ``(side, id, rank)`` with side 'u'/'p' and rank the raw
+    double; callers round for emission.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    beta = 1.0 - float(alpha)
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    par = num_partitions or max(4, _num_partitions(edges))
+    e0 = edges.select(
+        F.col(u_col).alias("u"), F.col(p_col).alias("p"), w.alias("w")
+    )
+    du = e0.groupBy("u").agg(F.sum("w").alias("du"))
+    dp = e0.groupBy("p").agg(F.sum("w").alias("dp"))
+    en = (
+        e0.join(du, "u")
+        .join(dp, "p")
+        .select(
+            "u",
+            "p",
+            (
+                F.col("w")
+                / (F.sqrt(F.col("du").cast("double")) * F.sqrt(F.col("dp").cast("double")))
+            ).alias("wn"),
+        )
+    )
+    en_u = en.repartition(par, "u").localCheckpoint()
+    en_p = en.repartition(par, "p").localCheckpoint()
+    n_u = du.count()
+    n_p = dp.count()
+    if n_u == 0 or n_p == 0:
+        raise ValueError("birank requires a non-empty edge set")
+    u0v, p0v = 1.0 / n_u, 1.0 / n_p
+    su = du.select(F.col("u").alias("id"), F.lit(u0v).alias("r")).repartition(par, "id").localCheckpoint()
+    sp = dp.select(F.col("p").alias("id"), F.lit(p0v).alias("r")).repartition(par, "id").localCheckpoint()
+    for _ in range(int(iters)):
+        sp_next = (
+            en_u.join(su.hint("shuffle_hash"), en_u.u == su.id, "inner")
+            .groupBy("p")
+            .agg(
+                (
+                    F.lit(float(alpha)) * F.sum(F.col("wn") * F.col("r"))
+                    + F.lit(beta) * F.lit(p0v)
+                ).alias("r")
+            )
+            .select(F.col("p").alias("id"), "r")
+        )
+        su_next = (
+            en_p.join(sp.hint("shuffle_hash"), en_p.p == sp.id, "inner")
+            .groupBy("u")
+            .agg(
+                (
+                    F.lit(float(alpha)) * F.sum(F.col("wn") * F.col("r"))
+                    + F.lit(beta) * F.lit(u0v)
+                ).alias("r")
+            )
+            .select(F.col("u").alias("id"), "r")
+        )
+        su, sp = su_next.localCheckpoint(), sp_next.localCheckpoint()
+    return su.select(F.lit("u").alias("side"), "id", "r").unionByName(
+        sp.select(F.lit("p").alias("side"), "id", "r")
+    )

@@ -106,3 +106,62 @@ def test_katz_converges(spark):
     arr = er_edges_numpy(80, 320, seed=4)
     res = katz(_edges_df(spark, arr), alpha=0.01, max_iters=100, tol=1e-10, check_every=4)
     assert res.converged and res.iterations < 100
+
+
+def _birank_replay(edges, alpha=0.85, iters=3):
+    import math
+
+    du, dp = {}, {}
+    for u, p, w in edges:
+        du[u] = du.get(u, 0.0) + float(w)
+        dp[p] = dp.get(p, 0.0) + float(w)
+    wn = {(u, p): float(w) / (math.sqrt(du[u]) * math.sqrt(dp[p])) for u, p, w in edges}
+    beta = 1.0 - alpha
+    ru = {u: 1.0 / len(du) for u in du}
+    rp = {p: 1.0 / len(dp) for p in dp}
+    for _ in range(iters):
+        rp2 = {}
+        for p in dp:
+            s = sum(wn[(u, pp)] * ru[u] for (u, pp) in wn if pp == p)
+            rp2[p] = alpha * s + beta * (1.0 / len(dp))
+        ru2 = {}
+        for u in du:
+            s = sum(wn[(uu, p)] * rp[p] for (uu, p) in wn if uu == u)
+            ru2[u] = alpha * s + beta * (1.0 / len(du))
+        ru, rp = ru2, rp2
+    return ru, rp
+
+
+def test_birank_matches_replay_and_conserves_shape(spark):
+    from pagerank_spark.algos.hits import birank
+
+    edges = [
+        (1, 100, 3), (1, 101, 1), (2, 100, 1), (2, 102, 2),
+        (3, 101, 1), (3, 102, 1), (3, 103, 5),
+    ]
+    df = spark.createDataFrame(edges, "u long, p long, w long")
+    res = birank(df, "u", "p", weight_col="w", alpha=0.85, iters=3).collect()
+    ru, rp = _birank_replay(edges)
+    got_u = {r.id: r.r for r in res if r.side == "u"}
+    got_p = {r.id: r.r for r in res if r.side == "p"}
+    assert set(got_u) == set(ru) and set(got_p) == set(rp)
+    for k in ru:
+        assert abs(got_u[k] - ru[k]) < 1e-12
+    for k in rp:
+        assert abs(got_p[k] - rp[k]) < 1e-12
+    # sqrt normalization dampens the single heavy (3,103,5) edge: the part
+    # bought by two DISTINCT users outranks the exclusive-heavy one
+    assert max(got_p, key=got_p.get) == 100
+    assert got_p[103] > got_p[101]
+
+
+def test_birank_unweighted_default(spark):
+    from pagerank_spark.algos.hits import birank
+
+    df = spark.createDataFrame([(1, 10), (2, 10)], "u long, p long")
+    res = {(r.side, r.id): r.r for r in birank(df, "u", "p", iters=2).collect()}
+    ru, rp = _birank_replay([(1, 10, 1), (2, 10, 1)], iters=2)
+    assert abs(res[("p", 10)] - rp[10]) < 1e-12
+    assert abs(res[("u", 1)] - ru[1]) < 1e-12
+    # symmetric users tie exactly
+    assert res[("u", 1)] == res[("u", 2)]
