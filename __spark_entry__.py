@@ -2822,6 +2822,31 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_unigram_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer vocabulary (operators/unigram.py::
+    unigram_vocab): substring pieces up to 4 chars counted with
+    word-frequency weights over the distinct-word vocabulary, single-char
+    fallback alphabet always kept, ln(cnt/total) scores nano-rounded once.
+    The SentencePiece-family sibling of the BPE trainer gates."""
+    from pagerank_spark.operators.unigram import unigram_vocab
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_vocab(docs, max_len=4, min_count=5)
+
+
+def q_unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi unigram segmentation (operators/unigram.py::
+    unigram_segment): per distinct corpus word, the max-likelihood piece
+    sequence under the unigram_vocab_docs scores. The DP packs
+    (score, n_tokens, backpointer) into ONE BIGINT key so best = integer
+    array_max and both folds (forward + backtrack) are exact integer/string
+    arithmetic — bit-stable across engines by construction."""
+    from pagerank_spark.operators.unigram import unigram_segment
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_segment(docs, max_len=4, min_count=5)
+
+
 def q_birank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BiRank (algos/hits.py::birank, k=3) over the customer x part
     purchase bipartite graph (edge weight = line count via orders):
@@ -7372,6 +7397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "unigram_vocab_docs": q_unigram_vocab_docs,
+        "unigram_tokenize_docs": q_unigram_tokenize_docs,
         "scd2_events": q_scd2_events,
         "rich_club_copurchase": q_rich_club_copurchase,
         "funnel_events": q_funnel_events,
@@ -7982,6 +8009,111 @@ SELECT CAST(v AS BIGINT) AS a,
        CAST(v + 1 AS BIGINT) AS b,
        CAST(v + 100 AS BIGINT) AS weight
 FROM (SELECT unnest(range(0, 199)) AS v)"""
+
+    sqls["unigram_vocab_docs"] = """
+WITH wv AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT substring(w0, 1, 48) AS w FROM (
+      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w0 FROM documents) t0
+    ) t WHERE w <> ''
+  GROUP BY 1),
+occ AS MATERIALIZED (
+  SELECT p['piece'] AS piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT wv.cnt, unnest(flatten(list_transform(range(0, length(wv.w)), j ->
+        list_transform(range(1, least(4, length(wv.w) - j) + 1), l ->
+           {'j': j, 'l': l, 'piece': substring(wv.w, j + 1, l)})))) AS p
+    FROM wv) e
+  GROUP BY 1),
+kept AS (SELECT piece, cnt FROM occ WHERE length(piece) = 1 OR cnt >= 5),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM kept),
+vocab AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                    * 1000000000.0) AS BIGINT) AS score_nano
+  FROM kept CROSS JOIN tot)
+SELECT piece, cnt, score_nano FROM vocab"""
+
+    sqls["unigram_tokenize_docs"] = """
+WITH wv AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT substring(w0, 1, 48) AS w FROM (
+      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w0 FROM documents) t0
+    ) t WHERE w <> ''
+  GROUP BY 1),
+occ AS MATERIALIZED (
+  SELECT p['piece'] AS piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT wv.cnt, unnest(flatten(list_transform(range(0, length(wv.w)), j ->
+        list_transform(range(1, least(4, length(wv.w) - j) + 1), l ->
+           {'j': j, 'l': l, 'piece': substring(wv.w, j + 1, l)})))) AS p
+    FROM wv) e
+  GROUP BY 1),
+kept AS (SELECT piece, cnt FROM occ WHERE length(piece) = 1 OR cnt >= 5),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM kept),
+vocab AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                    * 1000000000.0) AS BIGINT) AS score_nano
+  FROM kept CROSS JOIN tot),
+cand AS MATERIALIZED (
+  SELECT e.w, e.j + e.l AS i, e.j AS j, v.score_nano AS sc FROM (
+    SELECT wv.w, p['j'] AS j, p['l'] AS l, p['piece'] AS piece FROM (
+      SELECT wv.w, unnest(flatten(list_transform(range(0, length(wv.w)), j ->
+        list_transform(range(1, least(4, length(wv.w) - j) + 1), l ->
+           {'j': j, 'l': l, 'piece': substring(wv.w, j + 1, l)})))) AS p FROM wv) wv) e
+  JOIN vocab v ON v.piece = e.piece),
+pw AS MATERIALIZED (
+  SELECT c.w, ANY_VALUE(wv.cnt) AS cnt, CAST(COUNT(*) AS BIGINT) AS m,
+         list({'i': c.i, 'j': c.j, 'sc': c.sc} ORDER BY c.i, c.j, c.sc) AS cands
+  FROM cand c JOIN wv ON wv.w = c.w GROUP BY c.w),
+-- DuckDB 1.0 lambda bodies misalign OUTER-COLUMN captures on multi-row
+-- vectors (measured: the backtrack read other rows' w/pjs), so both folds
+-- below reference ONLY the accumulator and the element: the candidate set
+-- rides in the accumulator head as packed BIGINTs
+-- enc(cand) = ((-sc) * 64 + j) * 64 + i; key_j lives at index m + 2 + j
+dp AS MATERIALIZED (
+  SELECT w, cnt, m,
+    list_reduce(
+      list_prepend(
+        list_concat(list_concat([m],
+                    list_transform(cands, c -> ((-c.sc) * 64 + c.j) * 64 + c.i)),
+                    [CAST(9007199254745024 AS BIGINT)]),
+        list_transform(range(1, length(w) + 1), i -> [i])),
+      (acc, e) -> list_append(acc, list_aggregate(list_transform(
+          list_filter(acc[2 : acc[1] + 1], c -> c % 64 = e[1]),
+          c -> (((acc[acc[1] + 2 + ((c // 64) % 64)] // 4096) - (c // 4096)) * 4096)
+               + ((((acc[acc[1] + 2 + ((c // 64) % 64)] // 64) % 64) - 1) * 64)
+               + (((c // 64) % 64) + 1)), 'max'))) AS lst
+  FROM pw),
+d2 AS MATERIALIZED (
+  SELECT w, cnt, lst[-1] AS kn,
+         list_transform(lst[m + 2 : ], k -> k % 64 - 1) AS pjs
+  FROM dp),
+-- second DuckDB 1.0 list_reduce hazard (measured): a lambda whose CASE
+-- returns the accumulator unchanged permutes rows' results across the
+-- vector. The backtrack therefore runs EXACTLY n_tokens unconditional
+-- steps (n_tokens decoded from the final key) instead of length(w)
+-- guarded ones
+bk AS (
+  SELECT w, cnt, kn,
+    list_reduce(
+      list_prepend(
+        [CAST(length(w) AS VARCHAR), w, array_to_string(pjs, ',')],
+        list_transform(range(1, 63 - ((kn // 64) % 64) + 1), i -> [CAST(i AS VARCHAR)])),
+      (acc, e) -> list_concat(
+          [string_split(acc[3], ',')[CAST(acc[1] AS BIGINT) + 1],
+           acc[2],
+           acc[3],
+           substring(acc[2],
+                     CAST(string_split(acc[3], ',')[CAST(acc[1] AS BIGINT) + 1] AS BIGINT) + 1,
+                     CAST(acc[1] AS BIGINT)
+                       - CAST(string_split(acc[3], ',')[CAST(acc[1] AS BIGINT) + 1] AS BIGINT))],
+          acc[4:])) AS bkl
+  FROM d2)
+SELECT w, cnt,
+  63 - ((kn // 64) % 64) AS n_tokens,
+  (kn // 4096) - 2199023255552 AS score_nano,
+  array_to_string(bkl[4:], ' ') AS seg
+FROM bk"""
 
     sqls["birank_orders"] = """
 WITH e0 AS MATERIALIZED (
