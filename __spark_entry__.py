@@ -2822,6 +2822,18 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_token_chi2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection (operators/infotheory.py::
+    token_class_chi2): top-30 tokens by document-presence chi2 against the
+    lang='en' class — one distinct-presence shuffle, exact BIGINT cells,
+    one DECIMAL(38)/HUGEINT integral division, deterministic
+    (chi2 DESC, token ASC) order."""
+    from pagerank_spark.operators.infotheory import token_class_chi2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_class_chi2(docs, (F.col("lang") == "en"), min_df=2, k=30)
+
+
 def q_unigram_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer vocabulary (operators/unigram.py::
     unigram_vocab): substring pieces up to 4 chars counted with
@@ -7397,6 +7409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "token_chi2_docs": q_token_chi2_docs,
         "unigram_vocab_docs": q_unigram_vocab_docs,
         "unigram_tokenize_docs": q_unigram_tokenize_docs,
         "scd2_events": q_scd2_events,
@@ -8009,6 +8022,33 @@ SELECT CAST(v AS BIGINT) AS a,
        CAST(v + 1 AS BIGINT) AS b,
        CAST(v + 100 AS BIGINT) AS weight
 FROM (SELECT unnest(range(0, 199)) AS v)"""
+
+    sqls["token_chi2_docs"] = """
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS cls,
+         unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                            x -> len(x) > 0)) AS token
+  FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_class
+        FROM documents),
+per AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(cls) AS BIGINT) AS df_class
+  FROM toks GROUP BY 1 HAVING COUNT(*) >= 2)
+SELECT token, df, df_class,
+  CASE WHEN df < n_docs AND n_class > 0 AND n_class < n_docs THEN CAST(
+    (CAST(n_docs AS HUGEINT)
+     * (df_class * (n_docs - n_class - df + df_class)
+        - (df - df_class) * (n_class - df_class))
+     * (df_class * (n_docs - n_class - df + df_class)
+        - (df - df_class) * (n_class - df_class))
+     * 1000000)
+    // (CAST(df AS HUGEINT) * (n_docs - df) * n_class * (n_docs - n_class))
+    AS BIGINT) ELSE CAST(0 AS BIGINT) END AS chi2_micro
+FROM per CROSS JOIN tot
+ORDER BY chi2_micro DESC, token ASC LIMIT 30"""
 
     sqls["unigram_vocab_docs"] = """
 WITH wv AS MATERIALIZED (

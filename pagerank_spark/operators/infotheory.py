@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["token_divergence", "mutual_information", "transition_entropy"]
+__all__ = ["token_divergence", "mutual_information", "transition_entropy", "token_class_chi2"]
 
 _NANO = 1_000_000_000
 
@@ -196,4 +196,79 @@ def transition_entropy(
         F.max("t").alias("n_pairs"),
         F.max("n_next_states").alias("n_next_states"),
         F.sum("h").alias("entropy_nano"),
+    )
+
+
+def token_class_chi2(
+    docs: DataFrame,
+    class_col,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    k: int = 30,
+) -> DataFrame:
+    """Chi-square feature selection (Yang & Pedersen 1997 — public
+    methodology): for every token, the 2x2 chi-square of the
+    token-presence x class contingency table over DOCUMENTS, one-vs-rest
+    against the binary ``class_col`` — the standard screen for picking
+    class-predictive vocabulary before training a text classifier.
+
+    With a = class docs containing the token, b = other docs containing
+    it, c = class docs without it, d = the rest, and N the corpus size:
+
+        chi2 = N * (a*d - b*c)^2 / ((a+b) * (c+d) * (a+c) * (b+d))
+
+    Every cell is an exact BIGINT from ONE distinct-presence shuffle (the
+    corpus is scanned once; presence, not frequency, per the cited
+    formulation); the statistic is one exact integral division in
+    DECIMAL(38) (Spark decimal ``DIV`` == DuckDB HUGEINT ``//`` on
+    non-negative operands — the bm25 rule; the squared numerator makes the
+    sign non-negative by construction). Output is the top-``k`` tokens by
+    ``(chi2_micro DESC, token ASC)`` — a deterministic unique order, so
+    the result is a well-defined multiset. Tokens in fewer than ``min_df``
+    documents are dropped (singleton tokens have spurious chi2).
+
+    Returns ``(token, df, df_class, chi2_micro)``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        class_col.cast("long").alias("__cls"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("token"),
+    ).distinct()
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(class_col.cast("long")).alias("n_class"),
+    )
+    per = (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("__cls").alias("df_class"),
+        )
+        .filter(F.col("df") >= int(min_df))
+        .crossJoin(tot)
+    )
+    chi2 = (
+        "CAST(n_docs AS DECIMAL(38, 0))"
+        " * (df_class * (n_docs - n_class - df + df_class)"
+        "    - (df - df_class) * (n_class - df_class))"
+        " * (df_class * (n_docs - n_class - df + df_class)"
+        "    - (df - df_class) * (n_class - df_class))"
+        " * 1000000"
+        " DIV (CAST(df AS DECIMAL(38, 0)) * (n_docs - df)"
+        "      * n_class * (n_docs - n_class))"
+    )
+    guarded = (
+        "CASE WHEN df < n_docs AND n_class > 0 AND n_class < n_docs"
+        f" THEN CAST(({chi2}) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        per.select("token", "df", "df_class", F.expr(guarded).alias("chi2_micro"))
+        .orderBy(F.col("chi2_micro").desc(), F.col("token").asc())
+        .limit(int(k))
     )

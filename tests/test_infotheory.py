@@ -89,3 +89,41 @@ def test_mutual_information_python_replay(spark):
     assert got["g"] == (len(set(g_pairs)), 12, mi_nano(g_pairs))
     # ranking sanity: the predictive feature dominates; noise MI ~ 0
     assert got["f"][2] > got["g"][2] and abs(got["g"][2]) < 1000
+
+
+def test_token_class_chi2_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.infotheory import token_class_chi2
+
+    # 4 docs, class = first two; "aa" exclusively in class, "bb" everywhere,
+    # "cc" only outside, "dd" df=1 (dropped by min_df)
+    rows = [
+        (0, "aa bb", 1), (1, "aa bb", 1), (2, "bb cc", 0), (3, "bb cc dd", 0),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, cls long")
+    got = {
+        r.token: (r.df, r.df_class, r.chi2_micro)
+        for r in token_class_chi2(docs, F.col("cls"), min_df=2, k=10).collect()
+    }
+    assert "dd" not in got
+    # aa: a=2 b=0 c=0 d=2 -> chi2 = 4*(4-0)^2/(2*2*2*2) = 4
+    assert got["aa"] == (2, 2, 4_000_000)
+    # cc is the mirror image
+    assert got["cc"] == (2, 0, 4_000_000)
+    # bb: df = n_docs -> guarded sentinel 0
+    assert got["bb"] == (4, 2, 0)
+
+
+def test_token_class_chi2_order_and_k(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.infotheory import token_class_chi2
+
+    rows = [(0, "x y", 1), (1, "x z", 1), (2, "y z", 0), (3, "z w q", 0)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, cls long")
+    out = token_class_chi2(docs, F.col("cls"), min_df=2, k=2).collect()
+    assert len(out) == 2
+    # descending chi2, token tiebreak ascending
+    pairs = [(r.chi2_micro, r.token) for r in out]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
