@@ -2822,6 +2822,46 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_widest_path_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottleneck/widest-path SSSP (algos/paths.py::widest_paths) on a
+    planted 6x10 layered DAG (edges (L,i)->(L+1,j), w = 1+((7i+11j+L)%20),
+    source 0): the max-min semiring instance of the relaxation kernel.
+    Stabilizes in <= 6 rounds; oracle = 7 unrolled max-min CTEs."""
+    from pagerank_spark.algos.paths import widest_paths
+
+    layers, width = 6, 10
+    base = spark.range(layers - 1).select(F.col("id").alias("L"))
+    ii = spark.range(width).select(F.col("id").alias("i"))
+    jj = spark.range(width).select(F.col("id").alias("j"))
+    e = (
+        base.crossJoin(ii)
+        .crossJoin(jj)
+        .select(
+            (F.col("L") * 10 + F.col("i")).alias("src"),
+            ((F.col("L") + 1) * 10 + F.col("j")).alias("dst"),
+            (1 + F.pmod(7 * F.col("i") + 11 * F.col("j") + F.col("L"), F.lit(20))).alias("weight"),
+        )
+    )
+    return widest_paths(e, source=0)
+
+
+def q_tree_rollup_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup (operators/hierarchy.py::tree_rollup) on a planted
+    complete-ish 3-ary tree (parent(v) = (v-1) DIV 3, value = v+1,
+    N=1000, height 7): bottom-up child-sum supersteps on the one-time
+    child->parent layout, exact BIGINT, in-state convergence. Oracle =
+    recursive-CTE ancestor closure + one GROUP BY."""
+    from pagerank_spark.operators.hierarchy import tree_rollup
+
+    n = 1000
+    nodes = spark.range(n).select(
+        F.col("id").cast("long").alias("id"),
+        F.expr("IF(id > 0, (id - 1) DIV 3, NULL)").cast("long").alias("parent"),
+        (F.col("id") + 1).cast("long").alias("value"),
+    )
+    return tree_rollup(nodes)
+
+
 def q_token_chi2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square feature selection (operators/infotheory.py::
     token_class_chi2): top-30 tokens by document-presence chi2 against the
@@ -7409,6 +7449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "widest_path_synth": q_widest_path_synth,
+        "tree_rollup_synth": q_tree_rollup_synth,
         "token_chi2_docs": q_token_chi2_docs,
         "unigram_vocab_docs": q_unigram_vocab_docs,
         "unigram_tokenize_docs": q_unigram_tokenize_docs,
@@ -8022,6 +8064,77 @@ SELECT CAST(v AS BIGINT) AS a,
        CAST(v + 1 AS BIGINT) AS b,
        CAST(v + 100 AS BIGINT) AS weight
 FROM (SELECT unnest(range(0, 199)) AS v)"""
+
+    sqls["widest_path_synth"] = """
+WITH e AS MATERIALIZED (
+  SELECT L * 10 + i AS src, (L + 1) * 10 + j AS dst,
+         CAST(1 + (7 * i + 11 * j + L) % 20 AS BIGINT) AS w
+  FROM (SELECT unnest(range(0, 5)) AS L),
+       (SELECT unnest(range(0, 10)) AS i),
+       (SELECT unnest(range(0, 10)) AS j)),
+d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS id, CAST(4611686018427387904 AS BIGINT) AS cap),
+d1 AS MATERIALIZED (
+  SELECT id, MAX(cap) AS cap FROM (
+    SELECT id, cap FROM d0
+    UNION ALL
+    SELECT e.dst AS id, LEAST(d.cap, e.w) AS cap
+    FROM e JOIN d0 d ON d.id = e.src)
+  GROUP BY 1),
+d2 AS MATERIALIZED (
+  SELECT id, MAX(cap) AS cap FROM (
+    SELECT id, cap FROM d1
+    UNION ALL
+    SELECT e.dst AS id, LEAST(d.cap, e.w) AS cap
+    FROM e JOIN d1 d ON d.id = e.src)
+  GROUP BY 1),
+d3 AS MATERIALIZED (
+  SELECT id, MAX(cap) AS cap FROM (
+    SELECT id, cap FROM d2
+    UNION ALL
+    SELECT e.dst AS id, LEAST(d.cap, e.w) AS cap
+    FROM e JOIN d2 d ON d.id = e.src)
+  GROUP BY 1),
+d4 AS MATERIALIZED (
+  SELECT id, MAX(cap) AS cap FROM (
+    SELECT id, cap FROM d3
+    UNION ALL
+    SELECT e.dst AS id, LEAST(d.cap, e.w) AS cap
+    FROM e JOIN d3 d ON d.id = e.src)
+  GROUP BY 1),
+d5 AS MATERIALIZED (
+  SELECT id, MAX(cap) AS cap FROM (
+    SELECT id, cap FROM d4
+    UNION ALL
+    SELECT e.dst AS id, LEAST(d.cap, e.w) AS cap
+    FROM e JOIN d4 d ON d.id = e.src)
+  GROUP BY 1),
+d6 AS MATERIALIZED (
+  SELECT id, MAX(cap) AS cap FROM (
+    SELECT id, cap FROM d5
+    UNION ALL
+    SELECT e.dst AS id, LEAST(d.cap, e.w) AS cap
+    FROM e JOIN d5 d ON d.id = e.src)
+  GROUP BY 1),
+d7 AS MATERIALIZED (
+  SELECT id, MAX(cap) AS cap FROM (
+    SELECT id, cap FROM d6
+    UNION ALL
+    SELECT e.dst AS id, LEAST(d.cap, e.w) AS cap
+    FROM e JOIN d6 d ON d.id = e.src)
+  GROUP BY 1)
+SELECT id, cap FROM d7"""
+
+    sqls["tree_rollup_synth"] = """
+WITH RECURSIVE nn AS (SELECT unnest(range(0, 1000)) AS v),
+cl AS (
+  SELECT v AS anc, v AS node FROM nn
+  UNION ALL
+  SELECT cl.anc, n.v AS node FROM cl JOIN nn n ON n.v >= 1 AND (n.v - 1) // 3 = cl.node
+)
+SELECT CAST(anc AS BIGINT) AS id,
+       CAST(SUM(node + 1) AS BIGINT) AS subtree_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_desc
+FROM cl GROUP BY 1"""
 
     sqls["token_chi2_docs"] = """
 WITH toks AS MATERIALIZED (

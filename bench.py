@@ -294,6 +294,17 @@ def run_bench(spark, sf_dir: str) -> dict:
         .agg(F.sum("cp")).collect())
     dag.unpersist()
 
+    # round-4 session-12 addition: unigram-LM tokenizer (vocab scoring +
+    # Viterbi segmentation of the distinct-word vocabulary). Action sums
+    # COMPUTED columns (n_tokens + path score) — the SCALING_NOTES §12
+    # join-elimination audit rule.
+    from pagerank_spark.operators.unigram import unigram_segment
+
+    docs_t = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("unigram_tokenize_docs_sf", lambda: unigram_segment(
+        docs_t, max_len=4, min_count=5)
+        .agg(F.sum("n_tokens"), F.sum("score_nano")).collect())
+
     # round-4 session-10 addition (appended): the north-star composition at
     # volume — synthetic multi-turn transcripts (200k conversations, ~1.3M
     # turns) through the FULL ETL (dense vertex ids -> reply+tool edge

@@ -404,3 +404,69 @@ def directed_girth(
     return spark.createDataFrame(
         [(girth, n_on)], "girth long, n_on_min_cycles long"
     )
+
+
+def widest_paths(
+    edges: DataFrame,
+    source: int,
+    weight_col: str = "weight",
+    max_iters: int = 30,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Widest-path / bottleneck SSSP (the max-min semiring — Pollack 1960,
+    public methodology): ``cap(v)`` = the maximum over source->v paths of
+    the minimum edge weight along the path — max bandwidth, max shippable
+    quantity, best worst-case link. The third semiring instance of the
+    synchronized relaxation kernel (+/min = :func:`shortest_paths`,
+    bool/or = BFS closure, min/max = here), demonstrating the gather/
+    group-sum superstep core (reference pagerank.v dataflow) is
+    semiring-generic.
+
+    Weights must be positive BIGINTs. Caps are monotone non-decreasing and
+    drawn from the finite weight set, so the fixpoint is exact and the
+    in-state no-change stop is sound. One co-partitioned edge layout up
+    front; per round one gather join + max-group. Unreached vertices are
+    absent from the output (the shortest_paths convention); the source
+    reports the ``2^62`` infinity sentinel (no incoming constraint).
+    """
+    par = num_partitions or max(4, _num_partitions(edges))
+    inf = 1 << 62
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .repartition(par, "src")
+        .localCheckpoint()
+    )
+    bad = e.filter(F.col("w") <= 0).count()
+    if bad:
+        raise ValueError("widest_paths requires positive integer weights")
+    state = (
+        e.sparkSession.createDataFrame([(int(source), inf)], "id long, cap long")
+        .repartition(par, "id")
+        .localCheckpoint()
+    )
+    for _ in range(int(max_iters)):
+        gathered = (
+            e.join(state.hint("shuffle_hash"), e.src == state.id, "inner")
+            .select(F.col("dst").alias("id"), F.least(F.col("cap"), F.col("w")).alias("cap"))
+        )
+        nxt = (
+            state.select("id", "cap")
+            .unionByName(gathered)
+            .groupBy("id")
+            .agg(F.max("cap").alias("cap"))
+            .repartition(par, "id")
+            .localCheckpoint()
+        )
+        same = (
+            nxt.join(state.select("id", F.col("cap").alias("pc")), "id", "left")
+            .filter(F.col("pc").isNull() | (F.col("cap") != F.col("pc")))
+            .count()
+        )
+        state = nxt
+        if same == 0:
+            break
+    return state
