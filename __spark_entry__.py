@@ -2822,6 +2822,28 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B effect (operators/causal.py::
+    cuped_adjusted_effect): per-user outcome = odd-event value cents,
+    pre-period covariate = even-event value cents, treatment = user
+    parity. One moment aggregation; theta and both effects are closed-form
+    double trees over exact BIGINTs, micro-rounded once."""
+    from pagerank_spark.operators.causal import cuped_adjusted_effect
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("long")
+    units = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, cents).otherwise(0)).alias("x"),
+        F.sum(F.when(F.pmod(F.col("event_id"), F.lit(2)) == 1, cents).otherwise(0)).alias("y"),
+    )
+    return cuped_adjusted_effect(
+        units,
+        treated=F.pmod(F.col("user_id"), F.lit(2)),
+        outcome=F.col("y"),
+        covariate=F.col("x"),
+    )
+
+
 def q_widest_path_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottleneck/widest-path SSSP (algos/paths.py::widest_paths) on a
     planted 6x10 layered DAG (edges (L,i)->(L+1,j), w = 1+((7i+11j+L)%20),
@@ -7449,6 +7471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "cuped_events": q_cuped_events,
         "widest_path_synth": q_widest_path_synth,
         "tree_rollup_synth": q_tree_rollup_synth,
         "token_chi2_docs": q_token_chi2_docs,
@@ -8064,6 +8087,28 @@ SELECT CAST(v AS BIGINT) AS a,
        CAST(v + 1 AS BIGINT) AS b,
        CAST(v + 100 AS BIGINT) AS weight
 FROM (SELECT unnest(range(0, 199)) AS v)"""
+
+    sqls["cuped_events"] = """
+WITH u AS MATERIALIZED (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_id % 2 = 0
+              THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_id % 2 = 1
+              THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+         CAST(user_id % 2 AS BIGINT) AS t
+  FROM events GROUP BY 1),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(t) AS BIGINT) AS n_t,
+         CAST(SUM(t * y) AS BIGINT) AS sy_t, CAST(SUM(t * x) AS BIGINT) AS sx_t
+  FROM u)
+SELECT n_t, n - n_t AS n_c,
+  CASE WHEN (n * sxx - sx * sx <> 0) THEN CAST(ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS theta_micro,
+  CASE WHEN (n_t > 0 AND n - n_t > 0) THEN CAST(ROUND((CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) - CAST(sy - sy_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)) * 1000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS effect_raw_micro,
+  CASE WHEN (n_t > 0 AND n - n_t > 0) THEN CAST(ROUND(CASE WHEN (n * sxx - sx * sx <> 0) THEN (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) - CAST(sy - sy_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * (CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE) - CAST(sx - sx_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)) ELSE (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) - CAST(sy - sy_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)) END * 1000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS effect_cuped_micro
+FROM m"""
 
     sqls["widest_path_synth"] = """
 WITH e AS MATERIALIZED (

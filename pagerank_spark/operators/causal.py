@@ -272,3 +272,77 @@ def rdd_sharp(
         _g(b_l, "slope_l_micro"),
         _g(b_r, "slope_r_micro"),
     )
+
+
+def cuped_adjusted_effect(
+    units: DataFrame,
+    treated: Column,
+    outcome: Column,
+    covariate: Column,
+) -> DataFrame:
+    """CUPED variance-reduced treatment-effect estimate (Deng, Xu, Kohavi
+    & Walker 2013, WSDM — public methodology): adjust each unit's outcome
+    by its PRE-experiment covariate, ``y_adj = y - theta * (x - xbar)``
+    with ``theta = cov(x, y) / var(x)`` pooled over all units, then report
+    the treated-vs-control difference of adjusted means. The standard
+    online-experimentation trick: the adjustment leaves the expected
+    effect unbiased while shrinking variance by the squared x-y
+    correlation.
+
+    ``outcome`` and ``covariate`` must be exact integer columns (pre-scale
+    to cents/micro). ONE map-side-combined aggregation produces the eight
+    pooled/per-arm BIGINT moments; theta and the adjusted means are
+    closed-form double trees over those integers (the regress.py
+    discipline), micro-rounded once per output. Returns ONE row:
+    ``(n_t, n_c, theta_micro, effect_raw_micro, effect_cuped_micro)``.
+    If ``var(x) = 0`` (checked in exact integers) theta is the 0 sentinel
+    and the CUPED effect equals the raw effect.
+    """
+    t = treated.cast("long").alias("t")
+    rows = units.select(
+        t, outcome.cast("long").alias("y"), covariate.cast("long").alias("x")
+    )
+    m = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("t").alias("n_t"),
+        F.sum(F.col("t") * F.col("y")).alias("sy_t"),
+        F.sum(F.col("t") * F.col("x")).alias("sx_t"),
+    )
+    theta = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+    )
+    # adjusted-mean difference: (ybar_t - ybar_c) - theta * (xbar_t - xbar_c)
+    raw = (
+        "(CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)"
+        " - CAST(sy - sy_t AS DOUBLE) / CAST(n - n_t AS DOUBLE))"
+    )
+    xdiff = (
+        "(CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE)"
+        " - CAST(sx - sx_t AS DOUBLE) / CAST(n - n_t AS DOUBLE))"
+    )
+    okv = "(n * sxx - sx * sx <> 0)"
+    okn = "(n_t > 0 AND n - n_t > 0)"
+    return m.select(
+        F.col("n_t"),
+        (F.col("n") - F.col("n_t")).alias("n_c"),
+        F.expr(
+            f"CASE WHEN {okv} THEN CAST(ROUND({theta} * 1000000.0) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("theta_micro"),
+        F.expr(
+            f"CASE WHEN {okn} THEN CAST(ROUND({raw} * 1000000.0) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("effect_raw_micro"),
+        F.expr(
+            f"CASE WHEN {okn} THEN CAST(ROUND(CASE WHEN {okv}"
+            f" THEN {raw} - {theta} * {xdiff} ELSE {raw} END"
+            " * 1000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        ).alias("effect_cuped_micro"),
+    )

@@ -147,3 +147,46 @@ def test_rdd_sharp_zero_variance_side_sentinel(spark):
     got = rdd_sharp(df, F.col("x"), F.col("y"), cutoff=30, bandwidth=10).collect()[0]
     assert (got.n_l, got.n_r) == (2, 3)
     assert (got.tau_micro, got.slope_l_micro) == (0, 0)
+
+
+def test_cuped_reduces_to_raw_when_uncorrelated_and_matches_replay(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.causal import cuped_adjusted_effect
+
+    # strong x-y correlation + a planted +10 treatment effect
+    rows = [
+        # (t, x, y = 2x + effect*t + small noise)
+        (1, 10, 31), (1, 20, 51), (1, 30, 69), (1, 40, 92),
+        (0, 12, 25), (0, 22, 43), (0, 32, 66), (0, 42, 83),
+    ]
+    units = spark.createDataFrame(rows, "t long, x long, y long")
+    got = cuped_adjusted_effect(
+        units, F.col("t"), F.col("y"), F.col("x")
+    ).collect()[0]
+    n = len(rows)
+    sx = sum(r[1] for r in rows); sy = sum(r[2] for r in rows)
+    sxx = sum(r[1] ** 2 for r in rows); sxy = sum(r[1] * r[2] for r in rows)
+    n_t = sum(r[0] for r in rows)
+    sy_t = sum(r[2] for r in rows if r[0]); sx_t = sum(r[1] for r in rows if r[0])
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    raw = sy_t / n_t - (sy - sy_t) / (n - n_t)
+    xd = sx_t / n_t - (sx - sx_t) / (n - n_t)
+    assert (got.n_t, got.n_c) == (4, 4)
+    assert got.theta_micro == round(theta * 1e6)
+    assert got.effect_raw_micro == round(raw * 1e6)
+    assert got.effect_cuped_micro == round((raw - theta * xd) * 1e6)
+    # the adjustment pulls the estimate toward the planted +10 effect
+    assert abs(got.effect_cuped_micro - 10_000_000) < abs(got.effect_raw_micro - 10_000_000)
+
+
+def test_cuped_zero_variance_covariate_sentinel(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.causal import cuped_adjusted_effect
+
+    rows = [(1, 7, 30), (1, 7, 34), (0, 7, 20), (0, 7, 24)]
+    units = spark.createDataFrame(rows, "t long, x long, y long")
+    got = cuped_adjusted_effect(units, F.col("t"), F.col("y"), F.col("x")).collect()[0]
+    assert got.theta_micro == 0
+    assert got.effect_cuped_micro == got.effect_raw_micro == 10_000_000
