@@ -2822,6 +2822,17 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_unigram_fertility_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (operators/unigram.py::unigram_fertility):
+    per-document pieces-per-word under the unigram_tokenize_docs
+    segmentation — the APPLY step: corpus exploded once, joined to the
+    broadcast distinct-word segmentation, exact integer DIV ratio."""
+    from pagerank_spark.operators.unigram import unigram_fertility
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_fertility(docs, max_len=4, min_count=5)
+
+
 def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B effect (operators/causal.py::
     cuped_adjusted_effect): per-user outcome = odd-event value cents,
@@ -7471,6 +7482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "unigram_fertility_docs": q_unigram_fertility_docs,
         "cuped_events": q_cuped_events,
         "widest_path_synth": q_widest_path_synth,
         "tree_rollup_synth": q_tree_rollup_synth,
@@ -8312,6 +8324,26 @@ SELECT w, cnt,
   (kn // 4096) - 2199023255552 AS score_nano,
   array_to_string(bkl[4:], ' ') AS seg
 FROM bk"""
+
+    sqls["unigram_fertility_docs"] = f"""
+WITH segout AS MATERIALIZED ({sqls["unigram_tokenize_docs"]}),
+dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, substring(w0, 1, 48) AS w FROM (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w0
+      FROM documents) t0) t
+  WHERE w <> ''),
+pd AS (
+  SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(s.n_tokens) AS BIGINT) AS n_pieces
+  FROM dw JOIN segout s ON s.w = dw.w GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(pd.n_words, 0) AS n_words,
+       COALESCE(pd.n_pieces, 0) AS n_pieces,
+       CASE WHEN COALESCE(pd.n_words, 0) > 0
+            THEN pd.n_pieces * 1000000 // pd.n_words
+            ELSE CAST(0 AS BIGINT) END AS fert_micro
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id"""
 
     sqls["birank_orders"] = """
 WITH e0 AS MATERIALIZED (

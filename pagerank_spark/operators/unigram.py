@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["unigram_vocab", "unigram_segment", "WORD_CAP"]
+__all__ = ["unigram_vocab", "unigram_segment", "unigram_fertility", "WORD_CAP"]
 
 WORD_CAP = 48
 _OFF = 1 << 41
@@ -178,4 +178,49 @@ def unigram_segment(
         F.expr("63 - ((kn DIV 64) % 64)").cast("long").alias("n_tokens"),
         F.expr(f"(kn DIV 4096) - CAST({_OFF} AS BIGINT)").alias("score_nano"),
         F.expr("array_join(slice(bk, 2, size(bk) - 1), ' ')").alias("seg"),
+    )
+
+
+def unigram_fertility(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document tokenizer fertility under the unigram segmentation:
+    ``(doc_id, n_words, n_pieces, fert_micro)`` with ``fert_micro`` =
+    pieces-per-word in exact micro-units (``n_pieces * 1e6 DIV n_words``)
+    — the standard tokenizer-quality metric (how much a tokenizer inflates
+    the corpus), and the APPLY step of the trainer: the corpus is exploded
+    once and joined to the DISTINCT-WORD segmentation table by word
+    (vocabulary-sized, broadcastable), so per-doc costs never re-run the
+    DP. Documents with no words report the 0 sentinel row.
+    """
+    seg = unigram_segment(docs, text_col, max_len, min_count).select(
+        "w", F.col("n_tokens").alias("__nt")
+    )
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("w0"),
+    ).select("doc_id", F.substring(F.col("w0"), 1, WORD_CAP).alias("w")).filter(
+        F.col("w") != ""
+    )
+    per_doc = (
+        words.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__nt").alias("n_pieces"),
+        )
+    )
+    all_docs = docs.select(F.col(id_col).alias("doc_id"))
+    return all_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.col("n_pieces"), F.lit(0)).cast("long").alias("n_pieces"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN n_pieces * 1000000 DIV n_words"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("fert_micro"),
     )

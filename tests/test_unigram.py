@@ -89,3 +89,24 @@ def test_unigram_every_word_segmentable(spark):
     # reassembly invariant
     for w, r in got.items():
         assert r.seg.replace(" ", "") == w
+
+
+def test_unigram_fertility_per_doc(spark):
+    from pagerank_spark.operators.unigram import unigram_fertility
+
+    texts = ["the theme theme the them", "the theme of them all the all", ""]
+    got = {r.doc_id: (r.n_words, r.n_pieces, r.fert_micro)
+           for r in unigram_fertility(_docs(spark, texts), min_count=3).collect()}
+    words, scores = _replay_vocab(texts, min_count=3)
+    nt = {w: _replay_segment(w, scores)[1] for w in words}
+
+    def doc_stats(t):
+        ws = [w[:48] for w in t.split() if w]
+        n_w = len(ws)
+        n_p = sum(nt[w] for w in ws)
+        return (n_w, n_p, (n_p * 10**6) // n_w if n_w else 0)
+
+    assert got[0] == doc_stats(texts[0])
+    assert got[1] == doc_stats(texts[1])
+    # empty doc -> sentinel row, not a missing row
+    assert got[2] == (0, 0, 0)
