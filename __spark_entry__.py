@@ -2822,6 +2822,25 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_conformal_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal regression interval (operators/regress.py::
+    conformal_interval): price-vs-quantity OLS fit on even orders,
+    90%-with-(n+1)-correction absolute-residual quantile on odd orders via
+    the exact k-th order statistic (histogram + distributed prefix sum).
+    Distribution-free uncertainty for any point forecaster."""
+    from pagerank_spark.operators.regress import conformal_interval
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return conformal_interval(
+        li,
+        x=F.col("l_quantity"),
+        y=F.round(F.col("l_extendedprice") * 100),
+        calib=F.pmod(F.col("l_orderkey"), F.lit(2)),
+        q_num=9,
+        q_den=10,
+    )
+
+
 def q_unigram_fertility_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility (operators/unigram.py::unigram_fertility):
     per-document pieces-per-word under the unigram_tokenize_docs
@@ -7482,6 +7501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "conformal_lineitem": q_conformal_lineitem,
         "unigram_fertility_docs": q_unigram_fertility_docs,
         "cuped_events": q_cuped_events,
         "widest_path_synth": q_widest_path_synth,
@@ -8099,6 +8119,36 @@ SELECT CAST(v AS BIGINT) AS a,
        CAST(v + 1 AS BIGINT) AS b,
        CAST(v + 100 AS BIGINT) AS weight
 FROM (SELECT unnest(range(0, 199)) AS v)"""
+
+    sqls["conformal_lineitem"] = """
+WITH rows_in AS MATERIALIZED (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(l_orderkey % 2 AS BIGINT) AS cal
+  FROM lineitem),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM rows_in WHERE cal = 0),
+res AS (
+  SELECT CAST(ROUND(ABS(CAST(y AS DOUBLE) - (((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) + ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(x AS DOUBLE)))
+              * 1000000.0) AS BIGINT) AS r
+  FROM rows_in CROSS JOIN m WHERE cal = 1),
+h AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS c FROM res GROUP BY 1),
+cum AS (SELECT r, CAST(SUM(c) OVER (ORDER BY r) AS BIGINT) AS cum FROM h),
+nr AS (SELECT CAST(MAX(cum) AS BIGINT) AS n_cal FROM cum),
+kk AS (SELECT n_cal, LEAST(n_cal, ((n_cal + 1) * 9 + 10 - 1) // 10) AS k FROM nr),
+qh AS (SELECT kk.n_cal, MIN(cum.r) AS qhat FROM cum CROSS JOIN kk
+       WHERE cum.cum >= kk.k GROUP BY 1),
+cov AS (SELECT qh.n_cal, qh.qhat, CAST(MAX(cum.cum) AS BIGINT) AS n_cov
+        FROM cum CROSS JOIN qh WHERE cum.r <= qh.qhat GROUP BY 1, 2)
+SELECT m.n AS n_fit, cov.n_cal,
+  CAST(ROUND(((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS a_micro,
+  CAST(ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1000000.0) AS BIGINT) AS b_micro,
+  cov.qhat AS qhat_micro,
+  cov.n_cov * 1000000 // cov.n_cal AS cov_cal_micro
+FROM cov CROSS JOIN m"""
 
     sqls["cuped_events"] = """
 WITH u AS MATERIALIZED (

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from fractions import Fraction
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -376,3 +376,102 @@ def theil_sen(
         .agg(F.min("slope").alias("med_slope_micro"))
     )
     return med.select(F.col("k").alias("grp"), "n_pairs", "med_slope_micro")
+
+
+def conformal_interval(
+    units: DataFrame,
+    x: Column,
+    y: Column,
+    calib: Column,
+    q_num: int = 9,
+    q_den: int = 10,
+) -> DataFrame:
+    """Split-conformal regression interval (Papadopoulos et al 2002; Lei
+    et al 2018, JASA — public methodology): fit a simple regression on the
+    proper-training split, take the level-``q`` empirical quantile of the
+    CALIBRATION split's absolute residuals with the finite-sample
+    ``(n+1)`` correction, and ``yhat ± qhat`` covers a fresh point with
+    probability >= q — distribution-free. The standard uncertainty wrapper
+    around any point forecaster.
+
+    ``x``/``y`` must be exact integers; ``calib`` is 0 (fit) / 1
+    (calibration). The fit is the closed-form d=2 OLS over one exact
+    BIGINT moment aggregation (the rdd_sharp tree); each calibration
+    residual ``|y - (a + b x)|`` is micro-rounded ONCE to an integer, and
+    the quantile is the exact k-th order statistic — value histogram +
+    two-phase distributed prefix sum + ``k = min(n_cal,
+    ceil(q*(n_cal+1)))`` — never a global sort, never a float comparison
+    (the exact_quantiles machinery). Returns ONE row: ``(n_fit, n_cal,
+    a_micro, b_micro, qhat_micro, cov_cal_micro)`` where ``cov_cal_micro``
+    is the achieved calibration coverage (>= q by construction).
+    Degenerate fits (n_fit < 2 or zero x-variance) emit 0 sentinels.
+    """
+    from .cumsum import distributed_cumsum
+
+    rows = units.select(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        calib.cast("long").alias("cal"),
+    ).localCheckpoint()
+    m = rows.filter(F.col("cal") == 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r0 = m.collect()[0]
+    n_fit = r0["n"]
+    ok = n_fit >= 2 and r0["n"] * r0["sxx"] - r0["sx"] * r0["sx"] != 0
+    if not ok:
+        return units.sparkSession.createDataFrame(
+            [(int(n_fit), 0, 0, 0, 0, 0)],
+            "n_fit long, n_cal long, a_micro long, b_micro long,"
+            " qhat_micro long, cov_cal_micro long",
+        )
+    # a/b recomputed in-plan from the SAME integer moments (identical
+    # double trees both engines; the one-row moment frame rides along as a
+    # cross join, no literal embedding needed)
+    b_expr = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+    )
+    a_expr = f"((CAST(sy AS DOUBLE) - {b_expr} * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))"
+    cal_res = (
+        rows.filter(F.col("cal") == 1)
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.expr(
+                f"CAST(ROUND(ABS(CAST(y AS DOUBLE) - ({a_expr} + {b_expr} * CAST(x AS DOUBLE)))"
+                " * 1000000.0) AS BIGINT)"
+            ).alias("r")
+        )
+    )
+    h = cal_res.groupBy("r").agg(F.count(F.lit(1)).alias("c"))
+    cum = distributed_cumsum(h, ["r"], "c", out_col="cum").select("r", "cum")
+    nrow = cum.agg(F.max("cum").alias("n_cal"))
+    k = F.expr(
+        f"LEAST(n_cal, ((n_cal + 1) * {int(q_num)} + {int(q_den)} - 1) DIV {int(q_den)})"
+    )
+    qhat = (
+        cum.crossJoin(F.broadcast(nrow.select("n_cal", k.alias("k"))))
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("n_cal")
+        .agg(F.min("r").alias("qhat"))
+    )
+    cov = (
+        cum.crossJoin(F.broadcast(qhat))
+        .filter(F.col("r") <= F.col("qhat"))
+        .groupBy("n_cal", "qhat")
+        .agg(F.max("cum").alias("n_cov"))
+    )
+    return cov.crossJoin(F.broadcast(m)).select(
+        F.col("n").alias("n_fit"),
+        F.col("n_cal"),
+        F.expr(f"CAST(ROUND({a_expr} * 1000000.0) AS BIGINT)").alias("a_micro"),
+        F.expr(f"CAST(ROUND({b_expr} * 1000000.0) AS BIGINT)").alias("b_micro"),
+        F.col("qhat").alias("qhat_micro"),
+        F.expr("n_cov * 1000000 DIV n_cal").alias("cov_cal_micro"),
+    )

@@ -67,3 +67,45 @@ def test_collinear_features_raise():
             moments.append((i, j, sum(r[i] * r[j] for r in z)))
     with pytest.raises(ValueError, match="singular"):
         solve_normal_equations(moments, 2)
+
+
+def test_conformal_interval_matches_python_replay(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.regress import conformal_interval
+
+    # fit split: exact line y = 3x + 10; calibration split: known residuals
+    fit = [(i, 3 * i + 10, 0) for i in range(1, 21)]
+    cal = [(5, 25 + d, 1) for d in (-7, -3, -1, 0, 1, 2, 4, 6, 8, 11)]
+    rows = fit + cal
+    df = spark.createDataFrame(rows, "x long, y long, cal long")
+    got = conformal_interval(df, F.col("x"), F.col("y"), F.col("cal"), 9, 10).collect()[0]
+    assert (got.n_fit, got.n_cal) == (20, 10)
+    assert got.a_micro == 10_000_000 and got.b_micro == 3_000_000
+    # residuals are |deltas|, k = min(10, ceil(11*9/10)) = 10 -> max residual
+    assert got.qhat_micro == 11_000_000
+    assert got.cov_cal_micro == 1_000_000
+
+
+def test_conformal_interval_quantile_correction(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.regress import conformal_interval
+
+    fit = [(i, 2 * i, 0) for i in range(1, 31)]
+    cal = [(1, 2 + d, 1) for d in range(1, 20)]  # residuals 1..19, n_cal=19
+    df = spark.createDataFrame(fit + cal, "x long, y long, cal long")
+    got = conformal_interval(df, F.col("x"), F.col("y"), F.col("cal"), 9, 10).collect()[0]
+    # k = ceil(20 * 9/10) = 18 -> 18th smallest residual = 18
+    assert got.qhat_micro == 18_000_000
+    assert got.cov_cal_micro == (18 * 10**6) // 19
+
+
+def test_conformal_interval_degenerate_sentinel(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.regress import conformal_interval
+
+    df = spark.createDataFrame([(5, 9, 0), (5, 11, 0), (3, 8, 1)], "x long, y long, cal long")
+    got = conformal_interval(df, F.col("x"), F.col("y"), F.col("cal")).collect()[0]
+    assert (got.n_fit, got.qhat_micro, got.cov_cal_micro) == (2, 0, 0)
