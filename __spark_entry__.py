@@ -2822,6 +2822,17 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_collective_influence_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collective influence at radius 2 (operators/graphstats.py::
+    collective_influence) over the part co-purchase graph: the
+    optimal-percolation influencer score (k_v-1) * sum of (k_w-1) over the
+    exact distance-2 frontier. One NN self-join + anti-join; all BIGINT."""
+    from pagerank_spark.operators.graphstats import collective_influence
+    from pagerank_spark.sources.graphs import lineitem_copurchase_graph
+
+    return collective_influence(lineitem_copurchase_graph(spark, sf_dir))
+
+
 def q_conformal_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal regression interval (operators/regress.py::
     conformal_interval): price-vs-quantity OLS fit on even orders,
@@ -7501,6 +7512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "collective_influence_copurchase": q_collective_influence_copurchase,
         "conformal_lineitem": q_conformal_lineitem,
         "unigram_fertility_docs": q_unigram_fertility_docs,
         "cuped_events": q_cuped_events,
@@ -8119,6 +8131,27 @@ SELECT CAST(v AS BIGINT) AS a,
        CAST(v + 1 AS BIGINT) AS b,
        CAST(v + 100 AS BIGINT) AS weight
 FROM (SELECT unnest(range(0, 199)) AS v)"""
+
+    sqls["collective_influence_copurchase"] = """
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sym AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e),
+deg AS MATERIALIZED (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY 1),
+n2 AS MATERIALIZED (
+  SELECT DISTINCT x.a AS v, y.b AS w
+  FROM sym x JOIN sym y ON y.a = x.b WHERE y.b <> x.a),
+fr AS (
+  SELECT n2.v, n2.w FROM n2 LEFT JOIN sym s ON s.a = n2.v AND s.b = n2.w
+  WHERE s.a IS NULL),
+sm AS (
+  SELECT fr.v AS id, CAST(SUM(dw.k - 1) AS BIGINT) AS s
+  FROM fr JOIN deg dw ON dw.id = fr.w GROUP BY 1)
+SELECT d.id, d.k AS degree,
+       CAST((d.k - 1) * COALESCE(sm.s, 0) AS BIGINT) AS ci
+FROM deg d LEFT JOIN sm ON sm.id = d.id"""
 
     sqls["conformal_lineitem"] = """
 WITH rows_in AS MATERIALIZED (

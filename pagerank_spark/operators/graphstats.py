@@ -924,3 +924,56 @@ def compress_chains(edges: DataFrame, rounds: int = 8) -> DataFrame:
         .dropDuplicates()
     )
     return rewritten
+
+
+def collective_influence(edges: DataFrame, cap_degree: int | None = None) -> DataFrame:
+    """Collective influence at radius 2 (Morone & Makse 2015, Nature —
+    public methodology): ``CI(v) = (k_v - 1) * sum over the EXACT
+    distance-2 frontier of (k_w - 1)`` — the optimal-percolation
+    influencer score; greedily removing top-CI vertices fragments a
+    network far faster than degree or PageRank order. Undirected input
+    ``(src, dst)``.
+
+    Shape: symmetrize; one neighbor-of-neighbor self-join (shuffled on
+    the middle vertex — at 100-TB scale this is the one quadratic-in-hub
+    step, so ``cap_degree`` optionally drops hubs above the cap from the
+    MIDDLE position, the bipartite_project guard, logged not silent);
+    frontier = NN pairs minus direct neighbors (anti-join) minus self;
+    one degree join + grouped sum. All exact BIGINTs. Returns
+    ``(id, degree, ci)`` — leaves score 0 (k-1 = 0), isolated frontier
+    likewise.
+    """
+    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).distinct()
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("k"))
+    mid = sym
+    if cap_degree is not None:
+        hot = deg.filter(F.col("k") > int(cap_degree))
+        n_hot = hot.count()
+        if n_hot:
+            print(f"collective_influence: dropping {n_hot} hub middles above degree {cap_degree}")
+        mid = sym.join(
+            hot.select(F.col("id").alias("a")), "a", "left_anti"
+        )
+    x = mid.select(F.col("a").alias("v"), F.col("b").alias("m"))
+    y = sym.select(F.col("a").alias("m"), F.col("b").alias("w"))
+    n2 = (
+        x.join(y, "m")
+        .filter(F.col("w") != F.col("v"))
+        .select("v", "w")
+        .distinct()
+    )
+    frontier = n2.join(
+        sym.select(F.col("a").alias("v"), F.col("b").alias("w")), ["v", "w"], "left_anti"
+    )
+    s = (
+        frontier.join(deg.select(F.col("id").alias("w"), F.col("k").alias("kw")), "w")
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum(F.col("kw") - 1).alias("s"))
+    )
+    return deg.join(s, "id", "left").select(
+        "id",
+        F.col("k").cast("long").alias("degree"),
+        ((F.col("k") - 1) * F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("ci"),
+    )

@@ -271,3 +271,37 @@ class TestRichClub:
         rows = {r["k"]: r for r in rich_club(df, ks=[1, 2, 4]).collect()}
         assert rows[1]["n_k"] >= rows[2]["n_k"] >= rows.get(4, rows[2])["n_k"]
         assert rows[1]["e_k"] >= rows[2]["e_k"]
+
+
+def test_collective_influence_hand_graph(spark):
+    from pagerank_spark.operators.graphstats import collective_influence
+
+    # star 0-(1,2,3) plus chain 3-4-5: frontiers computed by hand
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.id: (r.degree, r.ci) for r in collective_influence(e).collect()}
+    # degrees: 0->3, 1->1, 2->1, 3->2, 4->2, 5->1
+    assert {k: v[0] for k, v in got.items()} == {0: 3, 1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+    # v=0: frontier {4} -> (3-1)*(2-1) = 2
+    assert got[0][1] == 2
+    # v=1: frontier {2,3} -> 0 * ... = 0 (leaf)
+    assert got[1][1] == 0
+    # v=3: frontier {1,2,5} -> (2-1)*(0+0+0) = 0 (all leaves)
+    assert got[3][1] == 0
+    # v=4: frontier {0} -> (2-1)*(3-1) = 2
+    assert got[4][1] == 2
+    # v=5: leaf -> 0
+    assert got[5][1] == 0
+
+
+def test_collective_influence_hub_cap_guard(spark):
+    from pagerank_spark.operators.graphstats import collective_influence
+
+    # hub 0 with 5 leaves; capping degree 4 removes hub middles, so leaves
+    # lose their (only, hub-mediated) frontier
+    e = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    full = {r.id: r.ci for r in collective_influence(e).collect()}
+    capped = {r.id: r.ci for r in collective_influence(e, cap_degree=4).collect()}
+    assert full[1] == 0 and full[0] == 0  # leaves have k-1=0; hub frontier empty
+    assert capped == {i: 0 for i in range(6)}
