@@ -2822,6 +2822,18 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_knn_loo_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification (operators/classify.py::
+    knn_classifier_loo, k=3): majority cosine-neighbor label per embedding
+    vs its own label — the embedding-quality probe. Composes the exact
+    quantized-cosine kNN-graph oracle with one label join and a
+    deterministic (votes DESC, label ASC) argmax."""
+    from pagerank_spark.operators.classify import knn_classifier_loo
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_classifier_loo(emb, k=3)
+
+
 def q_collective_influence_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collective influence at radius 2 (operators/graphstats.py::
     collective_influence) over the part co-purchase graph: the
@@ -7512,6 +7524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "knn_loo_embeddings": q_knn_loo_embeddings,
         "collective_influence_copurchase": q_collective_influence_copurchase,
         "conformal_lineitem": q_conformal_lineitem,
         "unigram_fertility_docs": q_unigram_fertility_docs,
@@ -8131,6 +8144,20 @@ SELECT CAST(v AS BIGINT) AS a,
        CAST(v + 1 AS BIGINT) AS b,
        CAST(v + 100 AS BIGINT) AS weight
 FROM (SELECT unnest(range(0, 199)) AS v)"""
+
+    sqls["knn_loo_embeddings"] = f"""
+WITH g AS MATERIALIZED ({_KNN_GRAPH_EMBEDDINGS_SQL}),
+votes AS (
+  SELECT g.vec_id, e.label AS nl, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM g JOIN embeddings e ON e.vec_id = g.neighbor GROUP BY 1, 2),
+top AS (
+  SELECT vec_id, nl AS pred, votes FROM (
+    SELECT vec_id, nl, votes,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY votes DESC, nl ASC) AS rn
+    FROM votes) WHERE rn = 1)
+SELECT t.vec_id, CAST(e.label AS BIGINT) AS label, CAST(t.pred AS BIGINT) AS pred,
+       t.votes, CASE WHEN t.pred = e.label THEN 1 ELSE 0 END AS correct
+FROM top t JOIN embeddings e ON e.vec_id = t.vec_id"""
 
     sqls["collective_influence_copurchase"] = """
 WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

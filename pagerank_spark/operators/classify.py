@@ -292,3 +292,50 @@ def logreg_gd(
     return out.select(
         "n", *[f"beta{j}_nano" for j in range(d)], "n_correct", "prob_sum_nano"
     )
+
+
+def knn_classifier_loo(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out k-nearest-neighbor classification over an embedding
+    corpus (Fix & Hodges 1951; Cover & Hart 1967 — public methodology):
+    every vector is scored by the majority label of its k cosine
+    neighbors (itself excluded — the knn_graph contract), the standard
+    embedding-quality probe ("are same-label points neighbors?") run
+    before trusting a representation for retrieval or dedup.
+
+    Composes the exact quantized-cosine :func:`~pagerank_spark.operators.
+    similarity.knn_graph` (deterministic ranks, integer dot products) with
+    one label join and a per-vector keyed-window argmax under the total
+    order ``(votes DESC, label ASC)`` — fully deterministic, no floats
+    past the reused kNN. Returns ``(vec_id, label, pred, votes,
+    correct)`` one row per scorable vector (zero-norm vectors drop with
+    the kNN contract).
+    """
+    from .similarity import knn_graph
+
+    g = knn_graph(emb, k=k, id_col=id_col, vec_col=vec_col)
+    lab = emb.select(F.col(id_col).alias("neighbor"), F.col(label_col).alias("__nl"))
+    votes = (
+        g.join(lab, "neighbor")
+        .groupBy(F.col(id_col), F.col("__nl"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("votes").desc(), F.col("__nl").asc())
+    top = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("__nl").alias("pred"), "votes")
+    )
+    own = emb.select(F.col(id_col), F.col(label_col).alias("label"))
+    return top.join(own, id_col).select(
+        id_col,
+        F.col("label").cast("long").alias("label"),
+        F.col("pred").cast("long").alias("pred"),
+        F.col("votes").cast("long").alias("votes"),
+        (F.col("pred") == F.col("label")).cast("long").alias("correct"),
+    )

@@ -122,3 +122,23 @@ def test_logreg_matches_python_replay(spark):
     # gradient descent moved the slope toward the label correlation
     assert got.beta1_nano > 0
     assert got.n_correct >= 8
+
+
+def test_knn_loo_two_clusters(spark):
+    from pagerank_spark.operators.classify import knn_classifier_loo
+
+    # two tight clusters with distinct labels + one mislabeled point
+    vecs = (
+        [(i, [4.0 + 0.25 * i, 0.5], 0) for i in range(4)]
+        + [(10 + i, [0.5, 4.0 + 0.25 * i], 1) for i in range(4)]
+        + [(99, [4.9, 0.4], 1)]  # sits in cluster 0, labeled 1
+    )
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: r for r in knn_classifier_loo(emb, k=3).collect()}
+    for i in range(4):
+        assert got[i].pred == 0 and got[i].correct == 1
+    for i in range(4):
+        assert got[10 + i].pred == 1 and got[10 + i].correct == 1
+    # the planted mislabeled point is predicted into its geometric cluster
+    assert got[99].pred == 0 and got[99].correct == 0
+    assert got[99].votes == 3
