@@ -2822,6 +2822,19 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point silhouette (operators/clustering.py::silhouette) of the
+    kmeans_embeddings clustering (k=4, 2 rounds, grid 1024): exact BIGINT
+    squared distances, per-pair SQRT nano-rounded before the order-free
+    cluster sums, one fixed double tree for (b-a)/max(a,b). The
+    cluster-quality eval composed over the value-gated k-means."""
+    from pagerank_spark.operators.clustering import kmeans_assign, silhouette
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out, _ = kmeans_assign(emb, k=4, iters=2, scale=1024)
+    return silhouette(emb, out.select("vec_id", "cluster"))
+
+
 def q_knn_loo_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out kNN classification (operators/classify.py::
     knn_classifier_loo, k=3): majority cosine-neighbor label per embedding
@@ -7524,6 +7537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "silhouette_embeddings": q_silhouette_embeddings,
         "knn_loo_embeddings": q_knn_loo_embeddings,
         "collective_influence_copurchase": q_collective_influence_copurchase,
         "conformal_lineitem": q_conformal_lineitem,
@@ -11101,6 +11115,37 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
+
+    sqls["silhouette_embeddings"] = f"""
+WITH asg AS MATERIALIZED ({sqls["kmeans_embeddings"]}),
+q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+pts AS MATERIALIZED (
+  SELECT q.vec_id AS i, q.qv AS vi, a.cluster AS ci
+  FROM q JOIN asg a ON a.vec_id = q.vec_id),
+pairs AS MATERIALIZED (
+  SELECT a.i, a.ci, b.ci AS cj,
+         CAST(ROUND(SQRT(CAST(list_sum(list_transform(range(1, 65),
+              k -> (a.vi[k] - b.vi[k]) * (a.vi[k] - b.vi[k]))) AS DOUBLE))
+              * 1000000000.0) AS BIGINT) AS dn
+  FROM pts a JOIN pts b ON a.i <> b.i),
+per_c AS (
+  SELECT i, ci, cj, CAST(SUM(dn) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY 1, 2, 3),
+own AS (SELECT i, s AS sa, c AS na FROM per_c WHERE ci = cj),
+bt AS (SELECT i, MIN(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) AS b
+       FROM per_c WHERE ci <> cj GROUP BY 1)
+SELECT p.i AS vec_id, p.ci AS cluster,
+       COALESCE(own.na, 0) AS n_own,
+       CASE WHEN own.sa IS NOT NULL AND bt.b IS NOT NULL AND own.na > 0
+             AND GREATEST(CAST(own.sa AS DOUBLE) / CAST(own.na AS DOUBLE), bt.b) > 0.0 THEN
+         CAST(ROUND((bt.b - CAST(own.sa AS DOUBLE) / CAST(own.na AS DOUBLE))
+              / GREATEST(CAST(own.sa AS DOUBLE) / CAST(own.na AS DOUBLE), bt.b)
+              * 1000000.0) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS s_micro
+FROM pts p LEFT JOIN own ON own.i = p.i LEFT JOIN bt ON bt.i = p.i"""
 
     # SemDeDup keep-first on the scale-128 grid: cos >= 7/20 decided by
     # integer cross-multiplication (400*dot^2 >= 49*|a|^2*|b|^2, dot > 0)

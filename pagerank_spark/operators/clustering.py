@@ -274,3 +274,75 @@ def mst_cut_clusters(
     return verts.join(cc, "id", "left").select(
         "id", F.coalesce(F.col("component"), F.col("id")).alias("cluster")
     )
+
+
+def silhouette(
+    emb: DataFrame,
+    assignments: DataFrame,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-point silhouette score (Rousseeuw 1987 — public methodology)
+    of a clustering: ``s = (b - a) / max(a, b)`` with ``a`` the mean
+    distance to the point's OWN cluster (self excluded) and ``b`` the
+    smallest mean distance to any OTHER cluster — the standard
+    cluster-quality eval for the k-means family.
+
+    Distances are Euclidean over the ``round(x*scale)`` integer grid:
+    squared distances are exact BIGINTs (one zip_with lambda), each
+    per-pair SQRT (correctly-rounded IEEE) is nano-rounded BEFORE the
+    per-cluster sums (the repo's per-term discipline — sums become
+    order-free integers), and a/b/s are one fixed double tree over those
+    integers, micro-rounded once. Singletons and single-cluster corpora
+    emit the 0 sentinel.
+
+    Scale shape: the all-pairs join is the brute-force baseline (correct
+    up to ~10^5 points; sample first beyond — the knn_graph contract).
+    Returns ``(vec_id, cluster, n_own, s_micro)``.
+    """
+    q = quantize_vectors(emb, scale=scale, vec_col=vec_col).select(
+        F.col(id_col), F.col("qvec")
+    )
+    pts = q.join(assignments, id_col).select(
+        F.col(id_col).alias("i"), F.col("qvec").alias("vi"), F.col("cluster").alias("ci")
+    )
+    other = pts.select(
+        F.col("i").alias("j"), F.col("vi").alias("vj"), F.col("ci").alias("cj")
+    )
+    pairs = pts.join(other, F.col("i") != F.col("j")).select(
+        "i",
+        "ci",
+        "cj",
+        F.expr(
+            "CAST(ROUND(SQRT(CAST(aggregate(zip_with(vi, vj, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)) * 1000000000.0) AS BIGINT)"
+        ).alias("dn"),
+    )
+    per_c = pairs.groupBy("i", "ci", "cj").agg(
+        F.sum("dn").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    own = per_c.filter(F.col("ci") == F.col("cj")).select(
+        "i", F.col("s").alias("sa"), F.col("c").alias("na")
+    )
+    btab = (
+        per_c.filter(F.col("ci") != F.col("cj"))
+        .groupBy("i")
+        .agg(F.min(F.expr("CAST(s AS DOUBLE) / CAST(c AS DOUBLE)")).alias("b"))
+    )
+    base = pts.select(F.col("i"), F.col("ci").alias("cluster"))
+    out = base.join(own, "i", "left").join(btab, "i", "left")
+    sexpr = (
+        "CASE WHEN sa IS NOT NULL AND b IS NOT NULL AND na > 0"
+        " AND GREATEST(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), b) > 0.0 THEN"
+        " CAST(ROUND((b - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))"
+        " / GREATEST(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), b)"
+        " * 1000000.0) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    return out.select(
+        F.col("i").alias(id_col),
+        "cluster",
+        F.coalesce(F.col("na"), F.lit(0)).cast("long").alias("n_own"),
+        F.expr(sexpr).alias("s_micro"),
+    )

@@ -198,3 +198,47 @@ def test_mst_cut_k1_is_plain_components(spark):
     )
     got = {r.id: r.cluster for r in mst_cut_clusters(df, k=1).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_silhouette_separated_clusters_high_scores(spark):
+    from pagerank_spark.operators.clustering import silhouette
+
+    vecs = (
+        [(i, [10.0 + i, 0.0]) for i in range(3)]
+        + [(10 + i, [0.0, 10.0 + i]) for i in range(3)]
+    )
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    asg = spark.createDataFrame(
+        [(i, 0) for i in range(3)] + [(10 + i, 1) for i in range(3)],
+        "vec_id long, cluster long",
+    )
+    got = {r.vec_id: r for r in silhouette(emb, asg).collect()}
+    for v, r in got.items():
+        assert r.n_own == 2
+        assert r.s_micro > 800_000  # well-separated -> s close to 1
+
+
+def test_silhouette_replay_and_sentinels(spark):
+    import math
+
+    from pagerank_spark.operators.clustering import silhouette
+
+    vecs = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [5.0, 0.0]), (3, [9.0, 9.0])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    # clusters: {0,1}, {2}, {3} — 2 and 3 are singletons -> sentinel 0
+    asg = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 2)], "vec_id long, cluster long"
+    )
+    got = {r.vec_id: r for r in silhouette(emb, asg).collect()}
+    assert got[2].s_micro == 0 and got[2].n_own == 0
+    assert got[3].s_micro == 0
+
+    pts = {i: [x * 1024 for x in v] for i, v in
+           ((i, v) for i, v in vecs)}
+    def dn(a, b):
+        return round(math.sqrt(sum((x - y) ** 2 for x, y in zip(pts[a], pts[b]))) * 1e9)
+    # point 0: a = dn(0,1); b = min(dn(0,2)/1, dn(0,3)/1)
+    a = dn(0, 1) / 1
+    b = min(dn(0, 2), dn(0, 3))
+    want = round((b - a) / max(a, b) * 1e6)
+    assert got[0].s_micro == want
