@@ -2822,6 +2822,21 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/infotheory.py::psi) of the
+    $50k order-price bin distribution between even (baseline) and odd
+    (current) customers — the model-monitoring drift metric. Add-1 over
+    the union bins; per-bin terms nano-rounded before the integer sum."""
+    from pagerank_spark.operators.infotheory import psi
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return psi(
+        o,
+        slice_col=F.pmod(F.col("o_custkey"), F.lit(2)),
+        bin_col=F.round(F.col("o_totalprice") * 100).cast("long") / 5_000_000,
+    )
+
+
 def q_silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-point silhouette (operators/clustering.py::silhouette) of the
     kmeans_embeddings clustering (k=4, 2 rounds, grid 1024): exact BIGINT
@@ -7537,6 +7552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "psi_orders": q_psi_orders,
         "silhouette_embeddings": q_silhouette_embeddings,
         "knn_loo_embeddings": q_knn_loo_embeddings,
         "collective_influence_copurchase": q_collective_influence_copurchase,
@@ -11115,6 +11131,20 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
+
+    sqls["psi_orders"] = """
+WITH rows_in AS MATERIALIZED (
+  SELECT CAST(o_custkey % 2 AS BIGINT) AS sl,
+         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000 AS BIGINT) AS b
+  FROM orders),
+bins AS (
+  SELECT b, CAST(SUM(1 - sl) AS BIGINT) AS ca, CAST(SUM(sl) AS BIGINT) AS cb
+  FROM rows_in GROUP BY 1),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb,
+               CAST(COUNT(*) AS BIGINT) AS nb FROM bins)
+SELECT ta AS n_base, tb AS n_cur, nb AS n_bins,
+       CAST(SUM(CAST(ROUND(((CAST(ca + 1 AS DOUBLE) / CAST(ta + nb AS DOUBLE)) - (CAST(cb + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE))) * LN((CAST(ca + 1 AS DOUBLE) / CAST(ta + nb AS DOUBLE)) / (CAST(cb + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE))) * 1000000000.0) AS BIGINT)) AS BIGINT) AS psi_nano
+FROM bins CROSS JOIN tot GROUP BY ta, tb, nb"""
 
     sqls["silhouette_embeddings"] = f"""
 WITH asg AS MATERIALIZED ({sqls["kmeans_embeddings"]}),

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["token_divergence", "mutual_information", "transition_entropy", "token_class_chi2"]
+__all__ = ["token_divergence", "mutual_information", "transition_entropy", "token_class_chi2", "psi"]
 
 _NANO = 1_000_000_000
 
@@ -271,4 +271,52 @@ def token_class_chi2(
         per.select("token", "df", "df_class", F.expr(guarded).alias("chi2_micro"))
         .orderBy(F.col("chi2_micro").desc(), F.col("token").asc())
         .limit(int(k))
+    )
+
+
+def psi(
+    df: DataFrame,
+    slice_col,
+    bin_col,
+) -> DataFrame:
+    """Population Stability Index (the standard credit-scoring /
+    model-monitoring drift metric — public methodology; a symmetrized
+    binned KL): ``PSI = sum over bins (p_b - q_b) * ln(p_b / q_b)``
+    between the ``slice_col = 0`` (baseline) and ``= 1`` (current)
+    populations of the caller-binned integer ``bin_col`` (binning is the
+    caller's contract, the quantile/stump convention). Rule-of-thumb
+    thresholds: < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted.
+
+    Add-1 smoothing over the union bin set keeps every term finite (the
+    token_divergence convention). ONE map-side-combined aggregation to the
+    bin table (conditional counts per slice), totals ride back in-plan;
+    each per-bin term is nano-rounded BEFORE the (order-free, BIGINT) sum.
+    Returns ONE row: ``(n_base, n_cur, n_bins, psi_nano)``.
+    """
+    rows = df.select(
+        slice_col.cast("long").alias("sl"), bin_col.cast("long").alias("b")
+    )
+    bins = rows.groupBy("b").agg(
+        F.sum(F.lit(1) - F.col("sl")).alias("ca"),
+        F.sum("sl").alias("cb"),
+    )
+    tot = bins.agg(
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    pa = "(CAST(ca + 1 AS DOUBLE) / CAST(ta + nb AS DOUBLE))"
+    pb = "(CAST(cb + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE))"
+    term = f"CAST(ROUND(({pa} - {pb}) * LN({pa} / {pb}) * 1000000000.0) AS BIGINT)"
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select("ta", "tb", "nb", F.expr(term).alias("t"))
+        .groupBy("ta", "tb", "nb")
+        .agg(F.sum("t").alias("psi_nano"))
+        .select(
+            F.col("ta").alias("n_base"),
+            F.col("tb").alias("n_cur"),
+            F.col("nb").cast("long").alias("n_bins"),
+            F.col("psi_nano"),
+        )
     )

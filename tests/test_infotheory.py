@@ -127,3 +127,30 @@ def test_token_class_chi2_order_and_k(spark):
     # descending chi2, token tiebreak ascending
     pairs = [(r.chi2_micro, r.token) for r in out]
     assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_psi_identical_slices_near_zero_and_replay(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.infotheory import psi
+
+    # identical bin distributions -> PSI exactly 0 (p == q per bin)
+    rows = [(s, b) for s in (0, 1) for b in (1, 1, 2, 2, 2, 3)]
+    df = spark.createDataFrame(rows, "sl long, b long")
+    got = psi(df, F.col("sl"), F.col("b")).collect()[0]
+    assert (got.n_base, got.n_cur, got.n_bins) == (6, 6, 3)
+    assert got.psi_nano == 0
+
+    # shifted distribution: exact replay of the smoothed nano terms
+    rows2 = [(0, 1)] * 8 + [(0, 2)] * 2 + [(1, 1)] * 2 + [(1, 2)] * 8
+    df2 = spark.createDataFrame(rows2, "sl long, b long")
+    got2 = psi(df2, F.col("sl"), F.col("b")).collect()[0]
+    want = 0
+    for ca, cb in ((8, 2), (2, 8)):
+        pa = (ca + 1) / (10 + 2)
+        pb = (cb + 1) / (10 + 2)
+        want += round((pa - pb) * math.log(pa / pb) * 1e9)
+    assert got2.psi_nano == want
+    assert got2.psi_nano > 250_000_000  # "shifted" by the rule of thumb
