@@ -2822,6 +2822,26 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_rbo_rankings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap @10, p=0.9 (operators/mleval.py::rbo_at_k)
+    between the BM25 ranking and a document-length prior ranking — the
+    top-weighted ranker-diff metric. Exactness via the suffix-weight
+    identity: RBO = sum over common docs of W[max(r_A, r_B)] with W a
+    Python-literal nano array; one join, one exact BIGINT sum."""
+    from pyspark.sql import Window
+
+    from pagerank_spark.operators.mleval import rbo_at_k
+    from pagerank_spark.operators.retrieval import bm25_topk
+
+    terms = ["spark", "shuffle", "join", "query"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wa = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    rank_a = bm25_topk(docs, terms, k=10).withColumn("rank", F.row_number().over(wa))
+    wb = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    rank_b = docs.select("doc_id", "n_chars").withColumn("rank", F.row_number().over(wb))
+    return rbo_at_k(rank_a, rank_b, k=10, p=0.9)
+
+
 def q_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index (operators/infotheory.py::psi) of the
     $50k order-price bin distribution between even (baseline) and odd
@@ -7552,6 +7572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "rbo_rankings_docs": q_rbo_rankings_docs,
         "psi_orders": q_psi_orders,
         "silhouette_embeddings": q_silhouette_embeddings,
         "knn_loo_embeddings": q_knn_loo_embeddings,
@@ -12425,6 +12446,26 @@ SELECT CAST(10 AS BIGINT) AS k, n_ranked, n_rel,
        CAST(CASE WHEN fr IS NOT NULL THEN 1000000 // fr ELSE 0 END AS BIGINT) AS mrr_micro,
        CAST(CASE WHEN n_rel > 0 THEN s // n_rel ELSE 0 END AS BIGINT) AS ap_nano
 FROM a"""
+
+    sqls["rbo_rankings_docs"] = f"""
+WITH ra AS MATERIALIZED (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rk
+  FROM ({sqls["bm25_docs"]})
+),
+rb AS MATERIALIZED (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+),
+a AS (SELECT doc_id, rk FROM ra WHERE rk <= 10),
+b AS (SELECT doc_id, rk FROM rb WHERE rk <= 10),
+j AS (SELECT ([235416399, 135416399, 90416399, 63416399, 45191399, 32069399, 22227899, 14635885, 8657174, 3874205])[GREATEST(a.rk, b.rk)] AS w
+      FROM a JOIN b ON a.doc_id = b.doc_id)
+SELECT CAST(10 AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(COALESCE(SUM(w), 0) AS BIGINT) AS rbo_nano
+FROM j"""
 
     # duplicated-window membership and interval union are pure set algebra
     # on integer positions — the cleaned text is string-exact both sides

@@ -839,3 +839,60 @@ def map_mrr_at_k(
         .cast("long")
         .alias("ap_nano"),
     )
+
+
+def rbo_weights(k: int, p: float = 0.9) -> list[int]:
+    """Suffix-summed RBO weights as integer nano-units:
+    ``W[m] = sum_{d=m..k} (1-p) * p^(d-1) / d`` for m = 1..k, each term
+    computed ONCE in Python and inlined as literals on both engines
+    (engine-side POW is not correctly-rounded IEEE — the ndcg_weights /
+    Benford rule)."""
+    terms = [(1.0 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    return [int(round(sum(terms[m - 1:]) * 1e9)) for m in range(1, k + 1)]
+
+
+def rbo_at_k(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Truncated Rank-Biased Overlap (Webber, Moffat & Zobel 2010, TOIS —
+    public methodology) between two top-``k`` rankings: ``RBO@k = (1-p) *
+    sum_{d=1..k} p^(d-1) * |A_d ∩ B_d| / d`` — the standard top-weighted
+    ranking-similarity metric (search-quality regression tests, ranker
+    A/B diffs), robust to non-conjoint lists where Kendall's tau is not.
+
+    Exactness trick: swapping the summation order gives ``RBO@k = sum
+    over docs in BOTH prefixes of W[max(r_A, r_B)]`` with ``W`` the
+    suffix-summed weight array from :func:`rbo_weights` — so the whole
+    metric is ONE inner join + one literal-array lookup + one exact
+    BIGINT sum of nano weights. No per-depth pass, no floats engine-side.
+
+    Returns ONE row: ``(k, n_a, n_b, n_common, rbo_nano)`` — rbo_nano in
+    [0, 1e9]; 1e9 iff the prefixes are identical as sets at every depth.
+    """
+    warr = F.array([F.lit(x) for x in rbo_weights(k, p)])
+    a = rank_a.filter(F.col(rank_col) <= k).select(
+        F.col(id_col).alias("__id"), F.col(rank_col).cast("int").alias("__ra")
+    )
+    b = rank_b.filter(F.col(rank_col) <= k).select(
+        F.col(id_col).alias("__id"), F.col(rank_col).cast("int").alias("__rb")
+    )
+    j = a.join(b, "__id").select(
+        F.element_at(warr, F.greatest(F.col("__ra"), F.col("__rb"))).alias("__w")
+    )
+    na = a.count()
+    nb = b.count()
+    return j.agg(
+        F.coalesce(F.sum("__w"), F.lit(0)).alias("rbo_nano"),
+        F.count(F.lit(1)).alias("n_common"),
+    ).select(
+        F.lit(k).cast("long").alias("k"),
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("rbo_nano").cast("long").alias("rbo_nano"),
+    )

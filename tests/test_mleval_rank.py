@@ -33,3 +33,32 @@ def test_map_mrr_perfect_ranking(spark):
     # graded labels binarize; prefix precisions are exactly 1
     assert got.mrr_micro == 1_000_000
     assert got.ap_nano == 1_000_000_000
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from pagerank_spark.operators.mleval import rbo_at_k, rbo_weights
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 6)], "doc_id long, rank long")
+    got = rbo_at_k(a, a, k=5, p=0.9).collect()[0]
+    # identical lists: every doc contributes W[max(r,r)] = W[r]
+    assert got.rbo_nano == sum(rbo_weights(5, 0.9)[r - 1] for r in range(1, 6))
+    assert got.n_common == 5
+
+    b = spark.createDataFrame([(100 + i, i) for i in range(1, 6)], "doc_id long, rank long")
+    got2 = rbo_at_k(a, b, k=5, p=0.9).collect()[0]
+    assert (got2.n_common, got2.rbo_nano) == (0, 0)
+
+
+def test_rbo_partial_overlap_replay(spark):
+    from pagerank_spark.operators.mleval import rbo_at_k
+
+    # A: 1,2,3 ; B: 2,1,9 — X_1=0, X_2=2, X_3=2
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (1, 2), (9, 3)], "doc_id long, rank long")
+    got = rbo_at_k(a, b, k=3, p=0.9).collect()[0]
+    p = 0.9
+    terms = [(1 - p) * p ** (d - 1) / d for d in (1, 2, 3)]
+    # doc1: max(1,2)=2 -> W[2]; doc2: max(2,1)=2 -> W[2]
+    w2 = round(sum(terms[1:]) * 1e9)
+    assert got.rbo_nano == 2 * w2
+    assert got.n_common == 2
