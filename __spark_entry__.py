@@ -2822,6 +2822,25 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_bridges_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bridge detection (algos/bridges.py): two planted
+    6-cycles joined by a 3-edge bridge chain plus a pendant leaf —
+    bridges are exactly the chain + leaf edges, stated closed-form by the
+    oracle while the engine runs the full spanning-forest + cycle-tag-XOR
+    + BFS-rooting + XOR-rollup composition."""
+    from pagerank_spark.algos.bridges import bridges
+
+    six = spark.range(6).select(F.col("id").alias("v"))
+    cyc_a = six.select(F.col("v").alias("src"), ((F.col("v") + 1) % 6).alias("dst"))
+    cyc_b = six.select(
+        (F.col("v") + 12).alias("src"), (((F.col("v") + 1) % 6) + 12).alias("dst")
+    )
+    extra = spark.createDataFrame(
+        [(5, 10), (10, 11), (11, 12), (17, 20)], "src long, dst long"
+    )
+    return bridges(cyc_a.unionByName(cyc_b).unionByName(extra))
+
+
 def q_rbo_rankings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-Biased Overlap @10, p=0.9 (operators/mleval.py::rbo_at_k)
     between the BM25 ranking and a document-length prior ranking — the
@@ -7572,6 +7591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "bridges_synth": q_bridges_synth,
         "rbo_rankings_docs": q_rbo_rankings_docs,
         "psi_orders": q_psi_orders,
         "silhouette_embeddings": q_silhouette_embeddings,
@@ -11152,6 +11172,19 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
+
+    sqls["bridges_synth"] = """
+WITH raw AS (
+  SELECT v AS s, (v + 1) % 6 AS d FROM (SELECT unnest(range(0, 6)) AS v)
+  UNION ALL
+  SELECT v + 12, ((v + 1) % 6) + 12 FROM (SELECT unnest(range(0, 6)) AS v)
+  UNION ALL SELECT 5, 10 UNION ALL SELECT 10, 11
+  UNION ALL SELECT 11, 12 UNION ALL SELECT 17, 20)
+SELECT CAST(LEAST(s, d) AS BIGINT) AS a, CAST(GREATEST(s, d) AS BIGINT) AS b,
+       CAST(CASE WHEN (LEAST(s, d), GREATEST(s, d)) IN
+                 ((5, 10), (10, 11), (11, 12), (17, 20)) THEN 1 ELSE 0 END
+            AS BIGINT) AS is_bridge
+FROM raw"""
 
     sqls["psi_orders"] = """
 WITH rows_in AS MATERIALIZED (

@@ -1,0 +1,58 @@
+"""Bridge detection: brute-force removal parity + structure cases."""
+
+
+def _brute_bridges(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+
+    def n_comp(es):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        verts = {v for e in und for v in e}
+        for a, b in es:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        return len({find(v) for v in verts})
+
+    base = n_comp(und)
+    return {e for e in und if n_comp(und - {e}) > base}
+
+
+def test_bridges_brute_force_parity(spark):
+    from pagerank_spark.algos.bridges import bridges
+
+    # two triangles joined by a 2-edge path, a pendant, a 4-cycle with a
+    # chord, and an isolated bridge component
+    edges = [
+        (0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6),
+        (6, 7),                       # pendant
+        (10, 11), (11, 12), (12, 13), (13, 10), (10, 12),  # chorded 4-cycle
+        (20, 21),                     # isolated bridge
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.a, r.b) for r in bridges(df).collect() if r.is_bridge}
+    assert got == _brute_bridges(edges)
+
+
+def test_bridges_pure_tree_all_bridges(spark):
+    from pagerank_spark.algos.bridges import bridges
+
+    edges = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = bridges(df).collect()
+    assert all(r.is_bridge == 1 for r in out)
+    assert len(out) == 10
+
+
+def test_bridges_cycle_none(spark):
+    from pagerank_spark.algos.bridges import bridges
+
+    edges = [(i, (i + 1) % 8) for i in range(8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert all(r.is_bridge == 0 for r in bridges(df).collect())
