@@ -2822,6 +2822,24 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_two_edge_cc_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-edge-connected components (algos/bridges.py::two_edge_components)
+    on the bridges_synth planted graph: deleting the four bridges leaves
+    {0..5}, {10}, {11}, {12..17}, {20} — min-label closed form in the
+    oracle, full bridges->anti-join->CC composition in the engine."""
+    from pagerank_spark.algos.bridges import two_edge_components
+
+    six = spark.range(6).select(F.col("id").alias("v"))
+    cyc_a = six.select(F.col("v").alias("src"), ((F.col("v") + 1) % 6).alias("dst"))
+    cyc_b = six.select(
+        (F.col("v") + 12).alias("src"), (((F.col("v") + 1) % 6) + 12).alias("dst")
+    )
+    extra = spark.createDataFrame(
+        [(5, 10), (10, 11), (11, 12), (17, 20)], "src long, dst long"
+    )
+    return two_edge_components(cyc_a.unionByName(cyc_b).unionByName(extra))
+
+
 def q_bridges_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed bridge detection (algos/bridges.py): two planted
     6-cycles joined by a 3-edge bridge chain plus a pendant leaf —
@@ -7591,6 +7609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "two_edge_cc_synth": q_two_edge_cc_synth,
         "bridges_synth": q_bridges_synth,
         "rbo_rankings_docs": q_rbo_rankings_docs,
         "psi_orders": q_psi_orders,
@@ -11172,6 +11191,12 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
+
+    sqls["two_edge_cc_synth"] = """
+SELECT CAST(v AS BIGINT) AS id,
+       CAST(CASE WHEN v <= 5 THEN 0 WHEN v BETWEEN 12 AND 17 THEN 12
+                 ELSE v END AS BIGINT) AS component
+FROM (SELECT unnest([0, 1, 2, 3, 4, 5, 10, 11, 12, 13, 14, 15, 16, 17, 20]) AS v)"""
 
     sqls["bridges_synth"] = """
 WITH raw AS (

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bridges"]
+__all__ = ["bridges", "two_edge_components"]
 
 # endpoint mix: ids pre-modded to 2^20 keep every product inside BIGINT;
 # two distinct odd multipliers decorrelate the two positions
@@ -171,4 +171,30 @@ def bridges(edges: DataFrame, max_iters: int = 60) -> DataFrame:
     )
     return und.join(verdict, ["a", "b"], "left").select(
         "a", "b", F.coalesce(F.col("is_bridge"), F.lit(0)).cast("long").alias("is_bridge")
+    )
+
+
+def two_edge_components(edges: DataFrame, max_iters: int = 60) -> DataFrame:
+    """``(id, component)`` — 2-edge-connected components: the equivalence
+    classes of "connected even after any single edge fails", i.e.
+    connected components after deleting every bridge. The robustness
+    partition an SRE actually wants from a link graph (which page/host
+    clusters survive a single link failure). Pure composition:
+    :func:`bridges` -> anti-join -> the engine's min-label CC kernel;
+    vertices isolated by bridge removal label themselves.
+    """
+    from .components import connected_components
+
+    br = bridges(edges, max_iters=max_iters)
+    keep = br.filter(F.col("is_bridge") == 0).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    verts = (
+        br.select(F.col("a").alias("id"))
+        .unionByName(br.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(keep)
+    return verts.join(cc, "id", "left").select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
     )

@@ -56,3 +56,15 @@ def test_bridges_cycle_none(spark):
     edges = [(i, (i + 1) % 8) for i in range(8)]
     df = spark.createDataFrame(edges, "src long, dst long")
     assert all(r.is_bridge == 0 for r in bridges(df).collect())
+
+
+def test_two_edge_components_barbell(spark):
+    from pagerank_spark.algos.bridges import two_edge_components
+
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    got = {r.id: r.component for r in two_edge_components(
+        spark.createDataFrame(edges, "src long, dst long")).collect()}
+    # triangles survive; 3 is isolated by its two bridges
+    assert got[0] == got[1] == got[2]
+    assert got[4] == got[5] == got[6]
+    assert got[3] not in (got[0], got[4])
