@@ -2822,6 +2822,18 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_oddball_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OddBall egonet anomaly scores (operators/graphstats.py::
+    oddball_egonet) over the part co-purchase graph: the Egonet Density
+    Power Law fit (milli-ln exact moments, closed-form OLS) with per-vertex
+    |log-residual| anomaly scores — near-star and near-clique egonets
+    stand out. Triangles from the oriented-intersection kernel."""
+    from pagerank_spark.operators.graphstats import oddball_egonet
+    from pagerank_spark.sources.graphs import lineitem_copurchase_graph
+
+    return oddball_egonet(lineitem_copurchase_graph(spark, sf_dir))
+
+
 def q_two_edge_cc_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-edge-connected components (algos/bridges.py::two_edge_components)
     on the bridges_synth planted graph: deleting the four bridges leaves
@@ -7609,6 +7621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "oddball_copurchase": q_oddball_copurchase,
         "two_edge_cc_synth": q_two_edge_cc_synth,
         "bridges_synth": q_bridges_synth,
         "rbo_rankings_docs": q_rbo_rankings_docs,
@@ -11191,6 +11204,40 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
+
+    sqls["oddball_copurchase"] = """
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+dg AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY 1),
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+tv AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS t FROM (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+) GROUP BY 1),
+ego AS MATERIALIZED (
+  SELECT dg.id, dg.deg + 1 AS n_ego, dg.deg + COALESCE(tv.t, 0) AS e_ego
+  FROM dg LEFT JOIN tv ON tv.id = dg.id),
+pts AS MATERIALIZED (
+  SELECT id, n_ego, e_ego,
+         CAST(ROUND(LN(CAST(n_ego AS DOUBLE)) * 1000.0) AS BIGINT) AS lx,
+         CAST(ROUND(LN(CAST(e_ego AS DOUBLE)) * 1000.0) AS BIGINT) AS ly
+  FROM ego),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(lx) AS BIGINT) AS sx,
+         CAST(SUM(ly) AS BIGINT) AS sy, CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+         CAST(SUM(lx * ly) AS BIGINT) AS sxy
+  FROM pts)
+SELECT id, n_ego, e_ego,
+  CASE WHEN (n >= 2 AND n * sxx - sx * sx <> 0) THEN CAST(ROUND(ABS(CAST(ly AS DOUBLE) / 1000.0
+       - (((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 1000.0 + ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * (CAST(lx AS DOUBLE) / 1000.0))) * 1000000.0) AS BIGINT)
+  ELSE CAST(0 AS BIGINT) END AS score_micro
+FROM pts CROSS JOIN m"""
 
     sqls["two_edge_cc_synth"] = """
 SELECT CAST(v AS BIGINT) AS id,

@@ -305,3 +305,33 @@ def test_collective_influence_hub_cap_guard(spark):
     capped = {r.id: r.ci for r in collective_influence(e, cap_degree=4).collect()}
     assert full[1] == 0 and full[0] == 0  # leaves have k-1=0; hub frontier empty
     assert capped == {i: 0 for i in range(6)}
+
+
+def test_oddball_flags_star_and_clique_extremes(spark):
+    from pagerank_spark.operators.graphstats import oddball_egonet
+
+    # a big star (hub 0) + a K5 clique + some mid-density filler chains
+    edges = (
+        [(0, i) for i in range(1, 13)]
+        + [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+        + [(200 + i, 201 + i) for i in range(6)]
+        + [(200, 203), (202, 205)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r for r in oddball_egonet(df).collect()}
+    # hub egonet: n=13, e=12 (pure star); clique member egonet: n=5, e=10
+    assert (got[0].n_ego, got[0].e_ego) == (13, 12)
+    assert (got[100].n_ego, got[100].e_ego) == (5, 10)
+    # the two structural extremes outscore every filler vertex
+    filler_max = max(r.score_micro for v, r in got.items() if v >= 200)
+    assert got[0].score_micro > filler_max
+    assert got[100].score_micro > filler_max
+
+
+def test_oddball_degenerate_single_edge(spark):
+    from pagerank_spark.operators.graphstats import oddball_egonet
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r.id: r for r in oddball_egonet(df).collect()}
+    # both egonets identical -> zero x-variance -> sentinel scores
+    assert got[1].score_micro == 0 and got[2].score_micro == 0
