@@ -2822,6 +2822,27 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_recsys_hitrate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out hit-rate@3 (operators/recsys.py::hitrate_loo) of the
+    itemsim_lineitem recommender over order baskets: hold out each
+    basket's max part, recommend the union of the other items' top-3
+    similars, count hits. Pure integer set algebra composed over the
+    value-gated similarity table."""
+    from pagerank_spark.operators.recsys import (
+        hitrate_loo,
+        item_cooccurrence,
+        item_topk_similar,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cooc = item_cooccurrence(li, "l_orderkey", "l_partkey")
+    topk = item_topk_similar(cooc, k=3)
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    return hitrate_loo(baskets, topk)
+
+
 def q_oddball_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OddBall egonet anomaly scores (operators/graphstats.py::
     oddball_egonet) over the part co-purchase graph: the Egonet Density
@@ -7621,6 +7642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "recsys_hitrate_lineitem": q_recsys_hitrate_lineitem,
         "oddball_copurchase": q_oddball_copurchase,
         "two_edge_cc_synth": q_two_edge_cc_synth,
         "bridges_synth": q_bridges_synth,
@@ -11958,6 +11980,24 @@ SELECT item, rec, n_ab, cos2_micro, rk FROM (
          CAST(ROW_NUMBER() OVER (PARTITION BY item
               ORDER BY cos2_micro DESC, rec ASC) AS INT) AS rk
   FROM sym) WHERE rk <= 3"""
+
+    sqls["recsys_hitrate_lineitem"] = f"""
+WITH sim AS MATERIALIZED ({sqls["itemsim_lineitem"]}),
+m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+sizes AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS sz, CAST(MAX(i) AS BIGINT) AS held
+          FROM m GROUP BY 1),
+ev AS (SELECT b, held FROM sizes WHERE sz >= 2),
+seeds AS (SELECT m.b, ev.held, m.i FROM m JOIN ev USING (b) WHERE m.i <> ev.held),
+recs AS (SELECT DISTINCT s.b, s.held, t.rec
+         FROM seeds s JOIN sim t ON t.item = s.i),
+hits AS (SELECT DISTINCT b FROM recs WHERE rec = held)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_baskets,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ev) AS n_eval,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+       CASE WHEN (SELECT COUNT(*) FROM ev) > 0
+            THEN (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) * 1000000
+                 // (SELECT CAST(COUNT(*) AS BIGINT) FROM ev)
+            ELSE CAST(0 AS BIGINT) END AS hitrate_micro"""
 
     # table profiler: per-column stats via one UNION ALL branch per column
     # (the relational restatement of the engine's single stack'd aggregate)

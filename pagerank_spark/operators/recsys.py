@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .skew import chunked_self_pairs
 
-__all__ = ["item_cooccurrence", "item_topk_similar"]
+__all__ = ["item_cooccurrence", "item_topk_similar", "hitrate_loo"]
 
 _SCALE = 1_000_000
 
@@ -164,4 +164,55 @@ def als_user_halfstep(
         "n_items",
         F.round(w1n.cast("double") / det.cast("double"), 6).alias("w1"),
         F.round(w2n.cast("double") / det.cast("double"), 6).alias("w2"),
+    )
+
+
+def hitrate_loo(
+    baskets: DataFrame,
+    topk: DataFrame,
+    basket_col: str = "basket",
+    item_col: str = "item",
+) -> DataFrame:
+    """Leave-one-out hit-rate@k of an item-similarity recommender (the
+    standard offline recsys eval — public methodology): for every basket
+    with >= 2 distinct items, hold out the MAX item id (deterministic),
+    recommend the union of the remaining items' top-k similar items
+    (seeds excluded), and score a hit when the held-out item appears.
+
+    ``topk`` is an :func:`item_topk_similar` table ``(item, rec, ...)``.
+    Pure set algebra on exact integers: one distinct-membership shuffle,
+    one max-per-basket aggregate, one seed->rec join, one semi-join —
+    no windows, no floats until the single hitrate division. Returns ONE
+    row: ``(n_baskets, n_eval, n_hits, hitrate_micro)``.
+    """
+    m = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    sizes = m.groupBy("b").agg(
+        F.count(F.lit(1)).alias("sz"), F.max("i").alias("held")
+    )
+    n_baskets = sizes.count()
+    ev = sizes.filter(F.col("sz") >= 2).select("b", "held")
+    seeds = m.join(ev, "b").filter(F.col("i") != F.col("held"))
+    recs = (
+        seeds.join(
+            topk.select(F.col("item").alias("i"), F.col("rec")), "i"
+        )
+        .select("b", "held", "rec")
+        .distinct()
+        # a seed item recommending another seed is not a hit candidate we
+        # need to remove — only equality with the held-out item matters
+    )
+    hits = recs.filter(F.col("rec") == F.col("held")).select("b").distinct()
+    out = ev.agg(F.count(F.lit(1)).alias("n_eval")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return out.select(
+        F.lit(n_baskets).cast("long").alias("n_baskets"),
+        F.col("n_eval").cast("long").alias("n_eval"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.expr(
+            "CASE WHEN n_eval > 0 THEN n_hits * 1000000 DIV n_eval"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("hitrate_micro"),
     )

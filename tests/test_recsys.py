@@ -45,3 +45,38 @@ def test_itemsim_plan_broadcasts_counts(spark):
     plan = item_cooccurrence(df, "b", "i")._jdf.queryExecution().executedPlan().toString()
     # item-count joins must be broadcast (items << baskets), never shuffled
     assert "BroadcastHashJoin" in plan
+
+
+def test_hitrate_loo_hand_case(spark):
+    from pagerank_spark.operators.recsys import (
+        hitrate_loo,
+        item_cooccurrence,
+        item_topk_similar,
+    )
+
+    # items 1,2 always co-bought; baskets holding out 2 should hit via 1
+    baskets = [
+        (100, 1), (100, 2),
+        (101, 1), (101, 2),
+        (102, 1), (102, 2), (102, 3),  # holds out 3; recs of {1,2} = each other + 3
+        (103, 9),                       # singleton: excluded from eval
+    ]
+    df = spark.createDataFrame(baskets, "basket long, item long")
+    cooc = item_cooccurrence(df, "basket", "item")
+    topk = item_topk_similar(cooc, k=3)
+    got = hitrate_loo(df, topk).collect()[0]
+    assert got.n_baskets == 4
+    assert got.n_eval == 3
+    # every evaluated basket hits: 100/101 hold out 2 (rec of 1);
+    # 102 holds out 3 (3 co-occurs with 1 and 2)
+    assert got.n_hits == 3
+    assert got.hitrate_micro == 1_000_000
+
+
+def test_hitrate_loo_no_eval_baskets(spark):
+    from pagerank_spark.operators.recsys import hitrate_loo
+
+    df = spark.createDataFrame([(1, 5), (2, 6)], "basket long, item long")
+    topk = spark.createDataFrame([], "item long, rec long, n_ab long, cos2_micro long, rk int")
+    got = hitrate_loo(df, topk).collect()[0]
+    assert (got.n_baskets, got.n_eval, got.n_hits, got.hitrate_micro) == (2, 0, 0, 0)
