@@ -2822,6 +2822,24 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_curate_transcripts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end transcript curation (operators/sequences.py::
+    curate_conversations): lint + stuck-loop + latency verdicts composed
+    into one keep/drop row per conversation (min_turns=3, max_run=2,
+    max latency 1h) — the conversation-level prepare_corpus. All exact
+    integers; oracle composes the lint/runs/latency CTEs."""
+    from pagerank_spark.operators.sequences import curate_conversations
+    from pagerank_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return curate_conversations(
+        transcripts_from_events(ev),
+        min_turns=3,
+        max_run_len=2,
+        max_latency_us=3_600_000_000,
+    )
+
+
 def q_recsys_hitrate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out hit-rate@3 (operators/recsys.py::hitrate_loo) of the
     itemsim_lineitem recommender over order baskets: hold out each
@@ -7642,6 +7660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "curate_transcripts_events": q_curate_transcripts_events,
         "recsys_hitrate_lineitem": q_recsys_hitrate_lineitem,
         "oddball_copurchase": q_oddball_copurchase,
         "two_edge_cc_synth": q_two_edge_cc_synth,
@@ -11226,6 +11245,59 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
+
+    sqls["curate_transcripts_events"] = """
+WITH bt AS MATERIALIZED (
+  SELECT user_id, event_type, ts,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_et
+  FROM events),
+tt AS MATERIALIZED (
+  SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id, turn_idx, ts,
+    CASE WHEN turn_idx % 3 = 0 THEN 'user'
+         WHEN turn_idx % 3 = 1 THEN 'assistant'
+         WHEN (user_id + turn_idx - 1) % 3 = 0 THEN 'tool' ELSE 'user' END AS role,
+    CASE WHEN turn_idx % 3 = 1 AND (user_id + turn_idx) % 3 = 0 THEN event_type
+         WHEN turn_idx % 3 = 2 AND (user_id + turn_idx - 1) % 3 = 0 THEN prev_et
+         ELSE NULL END AS tool
+  FROM bt),
+lw AS (
+  SELECT conv_id, turn_idx, role, tool,
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pi,
+         last_value(CASE WHEN role = 'assistant' THEN 1 END IGNORE NULLS)
+           OVER (PARTITION BY conv_id, tool ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_inv
+  FROM tt),
+lint AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(SUM(CASE WHEN pi IS NOT NULL AND turn_idx <> pi + 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_idx_gaps,
+         CAST(SUM(CASE WHEN role = 'tool' AND seen_inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_tools
+  FROM lw GROUP BY 1),
+inv AS (
+  SELECT conv_id, tool,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           - ROW_NUMBER() OVER (PARTITION BY conv_id, tool ORDER BY turn_idx) AS g
+  FROM tt WHERE role = 'assistant' AND tool IS NOT NULL),
+runs AS (
+  SELECT conv_id, CAST(MAX(cnt) AS BIGINT) AS max_run FROM (
+    SELECT conv_id, tool, g, COUNT(*) AS cnt FROM inv GROUP BY 1, 2, 3)
+  GROUP BY 1),
+latl AS (
+  SELECT conv_id, role,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS lat
+  FROM tt),
+lat AS (
+  SELECT conv_id, CAST(MAX(lat) AS BIGINT) AS max_latency_us
+  FROM latl WHERE role = 'tool' AND lat IS NOT NULL GROUP BY 1)
+SELECT l.conv_id, l.n_turns, l.n_idx_gaps, l.n_orphan_tools,
+       COALESCE(r.max_run, 0) AS max_run,
+       COALESCE(a.max_latency_us, 0) AS max_latency_us,
+       CAST(CASE WHEN l.n_idx_gaps = 0 AND l.n_orphan_tools = 0
+                  AND l.n_turns >= 3 AND COALESCE(r.max_run, 0) <= 2
+                  AND COALESCE(a.max_latency_us, 0) <= 3600000000
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM lint l LEFT JOIN runs r ON r.conv_id = l.conv_id
+LEFT JOIN lat a ON a.conv_id = l.conv_id"""
 
     sqls["oddball_copurchase"] = """
 WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -702,3 +702,81 @@ def tool_graph(transcripts: DataFrame) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )
+
+
+def curate_conversations(
+    transcripts: DataFrame,
+    min_turns: int = 3,
+    max_run_len: int = 2,
+    max_latency_us: int = 120_000_000,
+) -> DataFrame:
+    """End-to-end transcript curation verdicts — the conversation-level
+    analogue of trainprep.prepare_corpus: compose the structural lint
+    (:func:`transcript_lint`), the stuck-tool-loop detector
+    (:func:`agent_loops` semantics, unfiltered max run) and the per-tool
+    latency profile (:func:`tool_latency` semantics, per conversation)
+    into ONE keep/drop decision per conversation, with every reason
+    carried as an exact integer column (never a silent drop — the
+    repo-wide curation contract).
+
+    keep = structurally clean (no index gaps, no orphan tool turns)
+    AND n_turns >= ``min_turns`` AND longest same-tool invocation run
+    <= ``max_run_len`` AND worst tool latency <= ``max_latency_us``.
+
+    Three keyed-window/grouped passes over the one transcript scan,
+    joined on the conversation key. Returns ``(conv_id, n_turns,
+    n_idx_gaps, n_orphan_tools, max_run, max_latency_us, keep)``.
+    """
+    lint = transcript_lint(transcripts).select(
+        "conv_id", "n_turns", "n_idx_gaps", "n_orphan_tools"
+    )
+    inv = transcripts.filter(
+        (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    )
+    w_all = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_tool = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    runs = (
+        inv.select(
+            "conv_id",
+            "tool",
+            (F.row_number().over(w_all) - F.row_number().over(w_tool)).alias("__g"),
+        )
+        .groupBy("conv_id", "tool", "__g")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("conv_id")
+        .agg(F.max("run_len").cast("long").alias("max_run"))
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = (
+        transcripts.select(
+            "conv_id",
+            "role",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+            ).alias("__lat"),
+        )
+        .filter((F.col("role") == "tool") & F.col("__lat").isNotNull())
+        .groupBy("conv_id")
+        .agg(F.max("__lat").cast("long").alias("max_latency_us"))
+    )
+    j = (
+        lint.join(runs, "conv_id", "left")
+        .join(lat, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_idx_gaps",
+            "n_orphan_tools",
+            F.coalesce(F.col("max_run"), F.lit(0)).cast("long").alias("max_run"),
+            F.coalesce(F.col("max_latency_us"), F.lit(0)).cast("long").alias("max_latency_us"),
+        )
+    )
+    keep = (
+        (F.col("n_idx_gaps") == 0)
+        & (F.col("n_orphan_tools") == 0)
+        & (F.col("n_turns") >= int(min_turns))
+        & (F.col("max_run") <= int(max_run_len))
+        & (F.col("max_latency_us") <= int(max_latency_us))
+    )
+    return j.withColumn("keep", keep.cast("long"))

@@ -107,3 +107,39 @@ def test_tool_graph_single_invocation_conv_empty(spark):
 
     rows_in = [("a", 1, "assistant", "sql", 0)]
     assert tool_graph(_tr(spark, rows_in)).count() == 0
+
+
+def test_curate_conversations_verdicts(spark):
+    from pagerank_spark.operators.sequences import curate_conversations
+
+    rows_in = [
+        # conv a: clean 4-turn conversation with one tool exchange
+        ("a", 0, "user", None, 0),
+        ("a", 1, "assistant", "sql", 10),
+        ("a", 2, "tool", "sql", 20),
+        ("a", 3, "user", None, 30),
+        # conv b: stuck loop — three consecutive same-tool invocations
+        ("b", 0, "user", None, 0),
+        ("b", 1, "assistant", "search", 5),
+        ("b", 2, "assistant", "search", 10),
+        ("b", 3, "assistant", "search", 15),
+        # conv c: index gap (turn 0 then turn 2)
+        ("c", 0, "user", None, 0),
+        ("c", 2, "assistant", None, 10),
+        ("c", 3, "user", None, 20),
+        # conv d: slow tool (200s > the 100s budget below)
+        ("d", 0, "user", None, 0),
+        ("d", 1, "assistant", "py", 10),
+        ("d", 2, "tool", "py", 210),
+        # conv e: too short
+        ("e", 0, "user", None, 0),
+        ("e", 1, "assistant", None, 5),
+    ]
+    tr = _tr(spark, rows_in)
+    got = {r.conv_id: r for r in curate_conversations(
+        tr, min_turns=3, max_run_len=2, max_latency_us=100_000_000).collect()}
+    assert got["a"].keep == 1
+    assert got["b"].keep == 0 and got["b"].max_run == 3
+    assert got["c"].keep == 0 and got["c"].n_idx_gaps == 1
+    assert got["d"].keep == 0 and got["d"].max_latency_us == 200_000_000
+    assert got["e"].keep == 0 and got["e"].n_turns == 2
