@@ -2822,6 +2822,18 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_unigram_em_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-EM round of the unigram tokenizer (operators/unigram.py::
+    unigram_em_round): Viterbi-segment under round-0 scores, re-count
+    pieces by USE (pruning unused multi-char pieces, add-1 alphabet
+    floor), re-score, re-segment. The deterministic iterate-and-prune
+    step of the SentencePiece trainer, value-gated end to end."""
+    from pagerank_spark.operators.unigram import unigram_em_round
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_em_round(docs, max_len=4, min_count=5)
+
+
 def q_curate_transcripts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end transcript curation (operators/sequences.py::
     curate_conversations): lint + stuck-loop + latency verdicts composed
@@ -7660,6 +7672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "unigram_em_docs": q_unigram_em_docs,
         "curate_transcripts_events": q_curate_transcripts_events,
         "recsys_hitrate_lineitem": q_recsys_hitrate_lineitem,
         "oddball_copurchase": q_oddball_copurchase,
@@ -8598,6 +8611,45 @@ SELECT d.doc_id,
             THEN pd.n_pieces * 1000000 // pd.n_words
             ELSE CAST(0 AS BIGINT) END AS fert_micro
 FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id"""
+
+    # DuckDB rejects duplicate CTE aliases across nesting levels (the
+    # session-8 gotcha), so every outer CTE reused from the nested round-0
+    # query is alpha-renamed with an _em suffix
+    import re as _re
+
+    _seg_sql = sqls["unigram_tokenize_docs"]
+    _wv_cte = _seg_sql[len("WITH ") : _seg_sql.index(",\nocc AS")]
+    _chain = _seg_sql[_seg_sql.index(",\ncand AS MATERIALIZED") :]
+
+    def _alpha_em(txt: str) -> str:
+        for _n in ("wv", "cand", "pw", "dp", "d2", "bk", "vocab"):
+            txt = _re.sub(rf"\b{_n}\b", f"{_n}_em", txt)
+        return txt
+
+    sqls["unigram_em_docs"] = (
+        "WITH " + _alpha_em(_wv_cte) + ",\n"
+        + "seg0 AS MATERIALIZED (" + _seg_sql + "),\n"
+        + """used AS MATERIALIZED (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS used FROM (
+    SELECT cnt, unnest(string_split(seg, ' ')) AS piece FROM seg0)
+  GROUP BY 1),
+alpha AS (
+  SELECT DISTINCT substring(wv_em.w, j + 1, 1) AS piece
+  FROM wv_em, unnest(range(0, length(wv_em.w))) AS r(j)),
+v2 AS MATERIALIZED (
+  SELECT COALESCE(a.piece, u.piece) AS piece,
+         CAST(COALESCE(u.used, 0)
+              + CASE WHEN a.piece IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS cnt
+  FROM alpha a FULL JOIN used u ON u.piece = a.piece),
+t2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v2 WHERE cnt > 0),
+vocab_em AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                    * 1000000000.0) AS BIGINT) AS score_nano
+  FROM v2 CROSS JOIN t2 WHERE cnt > 0)"""
+        + _alpha_em(_chain)
+    )
+
 
     sqls["birank_orders"] = """
 WITH e0 AS MATERIALIZED (

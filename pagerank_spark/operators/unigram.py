@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["unigram_vocab", "unigram_segment", "unigram_fertility", "WORD_CAP"]
+__all__ = ["unigram_vocab", "unigram_segment", "unigram_fertility", "unigram_em_round", "WORD_CAP"]
 
 WORD_CAP = 48
 _OFF = 1 << 41
@@ -123,6 +123,14 @@ def unigram_segment(
     """
     vocab = unigram_vocab(docs, text_col, max_len, min_count)
     words = _words(docs, text_col)
+    return _viterbi(words, vocab, max_len)
+
+
+def _viterbi(words: DataFrame, vocab: DataFrame, max_len: int) -> DataFrame:
+    """Shared Viterbi pass: segment every ``(w, cnt)`` word under a
+    ``(piece, score_nano)`` vocabulary (packed-key DP + backtrack — see
+    the module docstring). The vocabulary MUST contain every single
+    character of every word (the fallback-alphabet contract)."""
     cand = (
         words.select("w", F.explode(_pieces_expr(max_len)).alias("p"))
         .join(vocab, F.col("p.piece") == vocab.piece)
@@ -224,3 +232,62 @@ def unigram_fertility(
             " ELSE CAST(0 AS BIGINT) END"
         ).alias("fert_micro"),
     )
+
+
+def unigram_em_round(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_len: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """One hard-EM (Viterbi) re-estimation round of the unigram tokenizer
+    — the iterate-and-prune step that upgrades :func:`unigram_segment`'s
+    frequency-initialized model into a trained one (SentencePiece's EM
+    loop with hard assignments; deterministic because the E-step IS the
+    deterministic Viterbi pass):
+
+    * E-step: segment every distinct word under the round-0 scores.
+    * M-step: re-count pieces by their USE in those segmentations
+      (weighted by word counts); multi-char pieces never used are PRUNED
+      (count 0 drops them — the SentencePiece prune), while every
+      single character keeps an add-1 floor so the fallback-alphabet
+      invariant survives pruning.
+    * Re-score ``ln(c / total)`` nano-rounded once, and re-segment.
+
+    Returns the round-1 segmentation ``(w, cnt, n_tokens, score_nano,
+    seg)`` — same shape as :func:`unigram_segment`, so the two rounds
+    diff directly (fertility strictly improves or holds on every corpus
+    where the raw substring counts over-weighted overlapping pieces).
+    """
+    words = _words(docs, text_col)
+    seg0 = unigram_segment(docs, text_col, max_len, min_count)
+    used = (
+        seg0.select("cnt", F.explode(F.split(F.col("seg"), " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("used"))
+    )
+    alphabet = (
+        words.select(F.explode(_pieces_expr(1)).alias("p"))
+        .select(F.col("p.piece").alias("piece"))
+        .distinct()
+    )
+    vocab2 = (
+        alphabet.withColumn("floor", F.lit(1))
+        .join(used, "piece", "full")
+        .select(
+            "piece",
+            (F.coalesce(F.col("used"), F.lit(0)) + F.coalesce(F.col("floor"), F.lit(0)))
+            .cast("long")
+            .alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    tot = vocab2.agg(F.sum("cnt").alias("total"))
+    scored = vocab2.crossJoin(tot).select(
+        "piece",
+        F.expr(
+            "CAST(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))"
+            " * 1000000000.0) AS BIGINT)"
+        ).alias("score_nano"),
+    )
+    return _viterbi(words, scored, max_len)

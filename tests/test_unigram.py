@@ -110,3 +110,33 @@ def test_unigram_fertility_per_doc(spark):
     assert got[1] == doc_stats(texts[1])
     # empty doc -> sentinel row, not a missing row
     assert got[2] == (0, 0, 0)
+
+
+def test_unigram_em_round_matches_replay_and_prunes(spark):
+    texts = ["the theme theme the them", "the theme of them all the all"]
+    from pagerank_spark.operators.unigram import unigram_em_round
+
+    words, scores0 = _replay_vocab(texts, min_count=3)
+    # hard-EM replay: re-count used pieces, alphabet floor, re-score
+    used = {}
+    for w, c in words.items():
+        toks, _, _ = _replay_segment(w, scores0)
+        for t in toks:
+            used[t] = used.get(t, 0) + c
+    alpha = {ch for w in words for ch in w}
+    counts2 = {}
+    for p in set(used) | alpha:
+        c = used.get(p, 0) + (1 if len(p) == 1 else 0)
+        if c > 0:
+            counts2[p] = c
+    total2 = sum(counts2.values())
+    scores2 = {p: round(math.log(c / total2) * 1e9) for p, c in counts2.items()}
+    got = {
+        r.w: (r.seg, r.n_tokens, r.score_nano)
+        for r in unigram_em_round(_docs(spark, texts), min_count=3).collect()
+    }
+    for w in words:
+        toks, nt, sc = _replay_segment(w, scores2)
+        assert got[w] == (" ".join(toks), nt, sc), w
+    # pruning really happened: some round-0 multi-char piece is unused
+    assert any(len(p) > 1 and p not in counts2 for p in scores0)
