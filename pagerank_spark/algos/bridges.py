@@ -119,6 +119,23 @@ def bridges(edges: DataFrame, max_iters: int = 60) -> DataFrame:
             break
         assigned = assigned.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    else:
+        # never break'd: a frontier may remain — verify below
+        pass
+    n_vertices = (
+        tree.select(F.col("a").alias("id"))
+        .unionByName(tree.select(F.col("b").alias("id")))
+        .distinct()
+        .count()
+    )
+    n_assigned = assigned.count()
+    if n_assigned < n_vertices:
+        raise ValueError(
+            f"bridges: BFS rooting left {n_vertices - n_assigned} vertices"
+            f" unassigned after {max_iters} rounds — raise max_iters to at"
+            " least the spanning-tree diameter (silently mislabeling them"
+            " as non-bridges is not an option)"
+        )
 
     # bottom-up XOR rollup over the child->parent tree (tree_rollup with
     # XOR; n-based convergence). state: (id, parent, x, n)

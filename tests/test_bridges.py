@@ -68,3 +68,16 @@ def test_two_edge_components_barbell(spark):
     assert got[0] == got[1] == got[2]
     assert got[4] == got[5] == got[6]
     assert got[3] not in (got[0], got[4])
+
+
+def test_bridges_diameter_overflow_raises_not_mislabels(spark):
+    import pytest
+
+    from pagerank_spark.algos.bridges import bridges
+
+    # 30-edge path with max_iters=5: rooting cannot finish — must raise,
+    # never silently report non-bridges
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(ValueError, match="unassigned"):
+        bridges(df, max_iters=5)
