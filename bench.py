@@ -305,6 +305,33 @@ def run_bench(spark, sf_dir: str) -> dict:
         docs_t, max_len=4, min_count=5)
         .agg(F.sum("n_tokens"), F.sum("score_nano")).collect())
 
+    # round-4 session-12 addition: distributed bridge detection on a
+    # star-of-cliques (3000 K8 cliques on a hub, diameter 4 — the planted
+    # bridge set is exactly the 3000 hub edges, asserted). Exercises the
+    # MSF + CC + BFS-rooting + XOR-rollup composition end to end.
+    from pagerank_spark.algos.bridges import bridges as _bridges
+
+    _n_c, _k = 3000, 8
+    _b_base = spark.range(_n_c).select(F.col("id").alias("c"))
+    _b_i = spark.range(_k).select(F.col("id").alias("i"))
+    _b_j = spark.range(_k).select(F.col("id").alias("j"))
+    _b_cl = (
+        _b_base.crossJoin(_b_i).crossJoin(_b_j).filter(F.col("i") < F.col("j"))
+        .select((F.col("c") * _k + F.col("i") + 1).alias("src"),
+                (F.col("c") * _k + F.col("j") + 1).alias("dst"))
+    )
+    _b_hub = _b_base.select(F.lit(0).alias("src"), (F.col("c") * _k + 1).alias("dst"))
+    _b_e = _b_cl.unionByName(_b_hub).persist()
+    _b_e.count()
+
+    def _bridges_run():
+        nb = _bridges(_b_e, max_iters=10).filter("is_bridge = 1").count()
+        assert nb == _n_c, nb
+        return nb
+
+    timed("bridges_star_87k", _bridges_run)
+    _b_e.unpersist()
+
     # round-4 session-10 addition (appended): the north-star composition at
     # volume — synthetic multi-turn transcripts (200k conversations, ~1.3M
     # turns) through the FULL ETL (dense vertex ids -> reply+tool edge
