@@ -140,3 +140,23 @@ def test_unigram_em_round_matches_replay_and_prunes(spark):
         assert got[w] == (" ".join(toks), nt, sc), w
     # pruning really happened: some round-0 multi-char piece is unused
     assert any(len(p) > 1 and p not in counts2 for p in scores0)
+
+
+def test_unigram_segment_tricky_corpora_match_replay(spark):
+    corpora = [
+        ["aaaa aaaa aa a", "aaa aa aaaa"],                      # repeats
+        ["ab, cd! ab, ef?", "ab, xy."],                         # punctuation
+        ["héllo wörld héllo", "wörld wörld héllo"],             # unicode
+        ["x", "y", "x y x"],                                    # single chars
+        ["abcd" * 15 + " ab", "ab abcd"],                       # 60-char word (cap 48)
+    ]
+    for texts in corpora:
+        words, scores = _replay_vocab(texts, min_count=2)
+        got = {
+            r.w: (r.seg, r.n_tokens, r.score_nano)
+            for r in unigram_segment(_docs(spark, texts), min_count=2).collect()
+        }
+        assert set(got) == set(words), texts
+        for w in words:
+            toks, nt, sc = _replay_segment(w, scores)
+            assert got[w] == (" ".join(toks), nt, sc), (texts, w)
