@@ -2822,6 +2822,28 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_platt_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling (Platt 1999 — public methodology) of the CCNet LM
+    quality score into a calibrated is-English probability: logistic
+    regression (classify.logreg_gd, d=2, 3 GD rounds) on the dyadically
+    scaled avg-surprisal feature. Completes the calibration trio next to
+    reliability_curve and ECE; oracle = the lm CTE composed into the
+    chained-CTE GD unroll."""
+    from pagerank_spark.operators.classify import logreg_gd
+    from pagerank_spark.operators.lm import lm_score, train_bigram_lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uni, bi, v = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    scored = lm_score(docs, uni, bi, v).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    units = scored.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        (F.col("avg_surprisal_micro").cast("double") / 8388608.0).alias("x"),
+    )
+    return logreg_gd(units, F.col("y"), [F.col("x")], iters=3, eta=0.125)
+
+
 def q_unigram_em_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-EM round of the unigram tokenizer (operators/unigram.py::
     unigram_em_round): Viterbi-segment under round-0 scores, re-count
@@ -7672,6 +7694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "platt_lm_docs": q_platt_lm_docs,
         "unigram_em_docs": q_unigram_em_docs,
         "curate_transcripts_events": q_curate_transcripts_events,
         "recsys_hitrate_lineitem": q_recsys_hitrate_lineitem,
@@ -13834,5 +13857,44 @@ SELECT p.id, ROUND(p.rank, 6) AS pr, ROUND(t.rank, 6) AS tr,
 FROM sm3 p JOIN sm3 t ON t.id = p.id AND t.run = 'tr'
 WHERE p.run = 'pr'"""
     )
+
+    _platt = """WITH rows_in AS MATERIALIZED (
+  SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(l.avg_surprisal_micro AS DOUBLE) / 8388608.0 AS x1
+  FROM ({LM}) l JOIN documents d USING (doc_id)),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rows_in),
+bt0 AS MATERIALIZED (SELECT CAST(0.0 AS DOUBLE) AS bt00, CAST(0.0 AS DOUBLE) AS bt01),
+g1 AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-((b.bt00 + b.bt01 * x1))))) - CAST(y AS DOUBLE)) * 1.0) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-((b.bt00 + b.bt01 * x1))))) - CAST(y AS DOUBLE)) * x1) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g1
+  FROM rows_in CROSS JOIN bt0 b),
+bt1 AS MATERIALIZED (
+  SELECT b.bt00 - 0.125 * ((CAST(g.g0 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt10,
+         b.bt01 - 0.125 * ((CAST(g.g1 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt11
+  FROM bt0 b CROSS JOIN g1 g CROSS JOIN nn),
+g2 AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-((b.bt10 + b.bt11 * x1))))) - CAST(y AS DOUBLE)) * 1.0) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-((b.bt10 + b.bt11 * x1))))) - CAST(y AS DOUBLE)) * x1) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g1
+  FROM rows_in CROSS JOIN bt1 b),
+bt2 AS MATERIALIZED (
+  SELECT b.bt10 - 0.125 * ((CAST(g.g0 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt20,
+         b.bt11 - 0.125 * ((CAST(g.g1 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt21
+  FROM bt1 b CROSS JOIN g2 g CROSS JOIN nn),
+g3 AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-((b.bt20 + b.bt21 * x1))))) - CAST(y AS DOUBLE)) * 1.0) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         CAST(SUM(CAST(ROUND((((1.0 / (1.0 + EXP(-((b.bt20 + b.bt21 * x1))))) - CAST(y AS DOUBLE)) * x1) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g1
+  FROM rows_in CROSS JOIN bt2 b),
+bt3 AS MATERIALIZED (
+  SELECT b.bt20 - 0.125 * ((CAST(g.g0 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt30,
+         b.bt21 - 0.125 * ((CAST(g.g1 AS DOUBLE) / 1000000000.0) / CAST(nn.n AS DOUBLE)) AS bt31
+  FROM bt2 b CROSS JOIN g3 g CROSS JOIN nn)
+SELECT nn.n AS n,
+  CAST(ROUND(b.bt30 * 1000000000.0) AS BIGINT) AS beta0_nano,
+  CAST(ROUND(b.bt31 * 1000000000.0) AS BIGINT) AS beta1_nano,
+  CAST(SUM(CASE WHEN ((b.bt30 + b.bt31 * x1) >= 0.0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+  CAST(SUM(CAST(ROUND((1.0 / (1.0 + EXP(-((b.bt30 + b.bt31 * x1))))) * 1000000000.0) AS BIGINT)) AS BIGINT) AS prob_sum_nano
+FROM rows_in CROSS JOIN bt3 b CROSS JOIN nn
+GROUP BY nn.n, b.bt30, b.bt31"""
+    sqls["platt_lm_docs"] = _platt.replace("{LM}", sqls["lm_score_docs"])
 
     return sqls

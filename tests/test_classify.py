@@ -142,3 +142,21 @@ def test_knn_loo_two_clusters(spark):
     # the planted mislabeled point is predicted into its geometric cluster
     assert got[99].pred == 0 and got[99].correct == 0
     assert got[99].votes == 3
+
+
+def test_platt_style_single_feature_logreg(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.classify import logreg_gd
+
+    # a monotone score separating classes: calibrated slope must be
+    # positive and accuracy beats the majority baseline
+    rows = [(1, s / 4.0) for s in range(6, 14)] + [(0, s / 4.0) for s in range(-6, 2)]
+    df = spark.createDataFrame(rows, "y long, x double")
+    got = logreg_gd(df, F.col("y"), [F.col("x")], iters=3, eta=0.125).collect()[0]
+    beta, correct, psum = _logreg_replay([(y, x, 0.0) for y, x in rows])
+    # replay with x2 frozen at 0 reproduces the d=2 run's shared columns
+    assert got.beta1_nano == round(beta[1] * 1e9)
+    assert got.beta0_nano == round(beta[0] * 1e9)
+    assert got.beta1_nano > 0
+    assert got.n_correct == correct and got.n_correct >= 14
