@@ -2822,6 +2822,23 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_aipw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust AIPW treatment effect (operators/causal.py::
+    aipw_ate): same treatment/outcome/bins as the IPW gate, augmented
+    with the per-bin outcome models — consistent if either nuisance is
+    right. Every division a truncated BIGINT division (negatives
+    truncate toward zero on both engines)."""
+    from pagerank_spark.operators.causal import aipw_ate
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aipw_ate(
+        events,
+        treat_expr="event_type = 'click'",
+        outcome_expr="CAST(ROUND(value * 1000) AS BIGINT)",
+        bin_expr="user_id % 20",
+    )
+
+
 def q_platt_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Platt scaling (Platt 1999 — public methodology) of the CCNet LM
     quality score into a calibrated is-English probability: logistic
@@ -7694,6 +7711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "aipw_events": q_aipw_events,
         "platt_lm_docs": q_platt_lm_docs,
         "unigram_em_docs": q_unigram_em_docs,
         "curate_transcripts_events": q_curate_transcripts_events,
@@ -11320,6 +11338,36 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
+
+    sqls["aipw_events"] = """
+WITH base AS MATERIALIZED (
+  SELECT CAST(user_id % 20 AS BIGINT) AS b,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS t,
+         CAST(ROUND(value * 1000) AS BIGINT) AS y
+  FROM events),
+bins AS MATERIALIZED (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b, CAST(SUM(t) AS BIGINT) AS t_b,
+         CAST(SUM(t * y) AS BIGINT) AS sy1,
+         CAST(SUM((1 - t) * y) AS BIGINT) AS sy0
+  FROM base GROUP BY 1),
+j AS (
+  SELECT base.*, bins.n_b, bins.t_b, bins.sy1, bins.sy0
+  FROM base JOIN bins USING (b)),
+terms AS (
+  SELECT t_b > 0 AND t_b < n_b AS ok,
+         ((sy1 // t_b) - (sy0 // (n_b - t_b)))
+         + CASE WHEN t = 1 THEN ((y - (sy1 // t_b)) * n_b) // t_b
+                ELSE -(((y - (sy0 // (n_b - t_b))) * n_b) // (n_b - t_b)) END AS term
+  FROM j),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+         CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_excluded,
+         CAST(COALESCE(SUM(CASE WHEN ok THEN term END), 0) AS BIGINT) AS sum_term
+  FROM terms)
+SELECT n_rows, n_overlap, n_excluded, sum_term,
+       CASE WHEN n_overlap = 0 THEN 0 ELSE sum_term // n_overlap END AS ate_unit
+FROM agg"""
 
     sqls["curate_transcripts_events"] = """
 WITH bt AS MATERIALIZED (

@@ -346,3 +346,66 @@ def cuped_adjusted_effect(
             " * 1000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         ).alias("effect_cuped_micro"),
     )
+
+
+def aipw_ate(
+    df: DataFrame,
+    treat_expr: str,
+    outcome_expr: str,
+    bin_expr: str,
+) -> DataFrame:
+    """Doubly-robust AIPW average treatment effect (Robins, Rotnitzky &
+    Zhao 1994 — public methodology): the augmented IPW estimator
+
+        dr_i = (m1(b) - m0(b))
+             + t_i  * (y_i - m1(b)) / e(b)
+             - (1-t_i) * (y_i - m0(b)) / (1 - e(b))
+
+    with BOTH nuisance models the exact per-bin rationals of the
+    caller-binned covariate — propensity ``e(b) = t_b / n_b`` (the
+    :func:`ipw_ate` contract) and outcome models ``m1(b) = sy1_b / t_b``,
+    ``m0(b) = sy0_b / (n_b - t_b)``. Consistent if EITHER model is right
+    — the sixth causal estimator, completing CEM / DiD / IPW / RD / CUPED.
+
+    Exactness: outcomes pre-scaled to integer units by ``outcome_expr``;
+    every division is a truncated integer division over BIGINTs (Spark
+    ``div`` == DuckDB ``//`` truncate-toward-zero INCLUDING negatives —
+    the documented rule; residuals can be negative). Non-overlap bins are
+    excluded and counted (the positivity contract). One bin aggregate
+    (broadcast), one join back, one total. Returns one row
+    ``(n_rows, n_overlap, n_excluded, sum_term, ate_unit)`` in the
+    outcome's integer units.
+    """
+    base = df.select(
+        F.expr(bin_expr).cast("long").alias("b"),
+        F.expr(treat_expr).cast("boolean").cast("long").alias("t"),
+        F.expr(outcome_expr).cast("long").alias("y"),
+    ).filter(F.col("b").isNotNull() & F.col("y").isNotNull())
+    bins = base.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("t").alias("t_b"),
+        F.sum(F.col("t") * F.col("y")).alias("sy1"),
+        F.sum((1 - F.col("t")) * F.col("y")).alias("sy0"),
+    )
+    j = base.join(F.broadcast(bins), "b")
+    overlap = (F.col("t_b") > 0) & (F.col("t_b") < F.col("n_b"))
+    m1 = "(sy1 div t_b)"
+    m0 = "(sy0 div (n_b - t_b))"
+    term = F.expr(
+        f"({m1} - {m0})"
+        f" + IF(t = 1, ((y - {m1}) * n_b) div t_b,"
+        f"            -(((y - {m0}) * n_b) div (n_b - t_b)))"
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(overlap, 1).otherwise(0)).alias("n_overlap"),
+        F.sum(F.when(~overlap, 1).otherwise(0)).alias("n_excluded"),
+        F.coalesce(F.sum(F.when(overlap, term)), F.lit(0)).alias("sum_term"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_overlap",
+        "n_excluded",
+        "sum_term",
+        F.expr("IF(n_overlap = 0, 0L, sum_term div n_overlap)").alias("ate_unit"),
+    )

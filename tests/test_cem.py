@@ -190,3 +190,35 @@ def test_cuped_zero_variance_covariate_sentinel(spark):
     got = cuped_adjusted_effect(units, F.col("t"), F.col("y"), F.col("x")).collect()[0]
     assert got.theta_micro == 0
     assert got.effect_cuped_micro == got.effect_raw_micro == 10_000_000
+
+
+def test_aipw_matches_python_replay_with_negative_residuals(spark):
+    from pagerank_spark.operators.causal import aipw_ate
+
+    # one overlap bin with asymmetric outcomes (negative residuals bite the
+    # truncation semantics), one no-control bin (excluded)
+    rows = [
+        (0, 1, 105), (0, 1, 95), (0, 0, 52), (0, 0, 44), (0, 0, 63),
+        (1, 1, 7), (1, 1, 9),
+    ]
+    df = spark.createDataFrame(rows, "b long, t long, y long")
+    got = aipw_ate(df, "t = 1", "y", "b").collect()[0]
+
+    def trunc(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    # replay bin 0: n=5, t_b=2, sy1=200, sy0=159
+    m1, m0 = trunc(200, 2), trunc(159, 3)
+    want = 0
+    for _, t, y in rows[:5]:
+        base = m1 - m0
+        if t:
+            want += base + trunc((y - m1) * 5, 2)
+        else:
+            want += base - trunc((y - m0) * 5, 3)
+    assert (got.n_rows, got.n_overlap, got.n_excluded) == (7, 5, 2)
+    assert got.sum_term == want
+    assert got.ate_unit == trunc(want, 5)
+    # the planted effect (treated ~100 vs control ~53) is recovered
+    assert 30_000 > got.ate_unit > 30
