@@ -2822,6 +2822,17 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_rmst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau = 1e6 s (operators/
+    survival.py::rmst): the exact-integer area under the gated KM curve —
+    step-function widths times the already-micro-rounded survival, no new
+    floats. Completes the survival trio (KM, log-rank, RMST)."""
+    from pagerank_spark.operators.survival import rmst, subjects_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rmst(subjects_from_events(ev), tau=1_000_000)
+
+
 def q_aipw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doubly-robust AIPW treatment effect (operators/causal.py::
     aipw_ate): same treatment/outcome/bins as the IPW gate, augmented
@@ -7711,6 +7722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "rmst_events": q_rmst_events,
         "aipw_events": q_aipw_events,
         "platt_lm_docs": q_platt_lm_docs,
         "unigram_em_docs": q_unigram_em_docs,
@@ -13944,5 +13956,18 @@ SELECT nn.n AS n,
 FROM rows_in CROSS JOIN bt3 b CROSS JOIN nn
 GROUP BY nn.n, b.bt30, b.bt31"""
     sqls["platt_lm_docs"] = _platt.replace("{LM}", sqls["lm_score_docs"])
+
+    sqls["rmst_events"] = (
+        "WITH km AS MATERIALIZED (" + sqls["kaplan_meier_events"] + """),
+o AS (SELECT t, surv_micro, lead(t) OVER (ORDER BY t) AS nt FROM km),
+f AS (SELECT CAST(MIN(t) AS BIGINT) AS t1, CAST(COUNT(*) AS BIGINT) AS n FROM km)
+SELECT CAST(1000000 AS BIGINT) AS tau, f.n AS n_points,
+  CASE WHEN f.n = 0 THEN CAST(1000000 AS BIGINT) * 1000000 ELSE
+    LEAST(f.t1, 1000000) * 1000000
+    + (SELECT CAST(COALESCE(SUM(surv_micro
+         * GREATEST(0, LEAST(COALESCE(nt, 1000000), 1000000) - LEAST(t, 1000000))), 0) AS BIGINT)
+       FROM o)
+  END AS rmst_micro
+FROM f""")
 
     return sqls

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["subjects_from_events", "kaplan_meier", "logrank"]
+__all__ = ["subjects_from_events", "kaplan_meier", "logrank", "rmst"]
 
 _SCALE = 1_000_000
 
@@ -230,4 +230,52 @@ def logrank(
         "e1_nano",
         "v_nano",
         F.expr(chi2).alias("chi2_micro"),
+    )
+
+
+def rmst(
+    subjects: DataFrame,
+    tau: int,
+    duration_col: str = "duration_s",
+    event_col: str = "event",
+    bucket_s: int = 1,
+) -> DataFrame:
+    """Restricted mean survival time up to ``tau`` (Royston & Parmar 2013
+    — public methodology): the area under the Kaplan-Meier curve on
+    [0, tau] — "expected survival seconds within the horizon", the
+    recommended effect measure when hazards aren't proportional.
+
+    Pure exact-integer composition over :func:`kaplan_meier`'s gated
+    outputs: S is a step function, so ``RMST = min(t_1, tau) * 1 +
+    sum_i S(t_i) * max(0, min(t_{i+1}, tau) - t_i)`` with ``t_{n+1} =
+    tau`` — every term a product of the already-micro-rounded
+    ``surv_micro`` and an integer width (no new float enters). The curve
+    is plot-sized; the interval sum is one fold over its collected array.
+    Returns ONE row: ``(tau, n_points, rmst_micro)`` (micro-seconds of
+    restricted mean survival).
+    """
+    if tau <= 0:
+        raise ValueError("tau must be positive")
+    curve = kaplan_meier(
+        subjects, duration_col, event_col, bucket_s=bucket_s, events_only=True
+    ).select("t", "surv_micro")
+    one = curve.agg(
+        F.sort_array(F.collect_list(F.struct("t", "surv_micro"))).alias("arr"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    tl = int(tau)
+    body = (
+        # initial unit-survival segment [0, min(t_1, tau)); empty curves
+        # survive the whole horizon
+        f"CASE WHEN size(arr) = 0 THEN CAST({tl} AS BIGINT) * 1000000 ELSE "
+        f"LEAST(arr[0].t, CAST({tl} AS BIGINT)) * 1000000 "
+        f"+ aggregate(transform(arr, (x, i) -> x.surv_micro * "
+        f"GREATEST(CAST(0 AS BIGINT), LEAST(IF(i + 1 < size(arr), arr[i + 1].t,"
+        f" CAST({tl} AS BIGINT)), CAST({tl} AS BIGINT)) - LEAST(x.t, CAST({tl} AS BIGINT)))),"
+        f" CAST(0 AS BIGINT), (a, v) -> a + v) END"
+    )
+    return one.select(
+        F.lit(tl).cast("long").alias("tau"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.expr(body).alias("rmst_micro"),
     )

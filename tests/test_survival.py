@@ -124,3 +124,30 @@ def test_logrank_identical_groups_null(spark):
     got = logrank(subj).collect()[0]
     assert got.o1 * 10**9 == got.e1_nano
     assert got.chi2_micro == 0
+
+
+def test_rmst_hand_curve(spark):
+    from pagerank_spark.operators.survival import rmst
+
+    # events at t=2 (S: 1 -> 0.75) and t=6 (0.75 -> 0.375); censor at 9
+    rows = [(2, 1), (6, 1), (6, 1), (9, 0)]
+    subj = spark.createDataFrame(rows, "duration_s long, event long")
+    # tau=8: 1*2 + 0.75*(6-2) + 0.375*(8-6) = 5.75
+    got = rmst(subj, tau=8).collect()[0]
+    assert (got.tau, got.n_points) == (8, 2)
+    assert got.rmst_micro == round(5.75 * 1e6)
+    # tau beyond the last event: last step extends to tau
+    got2 = rmst(subj, tau=20).collect()[0]
+    assert got2.rmst_micro == round((2 + 0.75 * 4 + 0.375 * 14) * 1e6)
+    # tau before the first event: pure unit survival
+    got3 = rmst(subj, tau=1).collect()[0]
+    assert got3.rmst_micro == 1_000_000
+
+
+def test_rmst_no_events_full_horizon(spark):
+    from pagerank_spark.operators.survival import rmst
+
+    subj = spark.createDataFrame([(5, 0), (9, 0)], "duration_s long, event long")
+    got = rmst(subj, tau=100).collect()[0]
+    assert got.n_points == 0
+    assert got.rmst_micro == 100 * 1_000_000
