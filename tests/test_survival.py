@@ -129,16 +129,17 @@ def test_logrank_identical_groups_null(spark):
 def test_rmst_hand_curve(spark):
     from pagerank_spark.operators.survival import rmst
 
-    # events at t=2 (S: 1 -> 0.75) and t=6 (0.75 -> 0.375); censor at 9
+    # events at t=2 (4 at risk: S -> 3/4) and t=6 (3 at risk, 2 events:
+    # S -> 3/4 * 1/3 = 1/4); censor at 9
     rows = [(2, 1), (6, 1), (6, 1), (9, 0)]
     subj = spark.createDataFrame(rows, "duration_s long, event long")
-    # tau=8: 1*2 + 0.75*(6-2) + 0.375*(8-6) = 5.75
+    # tau=8: 1*2 + 0.75*(6-2) + 0.25*(8-6) = 5.5
     got = rmst(subj, tau=8).collect()[0]
     assert (got.tau, got.n_points) == (8, 2)
-    assert got.rmst_micro == round(5.75 * 1e6)
+    assert got.rmst_micro == round(5.5 * 1e6)
     # tau beyond the last event: last step extends to tau
     got2 = rmst(subj, tau=20).collect()[0]
-    assert got2.rmst_micro == round((2 + 0.75 * 4 + 0.375 * 14) * 1e6)
+    assert got2.rmst_micro == round((2 + 0.75 * 4 + 0.25 * 14) * 1e6)
     # tau before the first event: pure unit survival
     got3 = rmst(subj, tau=1).collect()[0]
     assert got3.rmst_micro == 1_000_000
