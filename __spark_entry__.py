@@ -2822,6 +2822,20 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_lorenz_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Lorenz concentration curve (operators/profile.py::
+    lorenz_curve, 10 points) of per-customer order spend in cents — the
+    curve behind the Gini gate: histogram + double distributed prefix sum
+    + pure-BIGINT boundary interpolation, one float division per point."""
+    from pagerank_spark.operators.profile import lorenz_curve
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend")
+    )
+    return lorenz_curve(spend, "spend", n_points=10)
+
+
 def q_rmst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Restricted mean survival time at tau = 1e6 s (operators/
     survival.py::rmst): the exact-integer area under the gated KM curve —
@@ -7722,6 +7736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "lorenz_orders": q_lorenz_orders,
         "rmst_events": q_rmst_events,
         "aipw_events": q_aipw_events,
         "platt_lm_docs": q_platt_lm_docs,
@@ -11350,6 +11365,31 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
+
+    sqls["lorenz_orders"] = """
+WITH spend AS MATERIALIZED (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c, CAST(v * COUNT(*) AS BIGINT) AS s
+      FROM spend GROUP BY 1),
+cum AS (SELECT v, c, s,
+               CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cumc,
+               CAST(SUM(s) OVER (ORDER BY v) AS BIGINT) AS cums
+        FROM h),
+tot AS (SELECT CAST(MAX(cumc) AS BIGINT) AS n, CAST(MAX(cums) AS BIGINT) AS total FROM cum),
+probes AS (SELECT unnest(range(1, 11)) AS point),
+targets AS (SELECT point, n, total, (point * n + 9) // 10 AS k FROM probes CROSS JOIN tot),
+picked AS (
+  SELECT t.point, t.k, t.total,
+         MIN({'v': cum.v, 'cumc': cum.cumc, 'cums': cum.cums}) AS b
+  FROM cum JOIN targets t ON cum.cumc >= t.k
+  GROUP BY 1, 2, 3)
+SELECT point, k,
+       CAST(b['cums'] - (b['cumc'] - k) * b['v'] AS BIGINT) AS cum_value,
+       CAST(CASE WHEN total > 0
+            THEN (b['cums'] - (b['cumc'] - k) * b['v']) * 1000000 // total
+            ELSE 0 END AS BIGINT) AS share_micro
+FROM picked"""
 
     sqls["aipw_events"] = """
 WITH base AS MATERIALIZED (
