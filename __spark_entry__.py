@@ -2822,6 +2822,17 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_selfexcite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hawkes-style self-excitation screen (operators/temporal.py::
+    self_excitation, tau=600s): per-user sum of exp(-gap/tau) over
+    consecutive events — burstiness before fitting a point process.
+    Per-pair EXP terms nano-rounded before the order-free integer sum."""
+    from pagerank_spark.operators.temporal import self_excitation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return self_excitation(ev, tau_s=600)
+
+
 def q_lorenz_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Lorenz concentration curve (operators/profile.py::
     lorenz_curve, 10 points) of per-customer order spend in cents — the
@@ -7736,6 +7747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "selfexcite_events": q_selfexcite_events,
         "lorenz_orders": q_lorenz_orders,
         "rmst_events": q_rmst_events,
         "aipw_events": q_aipw_events,
@@ -11365,6 +11377,21 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
+
+    sqls["selfexcite_events"] = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dt
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(CAST(ROUND(EXP(-(CAST(dt AS DOUBLE) / 600.0))
+                           * 1000000000.0) AS BIGINT)) AS BIGINT) AS excite_nano,
+       CAST(SUM(CAST(ROUND(EXP(-(CAST(dt AS DOUBLE) / 600.0))
+                           * 1000000000.0) AS BIGINT)) AS BIGINT)
+         // CAST(COUNT(*) AS BIGINT) AS mean_excite_nano
+FROM gaps WHERE dt IS NOT NULL GROUP BY 1"""
 
     sqls["lorenz_orders"] = """
 WITH spend AS MATERIALIZED (

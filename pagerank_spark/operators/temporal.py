@@ -730,3 +730,47 @@ def temporal_motif_counts(edges: DataFrame, delta: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangle"))
     )
     return base.crossJoin(tri)
+
+
+def self_excitation(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    tau_s: int = 600,
+) -> DataFrame:
+    """Per-key self-excitation score — the first-order Hawkes-process
+    burstiness statistic (Hawkes 1971 — public methodology): each
+    consecutive event pair contributes ``exp(-dt / tau)``, so bursty keys
+    (retry storms, doom-scrolling, bot loops) score near their event
+    count while Poisson-spread keys score near ``n * E[exp(-dt/tau)]``.
+    The cheap screen a temporal pipeline runs before fitting a real
+    point-process model.
+
+    One lag window on the key + one grouped sum; each per-pair EXP term
+    is nano-rounded BEFORE the (order-free, BIGINT) sum (the lm.py
+    discipline — EXP's 1-ulp is absorbed). ``excite_nano / n_gaps`` is
+    the mean kernel value, also emitted as an exact truncated rational.
+    Returns ``(key_col, n_gaps, excite_nano, mean_excite_nano)``.
+    """
+    if tau_s <= 0:
+        raise ValueError("tau_s must be positive")
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    gaps = events.select(
+        F.col(key_col),
+        (sec - F.lag(sec).over(w)).alias("__dt"),
+    ).filter(F.col("__dt").isNotNull())
+    term = F.expr(
+        f"CAST(ROUND(EXP(-(CAST(__dt AS DOUBLE) / {float(tau_s)!r}))"
+        " * 1000000000.0) AS BIGINT)"
+    )
+    return (
+        gaps.select(key_col, term.alias("__t"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("__t").alias("excite_nano"),
+        )
+        .withColumn("mean_excite_nano", F.expr("excite_nano DIV n_gaps"))
+    )

@@ -55,3 +55,27 @@ def test_interevent_equal_ts_tiebreak_deterministic(spark):
     b = interevent_stats(ev.repartition(5)).collect()[0]
     assert tuple(a) == tuple(b)
     assert a["n_gaps"] == 3 and a["sum_gap_s"] == 0
+
+
+def test_self_excitation_bursty_vs_spread(spark):
+    import math
+    from datetime import datetime, timedelta
+
+    from pagerank_spark.operators.temporal import self_excitation
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # user 1: burst — 5 events 10s apart; user 2: spread — 5 events 1h apart
+    for i in range(5):
+        rows.append((i, base + timedelta(seconds=10 * i), 1, "view", 0.0, ""))
+        rows.append((100 + i, base + timedelta(hours=i), 2, "view", 0.0, ""))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.user_id: r for r in self_excitation(ev, tau_s=600).collect()}
+    want1 = 4 * round(math.exp(-10 / 600) * 1e9)
+    want2 = 4 * round(math.exp(-3600 / 600) * 1e9)
+    assert got[1].n_gaps == 4 and got[1].excite_nano == want1
+    assert got[2].excite_nano == want2
+    assert got[1].excite_nano > 100 * got[2].excite_nano
+    assert got[1].mean_excite_nano == want1 // 4
