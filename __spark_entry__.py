@@ -2822,6 +2822,18 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_isotropy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy (operators/similarity.py::isotropy): corpus mean
+    pairwise cosine WITHOUT the N^2 join — the sum-vector identity over
+    1e6-grid-quantized unit vectors, DECIMAL/HUGEINT-exact squared sums,
+    one double division micro-rounded. The representation-collapse screen
+    run before trusting cosine thresholds."""
+    from pagerank_spark.operators.similarity import isotropy
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return isotropy(emb)
+
+
 def q_selfexcite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hawkes-style self-excitation screen (operators/temporal.py::
     self_excitation, tau=600s): per-user sum of exp(-gap/tau) over
@@ -7747,6 +7759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "isotropy_embeddings": q_isotropy_embeddings,
         "selfexcite_events": q_selfexcite_events,
         "lorenz_orders": q_lorenz_orders,
         "rmst_events": q_rmst_events,
@@ -11377,6 +11390,35 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
+
+    sqls["isotropy_embeddings"] = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n2 AS MATERIALIZED (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v), (a, x) -> a + x * x) AS nn
+  FROM q),
+qn AS MATERIALIZED (
+  SELECT list_transform(v, x -> CAST(ROUND(x / SQRT(nn) * 1000000.0) AS BIGINT)) AS u
+  FROM n2 WHERE nn > 0),
+comp AS (
+  SELECT i AS pos, CAST(SUM(u[i]) AS BIGINT) AS s
+  FROM qn, unnest(range(1, 65)) AS r(i) GROUP BY 1),
+ssq AS (
+  SELECT CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS dim
+  FROM comp),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), u),
+                                   (a, x) -> a + x * x) AS HUGEINT)) AS HUGEINT) AS sq
+  FROM qn)
+SELECT tot.n, ssq.dim,
+  CASE WHEN tot.n >= 2 THEN CAST(ROUND((CAST(ssq.ss AS DOUBLE) - CAST(tot.sq AS DOUBLE))
+       / (CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) - 1.0) * 1000000000000.0)
+       * 1000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS mean_cos_micro
+FROM ssq CROSS JOIN tot"""
 
     sqls["selfexcite_events"] = """
 WITH gaps AS (

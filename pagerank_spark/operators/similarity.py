@@ -424,3 +424,71 @@ def hubness(
         F.coalesce(F.col("n_rknn"), F.lit(0)).cast("long").alias("n_rknn")
     )
     return per.groupBy("n_rknn").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+def isotropy(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding isotropy diagnostic — the mean pairwise cosine of the
+    corpus (Ethayarajh 2019; representation-collapse screens — public
+    methodology): anisotropic ("collapsed") embedding spaces have mean
+    cosine far above 0, which silently breaks cosine thresholds in dedup
+    and retrieval. Computed WITHOUT the N^2 pair join via the sum-vector
+    identity over unit vectors:
+
+        sum_{i != j} <u_i, u_j> = ||sum_i u_i||^2 - n
+
+    Each vector is L2-normalized (one correctly-rounded SQRT per vector)
+    and its components are scaled to the 1e6 integer grid ONCE — after
+    that the component sums, the squared norm of the sum vector, and the
+    pair mean are exact BIGINT arithmetic (zero-norm vectors dropped, the
+    knn contract). One scan, one component aggregation (D rows), one
+    closed-form row out: ``(n, dim, mean_cos_micro)`` with
+    ``mean_cos = (||S||^2 - n*scale^2) / (n*(n-1)*scale^2)`` emitted via
+    a single double division, micro-rounded once.
+    """
+    q = emb.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+        ).alias("__v"),
+    ).withColumn(
+        "__n2",
+        F.expr("aggregate(__v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"),
+    ).filter(F.col("__n2") > 0)
+    qn = q.select(
+        F.expr(
+            f"transform(__v, x -> CAST(ROUND(x / SQRT(__n2) * {int(scale)}.0) AS BIGINT))"
+        ).alias("__u")
+    )
+    comp = qn.select(F.posexplode(F.col("__u")).alias("pos", "val"))
+    sums = comp.groupBy("pos").agg(F.sum("val").alias("s"))
+    # sum of squared quantized norms computed EXACTLY (quantization keeps
+    # each ||q_i||^2 near scale^2 but not equal — never approximate it)
+    sq = qn.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "SUM(CAST(aggregate(__u, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+            " AS DECIMAL(38, 0)))"
+        ).alias("sq"),
+    )
+    # DECIMAL(38) keeps the squared sums exact far past BIGINT (the bm25
+    # HUGEINT rule): ||S||^2 grows as (n * scale)^2
+    agg = sums.agg(
+        F.expr("SUM(CAST(s AS DECIMAL(38, 0)) * s)").alias("ss"),
+        F.count(F.lit(1)).alias("dim"),
+    ).crossJoin(sq)
+    sc2 = int(scale) * int(scale)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("dim").cast("long").alias("dim"),
+        F.expr(
+            f"CASE WHEN n >= 2 THEN CAST(ROUND((CAST(ss AS DOUBLE)"
+            f" - CAST(sq AS DOUBLE))"
+            f" / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * {sc2}.0)"
+            " * 1000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        ).alias("mean_cos_micro"),
+    )

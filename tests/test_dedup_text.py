@@ -372,3 +372,28 @@ def test_ivf_lloyd_iterations_match_numpy_replay(spark):
         want, cw = replay(iters)
         assert got == {i: int(want[i]) for i in range(len(vecs))}
         assert np.allclose(cents, cw)
+
+
+def test_isotropy_collapsed_vs_spread(spark):
+    from pagerank_spark.operators.similarity import isotropy
+
+    # collapsed: all vectors identical -> mean cos ~ 1
+    col = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(6)], "vec_id long, embedding array<float>"
+    )
+    got = isotropy(col).collect()[0]
+    assert got.n == 6 and got.dim == 2
+    assert abs(got.mean_cos_micro - 1_000_000) <= 5
+    # balanced: axis-aligned +/- pairs -> mean cos ~ -1/(n-1) = -1/3
+    spread = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got2 = isotropy(spread).collect()[0]
+    assert abs(got2.mean_cos_micro - (-333_333)) <= 5
+    # zero vectors drop; singleton emits sentinel
+    one = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [2.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got3 = isotropy(one).collect()[0]
+    assert (got3.n, got3.mean_cos_micro) == (1, 0)
