@@ -459,9 +459,14 @@ def isotropy(
         "__n2",
         F.expr("aggregate(__v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"),
     ).filter(F.col("__n2") > 0)
+    # the IF guard keeps ANSI division happy even if Catalyst evaluates
+    # the projection alongside the __n2 > 0 filter (zero rows are dropped
+    # either way)
     qn = q.select(
         F.expr(
-            f"transform(__v, x -> CAST(ROUND(x / SQRT(__n2) * {int(scale)}.0) AS BIGINT))"
+            "transform(__v, x -> IF(__n2 > 0,"
+            f" CAST(ROUND(x / SQRT(__n2) * {int(scale)}.0) AS BIGINT),"
+            " CAST(0 AS BIGINT)))"
         ).alias("__u")
     )
     comp = qn.select(F.posexplode(F.col("__u")).alias("pos", "val"))
