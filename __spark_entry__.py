@@ -2822,6 +2822,18 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_effdim_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation-ratio effective dimensionality (operators/linalg.py::
+    effective_dim) of the gated Gram matrix: tr(C)^2 / ||C||_F^2 over the
+    exact BIGINT cells, DECIMAL-exact squares — the spectral collapse
+    screen next to the isotropy gate."""
+    from pagerank_spark.operators.clustering import quantize_vectors
+    from pagerank_spark.operators.linalg import effective_dim, gram_matrix
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return effective_dim(gram_matrix(quantize_vectors(emb, scale=128), "qvec"))
+
+
 def q_isotropy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding isotropy (operators/similarity.py::isotropy): corpus mean
     pairwise cosine WITHOUT the N^2 join — the sum-vector identity over
@@ -7759,6 +7771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "effdim_embeddings": q_effdim_embeddings,
         "isotropy_embeddings": q_isotropy_embeddings,
         "selfexcite_events": q_selfexcite_events,
         "lorenz_orders": q_lorenz_orders,
@@ -14078,5 +14091,17 @@ SELECT CAST(1000000 AS BIGINT) AS tau, f.n AS n_points,
        FROM o)
   END AS rmst_micro
 FROM f""")
+
+    sqls["effdim_embeddings"] = (
+        "WITH g AS MATERIALIZED (" + sqls["gram_embeddings"] + """)
+SELECT CAST(MAX(i) + 1 AS BIGINT) AS dim,
+  CASE WHEN SUM(CAST(s AS HUGEINT) * s * CASE WHEN i = j THEN 1 ELSE 2 END) > 0
+  THEN CAST(ROUND(
+    CAST(SUM(CASE WHEN i = j THEN s ELSE 0 END) AS DOUBLE)
+    * CAST(SUM(CASE WHEN i = j THEN s ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CAST(s AS HUGEINT) * s * CASE WHEN i = j THEN 1 ELSE 2 END) AS DOUBLE)
+    * 1000000.0) AS BIGINT)
+  ELSE CAST(0 AS BIGINT) END AS effdim_micro
+FROM g""")
 
     return sqls

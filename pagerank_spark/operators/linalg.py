@@ -308,3 +308,33 @@ def pca_project(
         id_col,
         F.round(score / F.lit(float(n)) * 1000.0, 0).cast("long").alias("pc1_milli"),
     )
+
+
+def effective_dim(gram: DataFrame) -> DataFrame:
+    """Participation-ratio effective dimensionality of an (uncentered)
+    second-moment matrix — ``PR = tr(C)^2 / ||C||_F^2`` (Gao et al. 2017
+    neural-dimensionality literature; public methodology): bounded by the
+    true rank, equal to D only when the spectrum is flat. With
+    :func:`gram_matrix`'s exact upper-triangle BIGINT cells this is ONE
+    aggregation: ``tr = sum of diagonal cells``, ``frob^2 = sum of
+    c_ij^2`` with off-diagonal cells counted twice — squares in
+    DECIMAL(38) (the bm25 rule), one double division micro-rounded.
+    The spectral companion of the isotropy screen: collapse shows up as
+    effdim << dim. Returns ``(dim, effdim_micro)``.
+    """
+    agg = gram.agg(
+        F.max(F.col("i")).alias("maxi"),
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("s")).otherwise(0)).alias("tr"),
+        F.expr(
+            "SUM(CAST(s AS DECIMAL(38, 0)) * s"
+            " * CASE WHEN i = j THEN 1 ELSE 2 END)"
+        ).alias("f2"),
+    )
+    return agg.select(
+        (F.col("maxi") + 1).cast("long").alias("dim"),
+        F.expr(
+            "CASE WHEN f2 > 0 THEN CAST(ROUND(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)"
+            " / CAST(f2 AS DOUBLE) * 1000000.0) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("effdim_micro"),
+    )

@@ -92,3 +92,33 @@ def test_power_iteration_matches_eigh(spark):
     top = vecs[:, -1]
     # direction match up to sign
     assert min(np.linalg.norm(v - top), np.linalg.norm(v + top)) < 1e-6
+
+
+def test_effective_dim_flat_vs_collapsed(spark):
+    import numpy as np
+
+    from pagerank_spark.operators.linalg import effective_dim, gram_matrix
+
+    # flat spectrum: orthogonal axis vectors -> PR = dim
+    flat = spark.createDataFrame(
+        [(0, [4, 0, 0]), (1, [0, 4, 0]), (2, [0, 0, 4])],
+        "vec_id long, qvec array<long>",
+    )
+    got = effective_dim(gram_matrix(flat, "qvec")).collect()[0]
+    assert got.dim == 3 and got.effdim_micro == 3_000_000
+    # rank-1 collapse: all vectors parallel -> PR = 1
+    col = spark.createDataFrame(
+        [(i, [2, 4, 6]) for i in range(5)], "vec_id long, qvec array<long>"
+    )
+    got2 = effective_dim(gram_matrix(col, "qvec")).collect()[0]
+    assert got2.effdim_micro == 1_000_000
+    # numpy replay on an arbitrary integer matrix
+    X = np.array([[1, 2, 0], [3, 1, 1], [0, 2, 5], [1, 1, 1]], dtype=np.int64)
+    df = spark.createDataFrame(
+        [(i, [int(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, qvec array<long>",
+    )
+    C = X.T @ X
+    want = round(float(np.trace(C)) ** 2 / float((C * C).sum()) * 1e6)
+    got3 = effective_dim(gram_matrix(df, "qvec")).collect()[0]
+    assert got3.effdim_micro == want
