@@ -2822,6 +2822,17 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_dispersion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type index of dispersion (operators/hyptest.py::
+    dispersion_index): variance-to-mean of per-user counts — the
+    overdispersion screen pairing with the self-excitation gate. Exact
+    BIGINT moments, one double tree, micro-rounded once."""
+    from pagerank_spark.operators.hyptest import dispersion_index
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dispersion_index(ev, "event_type", "user_id")
+
+
 def q_effdim_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Participation-ratio effective dimensionality (operators/linalg.py::
     effective_dim) of the gated Gram matrix: tr(C)^2 / ||C||_F^2 over the
@@ -7771,6 +7782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "dispersion_events": q_dispersion_events,
         "effdim_embeddings": q_effdim_embeddings,
         "isotropy_embeddings": q_isotropy_embeddings,
         "selfexcite_events": q_selfexcite_events,
@@ -11403,6 +11415,21 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
+
+    sqls["dispersion_events"] = """
+WITH per_unit AS (
+  SELECT event_type AS g, user_id AS u, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM per_unit GROUP BY 1)
+SELECT g AS event_type, n AS n_units, s AS n_events,
+  CASE WHEN s > 0 THEN CAST(ROUND(
+    (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+    / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) * 1000000.0) AS BIGINT)
+  ELSE CAST(0 AS BIGINT) END AS vmr_micro
+FROM m"""
 
     sqls["isotropy_embeddings"] = """
 WITH q AS MATERIALIZED (

@@ -488,3 +488,44 @@ def bh_fdr(
         "rank",
         (F.col("rank") <= F.col("kcut")).cast("int").alias("rejected"),
     )
+
+
+def dispersion_index(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+) -> DataFrame:
+    """Per-group index of dispersion (variance-to-mean ratio of per-unit
+    counts — Fisher 1950; public methodology): the standard
+    overdispersion screen before assuming Poisson behavior (VMR = 1);
+    VMR >> 1 means burst/contagion (pairs with the self-excitation
+    screen), VMR < 1 means regularity/quota. Counts events per
+    ``(group, unit)``, then per group the exact BIGINT moments
+    ``(n_units, sum, sum_sq)`` and ``vmr_micro`` from the population
+    variance — one fixed double tree, micro-rounded once; zero-mean
+    groups emit the 0 sentinel. Two map-side-combined aggregations.
+    Returns ``(group, n_units, n_events, vmr_micro)``.
+    """
+    per_unit = (
+        df.select(F.col(group_col).alias("g"), F.col(unit_col).alias("u"))
+        .groupBy("g", "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = per_unit.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    # population variance / mean = (n*ss - s^2) / (n * s)
+    return m.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_units"),
+        F.col("s").cast("long").alias("n_events"),
+        F.expr(
+            "CASE WHEN s > 0 THEN CAST(ROUND("
+            "(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))"
+            " * 1000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        ).alias("vmr_micro"),
+    )

@@ -93,3 +93,21 @@ def test_plans_are_window_free(spark):
     rows = [("r", "c")] * 4
     plan = chi_square(spark.createDataFrame(rows, "r string, c string"), "r", "c")._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_dispersion_index_poisson_vs_burst(spark):
+    from pagerank_spark.operators.hyptest import dispersion_index
+
+    rows = (
+        # group "flat": every unit exactly 3 events -> variance 0, VMR 0
+        [("flat", u) for u in range(4) for _ in range(3)]
+        # group "burst": one unit 9 events, three units 1 -> high VMR
+        + [("burst", 0)] * 9
+        + [("burst", u) for u in (1, 2, 3)]
+    )
+    df = spark.createDataFrame(rows, "g string, u long")
+    got = {r.g: r for r in dispersion_index(df, "g", "u").collect()}
+    assert got["flat"].vmr_micro == 0
+    assert (got["flat"].n_units, got["flat"].n_events) == (4, 12)
+    # burst replay: counts 9,1,1,1: n=4 s=12 ss=84 -> (336-144)/48 = 4
+    assert got["burst"].vmr_micro == 4_000_000
