@@ -2822,6 +2822,17 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_triangle_zscore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Configuration-model triangle significance (operators/graphstats.py
+    ::triangle_significance) on the copurchase graph: observed triangles
+    vs (S2/S1)^3/6 with a Poisson z — the null-model companion of the
+    exact triangle gates."""
+    from pagerank_spark.operators.graphstats import triangle_significance
+    from pagerank_spark.sources.graphs import lineitem_copurchase_graph
+
+    return triangle_significance(lineitem_copurchase_graph(spark, sf_dir))
+
+
 def q_dispersion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type index of dispersion (operators/hyptest.py::
     dispersion_index): variance-to-mean of per-user counts — the
@@ -7782,6 +7793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "triangle_zscore_copurchase": q_triangle_zscore_copurchase,
         "dispersion_events": q_dispersion_events,
         "effdim_embeddings": q_effdim_embeddings,
         "isotropy_embeddings": q_isotropy_embeddings,
@@ -11415,6 +11427,30 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
+
+    sqls["triangle_zscore_copurchase"] = """
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sym AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT 1 FROM e e1
+    JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst)),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nv, CAST(SUM(d) AS BIGINT) AS s1,
+         CAST(SUM(d * (d - 1)) AS BIGINT) AS s2
+  FROM deg)
+SELECT nv AS n_vertices, tri.t AS n_triangles, s1, s2,
+  CASE WHEN s1 > 0 THEN CAST(ROUND(((CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)) / 6.0) * 1000000.0) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS e_micro,
+  CASE WHEN s1 > 0 AND ((CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)) / 6.0) > 0.0 THEN
+    CAST(ROUND((CAST(tri.t AS DOUBLE) - ((CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)) / 6.0)) / SQRT(((CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)) / 6.0)) * 1000000.0) AS BIGINT)
+  ELSE CAST(0 AS BIGINT) END AS z_micro
+FROM m CROSS JOIN tri"""
 
     sqls["dispersion_events"] = """
 WITH per_unit AS (

@@ -1042,3 +1042,51 @@ def oddball_egonet(edges: DataFrame) -> DataFrame:
     return pts.crossJoin(F.broadcast(m)).select(
         "id", "n_ego", "e_ego", F.expr(score).alias("score_micro")
     )
+
+
+def triangle_significance(edges: DataFrame) -> DataFrame:
+    """Observed triangles vs the configuration-model expectation
+    (Newman 2003 "The structure and function of complex networks" —
+    public methodology): ``E[T] ~ (S2 / S1)^3 / 6`` with ``S1 = sum d``
+    and ``S2 = sum d(d-1)`` over the undirected degree sequence, and the
+    Poisson-approximate ``z = (T - E) / sqrt(E)`` — "is this graph's
+    clustering real or just its hubs?". The null-model companion of the
+    exact triangle gates.
+
+    Degrees from one grouped count; T from the engine's oriented
+    triangle kernel (one driver scalar); E and z are one fixed double
+    tree over exact BIGINT moments, micro-rounded once each. Returns ONE
+    row ``(n_vertices, n_triangles, s1, s2, e_micro, z_micro)``.
+    """
+    from ..algos.triangles import triangle_count
+
+    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).distinct()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    t_obs = int(triangle_count(edges))
+    m = deg.agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("s2"),
+    )
+    e = (
+        "((CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE))"
+        " * (CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE))"
+        " * (CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)) / 6.0)"
+    )
+    return m.select(
+        F.col("nv").cast("long").alias("n_vertices"),
+        F.lit(t_obs).cast("long").alias("n_triangles"),
+        F.col("s1").cast("long").alias("s1"),
+        F.col("s2").cast("long").alias("s2"),
+        F.expr(
+            f"CASE WHEN s1 > 0 THEN CAST(ROUND({e} * 1000000.0) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("e_micro"),
+        F.expr(
+            f"CASE WHEN s1 > 0 AND {e} > 0.0 THEN"
+            f" CAST(ROUND((CAST({t_obs} AS DOUBLE) - {e}) / SQRT({e})"
+            " * 1000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        ).alias("z_micro"),
+    )

@@ -335,3 +335,25 @@ def test_oddball_degenerate_single_edge(spark):
     got = {r.id: r for r in oddball_egonet(df).collect()}
     # both egonets identical -> zero x-variance -> sentinel scores
     assert got[1].score_micro == 0 and got[2].score_micro == 0
+
+
+def test_triangle_significance_replay(spark):
+    import math
+
+    from pagerank_spark.operators.graphstats import triangle_significance
+
+    # K4 plus a pendant: T=4, degrees 3,3,3,4,1
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 9)],
+        "src long, dst long",
+    )
+    got = triangle_significance(e).collect()[0]
+    assert (got.n_vertices, got.n_triangles) == (5, 4)
+    degs = [3, 3, 3, 4, 1]
+    s1, s2 = sum(degs), sum(d * (d - 1) for d in degs)
+    assert (got.s1, got.s2) == (s1, s2)
+    ev = (s2 / s1) ** 3 / 6.0
+    assert got.e_micro == round(ev * 1e6)
+    assert got.z_micro == round((4 - ev) / math.sqrt(ev) * 1e6)
+    # the clique is far denser than its degree sequence predicts
+    assert got.z_micro > 1_000_000
