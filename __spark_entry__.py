@@ -2822,6 +2822,34 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_topk_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-drift screen: RBO@20 (p=0.9) between the top-token
+    rankings of the even and odd doc_id halves of the corpus — the
+    heavy-hitter drift monitor a streaming ingest runs between batches.
+    Composes mleval.rbo_at_k over two deterministic count rankings
+    (count DESC, token ASC)."""
+    from pyspark.sql import Window
+
+    from pagerank_spark.operators.mleval import rbo_at_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(2)).alias("half"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("half", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("half").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    a = ranked.filter(F.col("half") == 0).select(F.col("token").alias("doc_id"), "rank")
+    b = ranked.filter(F.col("half") == 1).select(F.col("token").alias("doc_id"), "rank")
+    return rbo_at_k(a, b, k=20, p=0.9)
+
+
 def q_triangle_zscore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Configuration-model triangle significance (operators/graphstats.py
     ::triangle_significance) on the copurchase graph: observed triangles
@@ -7793,6 +7821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "topk_drift_docs": q_topk_drift_docs,
         "triangle_zscore_copurchase": q_triangle_zscore_copurchase,
         "dispersion_events": q_dispersion_events,
         "effdim_embeddings": q_effdim_embeddings,
@@ -11427,6 +11456,29 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
+
+    sqls["topk_drift_docs"] = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id % 2 AS half,
+         unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                            x -> len(x) > 0)) AS token
+  FROM documents),
+counts AS (
+  SELECT half, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT half, token,
+         ROW_NUMBER() OVER (PARTITION BY half ORDER BY cnt DESC, token ASC) AS rk
+  FROM counts),
+a AS (SELECT token, rk FROM ranked WHERE half = 0 AND rk <= 20),
+b AS (SELECT token, rk FROM ranked WHERE half = 1 AND rk <= 20),
+j AS (SELECT ([251483304, 151483304, 106483304, 79483304, 61258304, 48136304, 38294804, 30702789, 24724078, 19941109, 16066904, 12897100, 10282012, 8109477, 6293859, 4768739, 3481920, 2391908, 1465398, 675426])[GREATEST(a.rk, b.rk)] AS w
+      FROM a JOIN b ON a.token = b.token)
+SELECT CAST(20 AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(COALESCE(SUM(w), 0) AS BIGINT) AS rbo_nano
+FROM j"""
 
     sqls["triangle_zscore_copurchase"] = """
 WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
