@@ -2822,6 +2822,19 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_turn_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-depth profile (operators/sequences.py::
+    turn_depth_profile, bucket=5) over the transcripts view: per depth
+    bucket the alive-conversation count, role mix, tool-invocation rate
+    and text mass — the long-trajectory degradation chart. One grouped
+    aggregate, all exact integers."""
+    from pagerank_spark.operators.sequences import turn_depth_profile
+    from pagerank_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return turn_depth_profile(transcripts_from_events(ev), bucket=5)
+
+
 def q_topk_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-drift screen: RBO@20 (p=0.9) between the top-token
     rankings of the even and odd doc_id halves of the corpus — the
@@ -7821,6 +7834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "turn_profile_events": q_turn_profile_events,
         "topk_drift_docs": q_topk_drift_docs,
         "triangle_zscore_copurchase": q_triangle_zscore_copurchase,
         "dispersion_events": q_dispersion_events,
@@ -11456,6 +11470,21 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
   FROM df) WHERE rn = 1"""
+
+    sqls["turn_profile_events"] = f"""
+WITH {TRANSCRIPT_VIEW_CTES.strip()},
+p AS (
+  SELECT turn_idx // 5 AS depth_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+         CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+         CAST(SUM(CASE WHEN role = 'assistant' AND tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_invocations,
+         CAST(SUM(LENGTH(COALESCE(text, ''))) AS BIGINT) AS text_chars
+  FROM t GROUP BY 1)
+SELECT depth_bucket, n_turns, n_convs, n_assistant, n_tool_invocations, text_chars,
+       CASE WHEN n_assistant > 0 THEN n_tool_invocations * 1000000 // n_assistant
+            ELSE CAST(0 AS BIGINT) END AS tool_rate_micro
+FROM p"""
 
     sqls["topk_drift_docs"] = """
 WITH toks AS MATERIALIZED (

@@ -780,3 +780,47 @@ def curate_conversations(
         & (F.col("max_latency_us") <= int(max_latency_us))
     )
     return j.withColumn("keep", keep.cast("long"))
+
+
+def turn_depth_profile(transcripts: DataFrame, bucket: int = 5) -> DataFrame:
+    """Conversation-depth profile: per turn-index bucket, how many
+    conversations are still alive, the role mix, tool-invocation rate and
+    text mass — the "what happens deep into a trajectory" diagnostic
+    (long-context degradation, tool-loop onset, abandonment) an
+    agent-platform pipeline charts before deciding context budgets.
+
+    ONE grouped aggregate over the transcript scan (bucket =
+    ``turn_idx DIV bucket``); all outputs exact BIGINTs plus one
+    micro-rounded rate. Returns ``(depth_bucket, n_turns, n_convs,
+    n_assistant, n_tool_invocations, text_chars, tool_rate_micro)``.
+    """
+    if bucket < 1:
+        raise ValueError("bucket must be >= 1")
+    b = (F.col("turn_idx").cast("long") / int(bucket)).cast("long")
+    return (
+        transcripts.groupBy(b.alias("depth_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+            .cast("long")
+            .alias("n_assistant"),
+            F.sum(
+                F.when(
+                    (F.col("role") == "assistant") & F.col("tool").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tool_invocations"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))))
+            .cast("long")
+            .alias("text_chars"),
+        )
+        .withColumn(
+            "tool_rate_micro",
+            F.expr(
+                "CASE WHEN n_assistant > 0 THEN n_tool_invocations * 1000000"
+                " DIV n_assistant ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )

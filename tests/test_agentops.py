@@ -143,3 +143,26 @@ def test_curate_conversations_verdicts(spark):
     assert got["c"].keep == 0 and got["c"].n_idx_gaps == 1
     assert got["d"].keep == 0 and got["d"].max_latency_us == 200_000_000
     assert got["e"].keep == 0 and got["e"].n_turns == 2
+
+
+def test_turn_depth_profile(spark):
+    from pagerank_spark.operators.sequences import turn_depth_profile
+
+    rows_in = [
+        ("a", 0, "user", None, 0),
+        ("a", 1, "assistant", "sql", 0),
+        ("a", 2, "tool", "sql", 0),
+        ("a", 5, "assistant", None, 0),
+        ("b", 0, "user", None, 0),
+        ("b", 6, "assistant", "py", 0),
+    ]
+    got = {r.depth_bucket: r for r in turn_depth_profile(_tr(spark, rows_in), bucket=5).collect()}
+    b0, b1 = got[0], got[1]
+    assert (b0.n_turns, b0.n_convs) == (4, 2)
+    assert (b0.n_assistant, b0.n_tool_invocations) == (1, 1)
+    assert b0.tool_rate_micro == 1_000_000
+    assert (b1.n_turns, b1.n_convs) == (2, 2)
+    assert b1.n_assistant == 2 and b1.n_tool_invocations == 1
+    assert b1.tool_rate_micro == 500_000
+    # text mass counts the literal 'x' placeholder per turn
+    assert b0.text_chars == 4
