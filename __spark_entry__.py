@@ -2822,6 +2822,25 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_rank_gini_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of PageRank mass (profile.gini_concentration
+    composed over the k=3 PR gate ranks in micro units): the
+    hub-dominance summary of the link graph — "how unequal is attention?".
+    Oracle = the unrolled PR CTE piped into the rank-form Gini."""
+    from pagerank_spark.algos.pagerank import pagerank
+    from pagerank_spark.operators.profile import gini_concentration
+    from pagerank_spark.sources.graphs import events_graph
+
+    edges = events_graph(spark, sf_dir)
+    ranks = pagerank(edges, max_iters=3, tol=0.0).ranks
+    vals = ranks.select(
+        F.col("id"),
+        F.round(F.round("rank", 6) * 1_000_000).cast("long").alias("micro"),
+    )
+    res = gini_concentration(vals, "micro", "id")
+    return res.select("n", "total", F.round("gini", 6).alias("gini"))
+
+
 def q_turn_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-depth profile (operators/sequences.py::
     turn_depth_profile, bucket=5) over the transcripts view: per depth
@@ -7834,6 +7853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "rank_gini_events": q_rank_gini_events,
         "turn_profile_events": q_turn_profile_events,
         "topk_drift_docs": q_topk_drift_docs,
         "triangle_zscore_copurchase": q_triangle_zscore_copurchase,
@@ -14247,5 +14267,16 @@ SELECT CAST(MAX(i) + 1 AS BIGINT) AS dim,
     * 1000000.0) AS BIGINT)
   ELSE CAST(0 AS BIGINT) END AS effdim_micro
 FROM g""")
+
+    sqls["rank_gini_events"] = (
+        "WITH pr AS MATERIALIZED (" + sqls["pagerank_events_k3"] + """),
+r AS (SELECT id, CAST(ROUND(rank * 1000000) AS BIGINT) AS x FROM pr),
+rk AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, id) AS BIGINT) AS i FROM r),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS total,
+             CAST(SUM(i * x) AS BIGINT) AS si FROM rk)
+SELECT n, total,
+       ROUND(CASE WHEN total > 0 THEN CAST(2 * si - (n + 1) * total AS DOUBLE)
+             / CAST(n * total AS DOUBLE) END, 6) AS gini
+FROM m""")
 
     return sqls
