@@ -2822,6 +2822,42 @@ def q_msf_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(ring.unionByName(chords))
 
 
+def q_pr_convergence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-iteration L1 convergence profile of the PageRank fixpoint on
+    the events graph (the north-rule L1 < 1e-9 stopping diagnostic made a
+    value gate): for k = 1..5, sum over vertices of |r_k - r_{k-1}| with
+    each per-vertex delta nano-rounded before the order-free integer sum.
+    The contraction ratio l1_{k+1}/l1_k is the observable damping-factor
+    bound. Oracle: the same unrolled recurrence, same nano terms."""
+    from pagerank_spark.algos.pagerank import pagerank
+    from pagerank_spark.sources.graphs import events_graph
+
+    edges = events_graph(spark, sf_dir).localCheckpoint()
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = verts.count()
+    frames = [verts.select("id", F.lit(1.0 / n).alias("r0"))] + [
+        pagerank(edges, max_iters=k, tol=0.0).ranks.select(
+            "id", F.col("rank").alias(f"r{k}")
+        )
+        for k in range(1, 6)
+    ]
+    out = None
+    for k in range(1, 6):
+        j = frames[k - 1].join(frames[k], "id").select(
+            F.lit(k).cast("long").alias("iter"),
+            F.expr(
+                f"CAST(ROUND(ABS(r{k} - r{k - 1}) * 1000000000.0) AS BIGINT)"
+            ).alias("d"),
+        )
+        agg = j.groupBy("iter").agg(F.sum("d").alias("l1_nano"))
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
 def q_rank_gini_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini concentration of PageRank mass (profile.gini_concentration
     composed over the k=3 PR gate ranks in micro units): the
@@ -7853,6 +7889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_synth": q_msf_synth,
         "mst_clusters_synth": q_mst_clusters_synth,
         "birank_orders": q_birank_orders,
+        "pr_convergence_events": q_pr_convergence_events,
         "rank_gini_events": q_rank_gini_events,
         "turn_profile_events": q_turn_profile_events,
         "topk_drift_docs": q_topk_drift_docs,
@@ -14278,5 +14315,18 @@ SELECT n, total,
        ROUND(CASE WHEN total > 0 THEN CAST(2 * si - (n + 1) * total AS DOUBLE)
              / CAST(n * total AS DOUBLE) END, 6) AS gini
 FROM m""")
+
+    _prc = _pagerank_sql(EVENTS_EDGES_CTE, 5)
+    _prc_ctes = _prc[: _prc.rindex("\nSELECT id, ROUND")]
+    _prc_parts = []
+    for _k in range(1, 6):
+        _prc_parts.append(
+            f"SELECT CAST({_k} AS BIGINT) AS iter, "
+            f"CAST(SUM(CAST(ROUND(ABS(a.rank - b.rank) * 1000000000.0) AS BIGINT)) AS BIGINT) AS l1_nano "
+            f"FROM r{_k} a JOIN r{_k - 1} b ON b.id = a.id"
+        )
+    sqls["pr_convergence_events"] = (
+        _prc_ctes + "\n" + "\nUNION ALL\n".join(_prc_parts)
+    )
 
     return sqls
