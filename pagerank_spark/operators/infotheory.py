@@ -296,10 +296,12 @@ def psi(
     rows = df.select(
         slice_col.cast("long").alias("sl"), bin_col.cast("long").alias("b")
     )
+    # one corpus scan: the bin table feeds both the totals and the terms,
+    # so it is eagerly truncated (Catalyst does not dedup the two subtrees)
     bins = rows.groupBy("b").agg(
         F.sum(F.lit(1) - F.col("sl")).alias("ca"),
         F.sum("sl").alias("cb"),
-    )
+    ).localCheckpoint()
     tot = bins.agg(
         F.sum("ca").alias("ta"),
         F.sum("cb").alias("tb"),
