@@ -93,9 +93,11 @@ def unigram_vocab(
     counts = occ.groupBy(F.col("p.piece").alias("piece")).agg(
         F.sum("cnt").alias("cnt")
     )
+    # vocabulary-sized and referenced by both the total and the output —
+    # truncate so the corpus-side explode runs ONCE (the psi/bins rule)
     kept = counts.filter(
         (F.length("piece") == 1) | (F.col("cnt") >= int(min_count))
-    )
+    ).localCheckpoint()
     tot = kept.agg(F.sum("cnt").alias("total"))
     return kept.crossJoin(tot).select(
         "piece",
