@@ -178,7 +178,18 @@ def minhash_signatures(
 
     Short docs (< shingle_k tokens) contribute their whole text as a single
     shingle; empty/null docs hash the empty string.
+
+    Small-input spread: because the ``localCheckpoint`` barrier freezes the
+    input partitioning, a corpus that arrives in fewer partitions than the
+    session has cores (e.g. one small parquet file) would run the whole
+    signature projection on ONE core (measured 8x slower at bench scale,
+    and the single hot core is what driver-contention amplifies). If the
+    input has fewer partitions than ``defaultParallelism``, repartition
+    first — a no-op at corpus scale, where the parquet scan already yields
+    >= cores splits, so no shuffle is ever added to the 100-TB path.
     """
+    if docs.rdd.getNumPartitions() < docs.sparkSession.sparkContext.defaultParallelism:
+        docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
     # one start index per shingle; clamps to [0] when the doc is short
     starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_k, F.lit(0)))

@@ -91,22 +91,53 @@ def chunked_self_pairs(
     Returns ``key_col, a_id, b_id`` plus ``a_<c>``/``b_<c>`` for each extra
     column. Replication cost: each entry is shuffled ``ceil(bucket/chunk)``
     times per side — always dominated by the pair output it parallelizes.
+
+    Small-input bypass (round-5): buckets that already fit in one chunk
+    (``__bc <= chunk_size`` — the common case on clean corpora, and ALL
+    buckets on the small-SF benches) skip the chunk apparatus entirely and
+    enumerate through a plain key-equi self-join: no chunk-index explode and
+    no forced repartition, so Catalyst/AQE keep their broadcast + coalesced
+    plan and the small-corpus cost returns to the bare-join level. Only
+    oversized buckets pay the chunked path; the two outputs union. Exactness
+    is unchanged — every bucket routes to exactly one path and each
+    unordered pair still meets exactly once.
+
+    Routing joins against the OVERSIZED bucket list only (anti-join for the
+    small path, inner for the big path) — usually a handful of rows, so AQE
+    broadcasts both and the common path never shuffles the input on the
+    size lookup; joining the full per-bucket size table back onto every row
+    (the round-4 shape) cost a full extra shuffle.
     """
     keys = [key_col] if isinstance(key_col, str) else list(key_col)
-    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bc"))
-    p = (
-        df.join(sizes, keys)
-        .withColumn(
-            "__nc",
-            F.greatest(F.lit(1), F.ceil(F.col("__bc") / chunk_size)).cast("int"),
-        )
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .filter(F.col("__bc") > chunk_size)
+    )
+
+    small = df.join(hot.select(*keys), keys, "left_anti")
+    sa = small.select(
+        *keys,
+        F.col(id_col).alias("a_id"),
+        *[F.col(c).alias(f"a_{c}") for c in extra_cols],
+    )
+    sb = small.select(
+        *keys,
+        F.col(id_col).alias("b_id"),
+        *[F.col(c).alias(f"b_{c}") for c in extra_cols],
+    )
+    small_pairs = sa.join(sb, keys).filter(F.col("a_id") < F.col("b_id"))
+
+    big = (
+        df.join(hot, keys)
+        .withColumn("__nc", F.ceil(F.col("__bc") / chunk_size).cast("int"))
         .withColumn(
             "__cown", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nc")).cast("int")
         )
     )
     sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     a = (
-        p.withColumn("__cj", F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)))
+        big.withColumn("__cj", F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)))
         .select(
             *keys,
             F.col(id_col).alias("a_id"),
@@ -116,15 +147,16 @@ def chunked_self_pairs(
         )
         .repartition(sp, *keys, "__ci", "__cj")
     )
-    b = p.withColumn("__ci", F.explode(F.sequence(F.lit(0), F.col("__nc") - 1))).select(
+    b = big.withColumn("__ci", F.explode(F.sequence(F.lit(0), F.col("__nc") - 1))).select(
         *keys,
         F.col(id_col).alias("b_id"),
         *[F.col(c).alias(f"b_{c}") for c in extra_cols],
         "__ci",
         F.col("__cown").alias("__cj"),
     )
-    return (
+    big_pairs = (
         a.join(b, [*keys, "__ci", "__cj"])
         .filter(F.col("a_id") < F.col("b_id"))
         .drop("__ci", "__cj")
     )
+    return small_pairs.unionByName(big_pairs)
