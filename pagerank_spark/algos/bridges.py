@@ -24,8 +24,11 @@ formulation — public methodology):
    i.e. the tags of the edges crossing the (subtree, rest) cut.
 5. Tree edge (v, parent v) is a bridge iff that XOR is 0: no non-tree
    edge re-connects the subtree. A false zero needs the XOR of a
-   non-empty crossing set to vanish — probability ~2^-61 per edge under
-   the mix, deterministic for any fixed input.
+   non-empty crossing set to vanish — ~2^-61 per edge for random-like
+   tags; the double-mix tag below (two coprime ~2^31 pre-mod primes,
+   XORed) rules out the structured cancellations a single modulus admits
+   for dense sequential ids, so the random-tag estimate is the operative
+   one. Deterministic for any fixed input.
 
 Scale shape: MSF and CC are the engine's existing superstep kernels; the
 rollup adds height-many child-sum joins; tags are one projection + one
@@ -43,11 +46,22 @@ from pyspark.sql import functions as F
 
 __all__ = ["bridges", "two_edge_components"]
 
-# endpoint mix: ids pre-modded to 2^20 keep every product inside BIGINT;
-# two distinct odd multipliers decorrelate the two positions
+# endpoint mix: XOR of two independent mixes, each pre-modding ids by a
+# distinct prime near 2^31 with multipliers < 2^30 so every product stays
+# inside BIGINT under ANSI (max term ~2^61, sum ~2^62). A single pre-mod
+# would make edges whose endpoints differ by multiples of the modulus
+# collide deterministically (a real hazard with dense sequential ids past
+# the modulus); colliding on BOTH mixes needs simultaneous congruences mod
+# two coprime ~2^31 primes, i.e. endpoint differences that are multiples of
+# their ~2^62 product — unreachable for BIGINT vertex ids arising from row
+# numbering. Each mix is plain integer arithmetic, replayable cross-engine.
 _TAG = (
-    "CAST((((a % 1048576) * 2654435761 + (b % 1048576) * 40503) % 2305843009213693951)"
-    " AS BIGINT)"
+    "CAST(("
+    " (((a % 2147483647) * 1073741827 + (b % 2147483647) * 998244353)"
+    "   % 2305843009213693951)"
+    " ^ (((a % 2147483629) * 805306457 + (b % 2147483629) * 919393931)"
+    "   % 2305843009213693951)"
+    ") AS BIGINT)"
 )
 
 

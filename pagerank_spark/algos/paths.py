@@ -469,4 +469,12 @@ def widest_paths(
         state = nxt
         if same == 0:
             break
+    else:
+        # budget-exceeded contract (matches bridges()'s hard-error rule,
+        # commit f8fdfc6): never hand back silently non-converged caps
+        raise RuntimeError(
+            f"widest_paths did not reach its fixpoint within {max_iters}"
+            " supersteps — raise max_iters to at least the relaxation depth"
+            " (bounded by the graph diameter)"
+        )
     return state

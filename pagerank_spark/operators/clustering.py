@@ -238,6 +238,15 @@ def mst_cut_clusters(
     the O(n^2) dendrogram never materializes; the MSF (V-1 edges) is the
     only state.
 
+    CONNECTED-input contract: exactly-k holds when ``edges`` is connected.
+    On disconnected input the k-1 heaviest edges are ranked globally over
+    the spanning FOREST, so the result has ``n_components + k - 1``
+    clusters and the cut budget can land entirely inside one component —
+    the standard global-dendrogram semantics (cutting a forest's
+    dendrogram at height k merges nothing across components either). Rank
+    cut edges per component (window by component label) if a
+    per-component k is wanted instead.
+
     Composition of two existing kernels: Borůvka MSF (algos/msf.py) and
     min-label connected components (algos/components.py — the reference's
     propagation loop). The cut is deterministic under the total edge order

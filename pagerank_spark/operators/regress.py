@@ -429,6 +429,27 @@ def conformal_interval(
             "n_fit long, n_cal long, a_micro long, b_micro long,"
             " qhat_micro long, cov_cal_micro long",
         )
+    n_cal_eager = rows.filter(F.col("cal") == 1).count()
+    if n_cal_eager == 0:
+        # empty calibration split: the histogram/cumsum/qhat chain below
+        # would collapse to ZERO rows — mirror the degenerate-fit branch
+        # with a one-row sentinel instead (round-5 advice). a/b replay the
+        # in-plan double tree exactly (same operand order, same casts).
+        bb = (float(n_fit) * float(r0["sxy"]) - float(r0["sx"]) * float(r0["sy"])) / (
+            float(n_fit) * float(r0["sxx"]) - float(r0["sx"]) * float(r0["sx"])
+        )
+        aa = (float(r0["sy"]) - bb * float(r0["sx"])) / float(n_fit)
+
+        def _r(v):  # SQL ROUND = half away from zero (Python round is banker's)
+            import math
+
+            return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+        return units.sparkSession.createDataFrame(
+            [(int(n_fit), 0, _r(aa * 1e6), _r(bb * 1e6), 0, 0)],
+            "n_fit long, n_cal long, a_micro long, b_micro long,"
+            " qhat_micro long, cov_cal_micro long",
+        )
     # a/b recomputed in-plan from the SAME integer moments (identical
     # double trees both engines; the one-row moment frame rides along as a
     # cross join, no literal embedding needed)

@@ -25,8 +25,9 @@ pieces via Viterbi DP. This module implements the deterministic core:
   BIGINT key — ``((s + 2^41) * 4096) + (63 - n_tokens) * 64 + (j + 1)`` —
   so "best" is a plain integer ``array_max`` (no struct folds, which are
   not cross-engine-safe accumulators) and the tiebreak is total and
-  deterministic: max score, then fewer tokens, then the longest last
-  piece. Both the forward DP and the backtrack are codegen'd ``aggregate``
+  deterministic: max score, then fewer tokens, then the shortest last
+  piece (the packed low bits hold the backpointer start ``j + 1``, and
+  ``array_max`` prefers the LARGEST start, i.e. the shortest final piece). Both the forward DP and the backtrack are codegen'd ``aggregate``
   folds over the position sequence; no Python anywhere.
 
 Scale notes (100-TB lens): one corpus scan builds the word vocabulary; the
@@ -120,7 +121,7 @@ def unigram_segment(
 
     ``seg`` joins the chosen pieces with spaces; ``score_nano`` is the
     exact integer path score; ties resolve to fewer tokens, then the
-    longest final piece (total order — both engines agree bit-for-bit
+    shortest final piece (largest backpointer start under ``array_max``) (total order — both engines agree bit-for-bit
     because the whole DP is integer arithmetic on the packed keys).
     """
     vocab = unigram_vocab(docs, text_col, max_len, min_count)

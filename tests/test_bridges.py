@@ -81,3 +81,35 @@ def test_bridges_diameter_overflow_raises_not_mislabels(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(ValueError, match="unassigned"):
         bridges(df, max_iters=5)
+
+
+def test_bridges_tag_no_structured_collisions(spark):
+    # Regression (round-5 advice): the old tag pre-modded endpoints by 2^20,
+    # so edges whose endpoints differ by multiples of 2^20 got IDENTICAL
+    # tags — two such edges crossing the same cut cancel and mislabel a
+    # tree edge as a bridge. Assert the mix now separates those edges, and
+    # that bridges() stays brute-force-correct on a >2^20-id graph where
+    # the only cycle is closed by two formerly-colliding edges.
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.algos.bridges import _TAG, bridges
+
+    m = 1 << 20
+    pairs = [(5, 9), (5 + m, 9), (5, 9 + m), (5 + 7 * m, 9 + 3 * m)]
+    tags = [
+        r.t
+        for r in spark.createDataFrame(pairs, "a long, b long")
+        .select(F.expr(_TAG).alias("t"))
+        .collect()
+    ]
+    assert len(set(tags)) == len(pairs)
+
+    # path 0-x-y-z plus non-tree edges (0,y) and (x,z): with colliding tags
+    # t(0,y)==t(x,z) the x-y tree edge's cut XOR would vanish -> false
+    # bridge. Use ids spread past 2^20 so the old scheme would collide when
+    # endpoints are congruent mod 2^20.
+    x, y, z = m + 1, 2 * m + 2, 3 * m + 3
+    edges = [(0, x), (x, y), (y, z), (0, y), (x, z)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.a, r.b) for r in bridges(df).collect() if r.is_bridge}
+    assert got == _brute_bridges(edges)

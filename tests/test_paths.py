@@ -121,3 +121,20 @@ def test_temporal_reachability_min_merge_and_rounds(spark):
     # fixed 1 round == "earliest arrival using <= 1 temporal hop"
     one = {r.id: r.arrival_us for r in temporal_reachability(edges, seeds, delta_us=100, max_rounds=1).collect()}
     assert one == {0: 0, 1: 0, 2: 30}
+
+
+def test_widest_paths_budget_exceeded_raises(spark):
+    # Round-5 advice: an insufficient superstep budget must hard-error
+    # (the bridges() contract), never silently return non-converged caps.
+    import pytest
+
+    from pagerank_spark.algos.paths import widest_paths
+
+    # a 6-hop chain needs 6 relaxation rounds (+1 no-change round)
+    edges = spark.createDataFrame(
+        [(i, i + 1, 10 - i) for i in range(6)], "src long, dst long, weight long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        widest_paths(edges, source=0, max_iters=3)
+    got = {r.id: r.cap for r in widest_paths(edges, source=0, max_iters=10).collect()}
+    assert got[6] == 5 and got[1] == 10

@@ -109,3 +109,22 @@ def test_conformal_interval_degenerate_sentinel(spark):
     df = spark.createDataFrame([(5, 9, 0), (5, 11, 0), (3, 8, 1)], "x long, y long, cal long")
     got = conformal_interval(df, F.col("x"), F.col("y"), F.col("cal")).collect()[0]
     assert (got.n_fit, got.qhat_micro, got.cov_cal_micro) == (2, 0, 0)
+
+
+def test_conformal_interval_empty_calibration_sentinel(spark):
+    # Round-5 advice: with a valid fit but ZERO calibration rows the
+    # histogram/cumsum/qhat chain collapses to zero rows — the function
+    # must return the one-row sentinel (n_fit, 0, a, b, 0, 0) instead of
+    # an empty frame.
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.regress import conformal_interval
+
+    fit = [(i, 3 * i + 10, 0) for i in range(1, 21)]
+    df = spark.createDataFrame(fit, "x long, y long, cal long")
+    out = conformal_interval(df, F.col("x"), F.col("y"), F.col("cal"), 9, 10).collect()
+    assert len(out) == 1
+    got = out[0]
+    assert (got.n_fit, got.n_cal) == (20, 0)
+    assert got.a_micro == 10_000_000 and got.b_micro == 3_000_000
+    assert got.qhat_micro == 0 and got.cov_cal_micro == 0
