@@ -15,9 +15,14 @@ What IS distributed here is everything inside one augmentation:
   predecessor id so the shortest path — and therefore every residual
   update, and therefore the whole run — is deterministic;
 * the residual-capacity update is one join against the (path-length-sized)
-  broadcast edge list.
+  broadcast edge list;
+* the parent-chain extraction never does a per-hop driver round-trip:
+  driver-bounded BFS trees (size known exactly from the level counts)
+  collect the parent map once; larger trees run lazy pointer doubling
+  into one path-length-sized collect.
 
-Driver traffic per augmentation is O(path length) rows. The practical
+Driver traffic per augmentation is O(min(|BFS tree|, 1M) + path length)
+rows across O(BFS depth) jobs. The practical
 contract: use this for bounded-augmentation workloads (capacity
 bottleneck analysis on aggregated graphs — flows between COMMUNITIES, not
 raw vertices); the per-augmentation BFS scales with the graph, the
@@ -32,6 +37,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["max_flow", "min_cut"]
+
+# BFS trees up to this many vertices collect their parent map in one job
+# (a 1M-row (id, parent) map is ~16 MB on the driver); larger trees take
+# the distributed pointer-doubling extraction instead.
+_PARENT_MAP_COLLECT_MAX = 1_000_000
 
 
 def _max_flow_state(
@@ -74,6 +84,8 @@ def _max_flow_state(
         )
         frontier = visited.select("id")
         found = False
+        depth_found = 0
+        n_visited = 1
         for _depth in range(max_depth):
             nxt = (
                 pos.join(frontier, pos.u == frontier.id)
@@ -91,27 +103,64 @@ def _max_flow_state(
             if flags["n"] == 0:
                 break
             visited = visited.unionByName(nxt).localCheckpoint()
+            n_visited += flags["n"]
             if flags["hit"] == 1:
                 found = True
+                depth_found = _depth + 1
                 break
             frontier = nxt.select("id")
         if not found:
             break
-        # parent-chain walk: O(depth) one-row lookups against the visited
-        # table — driver traffic stays O(path length), never O(|visited|)
-        path = []
-        cur = sink
-        while cur != source:
-            p = visited.filter(F.col("id") == cur).collect()[0]["parent"]
-            path.append((p, cur))
-            cur = p
-        caps = {
-            (r["u"], r["v"]): r["cap"]
-            for r in pos.join(
-                spark.createDataFrame(path, "u long, v long"), ["u", "v"]
-            ).collect()
-        }
-        bottleneck = min(caps[pe] for pe in path)
+        # parent-chain extraction (round-5): the old walk did ONE driver
+        # round-trip per hop (O(depth) collect jobs per augmentation).
+        # Common path: the BFS tree size is known exactly from the level
+        # counts — when it is driver-bounded, collect the parent map ONCE
+        # and walk it in memory (1 job, O(|visited|) rows but that bound
+        # was just measured, not hoped for). Fallback for huge trees:
+        # pointer doubling — square the parent-jump table ceil(log2(depth))
+        # times while folding each jump of the known on-path set into it,
+        # all lazily inside the ONE path-sized collect (the self-
+        # referencing square doubles the PLAN per round, but rounds <=
+        # log2(max_depth) + 1 keeps it ~2 * max_depth nodes).
+        if n_visited <= _PARENT_MAP_COLLECT_MAX:
+            pmap = {r["id"]: r["parent"] for r in visited.collect()}
+            path = []
+            cur = sink
+            while cur != source:
+                p = pmap[cur]
+                path.append((p, cur))
+                cur = p
+            path_edges = spark.createDataFrame(path, "u long, v long")
+        else:
+            import math
+
+            ptr = visited.select(
+                "id",
+                F.when(F.col("parent") == F.lit(-1), F.col("id"))
+                .otherwise(F.col("parent"))
+                .alias("anc"),
+            )
+            on_path = spark.createDataFrame([(sink,)], "id long")
+            rounds = max(1, math.ceil(math.log2(depth_found + 2)))
+            for _ in range(rounds):
+                on_path = on_path.unionByName(
+                    on_path.join(ptr, "id").select(F.col("anc").alias("id"))
+                ).distinct()
+                ptr = (
+                    ptr.join(
+                        ptr.select(F.col("id").alias("anc"), F.col("anc").alias("anc2")),
+                        "anc",
+                    )
+                    .select("id", F.col("anc2").alias("anc"))
+                )
+            path_edges = (
+                on_path.join(visited, "id")
+                .filter(F.col("parent") != F.lit(-1))
+                .select(F.col("parent").alias("u"), F.col("id").alias("v"))
+            )
+        prows = pos.join(path_edges, ["u", "v"]).select("u", "v", "cap").collect()
+        path = [(r["u"], r["v"]) for r in prows]
+        bottleneck = min(r["cap"] for r in prows)
         total += bottleneck
         n_aug += 1
         fwd = spark.createDataFrame(
@@ -146,8 +195,9 @@ def max_flow(
     Residual graph state lives as a DataFrame ``(u, v, cap)`` including
     zero-capacity reverse arcs; each augmentation BFSes source→sink over
     positive-capacity arcs (shortest path — the Edmonds-Karp O(VE²)
-    termination guarantee), walks the parent chain back (O(depth) tiny
-    driver actions), and applies the bottleneck update with one join.
+    termination guarantee), extracts the parent chain with log-depth
+    pointer doubling (one path-sized collect), and applies the bottleneck
+    update with one join.
     ``localCheckpoint`` truncates lineage per augmentation (superstep
     discipline).
     """

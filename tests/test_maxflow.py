@@ -108,3 +108,50 @@ def test_min_cut_backflow_graph(spark):
     assert sum(c for _, _, c in cut) == 13
     # reachable side after saturation is {0, 1, 2}: cut = (1,3) and (2,4)
     assert cut == [(1, 3, 4), (2, 4, 9)]
+
+
+def test_path_extraction_collect_budget(spark, monkeypatch):
+    # Round-5: the parent-chain walk used to issue one collect PER HOP
+    # (O(depth) driver round-trips per augmentation). With pointer-doubling
+    # extraction, collects per augmentation = BFS level probes + ONE
+    # path-sized collect. On a depth-10 chain with one augmentation the old
+    # shape needed >= 2*depth collects; assert the new budget.
+    from pyspark.sql import DataFrame
+
+    from pagerank_spark.algos.flow import max_flow
+
+    calls = {"n": 0}
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    edges = spark.createDataFrame(
+        [(i, i + 1, 7) for i in range(10)], "src long, dst long, cap long"
+    )
+    got = max_flow(edges, 0, 10).collect()[0]
+    assert (got.max_flow, got.augmentations) == (7, 1)
+    # 10 BFS level probes + 1 path collect + 1 empty-BFS probe + 1 result
+    # collect, plus small constant slack — far below the old 2*depth+
+    assert calls["n"] <= 16, calls["n"]
+
+
+def test_pointer_doubling_branch_parity(spark, monkeypatch):
+    # Force the distributed extraction path (normally taken only for
+    # BFS trees past the driver-collect bound) and assert it reproduces
+    # the collected-map result on a backflow graph.
+    from pagerank_spark.algos import flow as flowmod
+
+    monkeypatch.setattr(flowmod, "_PARENT_MAP_COLLECT_MAX", 0)
+    edges = [
+        (0, 1, 10), (0, 2, 10),
+        (1, 3, 4), (1, 2, 2), (2, 4, 9),
+        (3, 5, 10), (4, 3, 6), (4, 5, 10),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, cap long")
+    got = flowmod.max_flow(df, 0, 5).collect()[0]
+    assert got.max_flow == 13
+    cut = sorted(tuple(r) for r in flowmod.min_cut(df, 0, 5).collect())
+    assert cut == [(1, 3, 4), (2, 4, 9)]
