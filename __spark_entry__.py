@@ -5771,6 +5771,39 @@ def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-k (operators/similarity.py::
+    lsh_bucketed_topk) — sign-pattern bucket + 1-bit-flip multiprobe, the
+    partition-pruned ANN path. The seeded Gaussian hyperplanes are not
+    SQL-expressible -> rows-only gate; exactness of the degenerate probe
+    is value-gated by the sibling ann_lsh_exhaustive."""
+    from pagerank_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = lsh_bucketed_topk(emb, query_id=0, k=10, n_planes=8)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+def q_ann_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k with n_planes == 1: the probe set {bucket, bucket ^ 1} is
+    ALL buckets, so the hyperplane quantizer prunes nothing and the result
+    is EXACTLY the brute-force top-k — which the DuckDB cosine oracle
+    checks. This value-gates the whole LSH machinery (seeded hyperplane
+    signature UDF, bucket routing, multiprobe expansion, candidate
+    semi-join, rescoring) the same way ann_ivf_exhaustive gates IVF; the
+    pruned-probe path stays a rows-only + recall-pytest gate
+    (ann_lsh_topk)."""
+    from pagerank_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = lsh_bucketed_topk(emb, query_id=0, k=10, n_planes=1)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
 def q_cosine_near_dup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-level gate for embedding near-dup detection: the corpus is the
     embeddings table plus exact copies of vec_id < 25 at vec_id + 10000.
@@ -8156,6 +8189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_exhaustive": q_ann_lsh_exhaustive,
         "cosine_near_dup_planted": q_cosine_near_dup_planted,
         "multimodal_ppm_features": q_multimodal_ppm_features,
         "multimodal_ppm_planted": q_multimodal_ppm_planted,
@@ -11472,6 +11507,8 @@ WHERE f.range % 2 = 0 AND f.range < 3 + m.range % 4"""
     # nprobe == n_centroids degenerates IVF to exact search -> same oracle
     # as the brute-force cosine top-k
     sqls["ann_ivf_exhaustive"] = sqls["ann_topk_cosine"]
+    # n_planes == 1 probes every bucket -> exact top-k, same oracle
+    sqls["ann_lsh_exhaustive"] = sqls["ann_topk_cosine"]
 
     # PQ fixed-point corpus (see q_ann_pq_planted): ADC score == exact
     # inner product against vec 0; integer-valued doubles, order-stable
