@@ -43,7 +43,14 @@ from pyspark.sql import functions as F
 
 from .pagerank import _num_partitions
 
-ARROW_MODE_MIN_DIM = 384
+# "auto" mode's exploded->arrow crossover dimension. 384 is the crossover
+# MEASURED ON THIS SANDBOX (local[32], 1M edges — BENCH/BASELINE.md): the
+# exploded path's (id, pos, val) row volume scales with D while the arrow
+# path's per-row cost is nearly D-flat, so on a real cluster with slower
+# shuffle fabric than a single box's shared memory the crossover moves
+# DOWN (more shuffle bytes saved per arrow row) — re-measure one hop at
+# your D and set the env var or pass arrow_min_dim explicitly.
+ARROW_MODE_MIN_DIM = int(__import__("os").environ.get("PAGERANK_SPARK_ARROW_MIN_DIM", "384"))
 
 
 def _make_mean_by_id_arrow(d: int):
@@ -106,6 +113,7 @@ def neighborhood_mean(
     vec_col: str = "embedding",
     num_partitions: int | None = None,
     mode: str = "exploded",
+    arrow_min_dim: int | None = None,
 ) -> DataFrame:
     """Propagate features ``hops`` steps; returns ``(id, embedding)`` with
     the aggregated vector (double array, same dimension as the input).
@@ -118,7 +126,11 @@ def neighborhood_mean(
     ``mode``: ``"exploded"`` (pure Catalyst, (id,pos,val) rows),
     ``"arrow"`` (array-valued gather + per-partition NumPy matrix mean;
     the wide-D path), or ``"auto"`` (one schema probe, arrow at D >=
-    ``ARROW_MODE_MIN_DIM``). The two modes differ only in float summation
+    ``arrow_min_dim``, defaulting to the module-level
+    ``ARROW_MODE_MIN_DIM`` — a sandbox-measured constant, overridable via
+    ``PAGERANK_SPARK_ARROW_MIN_DIM``; on real clusters the crossover
+    moves down, see the constant's comment). The two modes differ only in
+    float summation
     order (1-ulp; parity-tested in tests/test_gnn.py). Arrow mode requires
     fixed-width, non-null vectors (the zero-copy reshape is what makes it
     fast); exploded mode tolerates ragged input.
@@ -128,8 +140,9 @@ def neighborhood_mean(
     if mode not in ("exploded", "arrow", "auto"):
         raise ValueError(f"mode must be 'exploded', 'arrow' or 'auto', got {mode!r}")
     if mode == "auto":
+        crossover = ARROW_MODE_MIN_DIM if arrow_min_dim is None else int(arrow_min_dim)
         probe = features.select(F.size(F.col(vec_col)).alias("d")).first()
-        mode = "arrow" if probe and (probe["d"] or 0) >= ARROW_MODE_MIN_DIM else "exploded"
+        mode = "arrow" if probe and (probe["d"] or 0) >= crossover else "exploded"
     p = num_partitions or max(4, _num_partitions(edges))
 
     e = (
