@@ -358,6 +358,68 @@ def run_bench(spark, sf_dir: str) -> dict:
     extras["transcript_pr_edges_per_sec"] = round(
         n_tr_edges * 5 / timings["transcript_etl_pagerank_200k"], 1
     )
+
+    # round-5 addition (VERDICT r4 directive #7): the full LLM-training-data
+    # curation composition at the ~1.3M-turn tier, one entry end to end —
+    # curate (structural lint + stuck-loop + latency screens) -> kept
+    # conversations flattened to documents (per-turn text equality under
+    # stable (conv_id, turn_idx) ordering — the north-star invariant) ->
+    # MinHash near-dup dedup over the docs plus a planted 2k-copy set ->
+    # 13-gram decontamination against a deterministic eval slice -> 2048-
+    # token packing placement -> train/val/test hash split. Final action
+    # aggregates computed columns (§12 audit); turns/sec is the published
+    # throughput extra.
+    from pagerank_spark.operators.packing import hash_split, pack_chunks
+    from pagerank_spark.operators.sequences import curate_conversations
+    from pagerank_spark.operators.trainprep import decontaminate
+
+    n_turns_total = tr.count()
+
+    def _curation():
+        kept = curate_conversations(tr).filter("keep = 1").select("conv_id")
+        base = (
+            tr.join(kept, "conv_id")
+            .groupBy("conv_id")
+            .agg(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                        lambda s: s["text"],
+                    ),
+                ).alias("text")
+            )
+            .select(F.expr("CAST(substr(conv_id, 6) AS BIGINT)").alias("doc_id"), "text")
+        )
+        # planted near-dup copies so the dedup stage has real groups to form
+        docs = base.unionByName(
+            base.filter(F.col("doc_id") < 2000).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+        canon = minhash_dedup(docs, threshold=0.9)
+        uniq = docs.join(
+            canon.filter("doc_id = canonical_id").select("doc_id"), "doc_id"
+        )
+        evald = docs.filter(F.col("doc_id") % 997 == 0).select("doc_id", "text")
+        clean = (
+            decontaminate(uniq, evald, n=13)
+            .filter("contaminated = 0")
+            .select("doc_id")
+            .join(uniq, "doc_id")
+        )
+        packed = hash_split(pack_chunks(clean, budget=2048), "doc_id")
+        return packed.agg(
+            F.sum("n_chunks").alias("chunks"),
+            F.sum("n_tokens").alias("toks"),
+            F.count(F.lit(1)).alias("docs"),
+        ).collect()
+
+    timed("transcript_curation_1m", _curation)
+    extras["curation_turns"] = n_turns_total
+    extras["curation_turns_per_sec"] = round(
+        n_turns_total / timings["transcript_curation_1m"], 1
+    )
     tr.unpersist()
 
     edges.unpersist()

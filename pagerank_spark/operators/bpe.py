@@ -70,8 +70,14 @@ def learn_bpe_merges(
     freq)`` with round starting at 1, in learning order. Stops early when no
     adjacent pair occurs twice. Deterministic: the per-round argmax breaks
     count ties by (left, right) ascending."""
+    from .spread import spread_small_input
+
     spark = docs.sparkSession
-    toks = docs.select(F.split(F.col(text_col), " ").alias("t")).localCheckpoint(eager=False)
+    # one-file corpora would run every per-round merge rewrite single-core
+    # behind the checkpoint barrier (operators/spread.py; no-op at scale)
+    toks = spread_small_input(docs).select(
+        F.split(F.col(text_col), " ").alias("t")
+    ).localCheckpoint(eager=False)
     rules = []
     for rnd in range(1, k + 1):
         top = (

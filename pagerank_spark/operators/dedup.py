@@ -183,13 +183,12 @@ def minhash_signatures(
     input partitioning, a corpus that arrives in fewer partitions than the
     session has cores (e.g. one small parquet file) would run the whole
     signature projection on ONE core (measured 8x slower at bench scale,
-    and the single hot core is what driver-contention amplifies). If the
-    input has fewer partitions than ``defaultParallelism``, repartition
-    first — a no-op at corpus scale, where the parquet scan already yields
-    >= cores splits, so no shuffle is ever added to the 100-TB path.
+    and the single hot core is what driver-contention amplifies) — see
+    :mod:`.spread`; a no-op at corpus scale.
     """
-    if docs.rdd.getNumPartitions() < docs.sparkSession.sparkContext.defaultParallelism:
-        docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    from .spread import spread_small_input
+
+    docs = spread_small_input(docs)
     toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
     # one start index per shingle; clamps to [0] when the doc is short
     starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_k, F.lit(0)))
@@ -307,6 +306,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     64 bits with shift/and, sum signed bits per doc, repack via bit ops —
     no Python at all (the whole thing is codegen'd).
     """
+    from .spread import spread_small_input
+
+    # the explode + 64-bit-column partial aggregation is the dominant work
+    # and runs in the scan stage — spread one-file corpora (spread.py)
+    docs = spread_small_input(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
