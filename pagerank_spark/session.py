@@ -29,7 +29,12 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
-        master = f"local[{cpus}]"
+        # SPARK_GRAFT_MASTER opts any entry point (bench.py, jobs/, tests)
+        # into another master without code edits — most usefully
+        # local-cluster[K,c,m]: real separate executor JVMs, measured 39%
+        # faster than the shared 32-thread heap at 4x8 on this box
+        # (BENCH/SCALING_NOTES §14).
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         # local[N]: one shuffle partition per core keeps every superstep a
         # single wave; on a real cluster this is set to 2-3x total cores.
@@ -53,6 +58,18 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if master.startswith("local-cluster["):
+        # local-cluster[K,c,m]: executor memory must fit the per-worker MB
+        # budget (leave the Python workers headroom), and executors are
+        # fresh JVMs that need the repo on their Python path. Both settings
+        # are inert under plain local[N].
+        worker_mb = int(master.rstrip("]").split(",")[-1])
+        builder = builder.config(
+            "spark.executor.memory", f"{max(1024, worker_mb - 1024)}m"
+        ).config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     # experiment hook: ';'-separated k=v pairs, e.g.
