@@ -13,11 +13,29 @@ def test_spread_small_input_repartitions_one_file(spark):
 
 
 def test_spread_small_input_noop_at_scale(spark):
-    # input already at >= defaultParallelism partitions: returned as-is,
-    # no shuffle added (the 100-TB-path contract)
+    # scan-shaped input already at >= defaultParallelism partitions:
+    # returned as-is, no shuffle added (the 100-TB-path contract)
     from pagerank_spark.operators.spread import spread_small_input
 
     para = spark.sparkContext.defaultParallelism
-    wide = spark.range(1000).repartition(para + 4)
+    wide = spark.range(0, 1000, 1, para + 4)
     out = spread_small_input(wide)
     assert out is wide
+
+
+def test_spread_derived_frame_no_eager_probe(spark):
+    # Derived (aggregate) input: the guard must NOT probe .rdd (which
+    # finalizes the AQE plan by running upstream stages) — it repartitions
+    # lazily instead. Assert zero jobs run while building the plan.
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.spread import spread_small_input
+
+    st = spark.sparkContext.statusTracker()
+    before = len(st.getJobIdsForGroup(None) or [])
+    agg = spark.range(100_000).groupBy((F.col("id") % 50).alias("k")).count()
+    out = spread_small_input(agg)
+    after = len(st.getJobIdsForGroup(None) or [])
+    assert after == before, "spread probed a derived frame eagerly"
+    assert out.count() == 50
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
