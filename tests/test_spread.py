@@ -31,11 +31,15 @@ def test_spread_derived_frame_no_eager_probe(spark):
 
     from pagerank_spark.operators.spread import spread_small_input
 
-    st = spark.sparkContext.statusTracker()
-    before = len(st.getJobIdsForGroup(None) or [])
-    agg = spark.range(100_000).groupBy((F.col("id") % 50).alias("k")).count()
-    out = spread_small_input(agg)
-    after = len(st.getJobIdsForGroup(None) or [])
-    assert after == before, "spread probed a derived frame eagerly"
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    sc.setJobGroup("spread-derived-probe", "plan build must run no jobs")
+    try:
+        agg = spark.range(100_000).groupBy((F.col("id") % 50).alias("k")).count()
+        out = spread_small_input(agg)
+        probe_jobs = st.getJobIdsForGroup("spread-derived-probe") or []
+        assert not probe_jobs, "spread probed a derived frame eagerly"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
     assert out.count() == 50
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
